@@ -1,0 +1,26 @@
+"""lakehouse_spark — a PySpark-native event-log / session analytics engine.
+
+A from-scratch re-expression of the query and data-processing capabilities of
+``payneio/lakehouse`` (reference surveyed in SURVEY.md) as an idiomatic
+PySpark engine: DataFrame/SQL logical plans optimized by Catalyst, stateful
+sessionization via ``applyInPandas``, Structured Streaming for live event
+fan-out, and a Parquet-backed mutation layer.
+
+Package map
+-----------
+- ``session``   — SparkSession builder tuned for the engine (Arrow, AQE).
+- ``schemas``   — explicit StructTypes for every logical table (never infer).
+- ``io``        — table loading + catalog registration for the test datasets.
+- ``operators`` — the operator inventory from SURVEY.md §2: filters, joins,
+                  aggregates, sorts, windowing, sessionization, dedup,
+                  similarity search, text analysis, multimodal plumbing.
+- ``functions`` — scalar function library (truncation, interval parse, cron).
+- ``plans``     — iterative/recursive plan helpers (hierarchy closure, BFS).
+- ``streaming`` — Structured Streaming flavors of the stateful operators.
+- ``mutation``  — append / upsert / delete-last / retention over Parquet
+                  (Delta-gated where available).
+"""
+
+__version__ = "0.1.0"
+
+from lakehouse_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,179 @@
+"""Scalar column functions (SURVEY.md §2.8, T1-T18 + S2-S4).
+
+All pure Catalyst expressions — no Python UDFs — so they stay inside
+whole-stage codegen and cost nothing extra at 100 TB. Each cites the
+reference behavior it reproduces (read, not copied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Portable 64-bit hash (engine addition).
+#
+# Spark's `hash()`/`xxhash64()` are engine-specific; the dedup/sketch
+# operators need a hash the DuckDB oracle can reproduce. md5 is available
+# in both engines; 15 hex chars = 60 bits, always fits in a signed BIGINT.
+# DuckDB equivalent: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
+# ---------------------------------------------------------------------------
+
+
+def hash64(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic cross-engine 60-bit hash of a string column. ``seed``
+    lets MinHash derive k independent hash families from one md5 pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed:
+        c = F.concat(F.lit(f"s{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB-side rendering of :func:`hash64` for oracle queries."""
+    inner = f"concat('s{seed}:', {expr})" if seed else expr
+    return f"CAST('0x' || substr(md5({inner}), 1, 15) AS BIGINT)"
+
+
+# --- S2: duration --------------------------------------------------------
+
+
+def duration_ms(end_col: Column, start_col: Column, scale: int = 2) -> Column:
+    """S2 ← trace_aggregator.py:152-155: end - start, rounded."""
+    return F.round(end_col - start_col, scale)
+
+
+# --- S3: payload truncation ----------------------------------------------
+
+
+def truncate_payload(col: Column | str, max_len: int = 1000) -> Column:
+    """S3 ← trace_aggregator.py:41-53: cap long result/error strings and
+    mark the cut with a '... (truncated)' suffix."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) > max_len,
+        F.concat(F.substring(c, 1, max_len), F.lit("... (truncated)")),
+    ).otherwise(c)
+
+
+# --- S4: ISO timestamp → epoch millis -------------------------------------
+
+
+def iso_to_millis(col: Column | str) -> Column:
+    """S4 ← trace_aggregator.py:24-38: tz-aware ISO-8601 parse to epoch
+    milliseconds; unparseable values map to 0 (the reference's fallback)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.unix_millis(F.to_timestamp(c)), F.lit(0).cast("long"))
+
+
+# --- T6/T5: string helpers are plain builtins (substring/lower/upper) ------
+
+# --- T8/T7: timestamp format/arithmetic are plain builtins -----------------
+
+
+def session_display_name(base: Column, ts: Column) -> Column:
+    """T7 ← automation_scheduler.py:362-369: '{name} - {YYYY-MM-DD HH:MM UTC}'
+    naming for scheduled sessions (engine pins UTC; tz conversion is
+    `from_utc_timestamp` at the edge)."""
+    return F.concat(base, F.lit(" - "), F.date_format(ts, "yyyy-MM-dd HH:mm 'UTC'"))
+
+
+# --- T9: interval-string parse --------------------------------------------
+
+
+def interval_to_seconds(col: Column | str) -> Column:
+    """T9 ← automation_scheduler.py:273-318: parse '^(\\d+)([smhd])$' into
+    seconds; malformed inputs → NULL (the reference raises; a column function
+    signals with NULL and the caller filters/validates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    qty = F.regexp_extract(c, r"^(\d+)([smhd])$", 1).cast("long")
+    unit = F.regexp_extract(c, r"^(\d+)([smhd])$", 2)
+    mult = (
+        F.when(unit == "s", 1)
+        .when(unit == "m", 60)
+        .when(unit == "h", 3600)
+        .when(unit == "d", 86400)
+    )
+    return (qty * mult).cast("long")
+
+
+# --- T12: id generation ----------------------------------------------------
+
+
+def short_id() -> Column:
+    """T12 ← routers/sessions.py:307-309: uuid4().hex[:8]-style short id.
+    Nondeterministic — never feed into oracle-hashed outputs."""
+    return F.substring(F.regexp_replace(F.expr("uuid()"), "-", ""), 1, 8)
+
+
+def child_span_id(parent: Column, span: Column, agent: Column) -> Column:
+    """T12 ← sessions/spawner.py:58-75: W3C-trace-style child id
+    '{parent}-{span16}_{agent}'."""
+    return F.concat(parent, F.lit("-"), span, F.lit("_"), agent)
+
+
+# --- T13: path functions ----------------------------------------------------
+
+
+def path_last_segment(col: Column | str) -> Column:
+    """T13: last path segment (split('/')[-1])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring_index(c, "/", -1)
+
+
+def path_parent(col: Column | str) -> Column:
+    """T13: parent directory ('' for top-level paths)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.contains("/"), F.regexp_replace(c, r"/[^/]*$", "")).otherwise(
+        F.lit("")
+    )
+
+
+def strip_suffix(col: Column | str, suffix: str) -> Column:
+    """T13: removesuffix() — strip only when present, only at the end."""
+    c = F.col(col) if isinstance(col, str) else col
+    import re
+
+    return F.regexp_replace(c, re.escape(suffix) + "$", "")
+
+
+def path_depth(col: Column | str) -> Column:
+    """Depth of a relative path = number of '/'-separated segments; used to
+    reproduce the reference's depth-10 scan cap (amplified_directory_service
+    .py:252-257) as a partition-prunable filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, "/"))
+
+
+# --- T1/T2: @mention extraction -------------------------------------------
+
+# The reference's pipeline (utils/mentions.py:15-76, read-not-copied) is
+# ORDER SENSITIVE: (1) strip inline code spans and quoted strings that are
+# not mentions, (2) extract quoted mentions @"path with spaces", (3) remove
+# them, (4) extract simple mentions, (5) drop the literal word "mention".
+_SIMPLE_MENTION = r"(?<![a-zA-Z0-9])@([a-zA-Z0-9_\-/\.:]+)"
+_QUOTED_MENTION = r'@"([^"]+)"'
+
+
+def extract_mentions(col: Column | str) -> Column:
+    """T1: ordered mention extraction; returns ARRAY<STRING> of raw targets
+    (quoted first, then simple), with inline-code spans neutralized and the
+    literal '@mention' dropped — same observable order as the reference."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c, r"`[^`]*`", " ")  # strip inline code
+    quoted = F.regexp_extract_all(cleaned, F.lit(_QUOTED_MENTION), 1)
+    rest = F.regexp_replace(cleaned, _QUOTED_MENTION, " ")
+    simple = F.regexp_extract_all(rest, F.lit(_SIMPLE_MENTION), 1)
+    all_mentions = F.concat(quoted, simple)
+    return F.filter(all_mentions, lambda m: m != F.lit("mention"))
+
+
+def normalize_mention(col: Column | str) -> Column:
+    """T2 ← utils/mentions.py:79-104: strip leading '@' and surrounding
+    quotes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, r"^@", ""), r'^"(.*)"$', r"$1")
+
+
+# --- T14: nested navigation is plain col("a.b.c") --------------------------
+# --- T17: to_json/from_json are plain builtins ------------------------------

@@ -1,0 +1,47 @@
+"""Table loading and catalog registration.
+
+Reads the driver's parquet test tables and registers them as temp views so
+both the DataFrame API and ``spark.sql`` paths work. At 100 TB the same entry
+points take a directory of partitioned parquet/Delta instead of a single
+file — nothing here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLE_NAMES = tuple(TESTDATA_TABLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Parquet is self-describing; the explicit schema
+    in :mod:`lakehouse_spark.schemas` is the asserted contract (tests check
+    parity), not an inference input."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long via
+    # spark.sql.legacy.parquet.nanosAsLong; convert to a real timestamp by
+    # truncating to micros (identical to DuckDB's ns→us cast).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after the table."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

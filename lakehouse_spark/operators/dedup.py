@@ -1,0 +1,320 @@
+"""Deduplication operators (SURVEY.md §2.7, D1-D4) plus the near-dup family
+a training-data pipeline needs at 100 TB (MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup).
+
+Scale design
+------------
+- Exact dedup (D1) is one hash-groupBy: map-side partial aggregation means
+  the shuffle carries one row per distinct hash per partition.
+- MinHash-LSH avoids the O(n²) pairwise wall: documents are reduced to k
+  minhashes, banded, and only same-bucket pairs are compared — the join is
+  an equi join on (band, band_hash), so Catalyst shuffles on bucket keys and
+  skew-prone giant buckets are split by AQE.
+- All hashes use the cross-engine md5-based :func:`hash64` so the DuckDB
+  oracle can replay every step bit-for-bit (Spark's xxhash64 would be
+  faster; swap in production where no oracle parity is needed — the seam is
+  this one function).
+
+Provenance (read, not copied): content dedup by SHA-256 ←
+amplifierd/services/content_deduplicator.py:36-88; first-wins ordered dedup
+← services/profile_compilation.py:660-725; visited-set anti-join ←
+services/mention_loader.py:102-106.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_spark.functions.scalar import hash64
+
+# --- D1: exact content dedup ------------------------------------------------
+
+
+def exact(
+    df: DataFrame, content_col: str, credit_col: str, hash_col: str = "content_sha256"
+) -> DataFrame:
+    """D1: one row per distinct content (SHA-256 identity), crediting every
+    source in a deterministic sorted array — the reference keeps first
+    content + all paths (content_deduplicator.py:44-68)."""
+    return (
+        df.withColumn(hash_col, F.sha2(F.col(content_col), 256))
+        .groupBy(hash_col)
+        .agg(
+            F.first(content_col).alias(content_col),
+            F.array_sort(F.collect_list(credit_col)).alias(f"{credit_col}s"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def first_wins(
+    df: DataFrame, keys: list[str], seq_col: str
+) -> DataFrame:
+    """D2: order-preserving first-wins dedup. The reference's `seen` sets
+    observe file/append order; Spark has no row order, so the caller supplies
+    an explicit encounter sequence and we keep rn=1 — NOT dropDuplicates,
+    whose survivor is nondeterministic."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def visited_anti(frontier: DataFrame, visited: DataFrame, key: str) -> DataFrame:
+    """D4: drop rows already in the visited set (BFS building block)."""
+    return frontier.join(visited.select(key).distinct(), key, "left_anti")
+
+
+# --- shingling (shared by MinHash / Jaccard) --------------------------------
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column as ARRAY<STRING>. Pure
+    Catalyst higher-order functions (transform over a sequence of offsets) —
+    no UDF, so shingling runs inside codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    count = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    # sequence(0, k) runs DESCENDING when k < 0 — guard short/empty docs
+    # with an explicit empty array instead.
+    empty = F.array().cast("array<string>")
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(empty)
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature: min over seeded :func:`hash64` of
+    each shingle, per seed. ARRAY<BIGINT> length k. Empty shingle sets get
+    NULL mins — callers should filter empty docs first."""
+    def seeded(seed: int):
+        return lambda s: hash64(s, seed=seed)
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, seeded(i + 1))) for i in range(k)]
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → k minhashes → ``bands`` bands of
+    k/bands rows → explode to (band_idx, band_signature) → self equi join on
+    the band bucket → verify candidates with exact Jaccard on shingle sets.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id, only verified pairs.
+
+    Scale: the only shuffles are the bucket-key self-join and the final
+    distinct — candidate pairs, not all pairs. rows_per_band = k/bands tunes
+    recall/precision (standard LSH banding); at 100 TB raise k and bands
+    rather than lowering min_jaccard.
+    """
+    rows_per_band = k // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), k))
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("bucket", F.hash(F.col("band"), F.col("band_sig")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sh").alias("a_sh"),
+            F.col("b.sh").alias("b_sh"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --- n-gram Jaccard (blocked pairwise) ---------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within a blocking key
+    (e.g. language, source, length bucket). The block join keeps this
+    O(sum block²) not O(total²); for unblocked corpora use
+    :func:`minhash_near_duplicates`."""
+    base = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+SIMHASH_BITS = 60  # hash64 is md5-derived 60-bit; every bit position is live
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash per document: explode whitespace tokens, hash each with the
+    cross-engine :func:`hash64`, and for every bit position sum +1/-1 votes;
+    the fingerprint sets each bit whose vote is positive.
+
+    Shape: one explode + ONE groupBy with ``bits`` static sum aggregates —
+    all inside whole-stage codegen, one shuffle on the doc id (map-side
+    partial aggregation compresses the token fan-out). Returns
+    (id, simhash BIGINT)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return voted.select("id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the top ``prefix_bits`` bits (near
+    dups almost always share the high prefix), then verify Hamming distance
+    ≤ ``max_hamming`` via bit_count(xor). Returns (a_id, b_id, hamming).
+
+    Production variant rotates the blocking prefix (4 rotations of 16 bits
+    covers Hamming≤3 exactly); one prefix is the demo/bench shape.
+    """
+    base = simhash(df, id_col, text_col, bits).withColumnRenamed(
+        "simhash", "sh"
+    ).withColumn("blk", F.shiftright(F.col("sh"), bits - prefix_bits))
+    a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine similarity. With ``block_col``
+    (e.g. an LSH bucket or cluster id from operators.similarity) the join is
+    an equi join; without it this is a full cross join — only for small/
+    sampled inputs. JVM-side math: zip_with product + aggregate sum."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col is not None:
+        cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

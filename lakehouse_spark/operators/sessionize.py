@@ -1,0 +1,323 @@
+"""Marker-based sessionization & trace aggregation (SURVEY.md §2.5 S1-S7,
+§2.9 W1-W3).
+
+The reference folds an ordered per-session event log into "turns"
+(amplifierd/services/trace_aggregator.py:56-211, read-not-copied):
+`prompt:submit` opens a turn, `tool:pre` adds a running tool, `tool:post`
+completes the first still-running tool with the same (tool_name,
+parallel_group_id), `thinking:delta` accumulates, `session:end` closes the
+turn, a new prompt implicitly closes the previous turn, and an unclosed turn
+at EOF stays `active`.
+
+Two implementations, deliberately:
+
+1. **Window form** (:func:`turn_number`, :func:`pair_tool_events`,
+   :func:`turn_stats`): pure Catalyst — turn assignment is a running sum of
+   markers, pre/post matching is row_number pairing. Fully pushdown-able,
+   oracle-checkable in ANSI SQL, and the fast path at 100 TB (one shuffle on
+   session_id).
+2. **Grouped-map form** (:func:`aggregate_trace`): `applyInPandas` per
+   session reproducing the reference's exact fold, including the edge cases
+   the window form can't express relationally (unmatched tool:post dropped,
+   per-tool FIRST-running matching under interleaving). Used for the nested
+   TRACE_TURN output and validated by golden fixtures.
+
+Spark's `session_window` is gap-based and CANNOT express marker semantics —
+that's why this operator exists (SURVEY.md §2.10 ST8).
+
+Scale: both forms shuffle once on session_id. applyInPandas state is
+per-session (bounded by one session's events); sessions are independent so
+1000 executors scale linearly. Skewed giant sessions are the risk — mitigate
+upstream with per-session event caps or split-by-turn pre-pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_spark.schemas import TRACE_TURN
+
+# --- W1: turn assignment ------------------------------------------------------
+
+
+def turn_number(
+    df: DataFrame,
+    session_col: str,
+    order: list[Column],
+    is_marker: Column,
+    out_col: str = "turn_id",
+) -> DataFrame:
+    """W1: assign each event the running count of marker events seen so far
+    in its session — events before the first marker get turn 0."""
+    w = (
+        Window.partitionBy(session_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col, F.sum(F.when(is_marker, 1).otherwise(0)).over(w).cast("long")
+    )
+
+
+# --- W2: pre/post pairing -----------------------------------------------------
+
+
+def pair_tool_events(
+    df: DataFrame,
+    keys: list[str],
+    kind_col: str,
+    order: list[Column],
+    pre_kind: str = "tool:pre",
+    post_kind: str = "tool:post",
+) -> DataFrame:
+    """W2: pair the i-th ``pre`` event with the i-th ``post`` event within
+    ``keys`` (session, turn, tool_name, parallel_group_id). Reproduces the
+    reference's "first still-running tool wins" under ordered logs. Output:
+    one row per pre event with matched post columns suffixed `_post`
+    (NULL-suffixed rows = still running; unmatched posts drop — same as the
+    reference's ignore path, trace_aggregator.py:180-183)."""
+    w = Window.partitionBy(*keys, kind_col).orderBy(*order)
+    ranked = df.withColumn("__k", F.row_number().over(w))
+    pre = ranked.filter(F.col(kind_col) == pre_kind)
+    post = ranked.filter(F.col(kind_col) == post_kind)
+    post_renamed = post.select(
+        *[F.col(k).alias(f"__j_{i}") for i, k in enumerate(keys)],
+        F.col("__k").alias("__k_post"),
+        *[
+            F.col(c).alias(f"{c}_post")
+            for c in post.columns
+            if c not in (*keys, kind_col, "__k")
+        ],
+    )
+    cond = F.col("__k") == F.col("__k_post")
+    for i, k in enumerate(keys):
+        cond = cond & (F.col(k) == F.col(f"__j_{i}"))
+    return pre.join(post_renamed, cond, "left").drop(
+        "__k", "__k_post", *[f"__j_{i}" for i in range(len(keys))]
+    )
+
+
+# --- flattened turn statistics (oracle-checkable S1 slice) ---------------------
+
+
+def turn_stats(
+    df: DataFrame,
+    session_col: str,
+    ts_col: str,
+    order: list[Column],
+    is_marker: Column,
+    value_col: str | None = None,
+) -> DataFrame:
+    """S1 (flattened): assign turns by marker, then aggregate one row per
+    (session, turn): event count, start/end timestamps, optional value sum.
+    This is the window-form sessionization a DuckDB oracle can replay."""
+    with_turn = turn_number(df, session_col, order, is_marker)
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("turn_start"),
+        F.max(ts_col).alias("turn_end"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("value_sum"))
+    return with_turn.groupBy(session_col, "turn_id").agg(*aggs)
+
+
+# --- S1 exact fold: nested trace turns via applyInPandas -----------------------
+
+_TRUNC_AT = 1000  # ← trace_aggregator.py:41 (payload cap)
+
+
+def _truncate(s: str | None) -> str | None:
+    if s is None:
+        return None
+    s = str(s)
+    return s[:_TRUNC_AT] + "... (truncated)" if len(s) > _TRUNC_AT else s
+
+
+def _iso_ms(ts: str | None) -> int:
+    """ISO-8601 → epoch ms; 0 when unparseable (trace_aggregator.py:24-38)."""
+    from datetime import datetime, timezone
+
+    if not ts:
+        return 0
+    try:
+        dt = datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+    except (ValueError, TypeError):
+        return 0
+
+
+def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference fold for ONE session's events (already a single group).
+
+    Semantics reproduced from trace_aggregator.py:56-211 (turn open 98-110,
+    tool add 112-132, match/update 134-183, thinking 185-192, close 194-199,
+    EOF 201-204) — behavior re-derived from reading, logic written fresh.
+    """
+    pdf = pdf.sort_values("encounter_seq", kind="stable")
+    session_id = pdf["session_id"].iloc[0] if len(pdf) else None
+    turns: list[dict] = []
+    cur: dict | None = None
+    tool_seq = 0
+
+    def close(status: str) -> None:
+        nonlocal cur
+        if cur is None:
+            return
+        cur["status"] = status
+        for t in cur["tools"]:
+            if t["status"] == "running" and status != "active":
+                t["status"] = "cancelled"
+        turns.append(cur)
+        cur = None
+
+    for row in pdf.itertuples(index=False):
+        ev = row.event
+        data = row.data if isinstance(row.data, dict) else {}
+        ms = _iso_ms(row.ts)
+        if ev == "prompt:submit":
+            close("completed")  # implicit close on back-to-back prompts
+            cur = {
+                "session_id": session_id,
+                "turn_id": len(turns) + 1,
+                "user_message": (data or {}).get("prompt"),
+                "status": "active",
+                "start_time": ms,
+                "end_time": None,
+                "tools": [],
+                "thinking": [],
+            }
+        elif ev == "tool:pre" and cur is not None:
+            tool_seq += 1
+            tool_input = (data or {}).get("tool_input") or {}
+            name = (data or {}).get("tool_name")
+            is_sub = (name or "").lower() == "task"
+            cur["tools"].append(
+                {
+                    "id": f"tool_{tool_seq}",
+                    "name": name,
+                    "parallel_group_id": (data or {}).get("parallel_group_id"),
+                    "status": "running",
+                    "start_time": ms,
+                    "end_time": None,
+                    "duration": None,
+                    "result": None,
+                    "error": None,
+                    "is_sub_agent": is_sub,
+                    "sub_agent_name": (
+                        dict(tool_input).get("subagent_type") if is_sub else None
+                    ),
+                    "child_session_id": None,
+                }
+            )
+        elif ev == "tool:post" and cur is not None:
+            name = (data or {}).get("tool_name")
+            gid = (data or {}).get("parallel_group_id")
+            match = next(
+                (
+                    t
+                    for t in cur["tools"]
+                    if t["status"] == "running"
+                    and t["name"] == name
+                    and t["parallel_group_id"] == gid
+                ),
+                None,
+            )
+            if match is None:
+                continue  # unmatched post: dropped (ref :180-183)
+            match["end_time"] = ms
+            if match["start_time"]:
+                match["duration"] = round(ms - match["start_time"], 2)
+            result = (data or {}).get("result") or {}
+            if isinstance(result, dict) and result.get("success") is False:
+                match["status"] = "error"
+                err = result.get("error") or {}
+                match["error"] = _truncate(
+                    err.get("message") if isinstance(err, dict) else str(err)
+                )
+            else:
+                match["status"] = "completed"
+                output = (
+                    result.get("output") if isinstance(result, dict) else None
+                )
+                match["result"] = _truncate(output)
+                if match["is_sub_agent"] and isinstance(output, str):
+                    # child session id extraction (ref :160-165): output may
+                    # be a JSON blob carrying the spawned session's id.
+                    import json
+
+                    try:
+                        parsed = json.loads(output)
+                        if isinstance(parsed, dict):
+                            match["child_session_id"] = parsed.get("session_id")
+                    except (ValueError, TypeError):
+                        pass
+        elif ev == "thinking:delta" and cur is not None:
+            cur["thinking"].append(
+                {"start_time": ms, "content": (data or {}).get("delta")}
+            )
+        elif ev == "session:end":
+            if cur is not None:
+                cur["end_time"] = ms
+            close("completed")
+    close("active")  # trailing unclosed turn stays visible (ref :201-204)
+
+    if not turns:
+        return pd.DataFrame(columns=[f.name for f in TRACE_TURN.fields])
+    return pd.DataFrame(turns)
+
+
+def aggregate_trace(events: DataFrame) -> DataFrame:
+    """S1: events (TRACE_EVENT shape) → nested turns (TRACE_TURN shape).
+
+    One shuffle on session_id; per-group pandas fold; Arrow-batched both
+    ways. Output column set matches :data:`lakehouse_spark.schemas.TRACE_TURN`.
+    """
+    return events.groupBy("session_id").applyInPandas(
+        _fold_session, schema=TRACE_TURN
+    )
+
+
+# --- A3: per-session tool metrics ----------------------------------------------
+
+
+def trace_metrics(turns: DataFrame) -> DataFrame:
+    """A3 ← webapp useExecutionState.ts:85-112: totalTools, totalThinking,
+    avgToolDuration, longestTool (argmax by duration, deterministic via
+    struct-max tiebreak on tool id)."""
+    tools = turns.select(
+        "session_id", F.explode_outer("tools").alias("t")
+    ).select("session_id", "t.*")
+    thinking = turns.select(
+        "session_id", F.explode_outer("thinking").alias("th")
+    ).groupBy("session_id").agg(
+        F.count(F.col("th.start_time")).alias("total_thinking")
+    )
+    finished = tools.filter(F.col("duration").isNotNull())
+    metrics = tools.groupBy("session_id").agg(
+        F.count(F.col("id")).alias("total_tools"),
+    )
+    durations = finished.groupBy("session_id").agg(
+        F.round(F.avg("duration"), 4).alias("avg_tool_duration"),
+        F.max(
+            F.struct(
+                F.col("duration").alias("d"), F.col("id").alias("i"),
+                F.col("name").alias("n"),
+            )
+        ).alias("__mx"),
+    ).select(
+        "session_id",
+        "avg_tool_duration",
+        F.col("__mx.d").alias("max_tool_duration"),
+        F.col("__mx.n").alias("longest_tool"),
+    )
+    return (
+        metrics.join(durations, "session_id", "left")
+        .join(thinking, "session_id", "left")
+    )

