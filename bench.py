@@ -1,0 +1,64 @@
+"""Benchmark runner: times the headline catalog queries end-to-end.
+
+Runs every ``headline=True`` entry of `lakehouse_spark.queries.CATALOG` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed over a full execution (plan + shuffle + collect of the
+result rows — results are small aggregates, so collect cost is negligible and
+the measured time is dominated by scan/shuffle/agg work, which is what scales).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakehouse_spark.queries import headline_queries  # noqa: E402
+from lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="lakehouse_spark_bench")
+    suite = headline_queries()
+
+    # Warm the JVM + parquet footer caches on the smallest query so the
+    # first timed query doesn't pay one-time session costs.
+    first = next(iter(suite.values()))
+    first.build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name, spec in suite.items():
+        t0 = time.perf_counter()
+        spec.build(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

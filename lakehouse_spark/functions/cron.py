@@ -104,19 +104,24 @@ def next_execution(
 ) -> datetime | None:
     """CR2: next_execution for one automation row. ``interval`` uses the
     reference's '^(\\d+)([smhd])$' grammar (automation_scheduler.py:273-318);
-    ``once`` fires at its ISO datetime if still in the future."""
-    if schedule_type == "cron":
-        return cron_next(schedule_value, after)
-    if schedule_type == "interval":
-        qty, unit = schedule_value[:-1], schedule_value[-1]
-        if not qty.isdigit() or unit not in _INTERVAL_UNITS:
-            return None
-        return after + timedelta(seconds=int(qty) * _INTERVAL_UNITS[unit])
-    if schedule_type == "once":
-        ts = datetime.fromisoformat(schedule_value)
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=timezone.utc)
-        return ts if ts > after else None
+    ``once`` fires at its ISO datetime if still in the future. Invalid
+    schedule values yield None (the scheduler must never die on one bad
+    row), never an exception."""
+    try:
+        if schedule_type == "cron":
+            return cron_next(schedule_value, after)
+        if schedule_type == "interval":
+            qty, unit = schedule_value[:-1], schedule_value[-1]
+            if not qty.isdigit() or unit not in _INTERVAL_UNITS:
+                return None
+            return after + timedelta(seconds=int(qty) * _INTERVAL_UNITS[unit])
+        if schedule_type == "once":
+            ts = datetime.fromisoformat(schedule_value)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            return ts if ts > after else None
+    except (ValueError, TypeError, IndexError):
+        return None
     return None
 
 

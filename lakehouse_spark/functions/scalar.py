@@ -63,7 +63,9 @@ def iso_to_millis(col: Column | str) -> Column:
     """S4 ← trace_aggregator.py:24-38: tz-aware ISO-8601 parse to epoch
     milliseconds; unparseable values map to 0 (the reference's fallback)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(F.unix_millis(F.to_timestamp(c)), F.lit(0).cast("long"))
+    # try_to_timestamp: ANSI mode makes to_timestamp THROW on garbage; the
+    # reference maps unparseable → 0 and keeps going.
+    return F.coalesce(F.unix_millis(F.try_to_timestamp(c)), F.lit(0).cast("long"))
 
 
 # --- T6/T5: string helpers are plain builtins (substring/lower/upper) ------
@@ -86,7 +88,8 @@ def interval_to_seconds(col: Column | str) -> Column:
     seconds; malformed inputs → NULL (the reference raises; a column function
     signals with NULL and the caller filters/validates)."""
     c = F.col(col) if isinstance(col, str) else col
-    qty = F.regexp_extract(c, r"^(\d+)([smhd])$", 1).cast("long")
+    # try_cast: regexp_extract yields '' on no-match, which ANSI cast rejects
+    qty = F.regexp_extract(c, r"^(\d+)([smhd])$", 1).try_cast("long")
     unit = F.regexp_extract(c, r"^(\d+)([smhd])$", 2)
     mult = (
         F.when(unit == "s", 1)

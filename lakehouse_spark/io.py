@@ -31,7 +31,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # spark.sql.legacy.parquet.nanosAsLong; convert to a real timestamp by
     # truncating to micros (identical to DuckDB's ns→us cast).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # `div` = integer division. Float `/` loses precision above 2^53
+        # (epoch-nanos ≈ 1.7e18) and rounds where DuckDB floors.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

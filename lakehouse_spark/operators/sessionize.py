@@ -73,13 +73,15 @@ def pair_tool_events(
     order: list[Column],
     pre_kind: str = "tool:pre",
     post_kind: str = "tool:post",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """W2: pair the i-th ``pre`` event with the i-th ``post`` event within
     ``keys`` (session, turn, tool_name, parallel_group_id). Reproduces the
     reference's "first still-running tool wins" under ordered logs. Output:
     one row per pre event with matched post columns suffixed `_post`
     (NULL-suffixed rows = still running; unmatched posts drop — same as the
-    reference's ignore path, trace_aggregator.py:180-183)."""
+    reference's ignore path, trace_aggregator.py:180-183). Set ``rank_col``
+    to keep the pairing index in the output."""
     w = Window.partitionBy(*keys, kind_col).orderBy(*order)
     ranked = df.withColumn("__k", F.row_number().over(w))
     pre = ranked.filter(F.col(kind_col) == pre_kind)
@@ -96,9 +98,10 @@ def pair_tool_events(
     cond = F.col("__k") == F.col("__k_post")
     for i, k in enumerate(keys):
         cond = cond & (F.col(k) == F.col(f"__j_{i}"))
-    return pre.join(post_renamed, cond, "left").drop(
-        "__k", "__k_post", *[f"__j_{i}" for i in range(len(keys))]
-    )
+    out = pre.join(post_renamed, cond, "left")
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("__k"))
+    return out.drop("__k", "__k_post", *[f"__j_{i}" for i in range(len(keys))])
 
 
 # --- flattened turn statistics (oracle-checkable S1 slice) ---------------------

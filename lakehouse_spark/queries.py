@@ -1,0 +1,1233 @@
+"""Query catalog: every implemented operator as a named (Spark builder,
+DuckDB oracle SQL) pair over the driver's testdata tables.
+
+This is the correctness gate's contract (see __spark_entry__.py): the driver
+runs each builder on Spark and the oracle SQL on DuckDB at sf0.01 and
+compares row counts, schemas, and order-insensitive value hashes.
+
+Cross-engine determinism rules applied throughout:
+- every aggregate/computed column is aliased IDENTICALLY on both sides;
+- every float is rounded (4 decimals; 6 for cosine) on BOTH sides;
+- every LIMIT sits on a TOTAL order (explicit tie-break columns);
+- sums of integers are cast to BIGINT on the DuckDB side (DuckDB widens to
+  INT128 where Spark stays INT64);
+- row_number outputs are cast to INTEGER on the DuckDB side (Spark emits
+  INT32);
+- the shared 60-bit hash is md5-based: Spark `conv(substr(md5(x),1,15),16,10)`
+  == DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` (functions.scalar.hash64).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_spark.functions.scalar import truncate_payload
+from lakehouse_spark.io import load_table
+from lakehouse_spark.operators import (
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    similarity,
+    sorts,
+    text,
+)
+from lakehouse_spark.operators.sessionize import (
+    pair_tool_events,
+    turn_number,
+    turn_stats,
+)
+from lakehouse_spark.plans import closure
+
+
+@dataclass
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    headline: bool = False  # include in bench.py timing suite
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+    def reg(fn):
+        CATALOG[name] = QuerySpec(fn, oracle, headline, doc)
+        return fn
+
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =============================================================================
+# Flagship + TPC-H-style headline queries (A2/A3 aggregation shapes)
+# =============================================================================
+
+
+@_q(
+    "flagship_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="TPC-H Q1 shape: scan + filter + 8-way agg; map-side partial agg",
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    doc="TPC-H Q3 shape: 3-way join + agg + total-order top-k",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return sorts.top_n(
+        agg, [F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")], 10
+    ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+@_q(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+    doc="TPC-H Q5 shape: 6-way join, broadcast dims, one wide agg",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# =============================================================================
+# Filters (F1-F5)
+# =============================================================================
+
+
+@_q(
+    "f1_and_equality_filter",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+    """,
+    doc="F1: AND-combined equality filters → single pushed-down scan filter",
+)
+def f1_and_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = filters.and_equals(
+        orders, o_orderstatus="O", o_orderpriority="1-URGENT"
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@_q(
+    "f2_time_range",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-06-01'
+    GROUP BY l_returnflag
+    """,
+    doc="F2: range predicate on time, pushed to parquet row-group stats",
+)
+def f2_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = filters.since(
+        _t(spark, sf_dir, "lineitem"),
+        "l_shipdate",
+        F.lit("1999-06-01").cast("timestamp"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@_q(
+    "f4_prefix_filter",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events
+    WHERE event_type LIKE 'cl%' AND value > 100
+    """,
+    doc="F4: prefix + range filter on the event log",
+)
+def f4_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = filters.level_and_prefix(ev, "event_type", None, "event_type", "cl").filter(
+        F.col("value") > 100
+    )
+    return out.select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@_q(
+    "f5_ci_prefix",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE lower(c_name) LIKE 'customer#00000001%'
+    """,
+    doc="F5: case-insensitive prefix filter (completion-style)",
+)
+def f5_ci_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return filters.ci_prefix(cust, "c_name", "Customer#00000001").select(
+        "c_custkey", "c_name"
+    )
+
+
+# =============================================================================
+# Aggregations (A1-A3)
+# =============================================================================
+
+
+@_q(
+    "a1_group_count",
+    """
+    SELECT o_orderpriority AS key, count(*) AS n
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    doc="A1: filtered group-by count (unread-counts shape)",
+)
+def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return aggregates.counts_per_key(orders, "o_orderpriority").withColumnRenamed(
+        "o_orderpriority", "key"
+    )
+
+
+@_q(
+    "a2_running_counters",
+    """
+    SELECT o_custkey, count(*) AS message_count,
+           round(sum(o_totalprice), 2) AS token_usage
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A2: per-key count+sum (message_count/token_usage counters as a view)",
+)
+def a2_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = aggregates.running_counters(orders, "o_custkey", "o_totalprice")
+    return out.select(
+        "o_custkey", "message_count", F.round("token_usage", 2).alias("token_usage")
+    )
+
+
+@_q(
+    "a3_metrics_argmax",
+    """
+    WITH agg AS (
+      SELECT event_type, count(*) AS total,
+             round(avg(value), 4) AS avg_value,
+             round(max(value), 4) AS max_value
+      FROM events GROUP BY event_type
+    ), ranked AS (
+      SELECT event_type, event_id, row_number() OVER (
+        PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT a.event_type, a.total, a.avg_value, a.max_value,
+           r.event_id AS argmax_event_id
+    FROM agg a JOIN ranked r ON a.event_type = r.event_type AND r.rn = 1
+    """,
+    doc="A3: count/avg/max/argmax with deterministic struct-max tiebreak",
+)
+def a3_metrics_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("total"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.max(F.struct(F.col("value"), F.col("event_id"))).alias("__mx"),
+    ).select(
+        "event_type",
+        "total",
+        "avg_value",
+        "max_value",
+        F.col("__mx.event_id").alias("argmax_event_id"),
+    )
+
+
+# =============================================================================
+# Joins (J1-J7) + recursion (J3)
+# =============================================================================
+
+
+@_q(
+    "j1_semi_join_fetch",
+    """
+    SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 300000)
+    GROUP BY l_returnflag
+    """,
+    doc="J1: index-filter-then-fetch as broadcast left-semi join",
+)
+def j1_semi_join_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    keys = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    fetched = joins.semi_fetch(li, keys, "l_orderkey")
+    return fetched.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "j2_parent_child_self_join",
+    """
+    SELECT c.c_custkey AS child_key, p.c_custkey AS parent_key, p.c_name AS parent_name
+    FROM customer c JOIN customer p ON p.c_custkey = c.c_custkey // 2
+    WHERE c.c_custkey < 60
+    """,
+    doc="J2: parent→child self-join over a synthetic key-halving hierarchy",
+)
+def j2_parent_child_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    child = cust.filter(F.col("c_custkey") < 60).select(
+        F.col("c_custkey").alias("child_key"),
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent_key"),
+    )
+    parent = cust.select(
+        F.col("c_custkey").alias("parent_key"), F.col("c_name").alias("parent_name")
+    )
+    return child.join(F.broadcast(parent), "parent_key").select(
+        "child_key", "parent_key", "parent_name"
+    )
+
+
+@_q(
+    "j3_recursive_descendants",
+    """
+    WITH RECURSIVE r(custkey, depth) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT c.c_custkey, r.depth + 1
+      FROM customer c JOIN r ON c.c_custkey // 2 = r.custkey
+      WHERE r.depth < 4 AND c.c_custkey > 1
+    )
+    SELECT custkey, depth FROM r
+    """,
+    doc="J3: recursive hierarchy closure — iterative frontier join vs WITH RECURSIVE",
+)
+def j3_recursive_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+        F.col("c_custkey").alias("child"),
+    ).filter(F.col("child") > 1)
+    seeds = spark.createDataFrame([(1,)], "child long")
+    out = closure.descendants(edges, seeds, "parent", "child", max_depth=4)
+    return out.select(
+        F.col("child").alias("custkey"), F.col("depth").cast("int").alias("depth")
+    )
+
+
+@_q(
+    "j5_fk_lookup_chain",
+    """
+    SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    headline=True,
+    doc="J5: FK lookup chain with broadcast dimensions",
+)
+def j5_fk_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = joins.fk_lookup(cust, nation, "c_nationkey", "n_nationkey", "inner")
+    j = joins.fk_lookup(j, region, "n_regionkey", "r_regionkey", "inner")
+    return j.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+
+
+@_q(
+    "j6_history_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ORDER BY l_shipdate DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    doc="J6: 1:N history join, newest-first, total-order limit",
+)
+def j6_history_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = joins.history(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_shipdate"),
+        "o_orderkey",
+        "l_shipdate",
+    )
+    return sorts.top_n(
+        j, [F.desc("l_shipdate"), F.asc("o_orderkey"), F.asc("l_linenumber")], 20
+    ).select(
+        F.col("o_orderkey").alias("l_orderkey"), "l_linenumber", "l_shipdate", "o_orderdate"
+    )
+
+
+@_q(
+    "j7_union_resort",
+    """
+    SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+    FROM (
+      SELECT * FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT * FROM events WHERE event_type = 'error'
+    )
+    GROUP BY event_type
+    """,
+    doc="J7: union of two log slices + re-aggregation over global order",
+)
+def j7_union_resort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    merged = joins.union_resort(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        "ts",
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# =============================================================================
+# Windows (W1-W3) & sessionization (S1, S3)
+# =============================================================================
+
+
+@_q(
+    "w1_turn_numbering",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS turn_id
+    FROM events
+    """,
+    headline=True,
+    doc="W1: marker running-count turn assignment",
+)
+def w1_turn_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = turn_number(
+        ev, "user_id", [F.asc("ts"), F.asc("event_id")], F.col("event_type") == "signup"
+    )
+    return out.select("event_id", "user_id", "turn_id")
+
+
+@_q(
+    "w2_pre_post_pairing",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts, CAST(row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id, ts, CAST(row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.rn AS pair_rn, c.event_id AS pre_event_id,
+           p.event_id AS post_event_id,
+           date_diff('microsecond', c.ts, p.ts) AS gap_us
+    FROM c JOIN p ON c.user_id = p.user_id AND c.rn = p.rn
+    """,
+    headline=True,
+    doc="W2: i-th pre ↔ i-th post pairing (tool:pre/tool:post shape)",
+)
+def w2_pre_post_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("user_id", "event_type", "event_id", "ts")
+    paired = pair_tool_events(
+        ev,
+        keys=["user_id"],
+        kind_col="event_type",
+        order=[F.asc("ts"), F.asc("event_id")],
+        pre_kind="click",
+        post_kind="purchase",
+        rank_col="pair_rn",
+    )
+    return paired.filter(F.col("event_id_post").isNotNull()).select(
+        "user_id",
+        "pair_rn",
+        F.col("event_id").alias("pre_event_id"),
+        F.col("event_id_post").alias("post_event_id"),
+        # exact integer microseconds: float seconds would round differently
+        # across engines at the ms boundary
+        (F.unix_micros(F.col("ts_post")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )
+
+
+@_q(
+    "s1_sessionize_flat",
+    """
+    WITH numbered AS (
+      SELECT user_id, ts, value,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS turn_id
+      FROM events
+    )
+    SELECT user_id, turn_id, count(*) AS n_events,
+           min(ts) AS turn_start, max(ts) AS turn_end,
+           round(sum(value), 4) AS value_sum
+    FROM numbered GROUP BY user_id, turn_id
+    """,
+    headline=True,
+    doc="S1 (flattened): marker sessionization → per-turn stats",
+)
+def s1_sessionize_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return turn_stats(
+        ev,
+        "user_id",
+        "ts",
+        [F.asc("ts"), F.asc("event_id")],
+        F.col("event_type") == "signup",
+        "value",
+    )
+
+
+@_q(
+    "s3_truncation",
+    """
+    SELECT doc_id,
+           CAST(length(CASE WHEN length(text) > 100
+                  THEN substr(text, 1, 100) || '... (truncated)'
+                  ELSE text END) AS BIGINT) AS trunc_len,
+           length(text) > 100 AS is_truncated
+    FROM documents
+    """,
+    doc="S3: payload truncation with suffix",
+)
+def s3_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(truncate_payload("text", 100)).cast("long").alias("trunc_len"),
+        (F.length("text") > 100).alias("is_truncated"),
+    )
+
+
+# =============================================================================
+# Sorts / limits / pagination (O1-O4)
+# =============================================================================
+
+
+@_q(
+    "o1_top_n",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="O1: sort desc + limit → TakeOrderedAndProject",
+)
+def o1_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return sorts.top_n(
+        orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@_q(
+    "o2_offset_page",
+    """
+    SELECT event_id, user_id FROM events
+    ORDER BY ts, event_id LIMIT 50 OFFSET 100
+    """,
+    doc="O2/O3: offset/limit pagination over a total order",
+)
+def o2_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sorts.page(ev, [F.asc("ts"), F.asc("event_id")], 100, 50).select(
+        "event_id", "user_id"
+    )
+
+
+@_q(
+    "o4_tail_per_group",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t WHERE rn <= 2
+    """,
+    doc="O4: tail-N per group (last N transcript messages shape)",
+)
+def o4_tail_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sorts.tail_n(
+        ev, "user_id", [F.desc("ts"), F.desc("event_id")], 2
+    ).select("user_id", "event_id")
+
+
+# =============================================================================
+# Scalar functions (T-series)
+# =============================================================================
+
+
+@_q(
+    "t1_mention_tokens",
+    r"""
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '\b(s[a-z]+)\b', 1)) AS tok
+      FROM documents)
+    GROUP BY tok
+    """,
+    doc="T1 machinery: regexp_extract_all + explode + count (mention-style)",
+)
+def t1_mention_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\b(s[a-z]+)\b"), 1)
+        ).alias("tok")
+    )
+    return toks.groupBy("tok").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "t4_sha256",
+    """
+    SELECT doc_id, sha256(text) AS digest FROM documents
+    """,
+    doc="T4: SHA-256 content identity",
+)
+def t4_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("digest"))
+
+
+@_q(
+    "t7_month_format",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+    FROM orders GROUP BY month
+    """,
+    doc="T7: timestamp parse/format",
+)
+def t7_month_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "t8_date_arithmetic",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    doc="T8: date arithmetic against a scalar aggregate",
+)
+def t8_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAY")).alias("__cutoff")
+    )
+    return (
+        orders.join(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("__cutoff"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "t17_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="T17/T14: JSON string field extraction + aggregation",
+)
+def t17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+# =============================================================================
+# Dedup (D1-D2 + near-dup family)
+# =============================================================================
+
+
+@_q(
+    "d1_exact_dedup",
+    """
+    SELECT sha256(text) AS content_sha256, count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="D1: content dedup by SHA-256 hash-groupBy",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.exact(docs, "text", "doc_id")
+    return out.select(
+        "content_sha256",
+        "n_copies",
+        F.array_min("doc_ids").alias("first_doc"),
+    )
+
+
+@_q(
+    "d2_first_wins",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events) t WHERE rn = 1
+    """,
+    doc="D2: order-preserving first-wins dedup (explicit encounter order)",
+)
+def d2_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return dedup.first_wins(ev, ["user_id", "event_type"], "event_id").select(
+        "user_id", "event_type", "event_id"
+    )
+
+
+def _hash64_sql(expr: str, seed: int = 0) -> str:
+    inner = f"concat('s{seed}:', {expr})" if seed else expr
+    return f"CAST('0x' || substr(md5({inner}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, min_j: float = 0.5) -> str:
+    rows = k // bands
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> {_hash64_sql('s', j + 1)})) AS m{j}"
+        for j in range(k)
+    )
+    band_rows = ", ".join(
+        "({b}, [{ms}])".format(
+            b=b, ms=", ".join(f"m{b * rows + i}" for i in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    ), sig AS (
+      SELECT id, sh,
+             {sig_exprs}
+      FROM base
+    ), banded AS (
+      SELECT id, b.band, b.band_sig
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, band_sig)
+    ), pairs AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT p.a_id, p.b_id,
+             round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                   len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      FROM pairs p
+      JOIN base x ON x.id = p.a_id
+      JOIN base y ON y.id = p.b_id) v
+    WHERE jaccard >= {min_j}
+    """
+
+
+@_q(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    headline=True,
+    doc="MinHash+LSH near-dup: shingle→sign→band→bucket-join→verify",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, k=16, bands=4, min_jaccard=0.0
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT id, {_hash64_sql('tok')} AS h FROM tok
+    ), votes AS (
+      SELECT id, {votes}
+      FROM h GROUP BY id
+    )
+    SELECT id AS doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@_q(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="SimHash 60-bit fingerprints: explode + 60 static bit-vote aggregates",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id AS id, lang || '|' || source AS blk,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id, blk,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a.id AS a_id, b.id AS b_id,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id) v
+    WHERE jaccard >= 0.1
+    """,
+    doc="Exact n-gram Jaccard within (lang, source) blocks",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "lang", "source")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "blk", n=3, min_jaccard=0.0
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.1
+    )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a_id, b_id, cosine FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) v
+    WHERE cosine >= 0.3
+    """,
+    doc="Embedding-cosine near-dup within label blocks (JVM vector math)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = dedup.embedding_near_duplicates(
+        emb, "vec_id", "embedding", block_col="label", min_cosine=-1.0
+    )
+    return pairs.withColumn("cosine", F.round("cosine", 6)).filter(
+        F.col("cosine") >= 0.3
+    )
+
+
+# =============================================================================
+# Similarity search
+# =============================================================================
+
+
+@_q(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+               neighbor_id) AS INTEGER) AS rank
+      FROM q JOIN c ON neighbor_id <> query_id) t
+    WHERE rank <= 5
+    """,
+    headline=True,
+    doc="Exact cosine top-k ANN baseline (broadcast queries, no corpus shuffle)",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_q(
+    "sim_ivf_topk",
+    None,  # approximate by design: recall < 1 vs brute force → rows-only check
+    doc="IVF-bucketed approximate top-k (probe nprobe nearest centroids)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    bucketed = similarity.assign_buckets(emb, centroids)
+    return similarity.ivf_topk(
+        bucketed, centroids, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
+    )
+
+
+# =============================================================================
+# Text analysis
+# =============================================================================
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS) + "]"
+
+
+@_q(
+    "text_quality",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words_raw,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 w -> list_contains({_STOP_SQL}, lower(w)))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_raw AS BIGINT) AS n_chars,
+           CAST(n_words_raw AS BIGINT) AS n_words,
+           round((n_chars_raw - (n_words_raw - 1)) * 1.0 / n_words_raw, 4) AS mean_word_len,
+           round(n_punct * 1.0 / greatest(n_chars_raw, 1), 4) AS punct_ratio,
+           round(n_stop * 1.0 / greatest(n_words_raw, 1), 4) AS stopword_ratio,
+           round(n_upper * 1.0 / greatest(n_chars_raw, 1), 4) AS upper_ratio,
+           round(CAST((CASE WHEN n_words_raw >= 5 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_stop * 1.0 / greatest(n_words_raw, 1) BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_punct * 1.0 / greatest(n_chars_raw, 1) < 0.2 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN (n_chars_raw - (n_words_raw - 1)) * 1.0 / n_words_raw BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+               AS DOUBLE), 2) AS quality_score
+    FROM feats
+    """,
+    doc="Quality features + composite score (C4/Gopher-style heuristics)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_score(docs, "text").select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "upper_ratio",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    ratios = []
+    for lang in ("en", "de", "es", "fr"):
+        markers = "[" + ", ".join(f"'{w}'" for w in text._LANG_MARKERS[lang]) + "]"
+        ratios.append(
+            f"len(list_filter(w, x -> list_contains({markers}, x))) * 1.0 /"
+            f" greatest(len(w), 1) AS r_{lang}"
+        )
+    ratio_sql = ",\n             ".join(ratios)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, text,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS w
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             {ratio_sql}
+      FROM words
+    )
+    SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                WHEN greatest(r_en, r_de, r_es, r_fr) > 0 THEN
+                  CASE WHEN r_fr = greatest(r_en, r_de, r_es, r_fr) THEN 'fr'
+                       WHEN r_es = greatest(r_en, r_de, r_es, r_fr) THEN 'es'
+                       WHEN r_en = greatest(r_en, r_de, r_es, r_fr) THEN 'en'
+                       ELSE 'de' END
+                ELSE 'und' END AS lang_guess
+    FROM scored
+    """
+
+
+@_q(
+    "text_langid",
+    _langid_oracle(),
+    doc="Heuristic language ID: marker-word hit rate + CJK script detection",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_guess"))
+
+
+@_q(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenization",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.whitespace_token_count("text").cast("long").alias("ws_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                      '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Normalization-stable document fingerprint (lower/strip/collapse + SHA-256)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# =============================================================================
+# Non-SQL-expressible (rows-only checks)
+# =============================================================================
+
+
+@_q(
+    "trace_turn_counts",
+    None,  # applyInPandas marker fold over synthesized trace events
+    doc="S1 exact fold: driver events re-shaped into trace events → nested turns",
+)
+def trace_turn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape the driver's generic events into TRACE_EVENT form (signup→
+    prompt:submit, click→tool:pre, purchase→tool:post, view→thinking:delta,
+    error→session:end) and run the full stateful fold."""
+    from lakehouse_spark.operators.sessionize import aggregate_trace
+
+    ev = _t(spark, sf_dir, "events")
+    mapped = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("session_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+        F.lit("INFO").alias("lvl"),
+        F.when(F.col("event_type") == "signup", "prompt:submit")
+        .when(F.col("event_type") == "click", "tool:pre")
+        .when(F.col("event_type") == "purchase", "tool:post")
+        .when(F.col("event_type") == "view", "thinking:delta")
+        .otherwise("session:end")
+        .alias("event"),
+        F.struct(
+            F.lit("go").alias("prompt"),
+            F.lit("tool").alias("tool_name"),
+            F.create_map(F.lit("k"), F.col("props")).alias("tool_input"),
+            F.lit("g0").alias("parallel_group_id"),
+            F.lit("d").alias("delta"),
+            F.struct(
+                F.lit(True).alias("success"),
+                F.lit("done").alias("output"),
+                F.struct(F.lit(None).cast("string").alias("message")).alias("error"),
+            ).alias("result"),
+        ).alias("data"),
+        F.col("event_id").alias("encounter_seq"),
+    )
+    turns = aggregate_trace(mapped)
+    return turns.select(
+        "session_id",
+        "turn_id",
+        "status",
+        F.size("tools").alias("n_tools"),
+        F.size("thinking").alias("n_thinking"),
+    )
+
+
+@_q(
+    "cron_next_fire",
+    None,  # needs a cron evaluator; no SQL equivalent
+    doc="T10/CR2: vectorized cron/interval/once next-fire computation",
+)
+def cron_next_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from lakehouse_spark.functions.cron import next_execution_udf
+
+    rows = [
+        ("a1", "cron", "0 9 * * *"),
+        ("a2", "cron", "*/30 * * * *"),
+        ("a3", "cron", "0 0 1 * *"),
+        ("a4", "interval", "30m"),
+        ("a5", "interval", "2h"),
+        ("a6", "once", "2030-06-01T12:00:00+00:00"),
+        ("a7", "cron", "15 14 * * 1-5"),
+        ("a8", "interval", "bogus"),
+    ]
+    df = spark.createDataFrame(rows, "id string, schedule_type string, schedule_value string")
+    after = datetime(2026, 1, 15, 10, 30, tzinfo=timezone.utc)  # pinned clock
+    udf = next_execution_udf(after)
+    return df.withColumn(
+        "next_execution", udf(F.col("schedule_type"), F.col("schedule_value"))
+    )
+
+
+def headline_queries() -> dict[str, QuerySpec]:
+    return {k: v for k, v in CATALOG.items() if v.headline}

@@ -1,0 +1,104 @@
+"""JSONL source semantics (SC1/SC2) + versioned TableStore mutations
+(SC4/SC5/O9/J4/F2-cleanup)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_spark.mutation.store import TableStore
+from lakehouse_spark.sources import jsonl
+
+SCHEMA = StructType(
+    [StructField("id", StringType()), StructField("n", IntegerType())]
+)
+
+
+def _write_log(tmp_path, lines):
+    p = tmp_path / "log.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_skips_blank_and_malformed(spark, tmp_path):
+    path = _write_log(
+        tmp_path,
+        [
+            '{"id": "a", "n": 1}',
+            "",
+            "   ",
+            "{not json at all",
+            '{"id": "b", "n": 2}',
+        ],
+    )
+    rows = {r.id: r.n for r in jsonl.read_jsonl(spark, path, SCHEMA).collect()}
+    assert rows == {"a": 1, "b": 2}
+    assert jsonl.corrupt_line_count(spark, path, SCHEMA) == 1  # blanks not counted
+
+
+def test_json_documents_with_lineage(spark, tmp_path):
+    (tmp_path / "d1.json").write_text('{"id": "x",\n "n": 7}')
+    (tmp_path / "d2.json").write_text('{"id": "y", "n": 8}')
+    df = jsonl.read_json_documents(spark, str(tmp_path), SCHEMA)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["x"].n == 7
+    assert rows["x"]._source_file.endswith("d1.json")
+
+
+def _kv(spark, *pairs):
+    return spark.createDataFrame(list(pairs), "k string, v int, ts timestamp")
+
+
+def test_store_lifecycle(spark, tmp_store_dir):
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k")
+    assert not store.exists()
+    store.init(_kv(spark, ("a", 1, ts), ("b", 2, ts)))
+    store.append(_kv(spark, ("c", 3, ts)))
+    assert store.read().count() == 3
+
+    # upsert replaces by key, inserts new
+    store.upsert(_kv(spark, ("b", 20, ts), ("d", 4, ts)))
+    rows = {r.k: r.v for r in store.read().collect()}
+    assert rows == {"a": 1, "b": 20, "c": 3, "d": 4}
+
+    # time travel: version 0 still readable before vacuum
+    assert store.read(version=0).count() == 2
+
+    removed = store.delete_keys(spark.createDataFrame([("a",)], "k string"))
+    assert removed == 1
+    assert sorted(r.k for r in store.read().collect()) == ["b", "c", "d"]
+
+    store.vacuum(keep_last=1)
+    assert store.read().count() == 3  # newest survives vacuum
+
+
+def test_store_delete_last_and_retention(spark, tmp_store_dir):
+    t1, t2, t3 = (datetime(2026, 1, d) for d in (1, 2, 3))
+    store = TableStore(spark, tmp_store_dir, key="k")
+    store.init(_kv(spark, ("g", 1, t1), ("g", 2, t2), ("h", 9, t1)))
+    store.delete_last_per_group("k", "ts")  # drops (g,2) and (h,9) newest rows
+    assert {(r.k, r.v) for r in store.read().collect()} == {("g", 1)}
+
+    store.init(_kv(spark, ("g", 1, t1), ("h", 2, t2), ("i", 3, t3)))
+    removed = store.retention_sweep("ts", "ts", t3)
+    assert removed == 2
+    assert [r.k for r in store.read().collect()] == ["i"]
+
+
+def test_store_unionable_with_jsonl_appends(spark, tmp_path, tmp_store_dir):
+    """Append-only JSONL log → typed rows → store append (the reference's
+    write path end-to-end)."""
+    path = _write_log(tmp_path, ['{"id": "a", "n": 1}', '{"id": "b", "n": 2}'])
+    rows = jsonl.read_jsonl(spark, path, SCHEMA)
+    store = TableStore(spark, tmp_store_dir, key="id")
+    store.init(rows)
+    store.append(rows.withColumn("n", F.col("n") + 10))
+    assert store.read().count() == 4

@@ -1,0 +1,161 @@
+"""Structured Streaming layer (ST1-ST8) + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from lakehouse_spark.operators import multimodal
+from lakehouse_spark.schemas import MEDIA_ASSET
+from lakehouse_spark.sources import jsonl
+from lakehouse_spark.streaming import live
+
+EVENT_SCHEMA = "session_id string, ts timestamp, event string, turn_id long"
+
+
+def _write_events(tmp_path, name, rows):
+    d = tmp_path / "events"
+    d.mkdir(exist_ok=True)
+    (d / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return str(d)
+
+
+def test_stream_jsonl_availablenow_matches_batch(spark, tmp_path):
+    rows = [
+        {"session_id": "s1", "ts": "2026-01-01T00:00:00Z", "event": "prompt:submit", "turn_id": 1},
+        {"session_id": "s1", "ts": "2026-01-01T00:00:01Z", "event": "tool:pre", "turn_id": 1},
+        {"session_id": "s1", "ts": "2026-01-01T00:00:02Z", "event": "tool:post", "turn_id": 1},
+        {"session_id": "s2", "ts": "2026-01-01T00:00:03Z", "event": "prompt:submit", "turn_id": 1},
+    ]
+    path = _write_events(tmp_path, "a.jsonl", rows)
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(EVENT_SCHEMA)
+
+    stream = jsonl.read_jsonl_stream(spark, path, schema)
+    assert stream.isStreaming
+    stats = live.stream_turn_stats(stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("turns_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.session_id, r.turn_id): r.n_events
+        for r in spark.sql("SELECT * FROM turns_test").collect()
+    }
+    assert got == {("s1", 1): 3, ("s2", 1): 1}
+
+
+def test_emitter_filter_allowlist_and_prefix(spark):
+    df = spark.createDataFrame(
+        [("prompt:submit",), ("internal:debug",), ("tool:pre",)], "event string"
+    )
+    got = [r.event for r in live.emitter_filter(df).collect()]
+    assert got == ["hook:prompt:submit", "hook:tool:pre"]
+
+
+def test_fan_out_delivers_same_batch_to_all_sinks(spark, tmp_path):
+    path = _write_events(
+        tmp_path,
+        "b.jsonl",
+        [{"session_id": "s1", "ts": "2026-01-01T00:00:00Z", "event": "e", "turn_id": 1}],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(path)
+    seen: list[tuple[str, int]] = []
+
+    def mk(name):
+        def sink(batch, batch_id):
+            seen.append((name, batch.count()))
+
+        return sink
+
+    q = live.fan_out(
+        stream,
+        [mk("a"), mk("b")],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(60)
+    assert ("a", 1) in seen and ("b", 1) in seen
+
+
+def test_keepalive_heartbeat(spark):
+    empty = spark.createDataFrame([], "x int")
+    nonempty = spark.createDataFrame([(1,)], "x int")
+    clock = {"t": 0.0}
+    # silence long enough → heartbeat due exactly once
+    assert live.with_keepalive(empty, 0, clock, interval_s=0) is True
+    assert live.with_keepalive(nonempty, 1, clock, interval_s=9999) is False
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def _assets(spark):
+    rows = [
+        ("img1", "image", b"\x00\x10\x90\xff", "image/png", 800, 600, None, {}),
+        ("bad1", "image", None, "image/png", 10, 10, None, {}),
+        ("vid1", "video", b"\x01\x02", "video/mp4", 1920, 1080, 3.5, {}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_ASSET)
+
+
+def test_extract_features_fake_decoder(spark):
+    out = {
+        r.asset_id: r
+        for r in multimodal.extract_features(
+            _assets(spark), decoder=multimodal.fake_decoder
+        ).collect()
+    }
+    assert len(out["img1"].feature) == 8
+    assert abs(sum(out["img1"].feature) - 1.0) < 1e-6
+    assert out["bad1"].feature == []
+    assert "payload" not in multimodal.extract_features(
+        _assets(spark), decoder=multimodal.fake_decoder
+    ).columns
+
+
+def test_extract_features_stub_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)) as exc_info:
+        multimodal.extract_features(_assets(spark)).collect()
+    assert "decode not available" in str(exc_info.value)
+
+
+def test_decode_error_recorded_not_fatal(spark):
+    def flaky(payload, kind):
+        if payload and payload[0] == 1:
+            raise ValueError("corrupt frame")
+        return [1.0]
+
+    out = {
+        r.asset_id: r
+        for r in multimodal.extract_features(_assets(spark), decoder=flaky).collect()
+    }
+    assert out["vid1"].feature is None
+    assert "corrupt frame" in out["vid1"].decode_error
+    assert out["img1"].feature == [1.0]
+
+
+def test_frame_sample_and_resize_plans(spark):
+    frames = multimodal.frame_sample_plan(
+        _assets(spark).filter(F.col("kind") == "video")
+    ).collect()
+    assert [r.frame_ts for r in frames] == [0.0, 1.0, 2.0]
+
+    resized = {
+        r.asset_id: (r.target_width, r.target_height)
+        for r in multimodal.resize_plan(
+            _assets(spark).filter(F.col("width").isNotNull()), max_side=400
+        ).collect()
+    }
+    assert resized["img1"] == (400, 300)
+    assert resized["bad1"] == (10, 10)  # never upscale

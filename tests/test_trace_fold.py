@@ -1,0 +1,207 @@
+"""Golden-fixture tests for the S1 marker-based trace fold
+(operators/sessionize.aggregate_trace) — edge cases implied by the
+reference's code paths (SURVEY.md §5): malformed timestamps, unclosed
+turns, unmatched tool:post, back-to-back prompts, error results,
+payload truncation, sub-agent child-session extraction.
+"""
+
+from __future__ import annotations
+
+from lakehouse_spark.operators.sessionize import aggregate_trace
+from lakehouse_spark.schemas import TRACE_EVENT
+
+
+def _ev(seq, event, ts="2026-01-01T00:00:00+00:00", session="s1", **data):
+    base = {
+        "prompt": None,
+        "tool_name": None,
+        "tool_input": None,
+        "parallel_group_id": None,
+        "delta": None,
+        "result": None,
+    }
+    base.update(data)
+    return (session, ts, "INFO", event, base, seq)
+
+
+def _turns(spark, rows):
+    df = spark.createDataFrame(rows, TRACE_EVENT)
+    return {
+        (t["session_id"], t["turn_id"]): t
+        for t in (r.asDict(recursive=True) for r in aggregate_trace(df).collect())
+    }
+
+
+def test_basic_turn_with_tool(spark):
+    rows = [
+        _ev(1, "prompt:submit", "2026-01-01T00:00:00+00:00", prompt="hi"),
+        _ev(2, "tool:pre", "2026-01-01T00:00:01+00:00", tool_name="Bash"),
+        _ev(
+            3,
+            "tool:post",
+            "2026-01-01T00:00:03.500000+00:00",
+            tool_name="Bash",
+            result={"success": True, "output": "ok", "error": None},
+        ),
+        _ev(4, "thinking:delta", delta="hmm"),
+        _ev(5, "session:end", "2026-01-01T00:00:05+00:00"),
+    ]
+    t = _turns(spark, rows)[("s1", 1)]
+    assert t["status"] == "completed"
+    assert t["user_message"] == "hi"
+    assert t["end_time"] == 1767225605000
+    (tool,) = t["tools"]
+    assert tool["status"] == "completed"
+    assert tool["result"] == "ok"
+    assert tool["duration"] == 2500
+    assert len(t["thinking"]) == 1
+
+
+def test_back_to_back_prompts_implicit_close(spark):
+    rows = [
+        _ev(1, "prompt:submit", prompt="one"),
+        _ev(2, "prompt:submit", prompt="two"),
+    ]
+    t = _turns(spark, rows)
+    assert t[("s1", 1)]["status"] == "completed"
+    assert t[("s1", 2)]["status"] == "active"  # unclosed at EOF stays visible
+
+
+def test_unmatched_post_dropped_and_running_tool_survives(spark):
+    rows = [
+        _ev(1, "prompt:submit", prompt="p"),
+        _ev(2, "tool:post", tool_name="Ghost"),  # no matching pre → ignored
+        _ev(3, "tool:pre", tool_name="Slow"),
+    ]
+    t = _turns(spark, rows)[("s1", 1)]
+    (tool,) = t["tools"]
+    assert tool["name"] == "Slow"
+    assert tool["status"] == "running"  # still running in the active turn
+
+
+def test_parallel_group_matching_first_running_wins(spark):
+    rows = [
+        _ev(1, "prompt:submit", prompt="p"),
+        _ev(2, "tool:pre", tool_name="T", parallel_group_id="g1"),
+        _ev(3, "tool:pre", tool_name="T", parallel_group_id="g2"),
+        _ev(
+            4,
+            "tool:post",
+            tool_name="T",
+            parallel_group_id="g2",
+            result={"success": True, "output": "second", "error": None},
+        ),
+        _ev(5, "session:end"),
+    ]
+    t = _turns(spark, rows)[("s1", 1)]
+    by_gid = {tool["parallel_group_id"]: tool for tool in t["tools"]}
+    assert by_gid["g2"]["status"] == "completed"
+    # session closed while g1 still running → cancelled (not left running)
+    assert by_gid["g1"]["status"] == "cancelled"
+
+
+def test_error_result_and_truncation(spark):
+    long_msg = "x" * 1500
+    rows = [
+        _ev(1, "prompt:submit", prompt="p"),
+        _ev(2, "tool:pre", tool_name="B"),
+        _ev(
+            3,
+            "tool:post",
+            tool_name="B",
+            result={"success": False, "output": None, "error": {"message": long_msg}},
+        ),
+        _ev(4, "session:end"),
+    ]
+    (tool,) = _turns(spark, rows)[("s1", 1)]["tools"]
+    assert tool["status"] == "error"
+    assert tool["error"].endswith("... (truncated)")
+    assert len(tool["error"]) == 1000 + len("... (truncated)")
+
+
+def test_sub_agent_child_session_extraction(spark):
+    rows = [
+        _ev(1, "prompt:submit", prompt="p"),
+        _ev(
+            2,
+            "tool:pre",
+            tool_name="Task",
+            tool_input={"subagent_type": "researcher"},
+        ),
+        _ev(
+            3,
+            "tool:post",
+            tool_name="Task",
+            result={
+                "success": True,
+                "output": '{"session_id": "child-42"}',
+                "error": None,
+            },
+        ),
+        _ev(4, "session:end"),
+    ]
+    (tool,) = _turns(spark, rows)[("s1", 1)]["tools"]
+    assert tool["is_sub_agent"] is True
+    assert tool["sub_agent_name"] == "researcher"
+    assert tool["child_session_id"] == "child-42"
+
+
+def test_unparseable_timestamp_maps_to_zero(spark):
+    rows = [_ev(1, "prompt:submit", ts="not-a-time", prompt="p")]
+    t = _turns(spark, rows)[("s1", 1)]
+    assert t["start_time"] == 0
+
+
+def test_events_before_first_prompt_ignored_and_empty_ok(spark):
+    rows = [_ev(1, "tool:pre", tool_name="Early")]
+    assert _turns(spark, rows) == {}
+    import pandas as pd  # noqa: F401  (empty-group path exercises schema)
+
+    from lakehouse_spark.schemas import TRACE_EVENT as sch
+
+    empty = spark.createDataFrame([], sch)
+    assert aggregate_trace(empty).count() == 0
+
+
+def test_multi_session_independence(spark):
+    rows = [
+        _ev(1, "prompt:submit", session="a", prompt="pa"),
+        _ev(1, "prompt:submit", session="b", prompt="pb"),
+        _ev(2, "session:end", session="a"),
+    ]
+    t = _turns(spark, rows)
+    assert t[("a", 1)]["status"] == "completed"
+    assert t[("b", 1)]["status"] == "active"
+
+
+def test_trace_metrics(spark):
+    from lakehouse_spark.operators.sessionize import trace_metrics
+
+    rows = [
+        _ev(1, "prompt:submit", prompt="p"),
+        _ev(2, "tool:pre", "2026-01-01T00:00:01+00:00", tool_name="Fast"),
+        _ev(
+            3,
+            "tool:post",
+            "2026-01-01T00:00:02+00:00",
+            tool_name="Fast",
+            result={"success": True, "output": "o", "error": None},
+        ),
+        _ev(4, "tool:pre", "2026-01-01T00:00:03+00:00", tool_name="Slow"),
+        _ev(
+            5,
+            "tool:post",
+            "2026-01-01T00:00:09+00:00",
+            tool_name="Slow",
+            result={"success": True, "output": "o", "error": None},
+        ),
+        _ev(6, "thinking:delta", delta="t1"),
+        _ev(7, "session:end"),
+    ]
+    df = spark.createDataFrame(rows, TRACE_EVENT)
+    m = trace_metrics(aggregate_trace(df)).collect()[0].asDict()
+    assert m["total_tools"] == 2
+    assert m["longest_tool"] == "Slow"
+    assert m["max_tool_duration"] == 6000
+    assert m["avg_tool_duration"] == 3500
+    assert m["total_thinking"] == 1
