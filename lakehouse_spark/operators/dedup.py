@@ -74,7 +74,12 @@ def visited_anti(frontier: DataFrame, visited: DataFrame, key: str) -> DataFrame
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of a text column as ARRAY<STRING>. Pure
     Catalyst higher-order functions (transform over a sequence of offsets) —
-    no UDF, so shingling runs inside codegen."""
+    no UDF, so shingling runs inside codegen.
+
+    NOTE: the split() is inlined into the per-shingle lambda, so expression
+    evaluation re-splits the text per gram. For anything beyond one-off use,
+    go through :func:`shingle_frame`, which projects the word array as an
+    attribute first (evaluated once per row)."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.trim(c), r"\s+")
     count = F.size(words) - F.lit(n - 1)
@@ -88,18 +93,63 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(count > 0, F.array_distinct(grams)).otherwise(empty)
 
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) projection of distinct word n-grams, two-step: the word
+    array is materialized as a column BEFORE the gram lambda references it,
+    so the text is split once per row, not once per gram (~2× on long docs).
+    Empty/short docs are dropped."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
+    )
+    count = F.size("w") - F.lit(n - 1)
+    return (
+        words.select(
+            "id",
+            F.when(
+                count > 0,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), count - 1),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+                    )
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature: min over seeded :func:`hash64` of
-    each shingle, per seed. ARRAY<BIGINT> length k. Empty shingle sets get
-    NULL mins — callers should filter empty docs first."""
-    def seeded(seed: int):
-        return lambda s: hash64(s, seed=seed)
+_MASK60 = (1 << 60) - 1
+
+
+def xor_salts(k: int) -> list[int]:
+    """Deterministic 60-bit permutation salts shared with the DuckDB oracle.
+    XOR with a fixed salt permutes the 60-bit hash space, giving k minhash
+    permutations from ONE base hash per shingle — 16× fewer md5 evaluations
+    than seeded re-hashing, and identical integer math on both engines
+    (values stay positive below 2^61, so no signed-overflow divergence)."""
+    return [((i + 1) * 0x9E3779B97F4A7C15) & _MASK60 for i in range(k)]
+
+
+def minhash_signature(hashes: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature over pre-hashed shingles
+    (ARRAY<BIGINT>, from :func:`hash64`): per salt, min over XOR-permuted
+    values. Empty inputs give NULL mins — filter empty docs first."""
+
+    def perm(salt: int):
+        # single-arg lambda, built via factory: a `lambda h, s=salt:` default
+        # arg would make pyspark treat it as an (element, index) lambda
+        return lambda h: h.bitwiseXOR(F.lit(salt))
 
     return F.array(
-        *[F.array_min(F.transform(shingles, seeded(i + 1))) for i in range(k)]
+        *[F.array_min(F.transform(hashes, perm(salt))) for salt in xor_salts(k)]
     )
 
 
@@ -118,52 +168,48 @@ def minhash_near_duplicates(
 
     Returns (a_id, b_id, jaccard) with a_id < b_id, only verified pairs.
 
-    Scale: the only shuffles are the bucket-key self-join and the final
-    distinct — candidate pairs, not all pairs. rows_per_band = k/bands tunes
+    Scale: the banded relation is NARROW (id, band, band_sig) — shingle
+    arrays never enter the self-join shuffle; candidates join back to the
+    shingle sets only for verification. ``base`` and ``banded`` are
+    persisted: each feeds two plan branches (self-join sides / verify
+    sides), and without a cache Spark recomputes the full
+    shingle+hash pipeline per branch. rows_per_band = k/bands tunes
     recall/precision (standard LSH banding); at 100 TB raise k and bands
     rather than lowering min_jaccard.
     """
     rows_per_band = k // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), k))
-    )
-    banded = base.select(
+    base = shingle_frame(df, id_col, text_col, n).persist()
+    sig = base.select(
+        "id", F.transform("sh", lambda s: hash64(s)).alias("hs")
+    ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
+    banded = sig.select(
         "id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band", "band_sig"),
-    ).withColumn("bucket", F.hash(F.col("band"), F.col("band_sig")))
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sh").alias("a_sh"),
-            F.col("b.sh").alias("b_sh"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    verified = cand.join(
+        base.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id"
+    ).join(base.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("a_id", "b_id", "jaccard")
     )
@@ -184,11 +230,9 @@ def ngram_jaccard_pairs(
     (e.g. language, source, length bucket). The block join keeps this
     O(sum block²) not O(total²); for unblocked corpora use
     :func:`minhash_near_duplicates`."""
-    base = df.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    base = shingle_frame(df, id_col, text_col, n).join(
+        df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
+    ).persist()
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))

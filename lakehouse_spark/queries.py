@@ -816,10 +816,12 @@ def _hash64_sql(expr: str, seed: int = 0) -> str:
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4, min_j: float = 0.5) -> str:
+    from lakehouse_spark.operators.dedup import xor_salts
+
     rows = k // bands
     sig_exprs = ",\n             ".join(
-        f"list_min(list_transform(sh, s -> {_hash64_sql('s', j + 1)})) AS m{j}"
-        for j in range(k)
+        f"list_min(list_transform(hs, h -> xor(h, {salt}))) AS m{j}"
+        for j, salt in enumerate(xor_salts(k))
     )
     band_rows = ", ".join(
         "({b}, [{ms}])".format(
@@ -839,7 +841,9 @@ def _minhash_oracle(k: int = 16, bands: int = 4, min_j: float = 0.5) -> str:
     ), sig AS (
       SELECT id, sh,
              {sig_exprs}
-      FROM base
+      FROM (SELECT id, sh,
+                   list_transform(sh, s -> {_hash64_sql('s')}) AS hs
+            FROM base)
     ), banded AS (
       SELECT id, b.band, b.band_sig
       FROM sig, LATERAL (VALUES {band_rows}) AS b(band, band_sig)
