@@ -1155,6 +1155,207 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Coverage widening: part-table join, collect/duplicate aggs, union-dedup,
+# heterogeneous sort, ancestor inheritance, lag/lead gaps, distinct counts
+# =============================================================================
+
+
+@_q(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate <  TIMESTAMP '2000-01-01'
+    """,
+    headline=True,
+    doc="TPC-H Q14 shape: fact→dim join (broadcast part) + conditional agg",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "a5_collect_per_group",
+    """
+    SELECT event_type,
+           list_sort(list(DISTINCT user_id)) AS user_ids,
+           count(*) AS n
+    FROM events WHERE value > 450 GROUP BY event_type
+    """,
+    doc="A5: collect_list per group, sorted for determinism (paths-per-hash shape)",
+)
+def a5_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 450)
+    return ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("user_ids"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "a6_duplicate_keys",
+    """
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day, count(*) AS n
+    FROM orders GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+    doc="A6: uniqueness-violation detection (duplicate name per project shape)",
+)
+def a6_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import aggregates
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("order_day")
+    )
+    return aggregates.duplicate_keys(orders, "o_custkey", "order_day")
+
+
+@_q(
+    "o5_completion_sort",
+    """
+    SELECT c_custkey, c_name, c_mktsegment = 'BUILDING' AS is_building
+    FROM customer
+    ORDER BY is_building DESC, lower(c_name), c_custkey
+    LIMIT 25
+    """,
+    doc="O5: multi-key heterogeneous sort (dirs-first completion shape)",
+)
+def o5_completion_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "is_building", F.col("c_mktsegment") == "BUILDING"
+    )
+    return sorts.top_n(
+        cust,
+        [F.desc("is_building"), F.lower(F.col("c_name")), F.asc("c_custkey")],
+        25,
+    ).select("c_custkey", "c_name", "is_building")
+
+
+@_q(
+    "d3_union_dedup",
+    """
+    SELECT event_id, event_type FROM events WHERE value > 400
+    UNION
+    SELECT event_id, event_type FROM events WHERE event_type = 'error' AND value > 300
+    """,
+    doc="D3: union of overlapping log slices with distinct (UNION semantics)",
+)
+def d3_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 400).select("event_id", "event_type")
+    b = ev.filter((F.col("event_type") == "error") & (F.col("value") > 300)).select(
+        "event_id", "event_type"
+    )
+    return a.unionByName(b).dropDuplicates()
+
+
+@_q(
+    "j9_nearest_ancestor",
+    """
+    WITH nodes AS (
+      SELECT 'seg/' || c_mktsegment || '/' || CAST(c_custkey AS VARCHAR) AS path
+      FROM customer WHERE c_custkey <= 200
+    ), dirs AS (
+      SELECT DISTINCT 'seg/' || c_mktsegment AS dpath, lower(c_mktsegment) AS attr
+      FROM customer
+      UNION ALL SELECT 'seg', 'root'
+    ), hits AS (
+      SELECT n.path, d.attr, length(d.dpath) AS l
+      FROM nodes n JOIN dirs d
+        ON n.path = d.dpath OR starts_with(n.path, d.dpath || '/')
+    )
+    SELECT path, max_by(attr, l) AS inherited_default_profile
+    FROM hits GROUP BY path
+    """,
+    doc="J9: nearest-ancestor attribute inheritance (longest path-prefix match)",
+)
+def j9_nearest_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nodes = cust.filter(F.col("c_custkey") <= 200).select(
+        F.concat(
+            F.lit("seg/"), F.col("c_mktsegment"), F.lit("/"), F.col("c_custkey")
+        ).alias("path")
+    )
+    dirs = (
+        cust.select(
+            F.concat(F.lit("seg/"), F.col("c_mktsegment")).alias("path"),
+            F.lower(F.col("c_mktsegment")).alias("default_profile"),
+        )
+        .distinct()
+        .unionByName(
+            spark.createDataFrame([("seg", "root")], "path string, default_profile string")
+        )
+    )
+    return closure.nearest_ancestor_attr(nodes, dirs, "path", "default_profile")
+
+
+@_q(
+    "w3_lag_gaps",
+    """
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events)
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="W3/lag: event-gap analysis via lag window over per-user time order",
+)
+def w3_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"), F.max("gap_us").alias("max_gap_us")
+    )
+
+
+@_q(
+    "agg_distinct_count",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Engine addition: exact distinct counts (expand + two-phase agg)",
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# =============================================================================
 # Non-SQL-expressible (rows-only checks)
 # =============================================================================
 

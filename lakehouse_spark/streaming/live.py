@@ -134,3 +134,111 @@ def stream_turn_stats(
             F.max(ts_col).alias("turn_end"),
         )
     )
+
+
+def stream_trace_turns(
+    events: DataFrame,
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """ST8: marker-based sessionization over a LIVE event stream — the
+    streaming twin of :func:`lakehouse_spark.operators.sessionize.
+    aggregate_trace`, sharing its fold so batch and streaming replays of the
+    same log produce identical turns (SURVEY.md phase-6 parity requirement).
+
+    Spark's `session_window` is gap-based and cannot express the
+    reference's explicit open/close markers (prompt:submit / session:end),
+    so this is `applyInPandasWithState` keyed by session_id:
+
+    - state = (#turns already emitted, JSON buffer of the open turn's raw
+      events). Bounded by one turn's events, not the whole session.
+    - each micro-batch: buffered + new events are re-folded; turns the fold
+      CLOSED are emitted (renumbered by the emitted offset), the trailing
+      still-open turn goes back into the buffer.
+    - on processing-time timeout (``timeout_ms`` of silence), the open turn
+      is emitted with status 'active' and state clears — the streaming
+      analog of the batch fold's unclosed-turn-at-EOF behavior (ST6).
+
+    Input must be TRACE_EVENT-shaped (ts STRING, data STRUCT,
+    encounter_seq LONG — the producer's append order).
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_spark.operators.sessionize import _fold_session
+    from lakehouse_spark.schemas import TRACE_TURN
+
+    state_schema = StructType(
+        [
+            StructField("emitted", LongType()),
+            StructField("buffer", StringType()),  # JSON list of open-turn events
+        ]
+    )
+    cols = ["session_id", "ts", "lvl", "event", "data", "encounter_seq"]
+
+    def jsonable(v):
+        # Arrow hands pandas numpy scalars; default=str would stringify them
+        # (breaking encounter_seq ordering and result.success checks), so
+        # unwrap recursively instead.
+        if isinstance(v, dict):
+            return {k: jsonable(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [jsonable(x) for x in v]
+        if hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, float) and v != v:  # NaN from pandas nullables
+            return None
+        return v
+
+    def fold(key, pdf_iter, state: GroupState):
+        (session_id,) = key
+        emitted, buffer = state.get if state.exists else (0, "[]")
+
+        if state.hasTimedOut:
+            pending = json.loads(buffer)
+            state.remove()
+            if pending:
+                turns = _fold_session(pd.DataFrame(pending, columns=cols))
+                turns["turn_id"] = turns["turn_id"] + emitted
+                yield turns  # trailing turn surfaces as 'active'
+            return
+
+        rows = json.loads(buffer)
+        for pdf in pdf_iter:
+            rows.extend(pdf[cols].to_dict("records"))
+        rows.sort(key=lambda r: r["encounter_seq"])
+
+        turns = _fold_session(pd.DataFrame(rows, columns=cols))
+        closed = turns[turns["status"] != "active"].copy()
+        has_open = len(turns) and turns.iloc[-1]["status"] == "active"
+
+        if has_open:
+            # the open turn's raw events = everything from the last
+            # prompt:submit onward; only they need to survive in state
+            last_prompt = max(
+                i for i, r in enumerate(rows) if r["event"] == "prompt:submit"
+            )
+            pending = [jsonable(r) for r in rows[last_prompt:]]
+        else:
+            pending = []
+
+        closed["turn_id"] = closed["turn_id"] + emitted
+        state.update((emitted + len(closed), json.dumps(pending)))
+        state.setTimeoutDuration(timeout_ms)
+        if len(closed):
+            yield closed
+
+    return events.groupBy("session_id").applyInPandasWithState(
+        fold,
+        outputStructType=TRACE_TURN,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

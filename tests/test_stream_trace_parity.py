@@ -1,0 +1,100 @@
+"""Batch/streaming parity for marker-based sessionization (ST8):
+`stream_trace_turns` must emit exactly the turns the batch fold
+(`aggregate_trace`) closes, including when a turn's events span
+micro-batches.
+"""
+
+from __future__ import annotations
+
+import json
+
+from lakehouse_spark.operators.sessionize import aggregate_trace
+from lakehouse_spark.schemas import TRACE_EVENT
+from lakehouse_spark.sources import jsonl
+from lakehouse_spark.streaming.live import stream_trace_turns
+
+
+def _ev(seq, session, event, ts, **data):
+    return {
+        "session_id": session,
+        "ts": ts,
+        "lvl": "INFO",
+        "event": event,
+        "data": data or None,
+        "encounter_seq": seq,
+    }
+
+
+# Turn 1 of s1 spans the two files: tool:pre in file A, tool:post + close in
+# file B — forces the state buffer to carry an open turn across batches.
+FILE_A = [
+    _ev(1, "s1", "prompt:submit", "2026-01-01T00:00:00+00:00", prompt="first"),
+    _ev(2, "s1", "tool:pre", "2026-01-01T00:00:01+00:00", tool_name="Bash"),
+    _ev(1, "s2", "prompt:submit", "2026-01-01T00:00:00+00:00", prompt="other"),
+]
+FILE_B = [
+    _ev(
+        3,
+        "s1",
+        "tool:post",
+        "2026-01-01T00:00:04+00:00",
+        tool_name="Bash",
+        result={"success": True, "output": "done", "error": None},
+    ),
+    _ev(4, "s1", "session:end", "2026-01-01T00:00:05+00:00"),
+    _ev(5, "s1", "prompt:submit", "2026-01-01T00:00:06+00:00", prompt="second"),
+    _ev(6, "s1", "session:end", "2026-01-01T00:00:07+00:00"),
+    _ev(2, "s2", "thinking:delta", "2026-01-01T00:00:01+00:00", delta="hmm"),
+]
+
+
+def _turn_key(row):
+    d = row.asDict(recursive=True)
+    return (
+        d["session_id"],
+        d["turn_id"],
+        d["user_message"],
+        d["status"],
+        d["start_time"],
+        d["end_time"],
+        tuple((t["name"], t["status"], t["duration"], t["result"]) for t in d["tools"]),
+        len(d["thinking"]),
+    )
+
+
+def test_stream_matches_batch_for_closed_turns(spark, tmp_path):
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    (events_dir / "a.jsonl").write_text("\n".join(json.dumps(e) for e in FILE_A))
+    (events_dir / "b.jsonl").write_text("\n".join(json.dumps(e) for e in FILE_B))
+
+    # batch reference
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in FILE_A + FILE_B], TRACE_EVENT
+    )
+    batch = {_turn_key(r) for r in aggregate_trace(batch_df).collect()}
+    batch_closed = {k for k in batch if k[3] != "active"}
+    assert len(batch_closed) == 2  # s1 turn 1 + turn 2
+
+    # streaming: one file per micro-batch so s1 turn 1 crosses a batch border
+    stream = jsonl.read_jsonl_stream(spark, str(events_dir), TRACE_EVENT)
+    q = (
+        stream_trace_turns(stream)
+        .writeStream.format("memory")
+        .queryName("trace_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        _turn_key(r) for r in spark.sql("SELECT * FROM trace_stream").collect()
+    }
+
+    # every turn the batch fold closed arrives identically via the stream;
+    # the trailing active turn (s2) may also surface if the processing-time
+    # timeout fires during the run — when it does, it must match the batch
+    # fold's unclosed-turn-at-EOF row exactly
+    assert batch_closed <= streamed <= batch
