@@ -1,0 +1,158 @@
+"""SC7-SC9 file sources, the config-compilation plane, and the automation
+scheduling layer."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from lakehouse_spark.mutation import automations as auto
+from lakehouse_spark.mutation.store import TableStore
+from lakehouse_spark.plans import config
+from lakehouse_spark.sources import files
+
+
+# --- SC7/SC8/SC9 -------------------------------------------------------------
+
+
+def _tree(tmp_path):
+    (tmp_path / "a" / "b").mkdir(parents=True)
+    (tmp_path / "a" / ".hidden").mkdir()
+    (tmp_path / "a" / "metadata.json").write_text("{}")
+    (tmp_path / "a" / "b" / "metadata.json").write_text("{}")
+    (tmp_path / "a" / "b" / "notes.md").write_text("hello **world**")
+    (tmp_path / "a" / "b" / "big.md").write_text("x" * 2048)
+    (tmp_path / "a" / "b" / "binary.bin").write_bytes(b"\x00\x01")
+    return tmp_path
+
+
+def test_discover_marker_files_depth_cap(spark, tmp_path):
+    root = str(_tree(tmp_path))
+    found = files.discover_marker_files(spark, root, "metadata.json")
+    rels = sorted(r.rel_path for r in found.collect())
+    assert rels == ["a", "a/b"]
+    depths = {r.rel_path: r.depth for r in found.collect()}
+    assert depths == {"a": 1, "a/b": 2}
+    shallow = files.discover_marker_files(spark, root, "metadata.json", max_depth=1)
+    assert [r.rel_path for r in shallow.collect()] == ["a"]
+
+
+def test_list_dir_hidden_and_sort(spark, tmp_path):
+    _tree(tmp_path)
+    got = [(r.name, r.is_directory) for r in files.list_dir(spark, str(tmp_path / "a")).collect()]
+    assert got == [("b", True), ("metadata.json", False)]  # dir first, no .hidden
+
+
+def test_read_gated_files(spark, tmp_path):
+    root = str(_tree(tmp_path))
+    got = {r.path.split("/")[-1]: r.content for r in files.read_gated_files(
+        spark, root, allowed_extensions=(".md",), max_bytes=1024
+    ).collect()}
+    assert got == {"notes.md": "hello **world**"}  # big.md capped, .bin off-list
+
+
+# --- O8 / T15 / T16 / D2 (config plane) ---------------------------------------
+
+
+def test_toposort_orders_dependencies_first():
+    order = config.toposort(
+        ["app", "base", "mid"], {"app": ["mid"], "mid": ["base"], "base": []}
+    )
+    assert order == ["base", "mid", "app"]
+    # unknown deps ignored; encounter order breaks ties
+    assert config.toposort(["b", "a"], {"a": ["zz"], "b": []}) == ["b", "a"]
+
+
+def test_toposort_cycle_raises():
+    with pytest.raises(config.DependencyCycleError, match="a"):
+        config.toposort(["a", "b"], {"a": ["b"], "b": ["a"]})
+
+
+def test_deep_merge_semantics():
+    base = {"a": {"x": 1, "y": [1, 2]}, "keep": "me"}
+    over = {"a": {"y": [9], "z": 3}, "new": True}
+    got = config.deep_merge(base, over)
+    assert got == {"a": {"x": 1, "y": [9], "z": 3}, "keep": "me", "new": True}
+    assert base["a"]["y"] == [1, 2]  # inputs not mutated
+
+
+def test_compile_mount_plan_end_to_end():
+    behaviors = {
+        "base": {
+            "config": {"t1.mode": "fast", "hook.h1.level": "info", "shared": {"a": 1}},
+            "tools": [{"id": "t1", "src": "base"}],
+            "hooks": [{"id": "h1"}],
+        },
+        "app": {
+            "config": {"shared": {"b": 2}},
+            "tools": [{"id": "t1", "src": "app"}, {"id": "t2"}],
+            "hooks": [],
+        },
+    }
+    plan = config.compile_mount_plan(behaviors, {"app": ["base"], "base": []})
+    assert plan["order"] == ["base", "app"]
+    assert plan["config"]["shared"] == {"a": 1, "b": 2}  # deep merge
+    assert [t["id"] for t in plan["tools"]] == ["t1", "t2"]
+    assert plan["tools"][0]["src"] == "base"  # first-wins in dependency order
+    assert plan["tools"][0]["config"] == {"mode": "fast"}  # prefix overlay
+    assert plan["hooks"][0]["config"] == {"level": "info"}  # hook.{id} prefix
+
+
+# --- CR1-CR4 (automation layer) ------------------------------------------------
+
+
+NOW = datetime(2026, 1, 15, 10, 30, tzinfo=timezone.utc)
+
+AUTO_SCHEMA = (
+    "id string, project_id string, name string, message string, "
+    "schedule_type string, schedule_value string, enabled boolean, "
+    "last_execution timestamp, next_execution timestamp"
+)
+
+
+def _automations(spark):
+    rows = [
+        ("a1", "p", "daily", "m", "cron", "0 9 * * *", True, None, None),
+        ("a2", "p", "halfhour", "m", "interval", "30m", True, None, None),
+        ("a3", "p", "disabled", "m", "cron", "0 9 * * *", False, None, None),
+        ("a4", "p", "bad", "m", "cron", "nope", True, None, None),
+    ]
+    return spark.createDataFrame(rows, AUTO_SCHEMA)
+
+
+def test_next_execution_and_due(spark):
+    df = auto.with_next_execution(_automations(spark), NOW)
+    nxt = {r.id: r.next_execution for r in df.collect()}
+    assert nxt["a1"] == datetime(2026, 1, 16, 9, 0)
+    assert nxt["a2"] == datetime(2026, 1, 15, 11, 0)
+    assert nxt["a3"] is None  # disabled → unscheduled
+    assert nxt["a4"] is None  # invalid expr → NULL, not an exception
+
+    later = datetime(2026, 1, 15, 11, 30, tzinfo=timezone.utc)
+    due = auto.due_automations(df, later)
+    assert [r.id for r in due.collect()] == ["a2"]
+
+
+def test_record_execution_roundtrip(spark, tmp_path):
+    astore = TableStore(spark, str(tmp_path / "autos"), key="id")
+    xstore = TableStore(spark, str(tmp_path / "execs"), key="id")
+    astore.init(auto.with_next_execution(_automations(spark), NOW))
+
+    fired_at = datetime(2026, 1, 15, 11, 0, tzinfo=timezone.utc)
+    execution = spark.createDataFrame(
+        [("e1", "a2", "s1", fired_at.replace(tzinfo=None), "success", None)],
+        "id string, automation_id string, session_id string, "
+        "executed_at timestamp, status string, error string",
+    )
+    auto.record_execution(astore, xstore, execution, fired_at)
+
+    assert xstore.read().count() == 1
+    a2 = {r.id: r for r in astore.read().collect()}["a2"]
+    assert a2.last_execution == datetime(2026, 1, 15, 11, 0)
+    assert a2.next_execution == datetime(2026, 1, 15, 11, 30)  # 30m after fire
+    # untouched rows keep their schedule
+    assert {r.id for r in astore.read().collect()} == {"a1", "a2", "a3", "a4"}
+
+    hist = auto.execution_history(xstore.read(), "a2")
+    assert [r.id for r in hist.collect()] == ["e1"]
