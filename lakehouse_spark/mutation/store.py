@@ -5,22 +5,29 @@ The reference mutates state with append-only JSONL logs plus atomic
 tmp+rename document rewrites (sessions/manager.py:282-283,519-525 — read,
 not copied). The lakehouse-native equivalents are Delta `APPEND` and
 `MERGE`; this container has no Delta package, so the same semantics are
-implemented over partition-directory Parquet with an atomic-pointer commit:
+implemented as a **segment-manifest table**, the same idea as Delta's
+add-file transaction log:
 
-- every write produces a new immutable version directory
-  ``<root>/_v<nnn>/part-*.parquet``
-- ``_CURRENT`` is a one-line pointer file atomically renamed into place —
-  readers always see a complete version (the tmp+rename idea, applied to a
-  whole table version instead of one JSON document)
+- data lives in immutable segment directories ``_seg<nnn>/part-*.parquet``;
+- a version is a MANIFEST file listing the segments that make it up;
+- ``_CURRENT`` is a one-line pointer atomically renamed onto the newest
+  manifest — readers always see a complete, consistent version.
+
+Cost model (the part that matters at 100 TB):
+- **append is O(new rows)** — write one segment, write a manifest that
+  reuses every existing segment. The reference's open(...,'a') cost shape.
+- upsert / delete / delete-last rewrite into one compacted segment —
+  O(table), the same as Delta without merge-on-read; call sites that only
+  ever append never pay it.
+- old versions remain readable (time travel) until :meth:`vacuum`.
 
 On a cluster with Delta/Iceberg available, `TableStore` maps 1:1 onto
-`MERGE INTO`/`DELETE`/`OPTIMIZE` — the call sites don't change. Version
-directories double as time travel and make the store safe for concurrent
-readers during a writer's commit.
+append/`MERGE INTO`/`DELETE`/`OPTIMIZE` — call sites don't change.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -38,7 +45,8 @@ _POINTER = "_CURRENT"
 
 
 class TableStore:
-    """Versioned keyed Parquet table with atomic pointer commits."""
+    """Versioned keyed Parquet table: segment data, manifest versions,
+    atomic pointer commits."""
 
     def __init__(self, spark: SparkSession, root: str, key: str):
         self.spark = spark
@@ -58,13 +66,23 @@ class TableStore:
         except FileNotFoundError:
             return None
 
-    def _version_dir(self, v: int) -> str:
-        return os.path.join(self.root, f"_v{v:06d}")
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.root, f"_manifest_{v:06d}.json")
 
-    def _commit(self, df: DataFrame) -> int:
+    def _segments(self, v: int) -> list[str]:
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)["segments"]
+
+    def _write_segment(self, df: DataFrame, v: int) -> str:
+        seg = f"_seg{v:06d}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, seg))
+        return seg
+
+    def _commit(self, segments: list[str]) -> int:
         cur = self.current_version()
         nxt = 0 if cur is None else cur + 1
-        df.write.mode("overwrite").parquet(self._version_dir(nxt))
+        with open(self._manifest_path(nxt), "w") as f:
+            json.dump({"segments": segments}, f)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
@@ -72,12 +90,21 @@ class TableStore:
         return nxt
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Drop version directories older than the newest ``keep_last``."""
+        """Drop manifests older than the newest ``keep_last`` versions and
+        every segment no surviving manifest references."""
         cur = self.current_version()
         if cur is None:
             return
+        keep_versions = [
+            v for v in range(max(0, cur - keep_last + 1), cur + 1)
+            if os.path.exists(self._manifest_path(v))
+        ]
+        live = {s for v in keep_versions for s in self._segments(v)}
         for name in os.listdir(self.root):
-            if name.startswith("_v") and int(name[2:]) <= cur - keep_last:
+            if name.startswith("_manifest_"):
+                if int(name[len("_manifest_"):-len(".json")]) not in keep_versions:
+                    os.unlink(os.path.join(self.root, name))
+            elif name.startswith("_seg") and name not in live:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     # -- reads ----------------------------------------------------------------
@@ -86,7 +113,8 @@ class TableStore:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        return self.spark.read.parquet(self._version_dir(v))
+        paths = [os.path.join(self.root, s) for s in self._segments(v)]
+        return self.spark.read.parquet(*paths)
 
     def exists(self) -> bool:
         return self.current_version() is not None
@@ -94,24 +122,35 @@ class TableStore:
     # -- writes ----------------------------------------------------------------
 
     def init(self, df: DataFrame) -> None:
-        self._commit(df)
+        cur = self.current_version()
+        v = 0 if cur is None else cur + 1
+        self._commit([self._write_segment(df, v)])
 
     def append(self, rows: DataFrame) -> None:
-        """SC4: append-only log write (the reference's open(...,'a'))."""
-        base = self.read() if self.exists() else None
-        out = rows if base is None else base.unionByName(rows)
-        self._commit(out)
+        """SC4: append-only log write (the reference's open(...,'a')).
+        O(new rows): one new segment, prior segments reused by reference."""
+        if not self.exists():
+            self.init(rows)
+            return
+        prior = self._segments(self.current_version())
+        seg = self._write_segment(rows, self.current_version() + 1)
+        self._commit(prior + [seg])
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Full compaction commit: one segment holding ``df``."""
+        v = self.current_version() + 1
+        self._commit([self._write_segment(df, v)])
 
     def upsert(self, rows: DataFrame) -> None:
         """SC5: whole-row upsert keyed by ``self.key`` — the atomic
         tmp+rename document replace. Delta form: MERGE WHEN MATCHED UPDATE
         WHEN NOT MATCHED INSERT."""
         if not self.exists():
-            self._commit(rows)
+            self.init(rows)
             return
         base = self.read()
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
-        self._commit(survivors.unionByName(rows.select(*base.columns)))
+        self._rewrite(survivors.unionByName(rows.select(*base.columns)))
 
     def delete_keys(self, keys: DataFrame) -> int:
         """J4 target: delete all rows whose key appears in ``keys`` (feed
@@ -119,7 +158,7 @@ class TableStore:
         base = self.read()
         out = base.join(keys.select(self.key).distinct(), self.key, "left_anti")
         removed = base.count() - out.count()
-        self._commit(out)
+        self._rewrite(out)
         return removed
 
     def delete_last_per_group(self, group: str, order_col: str) -> None:
@@ -132,7 +171,7 @@ class TableStore:
             .filter(F.col("__rn") > 1)
             .drop("__rn")
         )
-        self._commit(out)
+        self._rewrite(out)
 
     def retention_sweep(
         self, ended_col: str, created_col: str, cutoff
@@ -144,5 +183,14 @@ class TableStore:
             ~(F.coalesce(F.col(ended_col), F.col(created_col)) < F.lit(cutoff))
         )
         removed = base.count() - keep.count()
-        self._commit(keep)
+        self._rewrite(keep)
         return removed
+
+    def compact(self) -> None:
+        """OPTIMIZE analog: fold all live segments into one (append-heavy
+        tables accumulate small segments; run this on a cadence)."""
+        self._rewrite(self.read())
+
+    def n_segments(self) -> int:
+        v = self.current_version()
+        return 0 if v is None else len(self._segments(v))

@@ -1338,6 +1338,39 @@ def w3_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag AS key,
+           round(sum(l_quantity), 2) AS qty,
+           count(*) AS n,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Salted two-phase aggregation — must equal the direct group-by exactly",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_returnflag", "key")
+    out = skew.salted_agg(
+        li,
+        ["key"],
+        {
+            "qty": ("l_quantity", "sum"),
+            "n": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "key",
+        F.round("qty", 2).alias("qty"),
+        "n",
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@_q(
     "agg_distinct_count",
     """
     SELECT l_returnflag,

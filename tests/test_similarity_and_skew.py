@@ -1,0 +1,82 @@
+"""ANN quality (IVF recall vs brute force) + skew operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_spark.io import load_table
+from lakehouse_spark.operators import similarity, skew
+
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    # 25 centroids over 500 near-random vectors: structural recall for
+    # random data ≈ covered-bucket mass, so probe ~half the space and
+    # assert we land clearly above that bound (bucketing must beat chance
+    # on the planted same-label clusters)
+    centroids = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    bucketed = similarity.assign_buckets(emb, centroids)
+    approx = similarity.ivf_topk(bucketed, centroids, queries, k=5, nprobe=12)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+    # every query must still return k candidates
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+
+
+def test_salted_agg_matches_direct(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    direct = {
+        (r.l_returnflag): (round(r.qty, 2), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (round(r.qty, 2), r.n)
+        for r in skew.salted_agg(
+            li, ["l_returnflag"], {"qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")}
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(orders, "l_orderkey").count()
+    salted = skew.salted_broadcast_join(li, orders, "l_orderkey").count()
+    assert plain == salted
+
+
+def test_top_keys_diagnosis(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    top = skew.top_keys(ev, ["event_type"], n=3).collect()
+    assert len(top) == 3
+    assert top[0]["count"] >= top[1]["count"] >= top[2]["count"]
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pytest
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        skew.salted_agg(li, ["l_returnflag"], {"a": ("l_quantity", "avg")})

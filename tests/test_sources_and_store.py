@@ -93,6 +93,31 @@ def test_store_delete_last_and_retention(spark, tmp_store_dir):
     assert [r.k for r in store.read().collect()] == ["i"]
 
 
+def test_store_append_is_segment_incremental(spark, tmp_store_dir):
+    """Append must not rewrite history: each append adds ONE segment and
+    reuses the rest by reference (O(new rows), the Delta add-file shape)."""
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k")
+    store.init(_kv(spark, ("a", 1, ts)))
+    assert store.n_segments() == 1
+    store.append(_kv(spark, ("b", 2, ts)))
+    store.append(_kv(spark, ("c", 3, ts)))
+    assert store.n_segments() == 3
+    assert store.read().count() == 3
+    assert store.read(version=1).count() == 2  # time travel across manifests
+
+    store.compact()
+    assert store.n_segments() == 1
+    assert store.read().count() == 3
+
+    store.vacuum(keep_last=1)
+    assert store.read().count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        store.read(version=0).collect()  # vacuumed manifests are gone
+
+
 def test_store_unionable_with_jsonl_appends(spark, tmp_path, tmp_store_dir):
     """Append-only JSONL log → typed rows → store append (the reference's
     write path end-to-end)."""
