@@ -1,0 +1,206 @@
+"""Session-analytics facade: the reference's query surface as one object
+(SURVEY.md §3 query lifecycle; operators from §2 composed, not re-implemented).
+
+A user of the reference talks to REST endpoints over a file store; a user of
+this engine gets the same queries over Spark tables:
+
+    lake = SessionLake(spark, root)          # or .from_jsonl(...) to ingest
+    lake.list_sessions(status="active", limit=20)
+    lake.unread_counts()
+    lake.message_tail("sess-1", n=50)
+    lake.events_page("sess-1", prefix="tool:", offset=0, limit=500)
+    lake.execution_trace("sess-1")           # nested turns (S1 fold)
+    lake.trace_metrics("sess-1")             # A3 tool metrics
+    lake.session_closure("sess-1")           # J3 descendants
+    lake.cascade_delete("sess-1")            # J4, via the table store
+    lake.cleanup(older_than_days=30)         # F2 retention sweep
+
+Tables are `TableStore`s under ``root`` (sessions/, messages/, events/) with
+the schemas in :mod:`lakehouse_spark.schemas`; `from_jsonl` ingests
+reference-layout logs (state/sessions/{id}/*.jsonl) through the SC1 source.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_spark import schemas
+from lakehouse_spark.mutation.store import TableStore
+from lakehouse_spark.operators import aggregates, filters, sorts
+from lakehouse_spark.operators.sessionize import (
+    aggregate_trace,
+    trace_metrics,
+)
+from lakehouse_spark.plans import closure
+
+
+class SessionLake:
+    """The engine's session store + query surface."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.sessions = TableStore(spark, os.path.join(root, "sessions"), "session_id")
+        self.messages = TableStore(spark, os.path.join(root, "messages"), "session_id")
+        self.events = TableStore(spark, os.path.join(root, "events"), "session_id")
+
+    # -- ingest ----------------------------------------------------------------
+
+    @classmethod
+    def from_jsonl(
+        cls, spark: SparkSession, root: str, state_dir: str
+    ) -> "SessionLake":
+        """Ingest a reference-layout state directory: sessions as JSON
+        documents, transcripts and event logs as JSONL (SC1/SC2 sources,
+        malformed lines skipped)."""
+        from lakehouse_spark.sources import jsonl
+
+        lake = cls(spark, root)
+        lake.sessions.init(
+            jsonl.read_json_documents(
+                spark, os.path.join(state_dir, "sessions"), schemas.SESSION,
+                recursive=True,
+            ).drop("_source_file")
+        )
+        lake.messages.init(
+            jsonl.read_jsonl(
+                spark,
+                os.path.join(state_dir, "transcripts"),
+                schemas.MESSAGE,
+                recursive=True,
+            )
+        )
+        lake.events.init(
+            jsonl.read_jsonl(
+                spark, os.path.join(state_dir, "events"), schemas.TRACE_EVENT,
+                recursive=True,
+            )
+        )
+        return lake
+
+    # -- §3.2 list query -------------------------------------------------------
+
+    def list_sessions(
+        self,
+        status: str | None = None,
+        profile_name: str | None = None,
+        amplified_dir: str | None = None,
+        parent_session_id: str | None = None,
+        since: datetime | None = None,
+        unread_only: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """F1/F2/F3 filters → O1 sort-desc-limit, exactly the reference's
+        GET /sessions pipeline (manager.py:358-414 shape). The index.json
+        covering index disappears into parquet column pruning."""
+        df = self.sessions.read()
+        crit = {
+            "status": status,
+            "profile_name": profile_name,
+            "amplified_dir": amplified_dir,
+            "parent_session_id": parent_session_id,
+        }
+        df = filters.and_equals(df, **{k: v for k, v in crit.items() if v is not None})
+        if since is not None:
+            df = filters.since(df, "created_at", F.lit(since))
+        if unread_only:
+            df = filters.flag(df, "is_unread")
+        df = df.orderBy(F.desc("created_at"), F.asc("session_id"))
+        return df.limit(limit) if limit else df
+
+    def unread_counts(self) -> DataFrame:
+        """A1: unread sessions per project (routers/sessions.py:756-789)."""
+        return aggregates.counts_per_key(
+            self.sessions.read(), "amplified_dir", flag_col="is_unread"
+        )
+
+    def session_counters(self) -> DataFrame:
+        """A2: message_count / token_usage as an aggregate VIEW over the
+        transcript — the reference's stored counters, derived instead
+        (manager.py:286-291)."""
+        return aggregates.running_counters(
+            self.messages.read(), "session_id", "token_count"
+        )
+
+    # -- transcripts / events --------------------------------------------------
+
+    def message_tail(self, session_id: str, n: int = 50) -> DataFrame:
+        """O4: last n messages in log order (manager.py:343-345)."""
+        msgs = self.messages.read().filter(F.col("session_id") == session_id)
+        return sorts.tail_n(
+            msgs, "session_id", [F.desc("encounter_seq")], n
+        ).orderBy("encounter_seq")
+
+    def events_page(
+        self,
+        session_id: str,
+        lvl: str | None = None,
+        prefix: str | None = None,
+        offset: int = 0,
+        limit: int = 500,  # ← routers/sessions.py:1333 default slab
+        include_children: bool = False,
+    ) -> DataFrame:
+        """F4 + O2/O3 (+ J7 when children merge in): filtered, paged event
+        slab over a total order (routers/sessions.py:1306-1400)."""
+        ev = self.events.read()
+        if include_children:
+            ids = self.session_closure(session_id).select(
+                F.col("child").alias("session_id")
+            )
+            ev = ev.join(F.broadcast(ids), "session_id")
+        else:
+            ev = ev.filter(F.col("session_id") == session_id)
+        ev = filters.level_and_prefix(ev, "lvl", lvl, "event", prefix)
+        return sorts.page(ev, [F.asc("ts"), F.asc("encounter_seq")], offset, limit)
+
+    # -- §3.3 trace ------------------------------------------------------------
+
+    def execution_trace(self, session_id: str | None = None) -> DataFrame:
+        """S1: events → nested turns, derived on demand like the reference
+        (trace_aggregator.py:5-8 documents the deliberate non-materialization)."""
+        ev = self.events.read()
+        if session_id is not None:
+            ev = ev.filter(F.col("session_id") == session_id)
+        return aggregate_trace(ev)
+
+    def trace_metrics(self, session_id: str | None = None) -> DataFrame:
+        """A3: per-session tool metrics over the derived turns."""
+        return trace_metrics(self.execution_trace(session_id))
+
+    # -- hierarchy -------------------------------------------------------------
+
+    def session_closure(self, session_id: str) -> DataFrame:
+        """J3: the session and all its descendants (clone/delete base)."""
+        edges = (
+            self.sessions.read()
+            .select(
+                F.col("parent_session_id").alias("parent"),
+                F.col("session_id").alias("child"),
+            )
+            .filter(F.col("parent").isNotNull())
+        )
+        seeds = self.spark.createDataFrame([(session_id,)], "child string")
+        return closure.descendants(edges, seeds, "parent", "child")
+
+    def cascade_delete(self, session_id: str) -> int:
+        """J4: delete the session tree from all three tables; returns the
+        number of session rows removed (manager.py:422-452 semantics)."""
+        doomed = self.session_closure(session_id).select(
+            F.col("child").alias("session_id")
+        )
+        removed = self.sessions.delete_keys(doomed)
+        self.messages.delete_keys(doomed)
+        self.events.delete_keys(doomed)
+        return removed
+
+    # -- maintenance -----------------------------------------------------------
+
+    def cleanup(self, older_than_days: int = 30, now: datetime | None = None) -> int:
+        """F2+A7 retention: drop sessions whose coalesce(ended_at,
+        created_at) is older than the cutoff (manager.py:456-498)."""
+        now = now or datetime.now(timezone.utc)
+        cutoff = (now - timedelta(days=older_than_days)).replace(tzinfo=None)
+        return self.sessions.retention_sweep("ended_at", "created_at", cutoff)

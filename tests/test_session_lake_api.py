@@ -1,0 +1,160 @@
+"""End-to-end facade test: reference-layout state dir → SessionLake →
+every query surface from SURVEY.md §3."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_spark.api import SessionLake
+
+
+def _iso(h, m=0, s=0):
+    return f"2026-06-01T{h:02d}:{m:02d}:{s:02d}+00:00"
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    state = tmp_path_factory.mktemp("state")
+    (state / "sessions").mkdir()
+    (state / "transcripts").mkdir()
+    (state / "events").mkdir()
+
+    sessions = [
+        dict(session_id="root", name="root", parent_session_id=None,
+             amplified_dir="projA", status="active", created_at=_iso(9),
+             started_at=_iso(9), ended_at=None, profile_name="default",
+             message_count=0, agent_invocations=0, token_usage=None,
+             error_message=None, error_details=None, is_unread=True,
+             last_read_at=None, encounter_seq=1),
+        dict(session_id="child1", name="c1", parent_session_id="root",
+             amplified_dir="projA", status="completed", created_at=_iso(10),
+             started_at=_iso(10), ended_at=_iso(11), profile_name="default",
+             message_count=0, agent_invocations=0, token_usage=None,
+             error_message=None, error_details=None, is_unread=False,
+             last_read_at=None, encounter_seq=2),
+        dict(session_id="grandchild", name="gc", parent_session_id="child1",
+             amplified_dir="projA", status="completed", created_at=_iso(10, 30),
+             started_at=None, ended_at=None, profile_name="other",
+             message_count=0, agent_invocations=0, token_usage=None,
+             error_message=None, error_details=None, is_unread=True,
+             last_read_at=None, encounter_seq=3),
+        dict(session_id="loner", name="solo", parent_session_id=None,
+             amplified_dir="projB", status="active", created_at=_iso(12),
+             started_at=None, ended_at=None, profile_name="default",
+             message_count=0, agent_invocations=0, token_usage=None,
+             error_message=None, error_details=None, is_unread=True,
+             last_read_at=None, encounter_seq=4),
+    ]
+    for s in sessions:
+        (state / "sessions" / f"{s['session_id']}.json").write_text(json.dumps(s))
+
+    msgs = [
+        dict(session_id="root", timestamp=_iso(9, 1), role="user",
+             content="hello", agent=None, token_count=5, encounter_seq=1),
+        dict(session_id="root", timestamp=_iso(9, 2), role="assistant",
+             content="hi", agent=None, token_count=7, encounter_seq=2),
+        dict(session_id="root", timestamp=_iso(9, 3), role="user",
+             content="bye", agent=None, token_count=3, encounter_seq=3),
+        dict(session_id="loner", timestamp=_iso(12, 1), role="user",
+             content="solo msg", agent=None, token_count=2, encounter_seq=1),
+    ]
+    (state / "transcripts" / "all.jsonl").write_text(
+        "\n".join(json.dumps(m) for m in msgs) + "\nnot json\n"
+    )
+
+    evs = [
+        dict(session_id="root", ts=_iso(9, 1), lvl="INFO", event="prompt:submit",
+             data={"prompt": "hello"}, encounter_seq=1),
+        dict(session_id="root", ts=_iso(9, 1, 30), lvl="INFO", event="tool:pre",
+             data={"tool_name": "Bash"}, encounter_seq=2),
+        dict(session_id="root", ts=_iso(9, 2), lvl="INFO", event="tool:post",
+             data={"tool_name": "Bash",
+                   "result": {"success": True, "output": "ok", "error": None}},
+             encounter_seq=3),
+        dict(session_id="root", ts=_iso(9, 3), lvl="DEBUG", event="other:noise",
+             data=None, encounter_seq=4),
+        dict(session_id="root", ts=_iso(9, 4), lvl="INFO", event="session:end",
+             data=None, encounter_seq=5),
+        dict(session_id="child1", ts=_iso(10, 1), lvl="INFO", event="prompt:submit",
+             data={"prompt": "sub"}, encounter_seq=1),
+    ]
+    (state / "events" / "all.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in evs)
+    )
+
+    root = tmp_path_factory.mktemp("lake")
+    return SessionLake.from_jsonl(spark, str(root), str(state))
+
+
+def test_list_sessions_filters_and_order(lake):
+    got = [r.session_id for r in lake.list_sessions(status="active").collect()]
+    assert got == ["loner", "root"]  # newest-first
+    assert [
+        r.session_id
+        for r in lake.list_sessions(amplified_dir="projA", unread_only=True).collect()
+    ] == ["grandchild", "root"]
+    assert [
+        r.session_id
+        for r in lake.list_sessions(
+            since=datetime(2026, 6, 1, 11, tzinfo=timezone.utc), limit=1
+        ).collect()
+    ] == ["loner"]
+
+
+def test_unread_counts_and_counters(lake):
+    assert {
+        r.amplified_dir: r.n for r in lake.unread_counts().collect()
+    } == {"projA": 2, "projB": 1}
+    counters = {
+        r.session_id: (r.message_count, r.token_usage)
+        for r in lake.session_counters().collect()
+    }
+    assert counters["root"] == (3, 15)  # malformed transcript line skipped
+    assert counters["loner"] == (1, 2)
+
+
+def test_message_tail(lake):
+    got = [r.content for r in lake.message_tail("root", n=2).collect()]
+    assert got == ["hi", "bye"]  # last two, restored to log order
+
+
+def test_events_page_filters(lake):
+    tool_events = lake.events_page("root", prefix="tool:")
+    assert [r.event for r in tool_events.collect()] == ["tool:pre", "tool:post"]
+    info_only = lake.events_page("root", lvl="INFO")
+    assert info_only.count() == 4
+    merged = lake.events_page("root", include_children=True)
+    assert merged.count() == 6  # child1's events union in (J7)
+
+
+def test_execution_trace_and_metrics(lake):
+    turns = {
+        (r.session_id, r.turn_id): r for r in lake.execution_trace().collect()
+    }
+    root_turn = turns[("root", 1)]
+    assert root_turn.status == "completed"
+    assert [t.name for t in root_turn.tools] == ["Bash"]
+    assert turns[("child1", 1)].status == "active"  # unclosed at EOF
+
+    m = {r.session_id: r for r in lake.trace_metrics().collect()}
+    assert m["root"].total_tools == 1
+    assert m["root"].longest_tool == "Bash"
+
+
+def test_closure_delete_and_cleanup(lake):
+    ids = {r.child for r in lake.session_closure("root").collect()}
+    assert ids == {"root", "child1", "grandchild"}
+
+    removed = lake.cascade_delete("child1")
+    assert removed == 2  # child1 + grandchild
+    assert {r.session_id for r in lake.sessions.read().collect()} == {"root", "loner"}
+    assert lake.events.read().filter(F.col("session_id") == "child1").count() == 0
+
+    # retention: root has no ended_at → created_at governs; cutoff after
+    # both creations removes everything not recently ended
+    n = lake.cleanup(older_than_days=30, now=datetime(2026, 8, 1, tzinfo=timezone.utc))
+    assert n == 2
