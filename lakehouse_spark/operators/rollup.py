@@ -1,0 +1,41 @@
+"""Time-bucketed and hierarchical rollups (engine additions; SURVEY.md §2.4
+notes Spark gives these free — the reference has no windowed analytics).
+
+Tumbling time buckets are the batch twin of streaming window aggregation:
+the same `F.window` expression works under `readStream`, so a rollup defined
+here is directly reusable as a live materialized view. Hierarchical ROLLUP
+gives per-level subtotals in one shuffle instead of N re-aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling-window aggregation: one row per (bucket_start, *group_cols).
+    ``bucket`` is a Spark interval string ('1 hour', '15 minutes'). Works
+    identically over a streaming DataFrame (add a watermark upstream)."""
+    win = F.window(F.col(ts_col), bucket)
+    return (
+        df.groupBy(win.alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("__w.start"))
+        .drop("__w")
+    )
+
+
+def hierarchy_rollup(
+    df: DataFrame, levels: list[str], aggs: list[Column]
+) -> DataFrame:
+    """ROLLUP over ``levels`` (most→least significant): per-level subtotals
+    plus the grand total, with NULLs marking rolled-up levels — one
+    expand+shuffle, not len(levels)+1 separate aggregations."""
+    return df.rollup(*levels).agg(*aggs)

@@ -1388,6 +1388,114 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rollup_time_buckets",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="Tumbling time-bucket rollup — same expression serves streaming views",
+)
+def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return rollup.time_bucket_rollup(
+        ev,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum")],
+    ).select("bucket_start", "event_type", "n", "value_sum")
+
+
+@_q(
+    "rollup_hierarchy",
+    """
+    SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP subtotals: one expand+shuffle instead of per-level re-aggregation",
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import rollup as ru
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return ru.hierarchy_rollup(
+        j,
+        ["r_name", "n_name"],
+        [F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")],
+    )
+
+
+@_q(
+    "t9_interval_parse",
+    """
+    SELECT v, CAST(CASE regexp_extract(v, '^(\\d+)([smhd])$', 2)
+             WHEN 's' THEN 1 WHEN 'm' THEN 60 WHEN 'h' THEN 3600
+             WHEN 'd' THEN 86400 END
+           * try_cast(regexp_extract(v, '^(\\d+)([smhd])$', 1) AS BIGINT)
+           AS BIGINT) AS seconds
+    FROM (VALUES ('30s'), ('5m'), ('2h'), ('1d'), ('90m'), ('oops'), ('7w'))
+         AS t(v)
+    """,
+    doc="T9: interval-string grammar parse; malformed → NULL",
+)
+def t9_interval_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import interval_to_seconds
+
+    df = spark.createDataFrame(
+        [("30s",), ("5m",), ("2h",), ("1d",), ("90m",), ("oops",), ("7w",)],
+        "v string",
+    )
+    return df.select("v", interval_to_seconds("v").alias("seconds"))
+
+
+@_q(
+    "f3_boolean_flag",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE (o_orderpriority = '1-URGENT') = true AND o_orderstatus = 'F'
+    """,
+    doc="F3: boolean-flag filter (unread/enabled shape)",
+)
+def f3_boolean_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "__urgent", F.col("o_orderpriority") == "1-URGENT"
+    )
+    return filters.flag(
+        orders.filter(F.col("o_orderstatus") == "F"), "__urgent"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@_q(
+    "a4_page_envelope",
+    """
+    SELECT count(*) AS total, count(*) > 120 AS has_more
+    FROM events WHERE event_type = 'click' AND value > 50
+    """,
+    doc="A4: pagination envelope (total + has_more) in one aggregate",
+)
+def a4_page_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click") & (F.col("value") > 50)
+    )
+    return ev.agg(
+        F.count("*").alias("total"), (F.count("*") > 120).alias("has_more")
+    )
+
+
 # =============================================================================
 # Non-SQL-expressible (rows-only checks)
 # =============================================================================

@@ -242,3 +242,27 @@ def stream_trace_turns(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def mark_unread_sink(sessions_store, subscribed_sessions):
+    """ST5 ← routers/messages.py:249-271: conditional side-effect on batch
+    completion — a session receiving new messages is flipped to unread ONLY
+    if nobody is actively subscribed to it and it was previously read.
+
+    Returns a foreachBatch callback closing over the sessions TableStore and
+    a live set of subscribed session ids (the registry the SSE layer owns).
+    The flip is a keyed upsert — Delta form: conditional MERGE."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        touched = batch.select("session_id").distinct()
+        base = sessions_store.read()
+        subscribed = list(subscribed_sessions) or ["__none__"]
+        to_mark = (
+            base.join(touched, "session_id", "left_semi")
+            .filter(~F.col("is_unread") & ~F.col("session_id").isin(subscribed))
+            .withColumn("is_unread", F.lit(True))
+        )
+        if not to_mark.isEmpty():
+            sessions_store.upsert(to_mark)
+
+    return sink
