@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on must be visible in the executed plan, not assumed.
+A refactor that silently drops a pushed filter or turns a broadcast join
+into a cartesian product fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from lakehouse_spark.queries import CATALOG
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].build(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "f2_time_range")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "flagship_pricing_summary")
+    # 6 of 11 lineitem columns read; o_comment-style unused columns pruned
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read and "l_partkey" not in read and "l_tax" not in read
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "j5_fk_lookup_chain")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle at this size
+
+
+def test_topk_uses_takeordered(spark):
+    plan = _plan(spark, "o1_top_n")
+    assert "TakeOrderedAndProject" in plan  # not global sort + limit
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    # AQE finalizes the plan only on execution; codegen spans appear in the
+    # executed plan, not the pre-run explain
+    df = CATALOG["flagship_pricing_summary"].build(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark operators fused into a codegen stage
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "j1_semi_join_fetch")
+    assert "LeftSemi" in plan
+
+
+def test_minhash_band_join_is_hash_join(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_broadcasts_query_side_only(spark):
+    # brute-force top-k must broadcast the small query side; the corpus
+    # side streaming through a nested-loop join is the intended plan shape
+    plan = _plan(spark, "sim_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

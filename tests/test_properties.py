@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis): structural invariants that hold for
+ALL inputs, not just fixtures.
+
+- The window-form sessionization (W1 running marker count) and the pandas
+  fold (S1 aggregate_trace) must agree on turn structure for every event
+  log.
+- toposort output respects every edge for every random DAG.
+- deep_merge: overlay precedence and base preservation for arbitrary nested
+  dicts.
+- first_wins dedup is idempotent and order-respecting.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_spark.plans import config
+
+# --- config plane (no Spark: fast, many examples) ---------------------------
+
+_nodes = st.lists(st.sampled_from("abcdefgh"), unique=True, min_size=1)
+
+
+@st.composite
+def _dags(draw):
+    nodes = draw(_nodes)
+    # edges only from later to earlier in a random order → acyclic
+    order = draw(st.permutations(nodes))
+    edges = {}
+    for i, n in enumerate(order):
+        deps = draw(
+            st.lists(st.sampled_from(order[:i]) if i else st.nothing(), max_size=3)
+        ) if i else []
+        edges[n] = deps
+    return nodes, edges
+
+
+@given(_dags())
+@settings(max_examples=200)
+def test_toposort_respects_every_edge(dag):
+    nodes, edges = dag
+    out = config.toposort(nodes, edges)
+    assert sorted(out) == sorted(nodes)
+    pos = {n: i for i, n in enumerate(out)}
+    for n, deps in edges.items():
+        for d in deps:
+            assert pos[d] < pos[n], f"{d} must precede {n}"
+
+
+_json_scalars = st.one_of(st.integers(), st.text(max_size=5), st.booleans())
+_nested = st.recursive(
+    _json_scalars,
+    lambda c: st.dictionaries(st.text(max_size=3), c, max_size=4),
+    max_leaves=12,
+)
+
+
+@given(
+    st.dictionaries(st.text(max_size=3), _nested, max_size=5),
+    st.dictionaries(st.text(max_size=3), _nested, max_size=5),
+)
+@settings(max_examples=200)
+def test_deep_merge_overlay_wins_and_base_survives(base, overlay):
+    out = config.deep_merge(base, overlay)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            # merged recursively: every overlay leaf present
+            assert config.deep_merge(base[k], v) == out[k]
+        else:
+            assert out[k] == v
+    for k in base:
+        assert k in out  # base keys never disappear
+
+
+@given(st.lists(st.tuples(st.sampled_from("abc"), st.integers(0, 9))))
+@settings(max_examples=200)
+def test_first_wins_keeps_first_occurrence(items):
+    dicts = [{"id": k, "v": v} for k, v in items]
+    out = config.first_wins(dicts, "id")
+    seen_ids = [d["id"] for d in out]
+    assert len(seen_ids) == len(set(seen_ids))
+    firsts = {}
+    for k, v in items:
+        firsts.setdefault(k, v)
+    assert {d["id"]: d["v"] for d in out} == firsts
+    assert config.first_wins(out, "id") == out  # idempotent
+
+
+# --- sessionization: window form vs pandas fold (Spark: few examples) -------
+
+_events = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.sampled_from(
+            ["prompt:submit", "tool:pre", "tool:post", "thinking:delta",
+             "session:end", "noise:event"]
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_events)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_window_form_agrees_with_fold(spark, seq):
+    """For ANY event log: the pure-Catalyst W1 turn assignment must yield
+    the same (session → number of turns with ≥1 event) as the stateful
+    pandas fold, and the fold's per-turn event partitioning must cover
+    exactly the events at/after each prompt marker."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.operators.sessionize import aggregate_trace, turn_number
+    from lakehouse_spark.schemas import TRACE_EVENT
+
+    rows = [
+        (sid, f"2026-01-01T00:00:{i:02d}+00:00", "INFO", ev,
+         {"prompt": "p", "tool_name": "T", "tool_input": None,
+          "parallel_group_id": None, "delta": "d", "result": None}, i)
+        for i, (sid, ev) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, TRACE_EVENT)
+
+    folded = aggregate_trace(df).groupBy("session_id").count().collect()
+    fold_turns = {r.session_id: r["count"] for r in folded}
+
+    w = turn_number(
+        df, "session_id", [F.asc("encounter_seq")],
+        F.col("event") == "prompt:submit",
+    )
+    win_turns = {
+        r.session_id: r.n
+        for r in w.filter(F.col("turn_id") > 0)
+        .groupBy("session_id")
+        .agg(F.countDistinct("turn_id").alias("n"))
+        .collect()
+    }
+    # fold emits one turn per prompt marker (incl. trailing active)
+    assert fold_turns == {k: v for k, v in win_turns.items() if v > 0}
