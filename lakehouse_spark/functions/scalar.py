@@ -180,3 +180,28 @@ def normalize_mention(col: Column | str) -> Column:
 
 # --- T14: nested navigation is plain col("a.b.c") --------------------------
 # --- T17: to_json/from_json are plain builtins ------------------------------
+
+
+# --- T11: 12h ↔ 24h conversion ---------------------------------------------
+
+
+def hour_12_to_24(hour: Column | str, meridiem: Column | str) -> Column:
+    """T11 ← webapp cronUtils.ts:29-70 semantics: (12h clock, AM|PM) →
+    24h hour, with the midnight (12 AM → 0) and noon (12 PM → 12) edge
+    cases. Case-insensitive meridiem; invalid hours → NULL."""
+    h = (F.col(hour) if isinstance(hour, str) else hour).cast("int")
+    m = F.upper(F.col(meridiem) if isinstance(meridiem, str) else meridiem)
+    base = F.when(h == 12, 0).otherwise(h)
+    out = F.when(m == "AM", base).when(m == "PM", base + 12)
+    return F.when((h >= 1) & (h <= 12), out).otherwise(F.lit(None).cast("int"))
+
+
+def hour_24_to_12(hour: Column | str) -> Column:
+    """T11 inverse: 24h hour → STRUCT(hour12, meridiem)."""
+    h = (F.col(hour) if isinstance(hour, str) else hour).cast("int")
+    hour12 = F.when(h % 12 == 0, 12).otherwise(h % 12)
+    meridiem = F.when(h < 12, "AM").otherwise(F.lit("PM"))
+    valid = (h >= 0) & (h <= 23)
+    return F.when(
+        valid, F.struct(hour12.alias("hour12"), meridiem.alias("meridiem"))
+    ).otherwise(F.lit(None))

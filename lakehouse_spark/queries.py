@@ -1497,6 +1497,95 @@ def a4_page_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Multimodal plumbing (documents stand in for binary assets: payload =
+# utf-8 bytes of text, duration derived from n_chars — deterministic)
+# =============================================================================
+
+
+def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("audio/wav").alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") / 100.0).alias("duration_s"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+@_q(
+    "mm_frame_sample_plan",
+    """
+    SELECT 'doc-' || doc_id AS asset_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           round(i * 2.0, 3) AS frame_ts
+    FROM (
+      SELECT doc_id,
+             unnest(range(0,
+               CAST(greatest(floor((n_chars / 100.0) / 2.0), 1) AS BIGINT))) AS i
+      FROM documents)
+    """,
+    doc="Multimodal: video frame-sampling plan (explode vs generate_series)",
+)
+def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import multimodal
+
+    assets = _doc_assets(spark, sf_dir)
+    return multimodal.frame_sample_plan(assets, every_s=2.0).select(
+        "asset_id", "frame_idx", F.round("frame_ts", 3).alias("frame_ts")
+    )
+
+
+@_q(
+    "mm_resize_plan",
+    """
+    SELECT 'doc-' || doc_id AS asset_id, w AS width, h AS height,
+           CAST(ceil(w * least(512.0 / greatest(w, h), 1.0)) AS INTEGER) AS target_width,
+           CAST(ceil(h * least(512.0 / greatest(w, h), 1.0)) AS INTEGER) AS target_height
+    FROM (SELECT doc_id,
+                 CAST(200 + (doc_id * 37) % 1800 AS INTEGER) AS w,
+                 CAST(200 + (doc_id * 53) % 1200 AS INTEGER) AS h
+          FROM documents)
+    """,
+    doc="Multimodal: aspect-preserving resize plan (pure column math)",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("asset_id"),
+        (200 + (F.col("doc_id") * 37) % 1800).cast("int").alias("width"),
+        (200 + (F.col("doc_id") * 53) % 1200).cast("int").alias("height"),
+    )
+    return multimodal.resize_plan(assets, max_side=512).select(
+        "asset_id", "width", "height", "target_width", "target_height"
+    )
+
+
+@_q(
+    "mm_feature_extract",
+    None,  # mapInPandas + python decoder: no SQL equivalent → rows-only
+    doc="Multimodal: Arrow-batched decode/feature extraction with fake decoder",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import multimodal
+
+    assets = _doc_assets(spark, sf_dir)
+    feats = multimodal.extract_features(assets, decoder=multimodal.fake_decoder)
+    return feats.select(
+        "asset_id",
+        "byte_len",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 4), 6).alias("f3"),
+        "decode_error",
+    )
+
+
+# =============================================================================
 # Non-SQL-expressible (rows-only checks)
 # =============================================================================
 

@@ -142,3 +142,34 @@ def test_iso_to_millis(spark):
     )
     got = [r.ms for r in df.select(scalar.iso_to_millis("ts").alias("ms")).collect()]
     assert got == [1767225601500, 0, 0]
+
+
+def test_hour_conversions(spark):
+    df = spark.createDataFrame(
+        [(12, "AM"), (12, "PM"), (1, "am"), (11, "pm"), (13, "PM")],
+        "h int, m string",
+    )
+    got = [r.h24 for r in df.select(scalar.hour_12_to_24("h", "m").alias("h24")).collect()]
+    assert got == [0, 12, 1, 23, None]
+
+    df24 = spark.createDataFrame([(0,), (12,), (15,), (25,)], "h int")
+    back = [
+        (r.c.hour12, r.c.meridiem) if r.c else None
+        for r in df24.select(scalar.hour_24_to_12("h").alias("c")).collect()
+    ]
+    assert back == [(12, "AM"), (12, "PM"), (3, "PM"), None]
+
+
+def test_yaml_documents(spark, tmp_path):
+    from lakehouse_spark.sources import yamlcfg
+
+    (tmp_path / "profile.yaml").write_text("name: default\nversion: 2\n")
+    (tmp_path / "broken.yaml").write_text("a: [unclosed\n  - x: {")
+    (tmp_path / "scalar.yaml").write_text("just a string")
+    df = yamlcfg.read_yaml_documents(
+        spark, str(tmp_path / "*.yaml"), "name string, version int, _source_file string"
+    )
+    rows = df.collect()
+    assert len(rows) == 1  # malformed + non-mapping skipped
+    assert rows[0].name == "default" and rows[0].version == 2
+    assert rows[0]._source_file.endswith("profile.yaml")
