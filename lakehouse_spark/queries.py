@@ -1586,8 +1586,190 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Source/sink roundtrip + remaining scalar/filter inventory (SC1/SC4, F7,
+# F8, S4, T2)
+# =============================================================================
+
+
+@_q(
+    "sc1_jsonl_roundtrip",
+    """
+    SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY event_type
+    """,
+    doc="SC1+SC4: JSONL append sink + malformed-skipping line scan roundtrip",
+)
+def sc1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC1/SC4 ← trace_aggregator.py:82-97 + manager.py:282-283 semantics
+    (read, not copied): rows appended as JSONL lines must scan back exactly,
+    with blank/malformed lines skipped. The aggregate over the roundtripped
+    log must equal the oracle's aggregate over the original table."""
+    import os
+    import re
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from lakehouse_spark.sources import jsonl as jsonl_src
+
+    tag = re.sub(r"[^0-9A-Za-z.]+", "_", sf_dir.rstrip("/"))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".scratch", f"sc1_{tag}"
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    ev.write.mode("overwrite").json(out)  # SC4: one JSON object per line
+    with open(os.path.join(out, "part-zz-malformed.json"), "w") as f:
+        f.write('{"event_id": nope}\n\n   \n{"truncated": \n')
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    back = jsonl_src.read_jsonl(spark, out, schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+@_q(
+    "f7_status_filter",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 50
+    """,
+    doc="F7: status-equality filter, newest-first page (failed-executions shape)",
+)
+def f7_status_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+
+
+@_q(
+    "f8_projection",
+    """
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    doc="F8: covering projection (2 of 9 cols) — pruning must reach the scan",
+)
+def f8_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "s4_iso_millis",
+    """
+    SELECT event_type,
+           CAST(sum(ms) AS BIGINT) AS sum_ms,
+           CAST(sum(CASE WHEN ms = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable
+    FROM (
+      SELECT event_type,
+             coalesce(epoch_ms(try_cast(
+               CASE WHEN event_id % 97 = 0 THEN 'not-a-time'
+                    ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS TIMESTAMP)), 0) AS ms
+      FROM events)
+    GROUP BY event_type
+    """,
+    doc="S4: ISO-8601 parse to epoch millis, unparseable → 0 (reference fallback)",
+)
+def s4_iso_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import iso_to_millis
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-a-time"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .alias("iso"),
+    )
+    return (
+        ev.withColumn("ms", iso_to_millis("iso"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("ms").alias("sum_ms"),
+            F.sum(F.when(F.col("ms") == 0, 1).otherwise(0)).alias("n_unparseable"),
+        )
+    )
+
+
+@_q(
+    "t2_mention_normalize",
+    r"""
+    SELECT regexp_replace(regexp_replace(raw, '^@', ''), '^"(.*)"$', '\1')
+             AS target,
+           count(*) AS n
+    FROM (
+      SELECT CASE doc_id % 3
+               WHEN 0 THEN '@' || source
+               WHEN 1 THEN '@"' || source || ' notes"'
+               ELSE source END AS raw
+      FROM documents)
+    GROUP BY 1
+    """,
+    doc="T2: mention normalization (strip @, strip surrounding quotes)",
+)
+def t2_mention_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import normalize_mention
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("@"), F.col("source")))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit('@"'), F.col("source"), F.lit(' notes"')),
+        )
+        .otherwise(F.col("source"))
+        .alias("raw")
+    )
+    return (
+        docs.select(normalize_mention("raw").alias("target"))
+        .groupBy("target")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =============================================================================
 # Non-SQL-expressible (rows-only checks)
 # =============================================================================
+
+
+@_q(
+    "t12_id_generation",
+    None,  # uuid() is nondeterministic by design — excluded from value hashing
+    doc="T12: uuid-derived short ids + W3C-trace-style child span ids",
+)
+def t12_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import child_span_id, short_id
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select(F.col("o_orderkey").cast("string").alias("parent"))
+    )
+    return base.select(
+        "parent",
+        short_id().alias("session_id"),
+        child_span_id(F.col("parent"), short_id(), F.lit("researcher")).alias(
+            "child_id"
+        ),
+    )
 
 
 @_q(

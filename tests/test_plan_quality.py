@@ -75,3 +75,27 @@ def test_ann_broadcasts_query_side_only(spark):
     plan = _plan(spark, "sim_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_limit_pushdown_into_scan(spark):
+    # O6: a bare limit must become CollectLimit over the scan — no global
+    # sort, no exchange (the reference stops scanning at max_results;
+    # Catalyst's LocalLimit inside the scan stage is the distributed analog).
+    from lakehouse_spark.io import load_table
+
+    df = load_table(spark, SF_SMALL, "orders").limit(5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CollectLimit" in plan
+    assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_projection_prunes_scan_columns(spark):
+    # F8: the 2-column projection must reach ReadSchema — reading all 9
+    # orders columns for a 2-column result is wrong at any scale.
+    plan = _plan(spark, "f8_projection")
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "o_orderkey" in read and "o_orderdate" in read
+    assert "o_totalprice" not in read and "o_comment" not in read
