@@ -178,6 +178,19 @@ def normalize_mention(col: Column | str) -> Column:
     return F.regexp_replace(F.regexp_replace(c, r"^@", ""), r'^"(.*)"$', r"$1")
 
 
+_SIMPLE_PATH = r"^[a-zA-Z0-9_\-/\.:]+$"
+
+
+def quote_mention(col: Column | str) -> Column:
+    """T3 ← utils/mentions.py:127-165: render a path back to mention syntax —
+    plain ``@path`` iff every char is in the simple-mention class, else the
+    quoted form ``@"path"``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.rlike(_SIMPLE_PATH), F.concat(F.lit("@"), c)).otherwise(
+        F.concat(F.lit('@"'), c, F.lit('"'))
+    )
+
+
 # --- T14: nested navigation is plain col("a.b.c") --------------------------
 # --- T17: to_json/from_json are plain builtins ------------------------------
 

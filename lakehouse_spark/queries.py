@@ -1846,5 +1846,251 @@ def cron_next_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =============================================================================
+# Inventory completion: O6/O7, T5/T14/T13/T3, S2, D4, F6
+# =============================================================================
+
+
+@_q(
+    "o6_limit_pushdown",
+    """
+    SELECT event_id, user_id FROM events
+    WHERE event_type = 'signup'
+    LIMIT 50000
+    """,
+    doc="O6: limit pushed into the scan (LocalLimit early-exit); limit > "
+    "matching rows so the result stays deterministic for hashing",
+)
+def o6_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id")
+        .limit(50000)
+    )
+
+
+@_q(
+    "o7_global_sort",
+    """
+    SELECT event_id, event_type,
+           CAST(row_number() OVER (ORDER BY ts, event_id) AS INTEGER) AS seq
+    FROM (
+      SELECT * FROM events WHERE event_type = 'signup' AND value > 200
+      UNION ALL
+      SELECT * FROM events WHERE event_type = 'error' AND value > 400
+    )
+    """,
+    doc="O7: merged log slices under one global timestamp sort (range-"
+    "partitioned total sort; the seq column makes the order hash-observable)",
+)
+def o7_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    merged = joins.union_resort(
+        ev.filter((F.col("event_type") == "signup") & (F.col("value") > 200)),
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 400)),
+        "ts",
+    )
+    # The verification seq is a driver-side total order (single-partition
+    # window) — fine on the filtered slice; the sort itself is the
+    # distributed range-partitioned orderBy inside union_resort.
+    w = Window.orderBy("ts", "event_id")
+    return merged.select(
+        "event_id", "event_type", F.row_number().over(w).alias("seq")
+    )
+
+
+@_q(
+    "t5_case_functions",
+    """
+    SELECT upper(event_type) AS typ, count(*) AS n
+    FROM events
+    WHERE lower(event_type) LIKE 'c%'
+    GROUP BY 1
+    """,
+    doc="T5: startswith/lower/upper normalization (level/prefix shape)",
+)
+def t5_case_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.lower(F.col("event_type")).startswith("c"))
+        .groupBy(F.upper(F.col("event_type")).alias("typ"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "t14_nested_access",
+    """
+    SELECT event_type AS tool_name, value > 250 AS success,
+           count(*) AS n, round(sum(value), 2) AS output_sum
+    FROM events GROUP BY 1, 2
+    """,
+    doc="T14: nested struct construction + dotted-path navigation "
+    "(data.result.output shape); oracle computes the flat equivalent",
+)
+def t14_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        F.struct(
+            F.col("event_type").alias("tool_name"),
+            F.struct(
+                (F.col("value") > 250).alias("success"),
+                F.col("value").alias("output"),
+            ).alias("result"),
+        ).alias("data")
+    )
+    return nested.groupBy(
+        F.col("data.tool_name").alias("tool_name"),
+        F.col("data.result.success").alias("success"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("data.result.output"), 2).alias("output_sum"),
+    )
+
+
+@_q(
+    "s2_duration",
+    """
+    SELECT user_id,
+           CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+           (epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0 AS duration_s
+    FROM events GROUP BY user_id
+    """,
+    doc="S2: end-start duration (ms, and seconds via exact int/1000.0 division "
+    "— round(x,2) flaps across engines at .xx5 halfway points)",
+)
+def s2_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import duration_ms
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.unix_millis(F.max("ts")).alias("__end"),
+        F.unix_millis(F.min("ts")).alias("__start"),
+    )
+    return span.select(
+        "user_id",
+        duration_ms(F.col("__end"), F.col("__start"), 0)
+        .cast("long")
+        .alias("duration_ms"),
+        ((F.col("__end") - F.col("__start")) / 1000.0).alias("duration_s"),
+    )
+
+
+@_q(
+    "d4_visited_anti_join",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM events x
+                      WHERE x.user_id = e.user_id AND x.event_type = 'error')
+    GROUP BY event_type
+    """,
+    doc="D4: visited-set anti-join (BFS building block) — events of users "
+    "with no error event",
+)
+def d4_visited_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    visited = ev.filter(F.col("event_type") == "error").select("user_id")
+    kept = dedup.visited_anti(ev, visited, "user_id")
+    return kept.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "f6_hidden_exclusion",
+    """
+    SELECT name, count(*) AS n FROM (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN '.' || source ELSE source END AS name
+      FROM documents)
+    WHERE name NOT LIKE '.%'
+    GROUP BY name
+    """,
+    doc="F6: hidden-name ('.'-prefix) exclusion (directory-listing shape)",
+)
+def f6_hidden_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("."), F.col("source"))
+        )
+        .otherwise(F.col("source"))
+        .alias("name")
+    )
+    return filters.not_hidden(docs, "name").groupBy("name").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "t3_quote_decision",
+    """
+    SELECT mention, count(*) AS n FROM (
+      SELECT CASE WHEN regexp_matches(p, '^[a-zA-Z0-9_\\-/\\.:]+$')
+                  THEN '@' || p ELSE '@"' || p || '"' END AS mention
+      FROM (SELECT CASE doc_id % 4
+                     WHEN 0 THEN source || ' draft'
+                     WHEN 1 THEN 'a b/' || source
+                     WHEN 2 THEN 'lib/' || source
+                     ELSE source END AS p
+            FROM documents))
+    GROUP BY mention
+    """,
+    doc="T3: mention quoting decision — quote iff path leaves the simple "
+    "character class",
+)
+def t3_quote_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import quote_mention
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("source"), F.lit(" draft")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("a b/"), F.col("source")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("lib/"), F.col("source")))
+        .otherwise(F.col("source"))
+        .alias("p")
+    )
+    return (
+        docs.select(quote_mention("p").alias("mention"))
+        .groupBy("mention")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "t13_path_functions",
+    """
+    SELECT DISTINCT
+           'share/profiles/' || lang || '/' || source || '.yaml' AS path,
+           'share/profiles/' || lang AS parent,
+           source || '.yaml' AS leaf,
+           source AS stem,
+           CAST(4 AS INTEGER) AS depth
+    FROM documents
+    """,
+    doc="T13: path functions — parent dir, last segment, suffix strip, depth",
+)
+def t13_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import (
+        path_depth,
+        path_last_segment,
+        path_parent,
+        strip_suffix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("share/profiles/"), F.col("lang"), F.lit("/"), F.col("source"),
+            F.lit(".yaml"),
+        ).alias("path")
+    )
+    return docs.select(
+        "path",
+        path_parent("path").alias("parent"),
+        path_last_segment("path").alias("leaf"),
+        strip_suffix(path_last_segment("path"), ".yaml").alias("stem"),
+        path_depth("path").cast("int").alias("depth"),
+    ).distinct()
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
