@@ -1846,6 +1846,54 @@ def cron_next_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    headline=True,
+    doc="TPC-H Q18 shape: high-cardinality agg → semi-join back into the "
+    "fact → re-agg → total-order top-k; the semi side reuses the lineitem "
+    "scan and AQE sizes its join strategy at runtime",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    j = (
+        li.join(big.withColumnRenamed("l_orderkey", "__k"),
+                F.col("l_orderkey") == F.col("__k"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    agg = j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    return sorts.top_n(
+        agg, [F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")], 100
+    ).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+    )
+
+
 # =============================================================================
 # Inventory completion: O6/O7, T5/T14/T13/T3, S2, D4, F6
 # =============================================================================

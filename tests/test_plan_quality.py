@@ -99,3 +99,30 @@ def test_projection_prunes_scan_columns(spark):
     read = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "o_orderkey" in read and "o_orderdate" in read
     assert "o_totalprice" not in read and "o_comment" not in read
+
+
+def test_catalog_limit_pushdown_entry(spark):
+    # o6_limit_pushdown: filter pushed to the scan, CollectLimit on top,
+    # only the 3 referenced columns read — no sort, no shuffle.
+    plan = _plan(spark, "o6_limit_pushdown")
+    assert "CollectLimit" in plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]" in plan
+    assert "Exchange" not in plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "value" not in read and "props" not in read
+
+
+def test_nested_access_stays_columnar(spark):
+    # t14: struct construction + dotted navigation must collapse to plain
+    # column references — no UDF, no extra project of unused fields.
+    plan = _plan(spark, "t14_nested_access")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "event_type" in read and "value" in read and "props" not in read
+
+
+def test_anti_join_is_hash_not_cartesian(spark):
+    # d4: the visited-set anti-join must be a hash/broadcast anti join.
+    plan = _plan(spark, "d4_visited_anti_join")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
