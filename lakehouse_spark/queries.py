@@ -2140,5 +2140,56 @@ def t13_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@_q(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left OUTER join keeping order-less customers + "
+    "double aggregation (count per key, then distribution of counts)",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "d5_except_intersect",
+    """
+    WITH hi AS (SELECT DISTINCT user_id FROM events WHERE value > 400),
+         err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM err)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n
+    FROM (SELECT * FROM hi INTERSECT SELECT * FROM err)
+    """,
+    doc="D5: EXCEPT/INTERSECT set ops (free-in-Spark additions per SURVEY §2.7)",
+)
+def d5_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 400).select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    exc = hi.exceptAll(err).agg(
+        F.lit("except").alias("op"), F.count("*").alias("n")
+    )
+    inter = hi.intersect(err).agg(
+        F.lit("intersect").alias("op"), F.count("*").alias("n")
+    )
+    return exc.unionByName(inter)
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
