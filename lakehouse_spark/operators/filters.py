@@ -72,6 +72,22 @@ def in_set(df: DataFrame, col: str, values) -> DataFrame:
     return df.filter(F.col(col).isin(list(values)))
 
 
+def safe_path(col: str | Column) -> Column:
+    """F11 ← amplified_directory_service.py:459-496 + mention_loader.py:
+    208-216 semantics (read, not copied): a relative path is safe iff it is
+    non-empty, not absolute, and no `..` segment can escape the root. The
+    reference validates driver-side per request; as a column predicate the
+    same rule filters a whole path table in one scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_parent = ~F.exists(F.split(c, "/"), lambda seg: seg == F.lit(".."))
+    return (F.length(c) > 0) & ~c.startswith("/") & ~c.contains("\\") & no_parent
+
+
+def only_safe_paths(df: DataFrame, col: str = "path") -> DataFrame:
+    """F11 as a relation filter: keep rows whose path passes :func:`safe_path`."""
+    return df.filter(safe_path(col))
+
+
 def project(df: DataFrame, *cols: str | Column) -> DataFrame:
     """F8: projection / column pruning — with parquet this prunes the scan's
     ReadSchema, not just the result."""

@@ -173,3 +173,23 @@ def test_yaml_documents(spark, tmp_path):
     assert len(rows) == 1  # malformed + non-mapping skipped
     assert rows[0].name == "default" and rows[0].version == 2
     assert rows[0]._source_file.endswith("profile.yaml")
+
+
+def test_safe_path_predicate(spark):
+    from lakehouse_spark.operators import filters
+
+    rows = [
+        ("docs/readme.md", True),
+        ("a/b/c.txt", True),
+        ("..", False),              # bare parent ref
+        ("../etc/passwd", False),   # escapes root
+        ("a/../../b", False),       # escapes mid-path
+        ("/abs/path", False),       # absolute
+        ("", False),                # empty
+        ("a\\b", False),            # windows separator smuggling
+        ("a/..b/c", True),          # '..' as prefix of a segment is fine
+        ("..hidden/x", True),       # segment merely starting with dots
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in rows], "path string")
+    kept = {r.path for r in filters.only_safe_paths(df).collect()}
+    assert kept == {p for p, ok in rows if ok}
