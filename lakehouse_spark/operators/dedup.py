@@ -311,29 +311,51 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the top ``prefix_bits`` bits (near
-    dups almost always share the high prefix), then verify Hamming distance
-    ≤ ``max_hamming`` via bit_count(xor). Returns (a_id, b_id, hamming).
+    """SimHash near-dup pairs with pigeonhole-complete banded blocking:
+    the ``bits``-bit fingerprint splits into ``max_hamming + 1`` bands, and
+    any pair within Hamming distance ``max_hamming`` must agree on at least
+    one FULL band — so the banded equi self-join (same shape as MinHash LSH)
+    finds every qualifying pair, no recall loss. Candidates are verified
+    with bit_count(xor). Returns (a_id, b_id, hamming).
 
-    Production variant rotates the blocking prefix (4 rotations of 16 bits
-    covers Hamming≤3 exactly); one prefix is the demo/bench shape.
+    Scale: the banded relation is (id, sh, band, band_val) — 4 narrow rows
+    per doc at max_hamming=3; the join shuffles on (band, band_val) buckets
+    and AQE splits any hot bucket (e.g. the all-zeros band of short docs).
     """
-    base = simhash(df, id_col, text_col, bits).withColumnRenamed(
-        "simhash", "sh"
-    ).withColumn("blk", F.shiftright(F.col("sh"), bits - prefix_bits))
-    a, b = base.alias("a"), base.alias("b")
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    base = simhash(df, id_col, text_col, bits).withColumnRenamed("simhash", "sh")
+    banded = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), i * band_bits).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

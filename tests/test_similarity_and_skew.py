@@ -80,3 +80,31 @@ def test_salted_agg_rejects_non_decomposable(spark):
     li = load_table(spark, SF_SMALL, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):
         skew.salted_agg(li, ["l_returnflag"], {"a": ("l_quantity", "avg")})
+
+
+def test_simhash_near_duplicates_pairs(spark):
+    from lakehouse_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the distant purple mountains of the old west"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy")),  # one-token edit → near dup
+            (3, "completely different content about spark shuffle partitions "
+                "adaptive execution broadcast joins and columnar parquet scans"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dedup.simhash_near_duplicates(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    # pigeonhole banding guarantees every pair within the radius is found
+    assert (1, 2) in pairs, f"near-dup pair not found: {pairs}"
+    assert pairs[(1, 2)] <= 3
+    assert all(k in ((1, 2),) for k in pairs), f"false positives: {pairs}"
