@@ -150,25 +150,33 @@ def path_depth(col: Column | str) -> Column:
 
 # --- T1/T2: @mention extraction -------------------------------------------
 
-# The reference's pipeline (utils/mentions.py:15-76, read-not-copied) is
-# ORDER SENSITIVE: (1) strip inline code spans and quoted strings that are
-# not mentions, (2) extract quoted mentions @"path with spaces", (3) remove
-# them, (4) extract simple mentions, (5) drop the literal word "mention".
+# The reference's pipeline (utils/mentions.py:23-78, read-not-copied) is
+# ORDER SENSITIVE: (1) remove inline code spans `...` (EMPTY replacement —
+# "a`x`@b" joins to "a@b", whose lookbehind then rejects the mention),
+# (2) extract quoted mentions @"path with spaces" (alnum lookbehind too),
+# (3) remove them, (4) remove remaining plain "..." and '...' strings so
+# quoted non-mentions never feed the simple pass, (5) extract simple
+# mentions, dropping the literal word "mention" (simple pass only).
 _SIMPLE_MENTION = r"(?<![a-zA-Z0-9])@([a-zA-Z0-9_\-/\.:]+)"
-_QUOTED_MENTION = r'@"([^"]+)"'
+_QUOTED_MENTION = r'(?<![a-zA-Z0-9])@"([^"]+)"'
 
 
 def extract_mentions(col: Column | str) -> Column:
     """T1: ordered mention extraction; returns ARRAY<STRING> of raw targets
-    (quoted first, then simple), with inline-code spans neutralized and the
-    literal '@mention' dropped — same observable order as the reference."""
+    (quoted first, then simple) without the '@' prefix — same observable
+    content and order as the reference's parse_mentions."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(c, r"`[^`]*`", " ")  # strip inline code
+    cleaned = F.regexp_replace(c, r"`[^`\n]+`", "")  # inline code, joined
     quoted = F.regexp_extract_all(cleaned, F.lit(_QUOTED_MENTION), 1)
-    rest = F.regexp_replace(cleaned, _QUOTED_MENTION, " ")
+    rest = F.regexp_replace(cleaned, _QUOTED_MENTION, "")
+    rest = F.regexp_replace(rest, r'"[^"\n]*"', "")  # plain double-quoted
+    rest = F.regexp_replace(rest, r"'[^'\n]*'", "")  # plain single-quoted
     simple = F.regexp_extract_all(rest, F.lit(_SIMPLE_MENTION), 1)
-    all_mentions = F.concat(quoted, simple)
-    return F.filter(all_mentions, lambda m: m != F.lit("mention"))
+    # only the SIMPLE pass drops the generic keyword; a quoted @"mention"
+    # survives, as in the reference
+    return F.concat(
+        quoted, F.filter(simple, lambda m: m != F.lit("mention"))
+    )
 
 
 def normalize_mention(col: Column | str) -> Column:

@@ -193,3 +193,42 @@ def test_safe_path_predicate(spark):
     df = spark.createDataFrame([(p,) for p, _ in rows], "path string")
     kept = {r.path for r in filters.only_safe_paths(df).collect()}
     assert kept == {p for p, ok in rows if ok}
+
+
+def test_extract_mentions_reference_spec(spark):
+    """Edge cases translated from the reference's mention test suite
+    (amplifierd/tests/utils/test_mentions.py, read as the behavioral spec):
+    extraction must match parse_mentions stage-for-stage (minus the '@'
+    prefix, which this engine strips at extraction)."""
+    cases = [
+        ("See @file1.md and @file2.txt", ["file1.md", "file2.txt"]),
+        ("Use `@code` not @real", ["real"]),
+        # inline-code removal JOINS the surrounding text; the lookbehind
+        # then rejects the now-embedded mention
+        ("abc`code`@real", []),
+        # plain double/single-quoted strings are stripped before the simple pass
+        ('say "@fake" and @real', ["real"]),
+        ("say '@fake' and @real", ["real"]),
+        ('Use @"My Document.md" here', ["My Document.md"]),
+        ('@"file (1).md" and @"test [draft].txt"',
+         ["file (1).md", "test [draft].txt"]),
+        # quoted results come first, then simple — reference order
+        ('see @simple.md and @"path with spaces.md"',
+         ["path with spaces.md", "simple.md"]),
+        ('open @"docs/my folder/README.md"', ["docs/my folder/README.md"]),
+        ("check @coding-standards:STYLE.md", ["coding-standards:STYLE.md"]),
+        ("see @./local.md and @../parent.md", ["./local.md", "../parent.md"]),
+        ("a generic @mention plus @file.md", ["file.md"]),
+        ("email user@domain.com has no mention", []),
+        ("dash-file @my-file_v2.md", ["my-file_v2.md"]),
+        ("no mentions here", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, text) for i, (text, _) in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r.i: list(r.m)
+        for r in df.select("i", scalar.extract_mentions("text").alias("m")).collect()
+    }
+    for i, (text, want) in enumerate(cases):
+        assert got[i] == want, f"{text!r}: {got[i]} != {want}"
