@@ -104,6 +104,60 @@ def assign_buckets(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF build step: learn ``n_clusters`` centroids with Lloyd iterations
+    expressed as pure DataFrame ops — no MLlib, no driver-side vectors.
+
+    - **init**: deterministic hash-ordered pick of ``n_clusters`` corpus
+      vectors (TakeOrdered over xxhash64(id) — a pseudo-random but seedless
+      and reproducible spread; no global sort).
+    - **assign**: :func:`assign_buckets` — centroids broadcast, argmax cosine
+      in one corpus pass.
+    - **update**: per-dimension mean via ``posexplode`` → groupBy
+      (bucket, dim) avg → re-assembled with array_sort+transform. Two narrow
+      shuffles keyed by (bucket, dim); the corpus itself never shuffles.
+
+    Empty clusters drop out (their bucket simply vanishes), matching
+    standard Lloyd behavior. Returns (centroid_id, centroid).
+    """
+    init = (
+        corpus.select(F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv"))
+        .orderBy(F.xxhash64(F.col("__iid").cast("string")), F.col("__iid"))
+        .limit(n_clusters)
+    )
+    cent = init.select(
+        F.col("__iid").alias(centroid_id_col),
+        F.col("__iv").cast("array<double>").alias(centroid_vec_col),
+    )
+    for _ in range(iters):
+        assigned = assign_buckets(
+            corpus, cent, id_col, vec_col, centroid_id_col, centroid_vec_col
+        )
+        dims = assigned.select(
+            "bucket_id", F.posexplode(F.col(vec_col)).alias("__pos", "__val")
+        )
+        means = dims.groupBy("bucket_id", "__pos").agg(F.avg("__val").alias("__m"))
+        cent = (
+            means.groupBy("bucket_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
+            )
+            .select(
+                F.col("bucket_id").alias(centroid_id_col),
+                F.transform("__pm", lambda s: s["__m"]).alias(centroid_vec_col),
+            )
+        )
+    return cent
+
+
 def ivf_topk(
     bucketed_corpus: DataFrame,
     centroids: DataFrame,

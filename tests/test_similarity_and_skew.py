@@ -108,3 +108,53 @@ def test_simhash_near_duplicates_pairs(spark):
     assert (1, 2) in pairs, f"near-dup pair not found: {pairs}"
     assert pairs[(1, 2)] <= 3
     assert all(k in ((1, 2),) for k in pairs), f"false positives: {pairs}"
+
+
+def test_kmeans_centroids_improve_ivf(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+    def mean_best_sim(cent):
+        assigned = similarity.assign_buckets(emb, cent)
+        joined = assigned.join(
+            cent.select(
+                F.col("centroid_id").alias("bucket_id"),
+                F.col("centroid").alias("cv"),
+            ),
+            "bucket_id",
+        )
+        return joined.select(
+            F.avg(similarity.cosine(F.col("embedding"), F.col("cv"))).alias("s")
+        ).first()["s"]
+
+    naive = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    learned = similarity.kmeans_centroids(emb, 20, iters=2)
+    assert learned.count() <= 20
+    assert len(learned.first()["centroid"]) == 64
+
+    # Lloyd iterations must tighten clusters vs arbitrary corpus points
+    assert mean_best_sim(learned) > mean_best_sim(naive)
+
+    # and the learned index must still answer queries with decent recall
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    bucketed = similarity.assign_buckets(emb, learned)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            bucketed, learned, queries, k=5, nprobe=5
+        ).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.6, f"learned-IVF recall {recall:.2f} below floor"
