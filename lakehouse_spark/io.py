@@ -26,6 +26,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parity), not an inference input."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
+        # unless this conf is on. Our own session builder sets it, but callers
+        # may hand us a foreign session (e.g. a bare getOrCreate()); the conf
+        # is runtime-settable, so set it here where the read happens.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long via
     # spark.sql.legacy.parquet.nanosAsLong; convert to a real timestamp by
