@@ -156,12 +156,43 @@ def _iso_ms(ts: str | None) -> int:
         return 0
 
 
+def _get(d, key, default):
+    """dict.get with the reference's missing-key default, treating None as
+    absent. Our TRACE_EVENT struct schema always materializes every field
+    (null when the source event lacked it), while the reference reads raw
+    JSON dicts where the key is simply missing — null-as-absent is the
+    faithful mapping between the two."""
+    v = d.get(key) if isinstance(d, dict) else None
+    return default if v is None else v
+
+
+def _child_session_id(output) -> str | None:
+    """Sub-agent child-session extraction (trace_aggregator.py:160-165):
+    the reference reads ``result.output`` as a dict and takes
+    ``output["session_id"]``. Our Spark schema types output as string, so a
+    string that JSON-parses to such a dict is accepted too."""
+    if isinstance(output, dict):
+        return output.get("session_id")
+    if isinstance(output, str):
+        import json
+
+        try:
+            parsed = json.loads(output)
+        except (ValueError, TypeError):
+            return None
+        if isinstance(parsed, dict):
+            return parsed.get("session_id")
+    return None
+
+
 def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
     """Reference fold for ONE session's events (already a single group).
 
-    Semantics reproduced from trace_aggregator.py:56-211 (turn open 98-110,
-    tool add 112-132, match/update 134-183, thinking 185-192, close 194-199,
-    EOF 201-204) — behavior re-derived from reading, logic written fresh.
+    Semantics reproduced from trace_aggregator.py:75-211 (turn open 98-110,
+    tool add 112-132, match/update 134-183, thinking 185-192, close 195-200,
+    EOF 202-204) — behavior re-derived from reading, logic written fresh.
+    Missing-field defaults mirror the reference's ``data.get(key, "")``
+    pattern via :func:`_get` (null-as-absent).
     """
     pdf = pdf.sort_values("encounter_seq", kind="stable")
     session_id = pdf["session_id"].iloc[0] if len(pdf) else None
@@ -170,13 +201,12 @@ def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
     tool_seq = 0
 
     def close(status: str) -> None:
+        # Running tools keep status "running" — the reference fold never
+        # rewrites tool status at turn close (trace_aggregator.py:195-204).
         nonlocal cur
         if cur is None:
             return
         cur["status"] = status
-        for t in cur["tools"]:
-            if t["status"] == "running" and status != "active":
-                t["status"] = "cancelled"
         turns.append(cur)
         cur = None
 
@@ -189,7 +219,7 @@ def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
             cur = {
                 "session_id": session_id,
                 "turn_id": len(turns) + 1,
-                "user_message": (data or {}).get("prompt"),
+                "user_message": _get(data, "prompt", ""),
                 "status": "active",
                 "start_time": ms,
                 "end_time": None,
@@ -198,14 +228,16 @@ def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
             }
         elif ev == "tool:pre" and cur is not None:
             tool_seq += 1
-            tool_input = (data or {}).get("tool_input") or {}
-            name = (data or {}).get("tool_name")
-            is_sub = (name or "").lower() == "task"
+            tool_input = _get(data, "tool_input", {})
+            name = _get(data, "tool_name", "")
+            # Task tool with an "agent" input = sub-agent spawn
+            # (trace_aggregator.py:118-120).
+            is_sub = name.lower() == "task"
             cur["tools"].append(
                 {
                     "id": f"tool_{tool_seq}",
                     "name": name,
-                    "parallel_group_id": (data or {}).get("parallel_group_id"),
+                    "parallel_group_id": _get(data, "parallel_group_id", ""),
                     "status": "running",
                     "start_time": ms,
                     "end_time": None,
@@ -214,14 +246,14 @@ def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
                     "error": None,
                     "is_sub_agent": is_sub,
                     "sub_agent_name": (
-                        dict(tool_input).get("subagent_type") if is_sub else None
+                        dict(tool_input).get("agent") if is_sub else None
                     ),
                     "child_session_id": None,
                 }
             )
         elif ev == "tool:post" and cur is not None:
-            name = (data or {}).get("tool_name")
-            gid = (data or {}).get("parallel_group_id")
+            name = _get(data, "tool_name", "")
+            gid = _get(data, "parallel_group_id", "")
             match = next(
                 (
                     t
@@ -234,36 +266,33 @@ def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
             )
             if match is None:
                 continue  # unmatched post: dropped (ref :180-183)
+            match["status"] = "completed"
             match["end_time"] = ms
             if match["start_time"]:
                 match["duration"] = round(ms - match["start_time"], 2)
-            result = (data or {}).get("result") or {}
-            if isinstance(result, dict) and result.get("success") is False:
-                match["status"] = "error"
-                err = result.get("error") or {}
-                match["error"] = _truncate(
-                    err.get("message") if isinstance(err, dict) else str(err)
-                )
+            result = _get(data, "result", "")
+            if isinstance(result, dict):
+                if match["is_sub_agent"]:
+                    match["child_session_id"] = _child_session_id(
+                        result.get("output")
+                    )
+                if _get(result, "success", True):
+                    match["result"] = _truncate(str(_get(result, "output", "")))
+                else:
+                    match["status"] = "error"
+                    err = _get(result, "error", {})
+                    match["error"] = _truncate(
+                        _get(err, "message", str(err))
+                        if isinstance(err, dict)
+                        else str(err)
+                    )
             else:
-                match["status"] = "completed"
-                output = (
-                    result.get("output") if isinstance(result, dict) else None
-                )
-                match["result"] = _truncate(output)
-                if match["is_sub_agent"] and isinstance(output, str):
-                    # child session id extraction (ref :160-165): output may
-                    # be a JSON blob carrying the spawned session's id.
-                    import json
-
-                    try:
-                        parsed = json.loads(output)
-                        if isinstance(parsed, dict):
-                            match["child_session_id"] = parsed.get("session_id")
-                    except (ValueError, TypeError):
-                        pass
+                # Non-dict results are stored stringified
+                # (trace_aggregator.py:177-179).
+                match["result"] = _truncate(str(result))
         elif ev == "thinking:delta" and cur is not None:
             cur["thinking"].append(
-                {"start_time": ms, "content": (data or {}).get("delta")}
+                {"start_time": ms, "content": _get(data, "delta", "")}
             )
         elif ev == "session:end":
             if cur is not None:
