@@ -39,6 +39,14 @@ DEFAULT_STREAMING_HOOKS = (
     "session:end",
 )
 
+# ST7 ← routers/messages.py:272-278: cancelling an in-flight execution emits
+# an execution_cancelled tombstone to the session's subscribers; execution
+# errors surface the same way. These are lifecycle events, emitted as-is
+# (no 'hook:' prefix — they come from the manager, not the hook pipeline).
+CANCELLATION_EVENT = "execution_cancelled"
+ERROR_EVENT = "execution_error"
+LIFECYCLE_EVENTS = (CANCELLATION_EVENT, ERROR_EVENT)
+
 
 def read_event_stream(
     spark: SparkSession,
@@ -57,11 +65,19 @@ def emitter_filter(
     events: DataFrame,
     allowed: tuple[str, ...] = DEFAULT_STREAMING_HOOKS,
     event_col: str = "event",
+    lifecycle: tuple[str, ...] = LIFECYCLE_EVENTS,
 ) -> DataFrame:
     """ST3: allowlist filter + 'hook:' prefix, applied at the source so
-    non-streamed events never enter stream state."""
-    return events.filter(F.col(event_col).isin(list(allowed))).withColumn(
-        event_col, F.concat(F.lit("hook:"), F.col(event_col))
+    non-streamed events never enter stream state. Lifecycle events
+    (cancellation/error tombstones, ST7) pass through un-prefixed — the
+    reference emits them directly from the stream manager, not via hooks."""
+    is_hook = F.col(event_col).isin(list(allowed))
+    is_lifecycle = F.col(event_col).isin(list(lifecycle))
+    return events.filter(is_hook | is_lifecycle).withColumn(
+        event_col,
+        F.when(is_hook, F.concat(F.lit("hook:"), F.col(event_col))).otherwise(
+            F.col(event_col)
+        ),
     )
 
 
@@ -112,6 +128,50 @@ def with_keepalive(
         return False
     last_seen_ts["t"] = now
     return False
+
+
+def cancel_execution(
+    events_dir: str,
+    session_id: str,
+    ts: str,
+    encounter_seq: int,
+    query=None,
+) -> str:
+    """ST7 ← routers/messages.py:272-278 + session_stream_manager.py:169-179:
+    cancel an in-flight execution. The reference cancels the asyncio task and
+    emits an ``execution_cancelled`` event with a timestamp to the session's
+    subscribers. Spark-native shape:
+
+    1. append a tombstone event row to the session's event log (the streaming
+       source) — every subscriber of the stream observes it, and
+       :func:`stream_trace_turns` flushes the open turn's state on it;
+    2. optionally ``stop()`` the producing StreamingQuery (the analog of
+       terminating the execution task). Stopping is graceful: the in-flight
+       micro-batch completes, later ones don't start.
+
+    Returns the path of the tombstone file written. ``ts`` is the
+    cancellation timestamp (ISO-8601); ``encounter_seq`` must sort after the
+    session's already-appended events (the caller owns the append sequence,
+    exactly like the reference's single-writer log).
+    """
+    import json
+    import os
+    import uuid
+
+    tombstone = {
+        "session_id": session_id,
+        "ts": ts,
+        "lvl": "INFO",
+        "event": CANCELLATION_EVENT,
+        "data": None,
+        "encounter_seq": encounter_seq,
+    }
+    path = os.path.join(events_dir, f"cancel-{uuid.uuid4().hex}.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps(tombstone) + "\n")
+    if query is not None:
+        query.stop()
+    return path
 
 
 def stream_turn_stats(
@@ -219,21 +279,45 @@ def stream_trace_turns(
         closed = turns[turns["status"] != "active"].copy()
         has_open = len(turns) and turns.iloc[-1]["status"] == "active"
 
-        if has_open:
+        # ST7: an execution_cancelled tombstone after the open turn's prompt
+        # flushes that turn NOW with status 'active' (non-completed) instead
+        # of waiting for the state timeout — the streaming analog of the
+        # reference killing the execution task mid-turn. The batch fold
+        # deliberately ignores the tombstone (the reference's aggregator
+        # never sees manager-emitted events), so numbering stays in parity.
+        cancel_seq = max(
+            (r["encounter_seq"] for r in rows if r["event"] == CANCELLATION_EVENT),
+            default=None,
+        )
+        prompt_seqs = [
+            r["encounter_seq"] for r in rows if r["event"] == "prompt:submit"
+        ]
+        cancelled_open = (
+            bool(has_open)
+            and cancel_seq is not None
+            and cancel_seq > max(prompt_seqs)
+        )
+
+        if cancelled_open:
+            out = turns.copy()  # closed turns + the flushed active turn
+            pending = []
+        elif has_open:
             # the open turn's raw events = everything from the last
             # prompt:submit onward; only they need to survive in state
             last_prompt = max(
                 i for i, r in enumerate(rows) if r["event"] == "prompt:submit"
             )
             pending = [jsonable(r) for r in rows[last_prompt:]]
+            out = closed
         else:
             pending = []
+            out = closed
 
-        closed["turn_id"] = closed["turn_id"] + emitted
-        state.update((emitted + len(closed), json.dumps(pending)))
+        out["turn_id"] = out["turn_id"] + emitted
+        state.update((emitted + len(out), json.dumps(pending)))
         state.setTimeoutDuration(timeout_ms)
-        if len(closed):
-            yield closed
+        if len(out):
+            yield out
 
     return events.groupBy("session_id").applyInPandasWithState(
         fold,

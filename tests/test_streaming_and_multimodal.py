@@ -159,3 +159,79 @@ def test_frame_sample_and_resize_plans(spark):
     }
     assert resized["img1"] == (400, 300)
     assert resized["bad1"] == (10, 10)  # never upscale
+
+
+def test_emitter_filter_passes_lifecycle_unprefixed(spark):
+    df = spark.createDataFrame(
+        [("prompt:submit",), ("execution_cancelled",), ("internal:debug",)],
+        "event string",
+    )
+    got = [r.event for r in live.emitter_filter(df).collect()]
+    assert got == ["hook:prompt:submit", "execution_cancelled"]
+
+
+def test_st7_cancel_mid_turn_flushes_open_turn_and_stops_query(spark, tmp_path):
+    """ST7: cancelling mid-turn emits the execution_cancelled tombstone into
+    the stream, the open turn is flushed as non-completed, and the query
+    stops (reference: messages.py:272-278 cancels the execution task)."""
+    import json
+    import time
+
+    from lakehouse_spark.schemas import TRACE_EVENT
+    from lakehouse_spark.sources import jsonl as jl
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    open_turn = [
+        {"session_id": "s1", "ts": "2026-01-01T00:00:00+00:00", "lvl": "INFO",
+         "event": "prompt:submit", "data": {"prompt": "go"}, "encounter_seq": 1},
+        {"session_id": "s1", "ts": "2026-01-01T00:00:01+00:00", "lvl": "INFO",
+         "event": "tool:pre", "data": {"tool_name": "Bash"}, "encounter_seq": 2},
+    ]
+    (events_dir / "a.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in open_turn)
+    )
+
+    stream = jl.read_jsonl_stream(spark, str(events_dir), TRACE_EVENT)
+    q = (
+        live.stream_trace_turns(stream, timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("st7_cancel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # Let the first micro-batch buffer the open turn, then cancel.
+        deadline = time.monotonic() + 60
+        while q.lastProgress is None and time.monotonic() < deadline:
+            time.sleep(0.5)
+        live.cancel_execution(
+            str(events_dir), "s1", "2026-01-01T00:00:02+00:00", encounter_seq=3
+        )
+        rows = []
+        while not rows and time.monotonic() < deadline:
+            time.sleep(0.5)
+            rows = spark.sql("SELECT * FROM st7_cancel").collect()
+        assert rows, "cancelled turn never flushed"
+        (turn,) = rows
+        assert turn.status == "active"  # non-completed: execution was killed
+        assert turn.user_message == "go"
+        (tool,) = turn.tools
+        assert tool.status == "running"  # tool never got its post
+        # tombstone visible to subscribers of the raw stream
+        batch = spark.read.schema(TRACE_EVENT).json(str(events_dir))
+        cancels = batch.filter(batch.event == live.CANCELLATION_EVENT).collect()
+        assert len(cancels) == 1 and cancels[0].session_id == "s1"
+        # stop-the-query path: second cancel passes the live query
+        live.cancel_execution(
+            str(events_dir), "s1", "2026-01-01T00:00:03+00:00",
+            encounter_seq=4, query=q,
+        )
+        deadline = time.monotonic() + 30
+        while q.isActive and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
