@@ -72,6 +72,166 @@ def record_execution(
     automations_store.upsert(with_next_execution(updated, now))
 
 
+class AutomationManager:
+    """CR4 ← automations/manager.py:84-87,106-110,198-217 + CR1 ←
+    automation_scheduler.py:93-153: the full create/update/toggle/delete
+    surface over the TableStore, with the scheduler's registration lifecycle
+    modeled as the ``next_execution`` column (NULL = unscheduled).
+
+    Lifecycle semantics reproduced from the reference:
+
+    - create enforces per-project unique names (the A6 duplicate detector as
+      a pre-insert check) and leaves next_execution NULL — scheduling fills
+      it;
+    - schedule() is replace-on-update: recomputes next_execution for an
+      enabled row, and NULLs it for a disabled one (the reference's
+      unschedule-on-disable path);
+    - update() re-checks name uniqueness (excluding self), stamps
+      updated_at, and re-schedules so schedule/enabled edits take effect —
+      APScheduler's ``replace_existing=True``;
+    - delete removes the automation and its execution history.
+
+    Uniqueness checks read the automations table on the driver — this is
+    control-plane metadata (thousands of rows), not the data plane.
+    """
+
+    def __init__(self, automations_store: TableStore, executions_store: TableStore):
+        self.automations = automations_store
+        self.executions = executions_store
+        self.spark = automations_store.spark
+
+    # -- reads ----------------------------------------------------------------
+
+    def list(self, project_id: str | None = None, enabled: bool | None = None) -> DataFrame:
+        df = self.automations.read()
+        if project_id is not None:
+            df = df.filter(F.col("project_id") == project_id)
+        if enabled is not None:
+            df = df.filter(F.col("enabled") == enabled)
+        return df
+
+    def get(self, automation_id: str):
+        rows = self.automations.read().filter(F.col("id") == automation_id).collect()
+        return rows[0] if rows else None
+
+    def _name_taken(self, project_id: str, name: str, exclude_id: str | None) -> bool:
+        df = self.automations.read().filter(
+            (F.col("project_id") == project_id) & (F.col("name") == name)
+        )
+        if exclude_id is not None:
+            df = df.filter(F.col("id") != exclude_id)
+        return not df.isEmpty()
+
+    # -- writes ---------------------------------------------------------------
+
+    def create(
+        self,
+        automation_id: str,
+        project_id: str,
+        name: str,
+        message: str,
+        schedule_type: str,
+        schedule_value: str,
+        now: datetime,
+        enabled: bool = True,
+    ):
+        """Create an automation row. Raises ValueError on a duplicate name
+        within the project (ref manager.py:84-87). ``automation_id`` and
+        ``now`` are injected for determinism (the reference's uuid4() /
+        datetime.now(UTC))."""
+        from lakehouse_spark.schemas import AUTOMATION
+
+        if self.automations.exists() and self._name_taken(project_id, name, None):
+            raise ValueError(
+                f"Automation with name {name!r} already exists for project {project_id}"
+            )
+        ts = now.astimezone(timezone.utc).replace(tzinfo=None)
+        if self.automations.exists():
+            seq = (
+                self.automations.read()
+                .agg(F.coalesce(F.max("encounter_seq"), F.lit(0)).alias("m"))
+                .collect()[0]["m"]
+            ) + 1
+        else:
+            seq = 1
+        row = self.spark.createDataFrame(
+            [
+                (
+                    automation_id, project_id, name, message,
+                    schedule_type, schedule_value, enabled,
+                    ts, ts, None, None, seq,
+                )
+            ],
+            AUTOMATION,
+        )
+        self.automations.upsert(row)
+        self.schedule(automation_id, now)
+        return self.get(automation_id)
+
+    def update(self, automation_id: str, now: datetime, **updates):
+        """Update fields (name, message, schedule_type, schedule_value,
+        enabled). Name conflicts re-checked excluding self (ref
+        manager.py:198-217); updated_at stamped; row re-scheduled."""
+        cur = self.get(automation_id)
+        if cur is None:
+            raise ValueError(f"Automation not found: {automation_id}")
+        if "name" in updates and updates["name"] != cur["name"]:
+            if self._name_taken(cur["project_id"], updates["name"], automation_id):
+                raise ValueError(
+                    f"Automation with name {updates['name']!r} already exists "
+                    f"for project {cur['project_id']}"
+                )
+        ts = now.astimezone(timezone.utc).replace(tzinfo=None)
+        d = cur.asDict()
+        d.update(updates)
+        d["updated_at"] = ts
+        from lakehouse_spark.schemas import AUTOMATION
+
+        row = self.spark.createDataFrame(
+            [tuple(d[f.name] for f in AUTOMATION.fields)], AUTOMATION
+        )
+        self.automations.upsert(row)
+        self.schedule(automation_id, now)
+        return self.get(automation_id)
+
+    def toggle(self, automation_id: str, enabled: bool, now: datetime):
+        return self.update(automation_id, now, enabled=enabled)
+
+    def delete(self, automation_id: str) -> bool:
+        """Delete the automation and its execution history (ref
+        manager.py:219-257)."""
+        if self.get(automation_id) is None:
+            return False
+        ids = self.spark.createDataFrame([(automation_id,)], "id string")
+        self.automations.delete_keys(ids)
+        if self.executions.exists():
+            ex = self.executions.read()
+            keep = ex.filter(F.col("automation_id") != automation_id)
+            self.executions._rewrite(keep)
+        return True
+
+    # -- scheduler lifecycle (CR1) --------------------------------------------
+
+    def schedule(self, automation_id: str, now: datetime) -> None:
+        """Replace-on-update registration: recompute next_execution for the
+        row if enabled, NULL it if disabled (ref scheduler.py:105-110 — a
+        disabled automation is removed from the scheduler)."""
+        base = self.automations.read()
+        target = base.filter(F.col("id") == automation_id)
+        self.automations.upsert(with_next_execution(target, now))
+
+    def reload_all(self, now: datetime) -> None:
+        """Startup / bulk-update path (ref scheduler.py:155-170): recompute
+        next_execution for every row in one vectorized pass."""
+        self.automations.upsert(with_next_execution(self.automations.read(), now))
+
+    def due(self, now: datetime) -> DataFrame:
+        return due_automations(self.automations.read(), now)
+
+    def record_execution(self, execution_row: DataFrame, now: datetime) -> None:
+        record_execution(self.automations, self.executions, execution_row, now)
+
+
 def execution_history(
     executions: DataFrame, automation_id: str, offset: int = 0, limit: int = 50
 ) -> DataFrame:

@@ -2191,5 +2191,52 @@ def d5_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exc.unionByName(inter)
 
 
+@_q(
+    "cr1_due_set",
+    """
+    WITH autos AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             o_orderkey % 3 <> 0 AS enabled,
+             CAST(1 + o_orderkey % 120 AS VARCHAR) || 'm' AS schedule_value,
+             CAST(o_orderdate AS TIMESTAMP)
+               + to_seconds(60 * (1 + o_orderkey % 120)) AS next_execution
+      FROM orders
+    )
+    SELECT id, schedule_value, next_execution FROM autos
+    WHERE enabled AND next_execution IS NOT NULL
+      AND next_execution <= TIMESTAMP '1995-06-15 01:00:00'
+    """,
+    doc="CR1: due-set scan over an automations-shaped table "
+    "(interval schedules via the T9 grammar; pure pushed-down filter)",
+)
+def cr1_due_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an automations-shaped table from orders (deterministic
+    interval schedules), compute next_execution with tz-free interval
+    arithmetic, and run the CR1 due-set filter. Mirrors
+    automation_scheduler.py:93-153's 'fire what has arrived' scan."""
+    from datetime import datetime, timezone
+
+    from lakehouse_spark.functions.scalar import interval_to_seconds
+    from lakehouse_spark.mutation.automations import due_automations
+
+    orders = _t(spark, sf_dir, "orders")
+    autos = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        (F.col("o_orderkey") % 3 != 0).alias("enabled"),
+        F.concat(
+            (F.lit(1) + F.col("o_orderkey") % 120).cast("string"), F.lit("m")
+        ).alias("schedule_value"),
+        F.col("o_orderdate").cast("timestamp").alias("created_at"),
+    ).withColumn(
+        "next_execution",
+        F.col("created_at")
+        + F.make_dt_interval(secs=interval_to_seconds("schedule_value")),
+    )
+    due = due_automations(
+        autos, datetime(1995, 6, 15, 1, 0, tzinfo=timezone.utc)
+    )
+    return due.select("id", "schedule_value", "next_execution")
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}

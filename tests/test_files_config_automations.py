@@ -156,3 +156,70 @@ def test_record_execution_roundtrip(spark, tmp_path):
 
     hist = auto.execution_history(xstore.read(), "a2")
     assert [r.id for r in hist.collect()] == ["e1"]
+
+
+def test_automation_manager_crud_lifecycle(spark, tmp_path):
+    """CR4 + CR1 round-trip: create → due → execute → record → recompute,
+    unique-name enforcement, replace-on-update, disabled → unscheduled."""
+    from lakehouse_spark.schemas import EXECUTION
+
+    mgr = auto.AutomationManager(
+        TableStore(spark, str(tmp_path / "autos"), key="id"),
+        TableStore(spark, str(tmp_path / "execs"), key="id"),
+    )
+
+    a1 = mgr.create("a1", "projA", "daily", "run it", "cron", "0 9 * * *", NOW)
+    assert a1.next_execution == datetime(2026, 1, 16, 9, 0)  # scheduled on create
+    mgr.create("a2", "projA", "halfhour", "m", "interval", "30m", NOW)
+    # same name in ANOTHER project is fine; same project raises
+    mgr.create("a3", "projB", "daily", "m", "cron", "0 9 * * *", NOW)
+    with pytest.raises(ValueError, match="already exists"):
+        mgr.create("a4", "projA", "daily", "m", "cron", "0 9 * * *", NOW)
+    with pytest.raises(ValueError, match="already exists"):
+        mgr.update("a2", NOW, name="daily")
+    with pytest.raises(ValueError, match="not found"):
+        mgr.update("ghost", NOW, name="x")
+
+    # due-set at 11:30: only the 30m interval (next = 11:00) has arrived
+    later = datetime(2026, 1, 15, 11, 30, tzinfo=timezone.utc)
+    assert [r.id for r in mgr.due(later).collect()] == ["a2"]
+
+    # execute + record: last_execution stamped, next_execution recomputed
+    execution = spark.createDataFrame(
+        [("e1", "a2", "s1", later.replace(tzinfo=None), "success", None, 1)],
+        EXECUTION,
+    )
+    mgr.record_execution(execution, later)
+    a2 = mgr.get("a2")
+    assert a2.last_execution == datetime(2026, 1, 15, 11, 30)
+    assert a2.next_execution == datetime(2026, 1, 15, 12, 0)
+
+    # replace-on-update: schedule edit recomputes next fire
+    a1 = mgr.update("a1", later, schedule_value="0 6 * * *")
+    assert a1.next_execution == datetime(2026, 1, 16, 6, 0)
+    assert a1.updated_at == datetime(2026, 1, 15, 11, 30)
+
+    # disabled → unscheduled (NULL next_execution) and excluded from due-set
+    a2 = mgr.toggle("a2", False, later)
+    assert a2.enabled is False and a2.next_execution is None
+    far = datetime(2026, 2, 1, tzinfo=timezone.utc)
+    assert "a2" not in {r.id for r in mgr.due(far).collect()}
+    # re-enable re-registers
+    a2 = mgr.toggle("a2", True, later)
+    assert a2.next_execution == datetime(2026, 1, 15, 12, 0)
+
+    # list filters
+    assert {r.id for r in mgr.list(project_id="projA").collect()} == {"a1", "a2"}
+    assert {r.id for r in mgr.list(enabled=True).collect()} == {"a1", "a2", "a3"}
+
+    # delete removes the automation and its history
+    assert mgr.delete("a2") is True
+    assert mgr.get("a2") is None
+    execs = mgr.executions.read()
+    assert execs.filter(execs.automation_id == "a2").count() == 0
+    assert mgr.delete("ghost") is False
+
+    # reload_all: bulk recompute (startup path)
+    mgr.reload_all(far)
+    a1 = mgr.get("a1")
+    assert a1.next_execution == datetime(2026, 2, 1, 6, 0)
