@@ -39,13 +39,32 @@ def main() -> None:
     first = next(iter(suite.values()))
     first.build(spark, sf_dir).count()
 
+    from lakehouse_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
+    kept: dict[str, list] = {}
     t_suite = time.perf_counter()
     for name, spec in suite.items():
         t0 = time.perf_counter()
-        spec.build(spark, sf_dir).collect()
+        rows = spec.build(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_caches()  # dedup intermediates don't outlive their query
+        if name == "sim_topk_bruteforce":
+            kept[name] = rows
     total = round(time.perf_counter() - t_suite, 3)
+
+    # IVF quality: recall@5 of the learned-centroid approximate index
+    # against the exact brute-force neighbors (same queries, same k).
+    from lakehouse_spark.queries import CATALOG
+
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in kept["sim_topk_bruteforce"]
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in CATALOG["sim_ivf_topk"].build(spark, sf_dir).collect()
+    }
+    ivf_recall = round(len(approx & truth) / len(truth), 4) if truth else None
 
     print(
         json.dumps(
@@ -54,6 +73,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ivf_recall_at_5": ivf_recall,
                 "sf": sf,
             }
         )

@@ -139,12 +139,19 @@ class SessionLake:
         session_id: str,
         lvl: str | None = None,
         prefix: str | None = None,
-        offset: int = 0,
+        after: tuple | None = None,
         limit: int = 500,  # ← routers/sessions.py:1333 default slab
         include_children: bool = False,
+        offset: int | None = None,
     ) -> DataFrame:
         """F4 + O2/O3 (+ J7 when children merge in): filtered, paged event
-        slab over a total order (routers/sessions.py:1306-1400)."""
+        slab over the (ts, encounter_seq) total order
+        (routers/sessions.py:1306-1400).
+
+        Pagination is KEYSET by default: pass ``after=(ts, encounter_seq)``
+        of the previous page's last row to get the next O(page) slab at any
+        depth. ``offset`` remains for explicit random access, with its
+        O(offset) re-sort cost — don't iterate a 100 TB log with it."""
         ev = self.events.read()
         if include_children:
             ids = self.session_closure(session_id).select(
@@ -154,7 +161,11 @@ class SessionLake:
         else:
             ev = ev.filter(F.col("session_id") == session_id)
         ev = filters.level_and_prefix(ev, "lvl", lvl, "event", prefix)
-        return sorts.page(ev, [F.asc("ts"), F.asc("encounter_seq")], offset, limit)
+        if offset is not None:
+            return sorts.page(
+                ev, [F.asc("ts"), F.asc("encounter_seq")], offset, limit
+            )
+        return sorts.keyset_page(ev, ["ts", "encounter_seq"], after, limit)
 
     # -- §3.3 trace ------------------------------------------------------------
 

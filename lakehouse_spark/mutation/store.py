@@ -34,12 +34,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-try:  # Delta is the production path; gate so local runs work without it
-    from delta.tables import DeltaTable  # type: ignore
-
-    HAS_DELTA = True
-except ImportError:
-    HAS_DELTA = False
+# NOTE: no Delta/Iceberg binding ships here — this container has neither, and
+# an untestable branch is worse than none. The module docstring documents the
+# 1:1 operation mapping (append/MERGE/DELETE/OPTIMIZE) a production deployment
+# would swap in behind the same TableStore method surface.
 
 _POINTER = "_CURRENT"
 

@@ -76,11 +76,19 @@ def argmax_deterministic(
 
 
 def page_stats(df: DataFrame, offset: int, limit: int) -> tuple[int, bool]:
-    """A4: total count + has_more for pagination envelopes. One job; at scale
-    prefer `LIMIT offset+limit+1` probes over full counts when total is not
-    required by the API contract."""
+    """A4: total count + has_more for pagination envelopes. Full count —
+    only when the API contract requires ``total``; otherwise use
+    :func:`page_probe`, which never scans past the page boundary."""
     total = df.count()
     return total, (offset + limit) < total
+
+
+def page_probe(df: DataFrame, offset: int, limit: int) -> bool:
+    """A4 (scale default): has_more via a ``LIMIT offset+limit+1`` probe —
+    CollectLimit early-exits after finding one row past the page, instead of
+    counting the whole table. At 100 TB a full count per page envelope is a
+    full scan per request; the probe touches at most offset+limit+1 rows."""
+    return df.limit(offset + limit + 1).count() > offset + limit
 
 
 def collect_per_group(

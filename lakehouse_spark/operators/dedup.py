@@ -28,6 +28,48 @@ from pyspark.sql import functions as F
 
 from lakehouse_spark.functions.scalar import hash64
 
+# --- cache bookkeeping -------------------------------------------------------
+#
+# minhash_near_duplicates / ngram_jaccard_pairs persist intermediates that
+# feed two plan branches. The returned DataFrame is lazy, so the functions
+# themselves can't unpersist — the caller evaluates later. Every persist
+# goes through _persist() into this registry; callers (bench loops,
+# long-lived query services) call release_caches() after materializing, or
+# wrap the evaluate in cache_scope(). Without this, a long-lived session
+# running the suite repeatedly pins ever more executor storage memory.
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cache registered since the last release. Returns the
+    number released. Safe to call at any time — unpersist on an already-
+    evaluated plan only drops the stored blocks."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
+class cache_scope:
+    """``with cache_scope(): pairs.collect()`` — releases dedup caches on
+    exit, including on error."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        release_caches()
+        return False
+
+
 # --- D1: exact content dedup ------------------------------------------------
 
 
@@ -196,7 +238,7 @@ def minhash_near_duplicates(
     rather than lowering min_jaccard.
     """
     rows_per_band = k // bands
-    base = shingle_frame(df, id_col, text_col, n).persist()
+    base = _persist(shingle_frame(df, id_col, text_col, n))
     sig = base.select(
         "id", F.transform("sh", lambda s: hash64(s)).alias("hs")
     ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
@@ -208,7 +250,8 @@ def minhash_near_duplicates(
                 lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band", "band_sig"),
-    ).persist()
+    )
+    banded = _persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -248,9 +291,12 @@ def ngram_jaccard_pairs(
     (e.g. language, source, length bucket). The block join keeps this
     O(sum block²) not O(total²); for unblocked corpora use
     :func:`minhash_near_duplicates`."""
-    base = shingle_frame(df, id_col, text_col, n).join(
-        df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")), "id"
-    ).persist()
+    base = _persist(
+        shingle_frame(df, id_col, text_col, n).join(
+            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")),
+            "id",
+        )
+    )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))

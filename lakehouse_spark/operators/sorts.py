@@ -47,6 +47,36 @@ def page_after(
     return df.filter(pred).orderBy(order).limit(limit)
 
 
+def keyset_page(
+    df: DataFrame,
+    order_cols: list[str],
+    after: tuple | None,
+    limit: int,
+    desc: bool = False,
+) -> DataFrame:
+    """Keyset pagination over a COMPOSITE total order (e.g. (ts,
+    encounter_seq)): rows lexicographically past ``after``, then top-n.
+    ``after=None`` returns the first page. O(page) per request at any depth —
+    a deep offset page re-sorts and skips offset rows on every call, which
+    at 100 TB makes page 10_000 cost 10_000× page 1; this stays flat. The
+    strictly-greater predicate is pushed to the scan (min/max pruning skips
+    whole files before the sort)."""
+    if after is not None:
+        if len(after) != len(order_cols):
+            raise ValueError(f"after must have {len(order_cols)} values")
+        # lexicographic "past the cursor": (c0 > a0) OR (c0 = a0 AND (c1 > a1 ...))
+        pred = F.lit(False)
+        for i in range(len(order_cols) - 1, -1, -1):
+            c, a = F.col(order_cols[i]), F.lit(after[i])
+            step = (c < a) if desc else (c > a)
+            pred = step | ((c == a) & pred)
+        df = df.filter(pred)
+    order = [
+        F.col(c).desc() if desc else F.col(c).asc() for c in order_cols
+    ]
+    return df.orderBy(*order).limit(limit)
+
+
 def tail_n(
     df: DataFrame, group: str, order: list[Column], n: int, rn_col: str = "__rn"
 ) -> DataFrame:

@@ -104,6 +104,8 @@ def run_all(
 ) -> list[CompareResult]:
     from lakehouse_spark.queries import CATALOG
 
+    from lakehouse_spark.operators.dedup import release_caches
+
     con = duckdb_connect(sf_dir)
     out: list[CompareResult] = []
     for name, spec in CATALOG.items():
@@ -113,6 +115,7 @@ def run_all(
             df = spec.build(spark, sf_dir)
             n = df.count()
             out.append(CompareResult(name, n, n, True, True))
-            continue
-        out.append(compare(name, spec.build(spark, sf_dir), con, spec.oracle))
+        else:
+            out.append(compare(name, spec.build(spark, sf_dir), con, spec.oracle))
+        release_caches()  # dedup intermediates don't outlive their query
     return out

@@ -126,3 +126,44 @@ def test_anti_join_is_hash_not_cartesian(spark):
     plan = _plan(spark, "d4_visited_anti_join")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_o7_rank_window_is_partitioned(spark):
+    # The order-observable seq must come from a PARTITIONED window (bucket =
+    # date(ts)) + broadcast offsets — a partition-less row_number over the
+    # data pulls everything through one task at scale.
+    plan = _plan(spark, "o7_global_sort")
+    rn_lines = [
+        l for l in plan.splitlines() if "row_number() windowspecdefinition" in l
+    ]
+    assert rn_lines, "row_number window missing from o7 plan"
+    for line in rn_lines:
+        # partitioned spec lists the partition attr before the first ordering
+        spec = line.split("windowspecdefinition(", 1)[1]
+        first_arg = spec.split(",")[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            "partition-less row_number window over the data:\n" + line
+        )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngram_block_join_is_equi_join(spark):
+    # blocked pair-generation must be a hash/sort-merge equi join on the
+    # (lang, source, length-bucket) key — never a cartesian product
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_caches_release(spark):
+    # minhash persists two intermediates per invocation; release_caches()
+    # must return storage to baseline so repeated runs don't pin memory
+    from lakehouse_spark.operators.dedup import release_caches
+
+    jsc = spark.sparkContext._jsc.sc()
+    release_caches()  # clear anything earlier tests left behind
+    baseline = jsc.getPersistentRDDs().size()
+    CATALOG["dedup_minhash_lsh"].build(spark, SF_SMALL).collect()
+    assert jsc.getPersistentRDDs().size() > baseline
+    assert release_caches() >= 2
+    assert jsc.getPersistentRDDs().size() == baseline

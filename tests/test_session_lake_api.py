@@ -158,3 +158,39 @@ def test_closure_delete_and_cleanup(lake):
     # both creations removes everything not recently ended
     n = lake.cleanup(older_than_days=30, now=datetime(2026, 8, 1, tzinfo=timezone.utc))
     assert n == 2
+
+
+def test_events_page_keyset_walk_matches_offset(lake):
+    """Keyset pagination (the scale default) must produce the same walk as
+    offset paging over the (ts, encounter_seq) total order."""
+    all_rows = lake.events_page("root", limit=100).collect()
+    assert len(all_rows) >= 3
+
+    # keyset walk, 2 rows at a time
+    walked, after = [], None
+    while True:
+        page = lake.events_page("root", after=after, limit=2).collect()
+        if not page:
+            break
+        walked.extend(page)
+        last = page[-1]
+        after = (last.ts, last.encounter_seq)
+    assert [r.encounter_seq for r in walked] == [
+        r.encounter_seq for r in all_rows
+    ]
+
+    # offset access path still works and agrees
+    offset_page = lake.events_page("root", offset=1, limit=2).collect()
+    assert [r.encounter_seq for r in offset_page] == [
+        r.encounter_seq for r in all_rows[1:3]
+    ]
+
+
+def test_page_probe_matches_page_stats(lake, spark):
+    from lakehouse_spark.operators import aggregates as agg
+
+    df = lake.events_page("root", limit=1000)
+    total, has_more = agg.page_stats(df, 0, 2)
+    assert agg.page_probe(df, 0, 2) == has_more
+    assert agg.page_probe(df, 0, total) is False
+    assert agg.page_probe(df, total, 1) is False
