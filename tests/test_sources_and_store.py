@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -127,3 +129,88 @@ def test_store_unionable_with_jsonl_appends(spark, tmp_path, tmp_store_dir):
     store.init(rows)
     store.append(rows.withColumn("n", F.col("n") + 10))
     assert store.read().count() == 4
+
+
+# --- SC10: ref resolution ------------------------------------------------------
+
+
+def test_parse_ref_classifies_vectorized(spark):
+    from lakehouse_spark.sources.refs import parse_ref
+
+    refs = [
+        "git+https://github.com/org/repo@main/agents/agent.md",
+        "git+https://github.com/org/repo@v1.2",
+        "git+https://github.com/org/repo@main#subdirectory=tools",
+        "git+https://github.com/org/repo",  # missing @ref → invalid
+        "/abs/path/file.py",
+        "https://example.com/file.md",
+        "s3://bucket/key.parquet",
+    ]
+    df = spark.createDataFrame([(r,) for r in refs], "ref string")
+    rows = {r.ref: r.p for r in df.select("ref", parse_ref("ref").alias("p")).collect()}
+
+    git_full = rows[refs[0]]
+    assert git_full.kind == "git"
+    assert git_full.base_url == "git+https://github.com/org/repo".removeprefix("git+")
+    assert git_full.ref_name == "main"
+    assert git_full.asset_path == "agents/agent.md"
+
+    assert rows[refs[1]].kind == "git" and rows[refs[1]].asset_path is None
+    assert rows[refs[2]].subdirectory == "tools"
+    assert rows[refs[3]].kind == "invalid"
+    assert "missing @ref" in rows[refs[3]].error
+    assert rows[refs[4]].kind == "local"
+    assert rows[refs[5]].kind == "http"
+    assert rows[refs[6]].kind == "fsspec"
+
+
+def test_ref_resolver_local_git_and_stub(spark, tmp_path):
+    from lakehouse_spark.sources.refs import (
+        RefResolutionError,
+        RefResolver,
+        parse_ref,
+    )
+
+    # fake git fetcher: materializes a repo with one asset
+    def fake_git(base_url, ref_name, dest):
+        import os
+
+        os.makedirs(os.path.join(dest, "agents"), exist_ok=True)
+        with open(os.path.join(dest, "agents", "a.md"), "w") as f:
+            f.write(f"{base_url}@{ref_name}")
+
+    res = RefResolver(str(tmp_path / "cache"), fetchers={"git": fake_git})
+    ref = "git+https://github.com/org/repo@main/agents/a.md"
+    df = spark.createDataFrame([(ref,)], "ref string")
+    (parsed,) = df.select(parse_ref("ref").alias("p")).collect()
+
+    p1 = res.resolve(parsed.p.asDict(), ref)
+    assert open(p1).read().endswith("@main")
+    # second resolve hits the cache (fetcher that would fail proves it)
+    res2 = RefResolver(str(tmp_path / "cache"))
+    assert res2.resolve(parsed.p.asDict(), ref) == p1
+
+    # local path branch: existence-checked passthrough
+    local = tmp_path / "x.txt"
+    local.write_text("hi")
+    (lp,) = spark.createDataFrame([(str(local),)], "ref string").select(
+        parse_ref("ref").alias("p")
+    ).collect()
+    assert res.resolve(lp.p.asDict(), str(local)) == str(local)
+    with pytest.raises(RefResolutionError, match="does not exist"):
+        res.resolve(lp.p.asDict(), str(tmp_path / "ghost"))
+
+    # remote kinds without an injected fetcher are a declared stub
+    (hp,) = spark.createDataFrame(
+        [("https://example.com/f.md",)], "ref string"
+    ).select(parse_ref("ref").alias("p")).collect()
+    with pytest.raises(NotImplementedError, match="http"):
+        res.resolve(hp.p.asDict(), "https://example.com/f.md")
+
+    # asset missing inside a fetched repo → reference's error contract
+    bad = "git+https://github.com/org/repo@main/agents/missing.md"
+    (bp,) = spark.createDataFrame([(bad,)], "ref string").select(
+        parse_ref("ref").alias("p")
+    ).collect()
+    with pytest.raises(RefResolutionError, match="Asset not found"):
+        res.resolve(bp.p.asDict(), bad)
