@@ -1043,12 +1043,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = similarity.kmeans_centroids(emb, n_clusters=50, iters=2)
     bucketed = similarity.assign_buckets(emb, centroids)
-    # nprobe=10 of 50: the testdata embeddings are near-random, the
-    # hardest case for IVF — probing 20% of buckets keeps recall@5 above
-    # the 0.6 floor while still skipping 80% of the corpus per query. On
-    # clustered real embeddings the same ratio buys far higher recall.
+    # nprobe=12 of 50: the testdata embeddings are near-random, the
+    # hardest case for IVF — probing ~24% of buckets keeps recall@5 above
+    # the 0.6 floor at every SF (0.64 at sf0.1) while skipping 3/4 of the
+    # corpus per query. Clustered real embeddings buy far higher recall at
+    # the same probe fraction.
     return similarity.ivf_topk(
-        bucketed, centroids, emb.filter(F.col("vec_id") < 10), k=5, nprobe=10
+        bucketed, centroids, emb.filter(F.col("vec_id") < 10), k=5, nprobe=12
     )
 
 
