@@ -2283,5 +2283,93 @@ def cr1_due_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return due.select("id", "schedule_value", "next_execution")
 
 
+@_q(
+    "f10_set_membership",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE event_type IN ('signup', 'error')
+    """,
+    doc="F10: set-membership filter (streamed-hook allowlist shape)",
+)
+def f10_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return filters.in_set(ev, "event_type", ("signup", "error")).select(
+        "event_id", "event_type"
+    )
+
+
+@_q(
+    "f11_safe_paths",
+    """
+    WITH paths AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 11 = 0 THEN '/' || source || '/' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 7 = 0 THEN '../' || source || '/' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 5 = 0 THEN source || '/../' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 3 = 0 THEN source || '\\' || CAST(doc_id AS VARCHAR)
+               ELSE source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.txt'
+             END AS path
+      FROM documents
+    )
+    SELECT doc_id, path FROM paths
+    WHERE length(path) > 0 AND path NOT LIKE '/%'
+      AND NOT contains(path, '\\')
+      AND NOT list_contains(string_split(path, '/'), '..')
+    """,
+    doc="F11: path-safety predicate over a synthesized path table "
+    "(absolute / dot-dot / backslash escapes rejected in one scan)",
+)
+def f11_safe_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    paths = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit("/"), "source", F.lit("/"), did))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.lit("../"), "source", F.lit("/"), did))
+        .when(F.col("doc_id") % 5 == 0, F.concat("source", F.lit("/../"), did))
+        .when(F.col("doc_id") % 3 == 0, F.concat("source", F.lit("\\"), did))
+        .otherwise(
+            F.concat("source", F.lit("/"), "lang", F.lit("/"), did, F.lit(".txt"))
+        )
+        .alias("path"),
+    )
+    return filters.only_safe_paths(paths, "path")
+
+
+@_q(
+    "t11_clock_conversion",
+    """
+    SELECT h24,
+           CASE WHEN h24 % 12 = 0 THEN 12 ELSE h24 % 12 END AS hour12,
+           CASE WHEN h24 < 12 THEN 'AM' ELSE 'PM' END AS meridiem,
+           h24 AS h24_roundtrip, count(*) AS n
+    FROM (SELECT CAST(hour(ts) AS INTEGER) AS h24 FROM events)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="T11: 24h -> (12h, AM/PM) -> 24h round-trip over event hours "
+    "(midnight/noon edge cases exercised by the group-by)",
+)
+def t11_clock_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.functions.scalar import hour_12_to_24, hour_24_to_12
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("int").alias("h24")
+    )
+    conv = ev.withColumn("c", hour_24_to_12(F.col("h24")))
+    return (
+        conv.select(
+            "h24",
+            F.col("c.hour12").alias("hour12"),
+            F.col("c.meridiem").alias("meridiem"),
+            hour_12_to_24(F.col("c.hour12"), F.col("c.meridiem")).alias(
+                "h24_roundtrip"
+            ),
+        )
+        .groupBy("h24", "hour12", "meridiem", "h24_roundtrip")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
