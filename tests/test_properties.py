@@ -142,3 +142,69 @@ def test_window_form_agrees_with_fold(spark, seq):
     }
     # fold emits one turn per prompt marker (incl. trailing active)
     assert fold_turns == {k: v for k, v in win_turns.items() if v > 0}
+
+
+# --- keyset pagination (Spark: few examples, structural) ---------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50)),  # (ts-ish, seq)
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    page=st.integers(1, 7),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_keyset_walk_equals_total_order(spark, rows, page):
+    from lakehouse_spark.operators.sorts import keyset_page
+
+    df = spark.createDataFrame(rows, "k int, seq int")
+    want = sorted(rows)
+    walked, after = [], None
+    while True:
+        got = keyset_page(df, ["k", "seq"], after, page).collect()
+        if not got:
+            break
+        walked.extend((r.k, r.seq) for r in got)
+        after = (got[-1].k, got[-1].seq)
+    assert walked == want
+
+
+# --- ref parsing totality + git round-trip ----------------------------------
+
+_seg = st.text(
+    alphabet="abcdefghijklmnop0123456789_-", min_size=1, max_size=8
+)
+
+
+@given(
+    org=_seg,
+    repo=_seg,
+    ref=_seg,
+    path_segs=st.lists(_seg, max_size=3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_parse_ref_git_roundtrip(spark, org, repo, ref, path_segs):
+    from lakehouse_spark.sources.refs import parse_ref
+
+    url = f"https://github.com/{org}/{repo}"
+    full = f"git+{url}@{ref}" + ("/" + "/".join(path_segs) if path_segs else "")
+    (row,) = (
+        spark.createDataFrame([(full,)], "ref string")
+        .select(parse_ref("ref").alias("p"))
+        .collect()
+    )
+    assert row.p.kind == "git"
+    assert row.p.base_url == url
+    assert row.p.ref_name == ref
+    assert row.p.asset_path == ("/".join(path_segs) if path_segs else None)
