@@ -95,13 +95,37 @@ _LANG_MARKERS: dict[str, list[str]] = {
     "de": "der die und das ist nicht ich ein zu mit".split(),
     "es": "el la de que en los se una por con".split(),
     "fr": "le la de et les des en une est que".split(),
-    "zh": [],  # CJK handled by script detection below
+    "it": "il di che la per una sono non con del".split(),
+    "pt": "o que de para uma com não por mais como".split(),
+    "nl": "de het een en van ik dat niet met voor".split(),
 }
+
+_MARKER_LANGS = tuple(sorted(_LANG_MARKERS))
+
+# Script-detected languages: (lang, codepoint-range regex), checked in this
+# order — kana before han so Japanese (kana+kanji) isn't misread as zh. The
+# ranges are plain literal codepoint classes, valid in both Java regex
+# (Spark) and RE2 (DuckDB oracle).
+_SCRIPT_LANGS: tuple[tuple[str, str], ...] = (
+    ("ja", r"[ぁ-ゟ゠-ヿ]"),  # hiragana + katakana
+    ("ko", r"[가-힣]"),  # hangul syllables
+    ("zh", r"[一-鿿]"),  # han
+    ("ru", r"[Ѐ-ӿ]"),  # cyrillic
+    ("ar", r"[؀-ۿ]"),  # arabic
+    ("hi", r"[ऀ-ॿ]"),  # devanagari
+    ("el", r"[Ͱ-Ͽ]"),  # greek
+)
 
 
 def lang_id(col: Column | str) -> Column:
-    """Heuristic language guess for a text column. CJK scripts are detected
-    by codepoint class; Latin languages by marker-word hit rate."""
+    """Heuristic language guess for a text column. Non-Latin scripts are
+    detected by codepoint class (kana→ja before han→zh, hangul→ko,
+    cyrillic→ru, arabic→ar, devanagari→hi, greek→el); Latin languages by
+    marker-word hit rate with a deterministic struct-max tie-break (highest
+    score wins; ties go to the lexicographically LARGEST lang code, which
+    the oracle replays as a descending-lex CASE chain). The documented
+    production seam is a fastText-style model via mapInPandas — this is the
+    dependency-free shape with the same column contract."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.transform(F.split(F.trim(c), r"\s+"), F.lower)
     n = F.greatest(F.size(words), F.lit(1))
@@ -110,19 +134,18 @@ def lang_id(col: Column | str) -> Column:
         markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
         return F.size(F.filter(words, lambda w: F.array_contains(markers, w))) / n
 
-    has_cjk = F.size(F.regexp_extract_all(c, F.lit(r"[一-鿿]"), 0)) > 0
     scored = F.array(
         *[
             F.struct(ratio(lang).alias("score"), F.lit(lang).alias("lang"))
-            for lang in ("en", "de", "es", "fr")
+            for lang in _MARKER_LANGS
         ]
     )
     best = F.array_max(scored)
-    return (
-        F.when(has_cjk, F.lit("zh"))
-        .when(best["score"] > 0, best["lang"])
-        .otherwise(F.lit("und"))
-    )
+    out = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    for lang, pattern in reversed(_SCRIPT_LANGS):
+        has = F.size(F.regexp_extract_all(c, F.lit(pattern), 0)) > 0
+        out = F.when(has, F.lit(lang)).otherwise(out)
+    return out
 
 
 # --- document fingerprinting ------------------------------------------------------

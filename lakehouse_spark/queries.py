@@ -1104,14 +1104,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_oracle() -> str:
+    langs = list(text._MARKER_LANGS)
     ratios = []
-    for lang in ("en", "de", "es", "fr"):
+    for lang in langs:
         markers = "[" + ", ".join(f"'{w}'" for w in text._LANG_MARKERS[lang]) + "]"
         ratios.append(
             f"len(list_filter(w, x -> list_contains({markers}, x))) * 1.0 /"
             f" greatest(len(w), 1) AS r_{lang}"
         )
     ratio_sql = ",\n             ".join(ratios)
+    g = "greatest(" + ", ".join(f"r_{l}" for l in langs) + ")"
+    # Spark's struct-max tie-break picks the lexicographically LARGEST lang
+    # code among equal scores → the CASE chain must test in DESC-lex order.
+    tie_chain = "\n                       ".join(
+        f"WHEN r_{l} = {g} THEN '{l}'"
+        for l in sorted(langs, reverse=True)[:-1]
+    )
+    script_chain = "\n                ".join(
+        f"WHEN len(regexp_extract_all(text, '{pat}')) > 0 THEN '{lang}'"
+        for lang, pat in text._SCRIPT_LANGS
+    )
+    last = sorted(langs)[0]
     return f"""
     WITH words AS (
       SELECT doc_id, text,
@@ -1124,12 +1137,10 @@ def _langid_oracle() -> str:
       FROM words
     )
     SELECT doc_id,
-           CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
-                WHEN greatest(r_en, r_de, r_es, r_fr) > 0 THEN
-                  CASE WHEN r_fr = greatest(r_en, r_de, r_es, r_fr) THEN 'fr'
-                       WHEN r_es = greatest(r_en, r_de, r_es, r_fr) THEN 'es'
-                       WHEN r_en = greatest(r_en, r_de, r_es, r_fr) THEN 'en'
-                       ELSE 'de' END
+           CASE {script_chain}
+                WHEN {g} > 0 THEN
+                  CASE {tie_chain}
+                       ELSE '{last}' END
                 ELSE 'und' END AS lang_guess
     FROM scored
     """
