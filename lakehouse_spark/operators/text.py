@@ -161,3 +161,46 @@ def fingerprint(col: Column | str) -> Column:
         F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", ""), r"\s+", " ")
     )
     return F.sha2(norm, 256)
+
+
+# --- end-to-end curation pipeline ---------------------------------------------
+
+
+def curate_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_quality: float = 0.75,
+    allowed_langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The training-data curation funnel as ONE declarative plan: quality
+    scoring → language ID → normalization-fingerprint first-wins dedup →
+    keep/reject decision with a precedence-ordered reason column
+    (too_short → low_quality → language → duplicate).
+
+    Everything is Catalyst expressions plus a single window shuffle keyed by
+    fingerprint — at 100 TB the funnel is one scan + one hash shuffle, and
+    the reason column makes per-stage attrition auditable
+    (``groupBy("reject_reason").count()``) without re-running any stage.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(df.select(id_col, text_col), text_col)
+    scored = scored.withColumn("lang_guess", lang_id(text_col))
+    scored = scored.withColumn("__fp", fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    scored = scored.withColumn("__rn", F.row_number().over(w))
+    reason = (
+        F.when(F.col("n_words") < min_words, "too_short")
+        .when(F.col("quality_score") < min_quality, "low_quality")
+        .when(~F.col("lang_guess").isin(list(allowed_langs)), "language")
+        .when(F.col("__rn") > 1, "duplicate")
+    )
+    return scored.select(
+        id_col,
+        "lang_guess",
+        "quality_score",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )

@@ -1103,19 +1103,24 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
-    langs = list(text._MARKER_LANGS)
+def _langid_ratio_sql() -> str:
+    """Per-language marker hit-rate columns over the word array `w`."""
     ratios = []
-    for lang in langs:
+    for lang in text._MARKER_LANGS:
         markers = "[" + ", ".join(f"'{w}'" for w in text._LANG_MARKERS[lang]) + "]"
         ratios.append(
             f"len(list_filter(w, x -> list_contains({markers}, x))) * 1.0 /"
             f" greatest(len(w), 1) AS r_{lang}"
         )
-    ratio_sql = ",\n             ".join(ratios)
+    return ",\n             ".join(ratios)
+
+
+def _langid_case_sql() -> str:
+    """The lang_guess CASE over script regexes + r_<lang> ratio columns.
+    Spark's struct-max tie-break picks the lexicographically LARGEST lang
+    code among equal scores → the CASE chain tests in DESC-lex order."""
+    langs = list(text._MARKER_LANGS)
     g = "greatest(" + ", ".join(f"r_{l}" for l in langs) + ")"
-    # Spark's struct-max tie-break picks the lexicographically LARGEST lang
-    # code among equal scores → the CASE chain must test in DESC-lex order.
     tie_chain = "\n                       ".join(
         f"WHEN r_{l} = {g} THEN '{l}'"
         for l in sorted(langs, reverse=True)[:-1]
@@ -1125,6 +1130,14 @@ def _langid_oracle() -> str:
         for lang, pat in text._SCRIPT_LANGS
     )
     last = sorted(langs)[0]
+    return f"""CASE {script_chain}
+                WHEN {g} > 0 THEN
+                  CASE {tie_chain}
+                       ELSE '{last}' END
+                ELSE 'und' END"""
+
+
+def _langid_oracle() -> str:
     return f"""
     WITH words AS (
       SELECT doc_id, text,
@@ -1133,15 +1146,11 @@ def _langid_oracle() -> str:
       FROM documents
     ), scored AS (
       SELECT doc_id, text,
-             {ratio_sql}
+             {_langid_ratio_sql()}
       FROM words
     )
     SELECT doc_id,
-           CASE {script_chain}
-                WHEN {g} > 0 THEN
-                  CASE {tie_chain}
-                       ELSE '{last}' END
-                ELSE 'und' END AS lang_guess
+           {_langid_case_sql()} AS lang_guess
     FROM scored
     """
 
@@ -2379,6 +2388,67 @@ def t11_clock_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h24", "hour12", "meridiem", "h24_roundtrip")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def _curation_oracle() -> str:
+    qscore = """round(CAST((CASE WHEN n_words_raw >= 5 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_stop * 1.0 / greatest(n_words_raw, 1) BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_punct * 1.0 / greatest(n_chars_raw, 1) < 0.2 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN (n_chars_raw - (n_words_raw - 1)) * 1.0 / n_words_raw BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+               AS DOUBLE), 2)"""
+    return f"""
+    WITH words AS (
+      SELECT doc_id, text,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS w,
+             length(text) AS n_chars_raw,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words_raw,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains({_STOP_SQL}, lower(x)))) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, n_words_raw,
+             {qscore} AS quality_score,
+             {_langid_ratio_sql()}
+      FROM words
+    ), judged AS (
+      SELECT doc_id, n_words_raw, quality_score,
+             {_langid_case_sql()} AS lang_guess,
+             row_number() OVER (
+               PARTITION BY sha256(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang_guess, quality_score,
+           CASE WHEN n_words_raw < 5 THEN 'too_short'
+                WHEN quality_score < 0.75 THEN 'low_quality'
+                WHEN lang_guess <> 'en' THEN 'language'
+                WHEN rn > 1 THEN 'duplicate'
+                ELSE NULL END AS reject_reason,
+           (CASE WHEN n_words_raw < 5 THEN 'too_short'
+                 WHEN quality_score < 0.75 THEN 'low_quality'
+                 WHEN lang_guess <> 'en' THEN 'language'
+                 WHEN rn > 1 THEN 'duplicate'
+                 ELSE NULL END) IS NULL AS keep
+    FROM judged
+    """
+
+
+@_q(
+    "pipeline_curation",
+    _curation_oracle(),
+    doc="End-to-end curation funnel: quality -> langid -> fingerprint "
+    "first-wins dedup -> keep/reject with precedence-ordered reasons "
+    "(one scan + one fingerprint shuffle)",
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.curate_documents(
+        docs, "doc_id", "text", min_words=5, min_quality=0.75,
+        allowed_langs=("en",),
     )
 
 

@@ -158,3 +158,32 @@ def test_kmeans_centroids_improve_ivf(spark):
     }
     recall = len(approx & truth) / len(truth)
     assert recall >= 0.6, f"learned-IVF recall {recall:.2f} below floor"
+
+
+def test_curate_documents_reason_precedence(spark):
+    """Each reject reason fires, and earlier reasons win over later ones."""
+    from lakehouse_spark.operators.text import curate_documents
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it runs on with "
+        "that same easy stride for a while as the day is long"
+    )
+    rows = [
+        (1, prose),                        # keep
+        (2, "short text here"),            # too_short (3 words < 5)
+        (3, " ".join(["zzzzzzzzzzzzzzzz"] * 8)),  # low_quality (no stopwords, 16-char words)
+        (4, "el la de que en los se una por con amigos"),  # language (es)
+        (5, prose + "."),                  # duplicate of 1 after normalization
+        (6, "x! y? z. a,"),                # too_short wins over low_quality
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in curate_documents(df, "doc_id", "text").collect()
+    }
+    assert out[1].keep is True and out[1].reject_reason is None
+    assert out[2].reject_reason == "too_short"
+    assert out[3].reject_reason == "low_quality"
+    assert out[4].reject_reason == "language" and out[4].lang_guess == "es"
+    assert out[5].reject_reason == "duplicate"
+    assert out[6].reject_reason == "too_short"  # precedence over low_quality
