@@ -167,3 +167,21 @@ def test_dedup_caches_release(spark):
     assert jsc.getPersistentRDDs().size() > baseline
     assert release_caches() >= 2
     assert jsc.getPersistentRDDs().size() == baseline
+
+
+def test_q10_broadcasts_nation_and_takes_ordered(spark):
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_left_semi(spark):
+    plan = _plan(spark, "tpch_q4_priority_exists")
+    assert "LeftSemi" in plan
+
+
+def test_q6_filters_reach_scan(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    read = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in read and "l_discount" in read and "l_quantity" in read
