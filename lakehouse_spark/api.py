@@ -46,6 +46,22 @@ class SessionLake:
         self.sessions = TableStore(spark, os.path.join(root, "sessions"), "session_id")
         self.messages = TableStore(spark, os.path.join(root, "messages"), "session_id")
         self.events = TableStore(spark, os.path.join(root, "events"), "session_id")
+        self._automations = None
+
+    @property
+    def automations(self):
+        """CR1-CR4 surface: lazily-built AutomationManager over this lake's
+        automations/executions tables (create/update/toggle/delete, due-set
+        scan, execution recording — routers/automations.py parity)."""
+        if self._automations is None:
+            from lakehouse_spark.mutation.automations import AutomationManager
+
+            root = os.path.dirname(self.sessions.root)
+            self._automations = AutomationManager(
+                TableStore(self.spark, os.path.join(root, "automations"), "id"),
+                TableStore(self.spark, os.path.join(root, "executions"), "id"),
+            )
+        return self._automations
 
     # -- ingest ----------------------------------------------------------------
 

@@ -194,3 +194,15 @@ def test_page_probe_matches_page_stats(lake, spark):
     assert agg.page_probe(df, 0, 2) == has_more
     assert agg.page_probe(df, 0, total) is False
     assert agg.page_probe(df, total, 1) is False
+
+
+def test_lake_automations_surface(lake):
+    from datetime import datetime, timezone
+
+    now = datetime(2026, 6, 1, 12, 0, tzinfo=timezone.utc)
+    mgr = lake.automations
+    a = mgr.create("auto-1", "projA", "nightly", "run", "cron", "0 2 * * *", now)
+    assert a.next_execution == datetime(2026, 6, 2, 2, 0)
+    assert lake.automations is mgr  # lazily built once
+    later = datetime(2026, 6, 2, 3, 0, tzinfo=timezone.utc)
+    assert [r.id for r in mgr.due(later).collect()] == ["auto-1"]
