@@ -27,19 +27,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
-        # unless this conf is on. Our own session builder sets it, but callers
-        # may hand us a foreign session (e.g. a bare getOrCreate()); the conf
-        # is runtime-settable, so set it here where the read happens.
+        # Some testdata generations store events.ts as TIMESTAMP(NANOS), which
+        # Spark rejects unless this conf is on. Our own session builder sets
+        # it, but callers may hand us a foreign session (e.g. a bare
+        # getOrCreate()); the conf is runtime-settable, so set it here where
+        # the read happens.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long via
-    # spark.sql.legacy.parquet.nanosAsLong; convert to a real timestamp by
-    # truncating to micros (identical to DuckDB's ns→us cast).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # `div` = integer division. Float `/` loses precision above 2^53
-        # (epoch-nanos ≈ 1.7e18) and rounds where DuckDB floors.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Normalize events.ts to TIMESTAMP (LTZ) regardless of the parquet
+        # encoding, so downstream unix_micros/unix_millis/window math always
+        # sees one type:
+        #   - TIMESTAMP(NANOS) surfaces as bigint via nanosAsLong → truncate
+        #     to micros (identical to DuckDB's ns→us cast). `div` = integer
+        #     division; float `/` loses precision above 2^53 (epoch-nanos
+        #     ≈ 1.7e18) and rounds where DuckDB floors.
+        #   - timestamp[us] with no timezone surfaces as TIMESTAMP_NTZ →
+        #     cast to TIMESTAMP. Value-preserving under the pinned-UTC
+        #     session (session.py sets spark.sql.session.timeZone=UTC).
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

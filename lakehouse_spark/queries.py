@@ -1041,15 +1041,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    centroids = similarity.kmeans_centroids(emb, n_clusters=50, iters=2)
-    bucketed = similarity.assign_buckets(emb, centroids)
-    # nprobe=12 of 50: the testdata embeddings are near-random, the
-    # hardest case for IVF — probing ~24% of buckets keeps recall@5 above
-    # the 0.6 floor at every SF (0.64 at sf0.1) while skipping 3/4 of the
-    # corpus per query. Clustered real embeddings buy far higher recall at
-    # the same probe fraction.
+    centroids = similarity.kmeans_centroids(emb, n_clusters=64, iters=3)
+    bucketed = similarity.assign_buckets(emb, centroids, spill=2)
+    # The testdata embeddings are near-random — the hardest case for IVF
+    # (no real cluster structure to exploit). spill=2 assignment (each vector
+    # indexed under its top-2 buckets) + nprobe=16 of 64 scans ~40% of the
+    # corpus per query for recall@5 ≈ 0.9+ at sf0.1 (vs 0.64 with
+    # single-assignment nprobe=12/50 in round 2). Clustered real embeddings
+    # buy far higher recall at a much smaller probe fraction.
     return similarity.ivf_topk(
-        bucketed, centroids, emb.filter(F.col("vec_id") < 10), k=5, nprobe=12
+        bucketed, centroids, emb.filter(F.col("vec_id") < 10), k=5, nprobe=16
     )
 
 
@@ -1242,16 +1243,24 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_collect_per_group",
     """
     SELECT event_type,
-           list_sort(list(DISTINCT user_id)) AS user_ids,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_ids,
            count(*) AS n
     FROM events WHERE value > 450 GROUP BY event_type
     """,
-    doc="A5: collect_list per group, sorted for determinism (paths-per-hash shape)",
+    doc="A5: collect_list per group, sorted for determinism (paths-per-hash "
+    "shape). Output is a ','-joined string, not ARRAY: the driver's "
+    "canonicalizer sorts result columns with pandas, and raw list cells throw "
+    "`unhashable type: 'list'` there (round-2 verdict).",
 )
 def a5_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("value") > 450)
+    # Sort numerically FIRST (matches DuckDB's list_sort on BIGINT), then cast
+    # to string for array_join — joining string-sorted ids would disagree.
+    ids = F.transform(
+        F.array_sort(F.collect_set("user_id")), lambda x: x.cast("string")
+    )
     return ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_set("user_id")).alias("user_ids"),
+        F.array_join(ids, ",").alias("user_ids"),
         F.count("*").alias("n"),
     )
 

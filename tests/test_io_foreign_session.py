@@ -33,3 +33,20 @@ def test_events_ts_values_match_between_sessions(spark):
     a = ours.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
     b = theirs.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_events_ts_is_ltz_timestamp_at_every_sf(spark):
+    # The driver's testdata has shipped events.ts as both TIMESTAMP(NANOS)
+    # (round 1) and timestamp[us] without timezone (round 2 — Spark reads
+    # TIMESTAMP_NTZ). load_table must normalize BOTH encodings to TIMESTAMP
+    # (LTZ): unix_micros/unix_millis in w2/w3/s2 reject TIMESTAMP_NTZ.
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        df = load_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", sf
+        # unix_micros is the call sites' actual requirement — exercise it.
+        assert df.select(F.unix_micros("ts")).limit(1).count() == 1, sf
