@@ -20,6 +20,10 @@ Cost model (the part that matters at 100 TB):
   O(table), the same as Delta without merge-on-read; call sites that only
   ever append never pay it.
 - old versions remain readable (time travel) until :meth:`vacuum`.
+- **concurrent writers are safe**: each commit claims its version slot with
+  a filesystem put-if-absent before writing anything; a racing writer gets
+  :class:`ConcurrentWriteError` (retry after re-read), never a lost segment —
+  the same optimistic-concurrency contract as Delta's transaction log.
 
 On a cluster with Delta/Iceberg available, `TableStore` maps 1:1 onto
 append/`MERGE INTO`/`DELETE`/`OPTIMIZE` — call sites don't change.
@@ -40,6 +44,12 @@ from pyspark.sql import functions as F
 # would swap in behind the same TableStore method surface.
 
 _POINTER = "_CURRENT"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the next version first. The table is intact at
+    its current version; re-read and retry the mutation (the same contract as
+    Delta's ConcurrentAppendException)."""
 
 
 class TableStore:
@@ -76,16 +86,51 @@ class TableStore:
         df.write.mode("overwrite").parquet(os.path.join(self.root, seg))
         return seg
 
-    def _commit(self, segments: list[str]) -> int:
+    def _claim(self, v: int) -> None:
+        """Claim version ``v`` with an O_EXCL create of its manifest file —
+        filesystem put-if-absent, the same primitive Delta's transaction log
+        uses. Exactly one writer wins a slot; losers get
+        :class:`ConcurrentWriteError` with the table untouched."""
+        try:
+            fd = os.open(
+                self._manifest_path(v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {v} of {self.root} already claimed by another "
+                "writer; re-read and retry"
+            ) from None
+
+    def _transact(self, make_segments) -> int:
+        """Optimistic-concurrency commit: claim the next version slot FIRST
+        (so concurrent writers fail fast instead of overwriting each other's
+        segment/manifest files), then build segments, finalize the manifest,
+        and atomically swap the pointer. The pointer only ever advances to a
+        finalized manifest, so readers never observe a partial commit; an
+        aborted transaction releases its claim."""
         cur = self.current_version()
         nxt = 0 if cur is None else cur + 1
-        with open(self._manifest_path(nxt), "w") as f:
-            json.dump({"segments": segments}, f)
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, self._pointer_path())  # atomic pointer swap
-        return nxt
+        self._claim(nxt)
+        try:
+            segments = make_segments(nxt)
+            tmp = self._manifest_path(nxt) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"segments": segments}, f)
+            os.replace(tmp, self._manifest_path(nxt))
+            ptmp = self._pointer_path() + ".tmp"
+            with open(ptmp, "w") as f:
+                f.write(str(nxt))
+            os.replace(ptmp, self._pointer_path())  # atomic pointer swap
+            return nxt
+        except BaseException:
+            # Release the claim: the slot must not stay wedged after a failed
+            # segment write. Readers were never exposed (pointer unmoved).
+            try:
+                os.unlink(self._manifest_path(nxt))
+            except FileNotFoundError:
+                pass
+            raise
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop manifests older than the newest ``keep_last`` versions and
@@ -120,24 +165,26 @@ class TableStore:
     # -- writes ----------------------------------------------------------------
 
     def init(self, df: DataFrame) -> None:
-        cur = self.current_version()
-        v = 0 if cur is None else cur + 1
-        self._commit([self._write_segment(df, v)])
+        self._transact(lambda v: [self._write_segment(df, v)])
 
     def append(self, rows: DataFrame) -> None:
         """SC4: append-only log write (the reference's open(...,'a')).
-        O(new rows): one new segment, prior segments reused by reference."""
+        O(new rows): one new segment, prior segments reused by reference.
+        Safe under concurrent writers: the version slot is claimed before
+        the segment write, so a racing append raises
+        :class:`ConcurrentWriteError` instead of dropping a segment."""
         if not self.exists():
             self.init(rows)
             return
-        prior = self._segments(self.current_version())
-        seg = self._write_segment(rows, self.current_version() + 1)
-        self._commit(prior + [seg])
+        # Prior segments are resolved INSIDE the claimed transaction: once
+        # v is claimed, v-1 is immutable (no other writer can advance it).
+        self._transact(
+            lambda v: self._segments(v - 1) + [self._write_segment(rows, v)]
+        )
 
     def _rewrite(self, df: DataFrame) -> None:
         """Full compaction commit: one segment holding ``df``."""
-        v = self.current_version() + 1
-        self._commit([self._write_segment(df, v)])
+        self._transact(lambda v: [self._write_segment(df, v)])
 
     def upsert(self, rows: DataFrame) -> None:
         """SC5: whole-row upsert keyed by ``self.key`` — the atomic
