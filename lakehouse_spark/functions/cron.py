@@ -26,22 +26,45 @@ _FIELDS = (  # (min, max) per cron field
 )
 
 
-def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
-    """Parse one cron field: '*', lists, ranges, steps ('*/5', '1-10/2')."""
+_NAMES = {  # month / weekday names (Vixie cron, case-insensitive)
+    "jan": "1", "feb": "2", "mar": "3", "apr": "4", "may": "5", "jun": "6",
+    "jul": "7", "aug": "8", "sep": "9", "oct": "10", "nov": "11", "dec": "12",
+    "sun": "0", "mon": "1", "tue": "2", "wed": "3", "thu": "4", "fri": "5",
+    "sat": "6",
+}
+
+
+def _parse_field(spec: str, lo: int, hi: int, wrap_hi: int | None = None) -> set[int]:
+    """Parse one cron field: '*', lists, ranges, steps ('*/5', '1-10/2'),
+    names ('MON', 'JAN'). Vixie semantics for a bare value with a step:
+    '5/15' means 5-max/15, not just 5. ``wrap_hi`` maps that value to ``lo``
+    (dow 7 = Sunday = 0)."""
     out: set[int] = set()
-    for part in spec.split(","):
+    for part in spec.lower().split(","):
+        for name, num in _NAMES.items():
+            part = part.replace(name, num)
         step = 1
-        if "/" in part:
+        has_step = "/" in part
+        if has_step:
             part, step_s = part.split("/", 1)
             step = int(step_s)
+            if step <= 0:
+                raise ValueError(f"cron step must be positive: {spec!r}")
         if part in ("*", ""):
             rng = range(lo, hi + 1)
         elif "-" in part:
             a, b = part.split("-", 1)
             rng = range(int(a), int(b) + 1)
+        elif has_step:
+            rng = range(int(part), hi + 1)  # Vixie: 'n/step' = 'n-max/step'
         else:
             rng = range(int(part), int(part) + 1)
-        out.update(v for v in rng if lo <= v <= hi and (v - rng.start) % step == 0)
+        vals = (v for v in rng if (v - rng.start) % step == 0)
+        for v in vals:
+            if wrap_hi is not None and v == wrap_hi:
+                v = lo
+            if lo <= v <= hi:
+                out.add(v)
     if not out:
         raise ValueError(f"empty cron field {spec!r}")
     return out
@@ -56,7 +79,9 @@ def parse_cron(expr: str) -> tuple[set[int], ...]:
     if len(fields) != 5:
         raise ValueError(f"cron must have 5 (or 6) fields: {expr!r}")
     return tuple(
-        _parse_field(f, lo, hi) for f, (lo, hi) in zip(fields, _FIELDS)
+        # dow accepts 7 as an alias for Sunday (=0), like Vixie/croniter.
+        _parse_field(f, lo, hi, wrap_hi=7 if (lo, hi) == (0, 6) else None)
+        for f, (lo, hi) in zip(fields, _FIELDS)
     )
 
 
