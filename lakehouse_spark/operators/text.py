@@ -204,3 +204,57 @@ def curate_documents(
         reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+# --- deterministic stratified sampling ----------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic per-stratum downsample: the ``n_per_stratum`` rows with
+    the smallest ``md5(id)`` in each stratum (id asc tie-break).
+
+    This is how a 100 TB corpus gets a reproducible training subsample: the
+    hash order is a fixed pseudo-random permutation, so the sample is stable
+    across runs/engines (md5 agrees between Spark and DuckDB/anything else),
+    needs no global sort, and composes with incremental data — a new row
+    either displaces the stratum's max-hash member or doesn't. Plan shape:
+    one shuffle on the stratum key + per-partition top-n (WindowGroupLimit
+    keeps n rows per partition before the final rank)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+# --- intra-document repetition (Gopher-style quality signal) -------------------
+
+
+def repetition_score(col: Column | str, n: int = 3) -> Column:
+    """Fraction of duplicated word n-grams within one document:
+    ``1 - distinct_ngrams / total_ngrams`` (0 = no repetition). High values
+    flag boilerplate/spam — one of the Gopher/C4 repetition filters.
+
+    Pure Catalyst (split + sequence + slice + array_distinct): per-row only,
+    no shuffle, runs at scan speed. Documents with fewer than ``n`` words
+    yield NULL (no n-grams to judge)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(c, " ")
+    k = F.size(words) - (n - 1)  # number of n-grams
+    # Guard k < 1: F.sequence(1, k) runs DESCENDING for k < 1 — never build it.
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    )
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+    )

@@ -2565,5 +2565,53 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "curation_stratified_sample",
+    """
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 25
+    """,
+    doc="Deterministic per-stratum downsample: smallest-md5(id) rows per "
+    "lang — a reproducible, engine-agnostic training subsample (one shuffle "
+    "on the stratum key + WindowGroupLimit top-n)",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return text.stratified_sample(docs, "lang", "doc_id", n_per_stratum=25)
+
+
+@_q(
+    "doc_repetition_score",
+    """
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams),
+                 6) AS rep3
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             ) AS grams
+      FROM documents
+    )
+    WHERE len(grams) > 0
+    """,
+    doc="Intra-document repetition (Gopher-style filter signal): fraction of "
+    "duplicated word 3-grams per doc — pure Catalyst, per-row, scan speed",
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.repetition_score("text", n=3).alias("rep3"))
+        .filter(F.col("rep3").isNotNull())
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}

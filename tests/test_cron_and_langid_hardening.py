@@ -179,3 +179,49 @@ def test_lang_id_mixed_script_goldens(spark):
     }
     for i, (text, want) in enumerate(_GOLDEN):
         assert got[i] == want, f"{text!r}: got {got[i]}, want {want}"
+
+
+# ---------------------------------------------------------------------------
+# new curation operators: edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_score_edges(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),  # < 3 words → no 3-grams → NULL
+            (2, "a b c"),  # exactly one 3-gram → 0.0
+            (3, "x y z x y z x y z"),  # 7 grams, 3 distinct → 4/7
+            (4, "one two three four five"),  # all distinct → 0.0
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["rep"]
+        for r in df.select("id", repetition_score("text").alias("rep")).collect()
+    }
+    assert got[1] is None
+    assert got[2] == 0.0
+    assert got[3] == round(1 - 3 / 7, 6)
+    assert got[4] == 0.0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.operators.text import stratified_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "lang", "doc_id"
+    )
+    a = stratified_sample(docs, "lang", "doc_id", 7).collect()
+    b = stratified_sample(docs, "lang", "doc_id", 7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    per = {}
+    for r in a:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert all(v <= 7 for v in per.values())
+    assert len(per) == 5  # every stratum represented

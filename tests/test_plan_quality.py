@@ -195,3 +195,19 @@ def test_q6_filters_reach_scan(spark):
     plan = _plan(spark, "tpch_q6_forecast_revenue")
     read = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "l_shipdate" in read and "l_discount" in read and "l_quantity" in read
+
+
+def test_stratified_sample_is_partial_group_limit(spark):
+    # One shuffle on the stratum key; partial WindowGroupLimit keeps <= n
+    # rows per map partition BEFORE the exchange, so the shuffle carries
+    # O(strata * n), not the corpus. Scan must prune to the two used columns.
+    # Executed-plan string: formatted explain double-counts nodes (tree +
+    # detail section), so node counts are only meaningful here.
+    df = CATALOG["curation_stratified_sample"].build(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE appends an "== Initial Plan ==" section; count the final plan only.
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "struct<doc_id:bigint,lang:string>" in plan
