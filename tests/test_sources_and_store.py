@@ -16,6 +16,7 @@ from pyspark.sql.types import (
 )
 
 from lakehouse_spark.mutation.store import TableStore
+from tests.conftest import SF_SMALL
 from lakehouse_spark.sources import jsonl
 
 SCHEMA = StructType(
@@ -268,3 +269,44 @@ def test_store_failed_commit_releases_claim(spark, tmp_store_dir):
     # Slot released: the next commit reuses it without ConcurrentWriteError.
     store.append(_kv(spark, ("b", 2, ts)))
     assert store.current_version() == v0 + 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing pays the hash-distribution once at write time: a join of
+    two tables bucketed on the same key with the same bucket count must plan
+    SortMergeJoin with ZERO Exchange on either side (broadcast disabled to
+    force the merge path). This is the repeated-big-join answer at 100 TB —
+    events/sessions co-bucketed on session_id never reshuffle per query."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.sources.bucketed import cobucketed_join, write_bucketed
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    cust = load_table(spark, SF_SMALL, "customer")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", ["o_custkey"], 8, path=os.path.join(str(tmp_path), "o"),
+    )
+    write_bucketed(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        "b_cust", ["o_custkey"], 8, path=os.path.join(str(tmp_path), "c"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cobucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+        n = j.count()
+        j.collect()
+        plan = (
+            j._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not reshuffle"
+        assert n > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
