@@ -119,3 +119,28 @@ def run_all(
             out.append(compare(name, spec.build(spark, sf_dir), con, spec.oracle))
         release_caches()  # dedup intermediates don't outlive their query
     return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: ``python -m lakehouse_spark.oracle [sf_dir] [name ...]`` — run
+    the differential harness and print one line per entry + a summary."""
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
+    from lakehouse_spark.session import get_spark
+
+    res = run_all(get_spark(), sf_dir, args or None)
+    bad = [r for r in res if not r.ok]
+    for r in res:
+        status = "ok" if r.ok else (
+            f"FAIL rows={r.spark_rows}/{r.oracle_rows} "
+            f"schema={r.schema_match} hash={r.hash_match}"
+        )
+        print(f"{r.name:40s} {status}")
+    print(f"-- {len(res) - len(bad)}/{len(res)} green")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
