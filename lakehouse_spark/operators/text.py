@@ -244,17 +244,61 @@ def repetition_score(col: Column | str, n: int = 3) -> Column:
     Pure Catalyst (split + sequence + slice + array_distinct): per-row only,
     no shuffle, runs at scan speed. Documents with fewer than ``n`` words
     yield NULL (no n-grams to judge)."""
+    grams = word_ngrams(col, n)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+    )
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Array of space-joined word n-grams; NULL when the document has fewer
+    than ``n`` words. Pure Catalyst, per-row."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(c, " ")
     k = F.size(words) - (n - 1)  # number of n-grams
     # Guard k < 1: F.sequence(1, k) runs DESCENDING for k < 1 — never build it.
-    grams = F.when(
+    return F.when(
         k >= 1,
         F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     )
-    return F.round(
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+
+
+# --- benchmark decontamination -------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Training-data decontamination: flag every corpus document sharing at
+    least one word ``n``-gram with any benchmark document (the standard
+    n-gram-overlap test-set leakage check, as in GPT-3/PaLM data work).
+
+    Returns the corpus ids with a ``contaminated`` flag. Plan shape at
+    100 TB: benchmark n-grams are a SMALL distinct set → broadcast;
+    corpus n-grams are generated per-row (narrow) and exploded to one
+    (id, gram) column pair — the only wide op is the broadcast LEFT SEMI
+    join, so the corpus never shuffles and the flag is a semi-join hit."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.select(id_col).join(
+        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).select(
+        id_col, F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
     )

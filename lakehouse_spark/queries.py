@@ -2613,5 +2613,31 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "curation_decontaminate",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 4),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             )) AS gram
+      FROM documents),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 5),
+    hits AS (SELECT DISTINCT doc_id FROM grams
+             WHERE gram IN (SELECT gram FROM bench))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination: flag docs sharing any word 5-gram with "
+    "the benchmark set (docs 0-4) — broadcast semi join on grams; the "
+    "corpus never shuffles",
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return text.decontaminate(docs, bench, "doc_id", "text", n=5)
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}

@@ -225,3 +225,25 @@ def test_stratified_sample_deterministic_and_bounded(spark):
         per[r["lang"]] = per.get(r["lang"], 0) + 1
     assert all(v <= 7 for v in per.values())
     assert len(per) == 5  # every stratum represented
+
+
+def test_decontaminate_flags_exact_and_not_clean(spark):
+    from lakehouse_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench gram
+            (2, "one two three four five six"),  # clean
+            (3, "x alpha beta gamma delta epsilon y"),  # bench gram mid-doc
+            (4, "too short"),  # < n words → clean by definition
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False}
