@@ -739,13 +739,18 @@ def t7_month_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="T8: date arithmetic against a scalar aggregate",
 )
 def t8_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Uncorrelated scalar subquery, executed the way Catalyst itself would:
+    # the 1-value aggregate runs as its own (stats-fast) job, and the result
+    # becomes a LITERAL predicate on the main scan — so the date filter
+    # reaches PushedFilters instead of sitting above a 1-row
+    # BroadcastNestedLoopJoin (the previous shape, flagged by the catalog
+    # plan lint).
     orders = _t(spark, sf_dir, "orders")
     cutoff = orders.agg(
-        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAY")).alias("__cutoff")
-    )
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAY")).alias("c")
+    ).collect()[0]["c"]
     return (
-        orders.join(F.broadcast(cutoff))
-        .filter(F.col("o_orderdate") >= F.col("__cutoff"))
+        orders.filter(F.col("o_orderdate") >= F.lit(cutoff))
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"))
     )

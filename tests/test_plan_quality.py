@@ -211,3 +211,23 @@ def test_stratified_sample_is_partial_group_limit(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_no_cartesian_product_anywhere_in_catalog(spark):
+    """Plan lint over EVERY catalog entry: a refactor that degrades any join
+    to a cartesian product (or an unintended nested-loop broadcast) should
+    fail here by name, not at 100 TB. sim_topk_bruteforce's
+    BroadcastNestedLoopJoin is the one intended exception (exact baseline:
+    query side broadcast against the streaming corpus)."""
+    from lakehouse_spark.operators.dedup import release_caches
+
+    allowed_bnlj = {"sim_topk_bruteforce"}
+    offenders = []
+    for name in CATALOG:
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+        release_caches()
+    assert not offenders, offenders
