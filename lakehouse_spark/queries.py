@@ -2644,5 +2644,132 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(docs, bench, "doc_id", "text", n=5)
 
 
+@_q(
+    "tpch_q2_min_cost_part",
+    """
+    SELECT p_type, p_partkey, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+      SELECT min(p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    )
+    """,
+    doc="TPC-H Q2 shape: correlated min subquery per group (cheapest part "
+    "per type) — executed as a single partitioned window min, no self-join",
+)
+def tpch_q2_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("__min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__min"))
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+@_q(
+    "tpch_q12_priority_buckets",
+    """
+    SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: CASE-bucketed counts over a fact-fact join "
+    "(urgent vs other order priorities per ship month)",
+)
+def tpch_q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_cnt"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_cnt"),
+        )
+    )
+
+
+@_q(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape: NOT-IN exclusion (anti join on the tiny negative-"
+    "balance supplier set) + count distinct per (brand, size)",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q19_or_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity "
+    "bands over a broadcast part join — exercises OR-tree predicate "
+    "handling and partial pushdown",
+)
+def tpch_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}

@@ -231,3 +231,27 @@ def test_no_cartesian_product_anywhere_in_catalog(spark):
             offenders.append((name, "BroadcastNestedLoopJoin"))
         release_caches()
     assert not offenders, offenders
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark):
+    # the correlated min subquery must become ONE partitioned window min —
+    # a join back against a grouped aggregate would scan part twice.
+    plan = _plan(spark, "tpch_q2_min_cost_part")
+    assert "windowspecdefinition" in plan
+    assert "Join" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    plan = _plan(spark, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_or_bands_broadcast_part(spark):
+    plan = _plan(spark, "tpch_q19_or_predicates")
+    assert "BroadcastHashJoin" in plan
+    # Catalyst derives each side's OR-envelope from the cross-side
+    # disjunction and pushes it into BOTH scans: the l_quantity band union
+    # reaches the lineitem scan, the brand/size union reaches part.
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "EqualTo(p_brand,Brand#11)" in plan
