@@ -2771,5 +2771,62 @@ def tpch_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="Multi-level aggregation in one pass: ROLLUP(returnflag, linestatus) "
+    "with grouping id — Spark's Expand + single shuffle vs re-scanning per "
+    "level. NULL subtotal labels coalesced to 'ALL' (canonicalizer-safe; "
+    "the data has no NULL flags, so it's unambiguous)",
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "gid",
+        )
+    )
+
+
+@_q(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont`, linear interpolation). Exact form needs a "
+    "per-group sort buffer — at 100 TB swap for approx_percentile "
+    "(t-digest, mergeable partials); the exact form is the oracle anchor",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(name)
+            for q, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"))
+        ]
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
