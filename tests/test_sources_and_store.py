@@ -310,3 +310,48 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_partitioned_layout_prunes_and_overwrites_dynamically(spark, tmp_path):
+    """Date-partitioned event log: (1) a filter on the partition column must
+    appear in the scan's PartitionFilters — whole directories pruned at
+    planning time; (2) dynamic partition overwrite replaces ONLY the
+    partitions present in the written frame (idempotent daily backfill)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    root = str(tmp_path / "events")
+    write_partitioned(ev, root, "event_date", derive_from=F.to_date("ts"))
+    total = ev.count()
+
+    back = read_partitioned(spark, root)
+    day = back.filter(F.col("event_date") == "2024-01-05")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        day.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_date" in pf and "2024-01-05" in pf
+    n_day = day.count()
+    assert 0 < n_day < total
+
+    # dynamic overwrite: rewrite one day with a 3-row frame; other days
+    # must be untouched, that day fully replaced.
+    three = ev.filter(F.to_date("ts") == "2024-01-05").limit(3)
+    write_partitioned(
+        three, root, "event_date", derive_from=F.to_date("ts"),
+        overwrite_dynamic=True,
+    )
+    back2 = read_partitioned(spark, root)
+    assert back2.filter(F.col("event_date") == "2024-01-05").count() == 3
+    assert (
+        back2.filter(F.col("event_date") != "2024-01-05").count()
+        == total - n_day
+    )
