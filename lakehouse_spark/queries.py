@@ -2828,5 +2828,48 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "emb_quantize_int8",
+    """
+    SELECT vec_id,
+           array_to_string(
+             list_transform(emb,
+                            x -> CAST(floor(x * scale + 0.5) AS INT)),
+             ',') AS qvec,
+           round(scale, 6) AS scale_r,
+           round(list_aggregate(
+             list_transform(emb,
+                            x -> abs(floor(x * scale + 0.5) / scale - x)),
+             'sum') / len(emb), 9) AS mae
+    FROM (
+      SELECT vec_id, emb,
+             CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+      FROM (
+        -- float32 -> double FIRST so both engines do all math in double
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings))
+    """,
+    doc="Symmetric per-vector int8 quantization (4x embedding storage shrink "
+    "at 100 TB) + per-row mean-abs reconstruction error; floor(x+0.5) "
+    "rounding so both engines emit identical codes",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q, scale, err = similarity.quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+        F.round(scale, 6).alias("scale_r"),
+        F.round(err, 9).alias("mae"),
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
