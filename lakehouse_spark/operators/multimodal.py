@@ -62,7 +62,10 @@ def fake_decoder(payload: bytes, kind: str) -> list[float]:
     for b in payload:
         hist[b >> 5] += 1
     total = max(len(payload), 1)
-    return [round(h / total, 6) for h in hist]
+    # Full precision on purpose: rounding belongs to the consumer (F.round /
+    # SQL round are both HALF_UP; Python's round() is banker's and disagrees
+    # on exact .5 values like 105/128 — the r3 mm oracle caught this).
+    return [h / total for h in hist]
 
 
 def extract_features(

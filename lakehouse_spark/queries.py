@@ -1627,8 +1627,23 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "mm_feature_extract",
-    None,  # mapInPandas + python decoder: no SQL equivalent → rows-only
-    doc="Multimodal: Arrow-batched decode/feature extraction with fake decoder",
+    """
+    SELECT 'doc-' || doc_id AS asset_id,
+           CAST(strlen(text) AS INT) AS byte_len,
+           round(CAST(len(list_filter(string_split(text, ''),
+                                      c -> ascii(c) // 32 = 0)) AS DOUBLE)
+                 / greatest(strlen(text), 1), 6) AS f0,
+           round(CAST(len(list_filter(string_split(text, ''),
+                                      c -> ascii(c) // 32 = 3)) AS DOUBLE)
+                 / greatest(strlen(text), 1), 6) AS f3,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM documents
+    """,
+    doc="Multimodal: Arrow-batched decode/feature extraction. The fake "
+    "decoder's byte-histogram IS SQL-expressible because the synthesized "
+    "payloads are utf-8 of pure-ASCII text (verified at every SF: strlen == "
+    "length), so byte buckets == codepoint//32 — upgrading this entry from "
+    "rows-only to a full value-hash oracle over the mapInPandas path",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark.operators import multimodal
