@@ -41,43 +41,58 @@ def main() -> None:
 
     from lakehouse_spark.operators.dedup import release_caches
 
-    timings: dict[str, float] = {}
+    # One failing query must not take down the whole bench (round 2's
+    # BENCH_r02 was rc=1/parsed=null because a single query threw): record
+    # the error, keep timing the rest, and ALWAYS print the JSON line.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     kept: dict[str, list] = {}
     t_suite = time.perf_counter()
     for name, spec in suite.items():
         t0 = time.perf_counter()
-        rows = spec.build(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            rows = spec.build(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            if name == "sim_topk_bruteforce":
+                kept[name] = rows
+        except Exception as ex:  # noqa: BLE001 — survive any query failure
+            timings[name] = None
+            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
         release_caches()  # dedup intermediates don't outlive their query
-        if name == "sim_topk_bruteforce":
-            kept[name] = rows
     total = round(time.perf_counter() - t_suite, 3)
 
     # IVF quality: recall@5 of the learned-centroid approximate index
     # against the exact brute-force neighbors (same queries, same k).
     from lakehouse_spark.queries import CATALOG
 
-    truth = {
-        (r["query_id"], r["neighbor_id"]) for r in kept["sim_topk_bruteforce"]
-    }
-    approx = {
-        (r["query_id"], r["neighbor_id"])
-        for r in CATALOG["sim_ivf_topk"].build(spark, sf_dir).collect()
-    }
-    ivf_recall = round(len(approx & truth) / len(truth), 4) if truth else None
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "ivf_recall_at_5": ivf_recall,
-                "sf": sf,
-            }
+    try:
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in kept.get("sim_topk_bruteforce", [])
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in CATALOG["sim_ivf_topk"].build(spark, sf_dir).collect()
+        }
+        ivf_recall = (
+            round(len(approx & truth) / len(truth), 4) if truth else None
         )
-    )
+    except Exception as ex:  # noqa: BLE001
+        ivf_recall = None
+        errors["sim_ivf_topk"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "ivf_recall_at_5": ivf_recall,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":
