@@ -33,9 +33,14 @@ def running_counters(
     sum_alias: str = "token_usage",
 ) -> DataFrame:
     """A2: the reference's read-modify-write counters (message_count++,
-    token_usage += …) become a pure aggregate view — null-safe sum."""
+    token_usage += …) become a pure aggregate view — null-safe sum. Summed
+    in DECIMAL: exact and order-independent, unlike double partial-agg
+    combination whose order is schedule-dependent."""
     return df.groupBy(key).agg(
-        F.count("*").alias(count_alias), F.sum(sum_col).alias(sum_alias)
+        F.count("*").alias(count_alias),
+        F.sum(F.col(sum_col).cast("decimal(18,4)"))
+        .cast("double")
+        .alias(sum_alias),
     )
 
 

@@ -125,7 +125,13 @@ def turn_stats(
         F.max(ts_col).alias("turn_end"),
     ]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 4).alias("value_sum"))
+        # Decimal sum: order-independent (double partial-agg combine order
+        # is schedule-dependent and can flip the 4th decimal after round).
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("value_sum")
+        )
     return with_turn.groupBy(session_col, "turn_id").agg(*aggs)
 
 

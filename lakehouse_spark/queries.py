@@ -67,6 +67,57 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dsum(col, digits: int = 2):
+    """Order-independent rounded sum for money/quantity columns.
+
+    Double summation order is schedule-dependent (partial-aggregate combine
+    order varies with partitioning), so round(sum(double), 2) can flip a
+    cent between runs/engines whenever a group's true sum sits near a
+    half-cent boundary — ~1% of groups at 100-row group sizes (measured on
+    tpch_q7: 4 of 600 groups). Summing in DECIMAL is exact and
+    order-independent; the oracle SQL mirrors it with
+    ``CAST(round(sum(CAST(x AS DECIMAL(18,4))), d) AS DOUBLE)``. The 18,4
+    input widens automatically during aggregation in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,4)")), digits).cast("double")
+
+
+def _davg(col, digits: int = 4):
+    """Order-independent rounded mean: exact decimal sum, one double
+    division (deterministic), then round. Mirrors
+    ``round(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / count(x), d)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c), digits
+    )
+
+
+def _ssum(col, digits: int = 2, scale: int = 10000):
+    """Order-independent rounded sum at INT64 speed: the value is snapped to
+    a 1/scale grid (exact for money/quantity columns with <= 4 decimal
+    digits), summed as bigint (exact, order-independent, no decimal-kernel
+    cost — decimal sums measured ~2x slower on the 8-agg flagship query),
+    then divided back. int64 overflow bound: |sum(x)| * scale < 9.2e18 —
+    fine to ~1e14 in column units; use _dsum where totals can exceed that.
+    Mirrors ``round(sum(CAST(round(x * scale) AS BIGINT)) / (scale*1.0), d)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(F.round(c * scale).cast("long")) / F.lit(float(scale)), digits
+    )
+
+
+def _savg(col, digits: int = 4, scale: int = 10000):
+    """Scaled-int mean, same exactness argument as :func:`_ssum`; the single
+    double division is bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(F.round(c * scale).cast("long"))
+        / (F.lit(float(scale)) * F.count(c)),
+        digits,
+    )
+
+
 # =============================================================================
 # Flagship + TPC-H-style headline queries (A2/A3 aggregation shapes)
 # =============================================================================
@@ -76,12 +127,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "flagship_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           round(sum(CAST(round(l_quantity * 10000) AS BIGINT)) / 10000.0, 2) AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+           round(sum(CAST(round(l_quantity * 10000) AS BIGINT)) / (10000.0 * count(l_quantity)), 4) AS avg_qty,
+           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / (10000.0 * count(l_extendedprice)), 4) AS avg_price,
+           round(sum(CAST(round(l_discount * 10000) AS BIGINT)) / (10000.0 * count(l_discount)), 4) AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -96,14 +147,14 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _ssum("l_quantity").alias("sum_qty"),
+            _ssum("l_extendedprice").alias("sum_base_price"),
+            _ssum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            _savg("l_quantity").alias("avg_qty"),
+            _savg("l_extendedprice").alias("avg_price"),
+            _savg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -113,7 +164,7 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -140,7 +191,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, li.l_orderkey == orders.o_orderkey
     ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         )
     )
@@ -152,7 +203,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q5_local_supplier_volume",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -223,7 +274,7 @@ def f1_and_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "f2_time_range",
     """
-    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    SELECT l_returnflag, count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1999-06-01'
     GROUP BY l_returnflag
@@ -237,7 +288,7 @@ def f2_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1999-06-01").cast("timestamp"),
     )
     return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+        F.count("*").alias("n"), _dsum("l_quantity").alias("qty")
     )
 
 
@@ -298,7 +349,7 @@ def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_running_counters",
     """
     SELECT o_custkey, count(*) AS message_count,
-           round(sum(o_totalprice), 2) AS token_usage
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS token_usage
     FROM orders GROUP BY o_custkey
     """,
     doc="A2: per-key count+sum (message_count/token_usage counters as a view)",
@@ -316,7 +367,7 @@ def a2_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
       SELECT event_type, count(*) AS total,
-             round(avg(value), 4) AS avg_value,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4) AS avg_value,
              round(max(value), 4) AS max_value
       FROM events GROUP BY event_type
     ), ranked AS (
@@ -334,7 +385,7 @@ def a3_metrics_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("total"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        _davg("value").alias("avg_value"),
         F.round(F.max("value"), 4).alias("max_value"),
         F.max(F.struct(F.col("value"), F.col("event_id"))).alias("__mx"),
     ).select(
@@ -354,7 +405,7 @@ def a3_metrics_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "j1_semi_join_fetch",
     """
-    SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT l_returnflag, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_orderkey IN (
@@ -431,7 +482,7 @@ def j3_recursive_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "j5_fk_lookup_chain",
     """
-    SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+    SELECT r_name, n_name, count(*) AS n_cust, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal), 4) AS avg_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -447,7 +498,7 @@ def j5_fk_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = joins.fk_lookup(cust, nation, "c_nationkey", "n_nationkey", "inner")
     j = joins.fk_lookup(j, region, "n_regionkey", "r_regionkey", "inner")
     return j.groupBy("r_name", "n_name").agg(
-        F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+        F.count("*").alias("n_cust"), _davg("c_acctbal").alias("avg_bal")
     )
 
 
@@ -585,7 +636,7 @@ def w2_pre_post_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, turn_id, count(*) AS n_events,
            min(ts) AS turn_start, max(ts) AS turn_end,
-           round(sum(value), 4) AS value_sum
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS value_sum
     FROM numbered GROUP BY user_id, turn_id
     """,
     headline=True,
@@ -1400,7 +1451,7 @@ def w3_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     """
     SELECT l_returnflag AS key,
-           round(sum(l_quantity), 2) AS qty,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty,
            count(*) AS n,
            round(max(l_extendedprice), 2) AS max_price
     FROM lineitem GROUP BY l_returnflag
@@ -1451,7 +1502,7 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_time_buckets",
     """
     SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket_start, event_type,
-           count(*) AS n, round(sum(value), 2) AS value_sum
+           count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
     FROM events GROUP BY 1, 2
     """,
     headline=True,
@@ -1466,14 +1517,14 @@ def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "1 day",
         ["event_type"],
-        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum")],
+        [F.count("*").alias("n"), _dsum("value").alias("value_sum")],
     ).select("bucket_start", "event_type", "n", "value_sum")
 
 
 @_q(
     "rollup_hierarchy",
     """
-    SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    SELECT r_name, n_name, count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -1494,7 +1545,7 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ru.hierarchy_rollup(
         j,
         ["r_name", "n_name"],
-        [F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")],
+        [F.count("*").alias("n"), _dsum("c_acctbal").alias("bal")],
     )
 
 
@@ -1925,7 +1976,7 @@ def cron_next_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
            round(o_totalprice, 2) AS o_totalprice,
-           round(sum(l_quantity), 2) AS total_qty
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -1959,7 +2010,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = j.groupBy(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    ).agg(_dsum("l_quantity").alias("total_qty"))
     return sorts.top_n(
         agg, [F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")], 100
     ).select(
@@ -2067,7 +2118,7 @@ def t5_case_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t14_nested_access",
     """
     SELECT event_type AS tool_name, value > 250 AS success,
-           count(*) AS n, round(sum(value), 2) AS output_sum
+           count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS output_sum
     FROM events GROUP BY 1, 2
     """,
     doc="T14: nested struct construction + dotted-path navigation "
@@ -2089,7 +2140,7 @@ def t14_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("data.result.success").alias("success"),
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("data.result.output"), 2).alias("output_sum"),
+        _dsum(F.col("data.result.output")).alias("output_sum"),
     )
 
 
@@ -2744,7 +2795,7 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q19_or_predicates",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -2781,8 +2832,9 @@ def tpch_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(band).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
     )
 
 
@@ -2791,7 +2843,7 @@ def tpch_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -2805,9 +2857,9 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.grouping_id().alias("gid"),
         )
         .select(
@@ -2883,6 +2935,70 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(scale, 6).alias("scale_r"),
         F.round(err, 9).alias("mae"),
+    )
+
+
+@_q(
+    "tpch_q7_nation_trade",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           -- sum in DECIMAL: double summation order differs between engines
+           -- and flips cents after round(2) on ~90-line groups; decimal
+           -- addition is exact and order-independent
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume — the same dimension "
+    "(nation) joined twice through different FK paths (customer side vs "
+    "supplier side), both broadcast; only the fact-fact join shuffles",
+)
+def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), "s_nationkey")
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            # decimal sum: exact, order-independent (see oracle comment)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
     )
 
 
