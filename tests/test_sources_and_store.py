@@ -201,14 +201,117 @@ def test_ref_resolver_local_git_and_stub(spark, tmp_path):
     with pytest.raises(RefResolutionError, match="does not exist"):
         res.resolve(lp.p.asDict(), str(tmp_path / "ghost"))
 
-    # remote kinds without an injected fetcher are a declared stub
+    # a caller can still force the declared-stub contract by injection
+    # (e.g. an air-gapped deploy that wants fetches to fail loudly)
+    from lakehouse_spark.sources.refs import _unavailable
+
+    stub = RefResolver(
+        str(tmp_path / "cache2"), fetchers={"http": _unavailable("http")}
+    )
     (hp,) = spark.createDataFrame(
         [("https://example.com/f.md",)], "ref string"
     ).select(parse_ref("ref").alias("p")).collect()
     with pytest.raises(NotImplementedError, match="http"):
-        res.resolve(hp.p.asDict(), "https://example.com/f.md")
+        stub.resolve(hp.p.asDict(), "https://example.com/f.md")
 
+
+def test_ref_resolver_real_git_fetcher(spark, tmp_path):
+    """SC10 upgrade: the default git fetcher is REAL (shallow clone of the
+    pinned ref). Exercised against a file:// repo — same code path a
+    networked deploy uses for https/ssh remotes."""
+    import subprocess
+
+    from lakehouse_spark.sources.refs import RefResolver, parse_ref
+
+    repo = tmp_path / "srcrepo"
+    repo.mkdir()
+    (repo / "agents").mkdir()
+    (repo / "agents" / "a.md").write_text("tagged content")
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args], check=True, capture_output=True,
+            env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                 "PATH": "/usr/bin:/bin"},
+        )
+
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "init")
+    git("tag", "v1")
+    commit = subprocess.run(
+        ["git", "-C", str(repo), "rev-parse", "HEAD"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+
+    res = RefResolver(str(tmp_path / "cache"))
+    # tag pin → shallow-clone fast path
+    ref = f"git+file://{repo}@v1/agents/a.md"
+    (p,) = spark.createDataFrame([(ref,)], "ref string").select(
+        parse_ref("ref").alias("p")
+    ).collect()
+    got = res.resolve(p.p.asDict(), ref)
+    assert open(got).read() == "tagged content"
+    # commit pin → clone+detached-checkout fallback path
+    ref2 = f"git+file://{repo}@{commit}/agents/a.md"
+    (p2,) = spark.createDataFrame([(ref2,)], "ref string").select(
+        parse_ref("ref").alias("p")
+    ).collect()
+    assert open(res.resolve(p2.p.asDict(), ref2)).read() == "tagged content"
+    # cache: deleting the SOURCE repo must not break a re-resolve
+    import shutil
+
+    shutil.rmtree(repo)
+    assert res.resolve(p.p.asDict(), ref) == got
+
+
+def test_ref_resolver_real_http_fetcher(spark, tmp_path):
+    """SC10 upgrade: the default http fetcher is REAL (streamed download).
+    Exercised against a localhost server — no external network."""
+    import http.server
+    import threading
+
+    from lakehouse_spark.sources.refs import RefResolver, parse_ref
+
+    site = tmp_path / "site"
+    site.mkdir()
+    (site / "config.yaml").write_text("a: 1\n")
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(site), **k
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/config.yaml"
+        res = RefResolver(str(tmp_path / "cache"))
+        (p,) = spark.createDataFrame([(url,)], "ref string").select(
+            parse_ref("ref").alias("p")
+        ).collect()
+        got = res.resolve(p.p.asDict(), url)
+        assert open(got).read() == "a: 1\n"
+        # second resolve is served from cache (server down proves it)
+        srv.shutdown()
+        assert res.resolve(p.p.asDict(), url) == got
+    finally:
+        srv.shutdown()
+
+
+def test_ref_resolver_asset_missing_error(spark, tmp_path):
     # asset missing inside a fetched repo → reference's error contract
+    from lakehouse_spark.sources.refs import (
+        RefResolutionError,
+        RefResolver,
+        parse_ref,
+    )
+
+    def fake_git(base_url, ref_name, dest):
+        import os
+
+        os.makedirs(dest, exist_ok=True)  # repo exists but has no asset
+
+    res = RefResolver(str(tmp_path / "cache"), fetchers={"git": fake_git})
     bad = "git+https://github.com/org/repo@main/agents/missing.md"
     (bp,) = spark.createDataFrame([(bad,)], "ref string").select(
         parse_ref("ref").alias("p")
