@@ -196,6 +196,34 @@ def stream_turn_stats(
     )
 
 
+def stream_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ST6: tumbling event-time window counts with late-data handling.
+
+    The watermark bounds state AND defines finality: in append output mode a
+    window row is emitted exactly once, when the watermark (max event time
+    seen minus ``watermark``) passes the window end — events later than that
+    are dropped, which is the contract that lets a 100 TB/day stream keep
+    bounded state instead of waiting forever for stragglers. Downstream
+    rollups (rollup.time_bucket_rollup) accept the finalized rows as-is."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
 def stream_trace_turns(
     events: DataFrame,
     timeout_ms: int = 60_000,

@@ -235,3 +235,38 @@ def test_st7_cancel_mid_turn_flushes_open_turn_and_stops_query(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_stream_windowed_counts_watermark_finality(spark, tmp_path):
+    """Append-mode windowed counts emit a window exactly once — when the
+    watermark (max event time - 10 min) passes its end. With events up to
+    01:05, the watermark lands at 00:55: the [00:00, 00:30) window is final
+    (emitted), [00:30, 01:00) and [01:00, 01:30) are still open (held back).
+    This is the bounded-state contract for late data at stream scale."""
+    rows = [
+        {"session_id": "s1", "ts": "2026-01-01T00:05:00Z", "event": "e", "turn_id": 1},
+        {"session_id": "s1", "ts": "2026-01-01T00:20:00Z", "event": "e", "turn_id": 1},
+        {"session_id": "s1", "ts": "2026-01-01T00:35:00Z", "event": "e", "turn_id": 1},
+        {"session_id": "s1", "ts": "2026-01-01T01:05:00Z", "event": "e", "turn_id": 1},
+    ]
+    path = _write_events(tmp_path, "w.jsonl", rows)
+    from pyspark.sql.types import _parse_datatype_string
+
+    stream = jsonl.read_jsonl_stream(
+        spark, path, _parse_datatype_string(EVENT_SCHEMA)
+    )
+    out = live.stream_windowed_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("windowed_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r.window_start), r.n_events)
+        for r in spark.sql("SELECT * FROM windowed_test").collect()
+    }
+    assert got == {("2026-01-01 00:00:00", 2)}
