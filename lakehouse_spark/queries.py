@@ -3002,5 +3002,61 @@ def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM (
+      SELECT l_extendedprice, l_quantity,
+             sum(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_partkey) AS qty_sum,
+             count(*) OVER (PARTITION BY l_partkey) AS cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#11')
+    WHERE l_quantity * 5 * cnt < CAST(qty_sum AS DOUBLE)
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average threshold (qty < "
+    "0.2*avg), executed as ONE partitioned window over the brand-filtered "
+    "slice instead of a per-row subquery. The threshold is compared in the "
+    "exact form qty*5*cnt < decimal_sum: a double 0.2*avg(double) is "
+    "order-dependent AND the 0.2 literal types differently across engines "
+    "(DuckDB decimal vs Spark double), which can flip borderline rows",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey")
+    # Join FIRST, then window: the correlated stats only need the brand's
+    # parts, so window state is bounded by the filtered slice (the set is
+    # identical — l_partkey determines p_brand). Threshold in exact form:
+    # qty*5*cnt (double ops on the 2-decimal grid, exact) vs the decimal
+    # window sum cast to double (deterministic) — see the oracle note.
+    sliced = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        sliced.withColumn(
+            "__qty_sum",
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w),
+        )
+        .withColumn("__cnt", F.count("*").over(w))
+        .filter(
+            F.col("l_quantity") * 5 * F.col("__cnt")
+            < F.col("__qty_sum").cast("double")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0)
+            .cast("double")
+            .alias("__raw")
+        )
+        .select(F.round("__raw", 2).alias("avg_yearly"))
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
