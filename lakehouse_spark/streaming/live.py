@@ -224,6 +224,32 @@ def stream_windowed_counts(
     )
 
 
+def stream_session_gap_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    session_col: str = "session_id",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows (engine addition alongside the reference's
+    marker-based S1): a session closes after ``gap`` of event-time silence.
+    ``F.session_window`` merges overlapping windows in state; the watermark
+    both finalizes closed sessions (append mode emits each exactly once)
+    and bounds state for dead keys. The complement to marker sessions for
+    activity-defined workloads (user browsing sessions, device bursts)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), session_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            session_col,
+            "n_events",
+        )
+    )
+
+
 def stream_trace_turns(
     events: DataFrame,
     timeout_ms: int = 60_000,

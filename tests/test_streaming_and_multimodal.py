@@ -270,3 +270,38 @@ def test_stream_windowed_counts_watermark_finality(spark, tmp_path):
         for r in spark.sql("SELECT * FROM windowed_test").collect()
     }
     assert got == {("2026-01-01 00:00:00", 2)}
+
+
+def test_stream_session_gap_windows(spark, tmp_path):
+    """Gap sessions: events 2 min apart merge into one session; a 20-min
+    gap starts another. With max event time 00:20 the watermark is 00:10,
+    past the first session's close (last event 00:02 + 5 min gap = 00:07),
+    so exactly that session is final and emitted in append mode."""
+    rows = [
+        {"session_id": "u1", "ts": "2026-01-01T00:00:00Z", "event": "e", "turn_id": 1},
+        {"session_id": "u1", "ts": "2026-01-01T00:02:00Z", "event": "e", "turn_id": 1},
+        {"session_id": "u1", "ts": "2026-01-01T00:20:00Z", "event": "e", "turn_id": 1},
+    ]
+    path = _write_events(tmp_path, "g.jsonl", rows)
+    from pyspark.sql.types import _parse_datatype_string
+
+    stream = jsonl.read_jsonl_stream(
+        spark, path, _parse_datatype_string(EVENT_SCHEMA)
+    )
+    out = live.stream_session_gap_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gap_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_g"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [
+        (str(r.session_start), str(r.session_end), r.session_id, r.n_events)
+        for r in spark.sql("SELECT * FROM gap_test").collect()
+    ]
+    assert got == [
+        ("2026-01-01 00:00:00", "2026-01-01 00:07:00", "u1", 2)
+    ]
