@@ -448,3 +448,70 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    all_nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Turn near-dup PAIRS into dedup DECISIONS: connected components via
+    iterative min-label propagation (cluster_id = smallest node id in the
+    component — the member a keep-first policy retains).
+
+    Scale shape: each iteration is one equi join edges⋈labels + one groupBy
+    min — all hash-partitioned by node id, no driver-side graph.
+    ``localCheckpoint`` cuts lineage per iteration (the closure.py loop
+    discipline), iterations stop at convergence (component diameter bounds
+    the count; near-dup clusters are shallow in practice). GraphFrames'
+    large-star/small-star does the same job in fewer rounds on huge graphs —
+    this stays dependency-free with identical output.
+
+    ``all_nodes`` (optional, one ``node_col`` column) adds isolated nodes:
+    every document appears in the output, singletons as their own cluster.
+    """
+    e = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    if all_nodes is not None:
+        nodes = nodes.union(
+            all_nodes.select(F.col(node_col).alias("node"))
+        ).distinct()
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nlbl").alias("mn"))
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+        )
+        labels = new
+        if changed.isEmpty():
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

@@ -3058,5 +3058,66 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_cluster_components",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id AS id,
+             lang || '|' || source || '|' ||
+               CAST(CAST(floor(log2(len(regexp_split_to_array(trim(text), '\\s+'))))
+                    AS BIGINT) AS VARCHAR) AS blk,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id, blk,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.id AS a_id, b.id AS b_id,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id) v
+      WHERE jaccard >= 0.1
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), walk(s, d) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s
+    )
+    SELECT s AS doc_id, min(d) AS cluster_id FROM walk GROUP BY s
+    """,
+    doc="Near-dup CLUSTERING: connected components over the exact ngram-"
+    "jaccard pairs (min-label propagation; cluster_id = smallest member — "
+    "the doc a keep-first policy retains). Every doc appears; singletons "
+    "cluster as themselves. Oracle replays it as a recursive CTE closure",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            "lang",
+            "source",
+            F.floor(
+                F.log2(F.size(F.split(F.trim("text"), r"\s+")))
+            ).cast("long").cast("string"),
+        ),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "blk", n=3, min_jaccard=0.0
+    )
+    pairs = pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.1
+    )
+    return dedup.connected_components(
+        pairs, "a_id", "b_id",
+        all_nodes=docs.select("doc_id"), node_col="doc_id",
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}

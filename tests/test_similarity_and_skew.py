@@ -207,3 +207,21 @@ def test_catalog_ivf_config_recall_above_080(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.8, f"catalog IVF recall {recall:.2f} below 0.8"
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from lakehouse_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (transitive closure must merge all three), triangle
+    # 10-11-12, isolated 99 (from all_nodes only)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (12,), (99,)], "n long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs, "a", "b", all_nodes=nodes, node_col="n"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
