@@ -3119,5 +3119,38 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_top_words",
+    """
+    SELECT word, n, df FROM (
+      SELECT word, count(*) AS n, count(DISTINCT doc_id) AS df,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      WHERE word <> ''
+      GROUP BY word) v
+    WHERE rk <= 20
+    """,
+    doc="Vocabulary building: corpus-wide top-20 words by term frequency "
+    "with document frequency — explode (narrow) then one word-keyed shuffle "
+    "with map-side partial aggregation, then TakeOrdered top-k; the shape "
+    "behind tokenizer-vocab and stopword-list construction at corpus scale",
+)
+def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count("*").alias("n"), F.count_distinct("doc_id").alias("df")
+    )
+    from lakehouse_spark.operators import sorts
+
+    return sorts.top_n(counts, [F.desc("n"), F.asc("word")], 20).select(
+        "word", "n", "df"
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
