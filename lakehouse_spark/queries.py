@@ -3152,5 +3152,90 @@ def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_tfidf_top_term",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM words WHERE word <> '' GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM words
+      WHERE word <> '' GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word AS top_term,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM (
+      SELECT t.doc_id, t.word, t.tf, d.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.word
+             ) AS rk
+      FROM tf t JOIN df d USING (word) CROSS JOIN n)
+    WHERE rk = 1
+    """,
+    doc="TF-IDF featurization: each document's highest-scoring term "
+    "(tf * ln(N/df), term-asc tie-break). Two shuffles — (doc, word) tf and "
+    "word df — then a broadcast of the df side back onto tf; the standard "
+    "sparse-featurization shape at corpus scale",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, the oracle's CROSS JOIN n
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+@_q(
+    "profile_documents",
+    """
+    SELECT 'doc_id' AS col, count(doc_id) AS n_nonnull,
+           count(DISTINCT doc_id) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'lang', count(lang), count(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(source), count(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars) FROM documents
+    """,
+    doc="Data profiling: per-column non-null + exact distinct counts in ONE "
+    "pass (Spark side aggregates all columns together, then unpivots — the "
+    "oracle's 4-scan UNION is the semantic spec, not the plan)",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    agg = docs.agg(
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.count_distinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_nonnull, n_distinct)"
+        )
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
