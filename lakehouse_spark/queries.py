@@ -1265,15 +1265,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q14_promo_revenue",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1999-01-01'
       AND l_shipdate <  TIMESTAMP '2000-01-01'
     """,
     headline=True,
-    doc="TPC-H Q14 shape: fact→dim join (broadcast part) + conditional agg",
+    doc="TPC-H Q14 shape: fact→dim join (broadcast part) + conditional agg. "
+    "Both sums are DECIMAL (order-independent); the ratio is one double "
+    "division — identical op sequence on both engines",
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1281,14 +1285,18 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
