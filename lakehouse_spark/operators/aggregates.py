@@ -16,7 +16,7 @@ counts and approximate percentiles for the metrics layer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

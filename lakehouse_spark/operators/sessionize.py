@@ -33,7 +33,6 @@ upstream with per-session event caps or split-by-turn pre-pass.
 
 from __future__ import annotations
 
-from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window

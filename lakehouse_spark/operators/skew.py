@@ -16,7 +16,7 @@ cluster does. Two standard techniques, both pure DataFrame ops:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -187,8 +187,6 @@ def test_lang_id_mixed_script_goldens(spark):
 
 
 def test_repetition_score_edges(spark):
-    from pyspark.sql import functions as F
-
     from lakehouse_spark.operators.text import repetition_score
 
     df = spark.createDataFrame(

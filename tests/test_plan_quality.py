@@ -9,7 +9,6 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
-import pytest
 
 from lakehouse_spark.queries import CATALOG
 
