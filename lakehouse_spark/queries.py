@@ -1532,7 +1532,8 @@ def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "rollup_hierarchy",
     """
-    SELECT r_name, n_name, count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
+    SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+           count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -1550,25 +1551,36 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    return ru.hierarchy_rollup(
+    out = ru.hierarchy_rollup(
         j,
         ["r_name", "n_name"],
         [F.count("*").alias("n"), _dsum("c_acctbal").alias("bal")],
+    )
+    # Subtotal NULL labels -> 'ALL': value canonicalizers that sort rows
+    # with pandas throw on mixed None/str cells (the a5 lesson); the data
+    # has no NULL names, so the sentinel is unambiguous.
+    return out.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        "n",
+        "bal",
     )
 
 
 @_q(
     "t9_interval_parse",
     """
-    SELECT v, CAST(CASE regexp_extract(v, '^(\\d+)([smhd])$', 2)
+    SELECT v, coalesce(CAST(CASE regexp_extract(v, '^(\\d+)([smhd])$', 2)
              WHEN 's' THEN 1 WHEN 'm' THEN 60 WHEN 'h' THEN 3600
              WHEN 'd' THEN 86400 END
            * try_cast(regexp_extract(v, '^(\\d+)([smhd])$', 1) AS BIGINT)
-           AS BIGINT) AS seconds
+           AS BIGINT), -1) AS seconds
     FROM (VALUES ('30s'), ('5m'), ('2h'), ('1d'), ('90m'), ('oops'), ('7w'))
          AS t(v)
     """,
-    doc="T9: interval-string grammar parse; malformed → NULL",
+    doc="T9: interval-string grammar parse; malformed -> -1 in the catalog "
+    "output (the operator itself yields NULL; the sentinel keeps the "
+    "bigint column canonicalizer-sortable)",
 )
 def t9_interval_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark.functions.scalar import interval_to_seconds
@@ -1577,7 +1589,9 @@ def t9_interval_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("30s",), ("5m",), ("2h",), ("1d",), ("90m",), ("oops",), ("7w",)],
         "v string",
     )
-    return df.select("v", interval_to_seconds("v").alias("seconds"))
+    return df.select(
+        "v", F.coalesce(interval_to_seconds("v"), F.lit(-1)).alias("seconds")
+    )
 
 
 @_q(
@@ -1695,7 +1709,7 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(len(list_filter(string_split(text, ''),
                                       c -> ascii(c) // 32 = 3)) AS DOUBLE)
                  / greatest(strlen(text), 1), 6) AS f3,
-           CAST(NULL AS VARCHAR) AS decode_error
+           '' AS decode_error
     FROM documents
     """,
     doc="Multimodal: Arrow-batched decode/feature extraction. The fake "
@@ -1714,7 +1728,9 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 4), 6).alias("f3"),
-        "decode_error",
+        # '' instead of NULL: all-None object columns break pandas-sorting
+        # canonicalizers (the a5 lesson)
+        F.coalesce("decode_error", F.lit("")).alias("decode_error"),
     )
 
 
@@ -2619,7 +2635,7 @@ def _curation_oracle() -> str:
                 WHEN quality_score < 0.75 THEN 'low_quality'
                 WHEN lang_guess <> 'en' THEN 'language'
                 WHEN rn > 1 THEN 'duplicate'
-                ELSE NULL END AS reject_reason,
+                ELSE '' END AS reject_reason,
            (CASE WHEN n_words_raw < 5 THEN 'too_short'
                  WHEN quality_score < 0.75 THEN 'low_quality'
                  WHEN lang_guess <> 'en' THEN 'language'
@@ -2638,9 +2654,15 @@ def _curation_oracle() -> str:
 )
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return text.curate_documents(
+    out = text.curate_documents(
         docs, "doc_id", "text", min_words=5, min_quality=0.75,
         allowed_langs=("en",),
+    )
+    # Kept rows report '' instead of NULL: mixed None/str cells break
+    # pandas-sorting canonicalizers (the a5 lesson). The operator itself
+    # keeps the NULL-means-kept API.
+    return out.withColumn(
+        "reject_reason", F.coalesce("reject_reason", F.lit(""))
     )
 
 
