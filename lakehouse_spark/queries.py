@@ -3267,5 +3267,44 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rollup_gapfill_daily",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    doc="Time-series gap fill: a generated date spine (sequence over the "
+    "observed min/max — two scalar aggregates, no calendar table needed) "
+    "left-joined onto sparse daily counts, zero-filling missing days. The "
+    "continuity prerequisite for any windowed trend computation",
+)
+def rollup_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in CATALOG.items() if v.headline}
