@@ -102,13 +102,15 @@ class TableStore:
                 "writer; re-read and retry"
             ) from None
 
-    def _transact(self, make_segments) -> int:
+    def _transact(self, make_segments, meta: dict | None = None) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
         segment/manifest files), then build segments, finalize the manifest,
         and atomically swap the pointer. The pointer only ever advances to a
         finalized manifest, so readers never observe a partial commit; an
-        aborted transaction releases its claim."""
+        aborted transaction releases its claim. ``meta`` rides in the
+        manifest (e.g. a streaming batch id for exactly-once sinks — the
+        same role as Delta's txn appId/version)."""
         cur = self.current_version()
         nxt = 0 if cur is None else cur + 1
         self._claim(nxt)
@@ -116,7 +118,7 @@ class TableStore:
             segments = make_segments(nxt)
             tmp = self._manifest_path(nxt) + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"segments": segments}, f)
+                json.dump({"segments": segments, "meta": meta or {}}, f)
             os.replace(tmp, self._manifest_path(nxt))
             ptmp = self._pointer_path() + ".tmp"
             with open(ptmp, "w") as f:
@@ -164,23 +166,33 @@ class TableStore:
 
     # -- writes ----------------------------------------------------------------
 
-    def init(self, df: DataFrame) -> None:
-        self._transact(lambda v: [self._write_segment(df, v)])
+    def init(self, df: DataFrame, meta: dict | None = None) -> None:
+        self._transact(lambda v: [self._write_segment(df, v)], meta)
 
-    def append(self, rows: DataFrame) -> None:
+    def append(self, rows: DataFrame, meta: dict | None = None) -> None:
         """SC4: append-only log write (the reference's open(...,'a')).
         O(new rows): one new segment, prior segments reused by reference.
         Safe under concurrent writers: the version slot is claimed before
         the segment write, so a racing append raises
         :class:`ConcurrentWriteError` instead of dropping a segment."""
         if not self.exists():
-            self.init(rows)
+            self.init(rows, meta)
             return
         # Prior segments are resolved INSIDE the claimed transaction: once
         # v is claimed, v-1 is immutable (no other writer can advance it).
         self._transact(
-            lambda v: self._segments(v - 1) + [self._write_segment(rows, v)]
+            lambda v: self._segments(v - 1) + [self._write_segment(rows, v)],
+            meta,
         )
+
+    def version_meta(self, version: int | None = None) -> dict:
+        """The ``meta`` dict committed with a version (empty for versions
+        written before metadata existed, or when none was given)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("meta", {})
 
     def _rewrite(self, df: DataFrame) -> None:
         """Full compaction commit: one segment holding ``df``."""

@@ -382,6 +382,26 @@ def stream_trace_turns(
     )
 
 
+def exactly_once_store_sink(store):
+    """Exactly-once streaming ingestion into the versioned TableStore.
+
+    foreachBatch is at-least-once: after a failure the last batch REPLAYS
+    with the same batch_id. The sink makes the append idempotent by
+    committing the batch id into the version's manifest metadata and
+    skipping any batch id at or below the last committed one — the same
+    txn-version protocol Delta's ``txnAppId``/``txnVersion`` options
+    implement. Combined with the store's optimistic version claim, a
+    replayed or racing batch can never double-append."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        last = store.version_meta().get("stream_batch_id", -1) if store.exists() else -1
+        if batch_id <= last:
+            return  # replayed batch — already committed
+        store.append(batch, meta={"stream_batch_id": batch_id})
+
+    return sink
+
+
 def mark_unread_sink(sessions_store, subscribed_sessions):
     """ST5 ← routers/messages.py:249-271: conditional side-effect on batch
     completion — a session receiving new messages is flipped to unread ONLY

@@ -305,3 +305,61 @@ def test_stream_session_gap_windows(spark, tmp_path):
     assert got == [
         ("2026-01-01 00:00:00", "2026-01-01 00:07:00", "u1", 2)
     ]
+
+
+def test_exactly_once_store_sink_survives_replay(spark, tmp_path):
+    """foreachBatch is at-least-once (the last batch replays after
+    recovery); the sink's manifest batch-id check must make the append
+    idempotent — replaying a committed batch changes nothing."""
+    from lakehouse_spark.mutation.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tbl"), key="session_id")
+    sink = live.exactly_once_store_sink(store)
+
+    b0 = spark.createDataFrame([("s1", 1)], "session_id string, v int")
+    b1 = spark.createDataFrame([("s2", 2)], "session_id string, v int")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    assert store.read().count() == 2
+    v_before = store.current_version()
+
+    sink(b1, 1)  # replay of the committed batch → no-op
+    assert store.read().count() == 2
+    assert store.current_version() == v_before
+    assert store.version_meta()["stream_batch_id"] == 1
+
+    sink(spark.createDataFrame([("s3", 3)], "session_id string, v int"), 2)
+    assert store.read().count() == 3
+
+
+def test_exactly_once_sink_end_to_end_stream(spark, tmp_path):
+    """Same sink driven by a real availableNow stream: re-running the query
+    with the SAME checkpoint must not duplicate rows."""
+    from lakehouse_spark.mutation.store import TableStore
+
+    rows = [
+        {"session_id": "s1", "ts": "2026-01-01T00:00:00Z", "event": "e", "turn_id": 1},
+        {"session_id": "s2", "ts": "2026-01-01T00:01:00Z", "event": "e", "turn_id": 1},
+    ]
+    path = _write_events(tmp_path, "x.jsonl", rows)
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(EVENT_SCHEMA)
+    store = TableStore(spark, str(tmp_path / "ingest"), key="session_id")
+    sink = live.exactly_once_store_sink(store)
+
+    def run():
+        q = (
+            jsonl.read_jsonl_stream(spark, path, schema)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_eo"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    assert store.read().count() == 2
+    run()  # same checkpoint: no new files → no new batches → unchanged
+    assert store.read().count() == 2
