@@ -7,6 +7,22 @@ Runs every ``headline=True`` entry of `lakehouse_spark.queries.CATALOG` at
     {"metric": "headline_suite_wall_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
+Self-defending against host noise (round-3 lesson: the official artifact
+recorded a 6.9x flagship outlier that a quiet-machine re-run could not
+reproduce — single-shot timing cannot distinguish transient contention from
+a code regression):
+
+* every query runs ``BENCH_RUNS`` times (default 3) post-warm-up;
+  ``queries`` reports the per-query MEDIAN, ``queries_detail`` carries
+  median / min / all runs so the scoreboard number explains itself;
+* ``value`` is the sum of per-query medians (steady-state suite time —
+  comparable to the single-run round-1 anchor); ``wall_sec_total`` is the
+  raw wall clock of the whole timed phase (~RUNS x value);
+* a fixed host-speed probe (pure-Python loop + single-threaded numpy
+  matmul, constant work) runs before and after the suite. On the quiet
+  reference machine it reads ~0.10s (python) / ~0.17s (numpy); a probe far
+  above that says the HOST was slow, not the code.
+
 Each query is timed over a full execution (plan + shuffle + collect of the
 result rows — results are small aggregates, so collect cost is negligible and
 the measured time is dominated by scan/shuffle/agg work, which is what scales).
@@ -17,13 +33,52 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+# Pin BLAS to one thread BEFORE numpy loads: the host probe must measure the
+# host, not contention between BLAS worker threads and Spark's JVM threads.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lakehouse_spark.queries import headline_queries  # noqa: E402
 from lakehouse_spark.session import get_spark  # noqa: E402
+
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def host_probe() -> dict[str, float]:
+    """Fixed-work speed probe: same arithmetic every run, so the reading
+    depends only on how fast the host is right now. Each measurement is the
+    min of 3 repetitions — the probe must not itself be a noise source."""
+    import numpy as np
+
+    def _min3(fn) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    def _py() -> None:
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((512, 512))
+    _ = a @ a  # BLAS init outside the timed region
+
+    def _np() -> None:
+        b = a
+        for _ in range(10):
+            b = b @ a / 512.0
+
+    return {"python_loop_sec": _min3(_py), "numpy_matmul_sec": _min3(_np)}
 
 
 def main() -> None:
@@ -34,34 +89,58 @@ def main() -> None:
     spark = get_spark(app_name="lakehouse_spark_bench")
     suite = headline_queries()
 
+    from lakehouse_spark.operators.dedup import release_caches
+
+    errors: dict[str, str] = {}
+
     # Warm-up: execute the first query fully once (collect, not count —
     # count() skips the aggregate pipeline, leaving whole-stage-codegen
-    # compilation inside the first TIMED measurement). Steady-state per-query
-    # times are what the 2x-vs-anchor comparison is meant to capture.
-    first = next(iter(suite.values()))
-    first.build(spark, sf_dir).collect()
+    # compilation inside the first TIMED measurement). Guarded: a failing
+    # warm-up must not kill the bench before it prints its JSON line.
+    try:
+        first_name, first = next(iter(suite.items()))
+        first.build(spark, sf_dir).collect()
+    except Exception as ex:  # noqa: BLE001
+        errors["__warmup__"] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
 
-    from lakehouse_spark.operators.dedup import release_caches
+    probe_before = host_probe()
 
     # One failing query must not take down the whole bench (round 2's
     # BENCH_r02 was rc=1/parsed=null because a single query threw): record
     # the error, keep timing the rest, and ALWAYS print the JSON line.
-    timings: dict[str, float | None] = {}
-    errors: dict[str, str] = {}
+    medians: dict[str, float | None] = {}
+    detail: dict[str, dict] = {}
     kept: dict[str, list] = {}
     t_suite = time.perf_counter()
     for name, spec in suite.items():
-        t0 = time.perf_counter()
-        try:
-            rows = spec.build(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            if name == "sim_topk_bruteforce":
-                kept[name] = rows
-        except Exception as ex:  # noqa: BLE001 — survive any query failure
-            timings[name] = None
-            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
-        release_caches()  # dedup intermediates don't outlive their query
-    total = round(time.perf_counter() - t_suite, 3)
+        runs: list[float] = []
+        for r in range(RUNS):
+            t0 = time.perf_counter()
+            try:
+                rows = spec.build(spark, sf_dir).collect()
+                runs.append(round(time.perf_counter() - t0, 3))
+                if name == "sim_topk_bruteforce" and r == 0:
+                    kept[name] = rows
+            except Exception as ex:  # noqa: BLE001 — survive any query failure
+                errors[name] = (
+                    f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                )
+                break
+            finally:
+                release_caches()  # dedup intermediates don't outlive a run
+        if runs:
+            medians[name] = round(statistics.median(runs), 3)
+            detail[name] = {
+                "median": medians[name],
+                "min": min(runs),
+                "runs": runs,
+            }
+        else:
+            medians[name] = None
+    wall_total = round(time.perf_counter() - t_suite, 3)
+    suite_median_sum = round(sum(v for v in medians.values() if v is not None), 3)
+
+    probe_after = host_probe()
 
     # IVF quality: recall@5 of the learned-centroid approximate index
     # against the exact brute-force neighbors (same queries, same k).
@@ -85,9 +164,14 @@ def main() -> None:
 
     out = {
         "metric": "headline_suite_wall_sec",
-        "value": total,
+        "value": suite_median_sum,
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "queries_detail": detail,
+        "runs_per_query": RUNS,
+        "wall_sec_total": wall_total,
+        "host_probe_before": probe_before,
+        "host_probe_after": probe_after,
         "ivf_recall_at_5": ivf_recall,
         "sf": sf,
     }

@@ -2730,6 +2730,7 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
     FROM documents d LEFT JOIN hits h USING (doc_id)
     """,
+    headline=True,
     doc="Benchmark decontamination: flag docs sharing any word 5-gram with "
     "the benchmark set (docs 0-4) — broadcast semi join on grams; the "
     "corpus never shuffles",
@@ -3120,6 +3121,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s AS doc_id, min(d) AS cluster_id FROM walk GROUP BY s
     """,
+    headline=True,
     doc="Near-dup CLUSTERING: connected components over the exact ngram-"
     "jaccard pairs (min-label propagation; cluster_id = smallest member — "
     "the doc a keep-first policy retains). Every doc appears; singletons "
