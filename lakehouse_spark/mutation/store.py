@@ -33,7 +33,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -44,6 +47,8 @@ from pyspark.sql import functions as F
 # would swap in behind the same TableStore method surface.
 
 _POINTER = "_CURRENT"
+_MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
+_SEG_RE = re.compile(r"^_seg(\d{6})$")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -56,10 +61,21 @@ class TableStore:
     """Versioned keyed Parquet table: segment data, manifest versions,
     atomic pointer commits."""
 
-    def __init__(self, spark: SparkSession, root: str, key: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str,
+        orphan_grace_sec: float = 300.0,
+    ):
         self.spark = spark
         self.root = root
         self.key = key
+        # A zero-length claim file older than this is treated as the debris
+        # of a writer that died between claim and finalize, and is stolen.
+        # Must comfortably exceed the longest segment write a live writer
+        # could be performing under the claim.
+        self.orphan_grace_sec = orphan_grace_sec
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -102,28 +118,99 @@ class TableStore:
                 "writer; re-read and retry"
             ) from None
 
-    def _transact(self, make_segments, meta: dict | None = None) -> int:
+    def _swap_pointer(self, v: int) -> None:
+        """Atomic pointer write via a caller-unique tmp name: two writers
+        advancing to the SAME version (a committer racing a roll-forward
+        recoverer) must not share a tmp file, or one replace can observe the
+        other's already-renamed path."""
+        ptmp = (
+            f"{self._pointer_path()}.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+        os.replace(ptmp, self._pointer_path())
+
+    def _recover_slot(self, v: int) -> bool:
+        """Attempt recovery after a claim conflict at version ``v``. Returns
+        True when the world changed such that one retry may succeed:
+
+        - the conflicting manifest is FINALIZED (non-empty) but the pointer
+          still lags: a writer crashed between manifest finalize and pointer
+          swap. The commit is durable — roll the pointer forward (idempotent
+          if the original writer races us) and retry at the next slot.
+        - the conflicting file is a ZERO-LENGTH claim older than
+          ``orphan_grace_sec``: a writer died between claim and finalize
+          (kill -9). Steal it with an atomic rename — exactly one stealer
+          wins — and retry the same slot.
+
+        A fresh zero-length claim is a LIVE writer mid-commit: no recovery,
+        the caller's ConcurrentWriteError stands."""
+        path = self._manifest_path(v)
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return True  # aborting writer released the claim between checks
+        if st.st_size > 0:
+            cur = self.current_version()
+            if cur is None or cur < v:
+                self._swap_pointer(v)
+                return True
+            return False  # pointer already caught up; plain lost race
+        if time.time() - st.st_mtime < self.orphan_grace_sec:
+            return False  # live in-flight writer holds the claim
+        stale = f"{path}.orphan.{os.getpid()}.{threading.get_ident()}"
+        try:
+            os.rename(path, stale)  # put-if-absent in reverse: one winner
+        except FileNotFoundError:
+            return True
+        os.unlink(stale)
+        return True
+
+    def _transact(
+        self,
+        make_segments,
+        meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
         segment/manifest files), then build segments, finalize the manifest,
         and atomically swap the pointer. The pointer only ever advances to a
         finalized manifest, so readers never observe a partial commit; an
         aborted transaction releases its claim. ``meta`` rides in the
-        manifest (e.g. a streaming batch id for exactly-once sinks — the
-        same role as Delta's txn appId/version)."""
-        cur = self.current_version()
-        nxt = 0 if cur is None else cur + 1
-        self._claim(nxt)
+        manifest; ``txn=(app_id, version)`` records an idempotence watermark
+        that is CARRIED FORWARD into every later commit's manifest (the same
+        protocol as Delta's SetTransaction actions): an exactly-once sink's
+        high-water mark survives interleaved upserts/deletes/compactions and
+        other apps' commits, because the head manifest always holds the max
+        committed txn version per app."""
+        for attempt in range(2):
+            cur = self.current_version()
+            nxt = 0 if cur is None else cur + 1
+            try:
+                self._claim(nxt)
+                break
+            except ConcurrentWriteError:
+                if attempt == 1 or not self._recover_slot(nxt):
+                    raise
         try:
+            prev_txn = {}
+            if cur is not None:
+                with open(self._manifest_path(cur)) as f:
+                    prev_txn = json.load(f).get("txn", {})
+            new_txn = dict(prev_txn)
+            if txn is not None:
+                app, ver = txn
+                new_txn[app] = max(int(ver), int(new_txn.get(app, -1)))
             segments = make_segments(nxt)
             tmp = self._manifest_path(nxt) + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"segments": segments, "meta": meta or {}}, f)
+                json.dump(
+                    {"segments": segments, "meta": meta or {}, "txn": new_txn},
+                    f,
+                )
             os.replace(tmp, self._manifest_path(nxt))
-            ptmp = self._pointer_path() + ".tmp"
-            with open(ptmp, "w") as f:
-                f.write(str(nxt))
-            os.replace(ptmp, self._pointer_path())  # atomic pointer swap
+            self._swap_pointer(nxt)
             return nxt
         except BaseException:
             # Release the claim: the slot must not stay wedged after a failed
@@ -136,7 +223,11 @@ class TableStore:
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop manifests older than the newest ``keep_last`` versions and
-        every segment no surviving manifest references."""
+        every segment no surviving manifest references. Files belonging to
+        versions ABOVE the pointer are never touched: a zero-length file
+        there is a concurrent writer's live claim (deleting it would break
+        the put-if-absent mutual exclusion) and a finalized one is a commit
+        awaiting its pointer swap."""
         cur = self.current_version()
         if cur is None:
             return
@@ -146,11 +237,15 @@ class TableStore:
         ]
         live = {s for v in keep_versions for s in self._segments(v)}
         for name in os.listdir(self.root):
-            if name.startswith("_manifest_"):
-                if int(name[len("_manifest_"):-len(".json")]) not in keep_versions:
+            if m := _MANIFEST_RE.match(name):
+                v = int(m.group(1))
+                if v <= cur and v not in keep_versions:
                     os.unlink(os.path.join(self.root, name))
-            elif name.startswith("_seg") and name not in live:
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            elif (m := _SEG_RE.match(name)) and name not in live:
+                if int(m.group(1)) <= cur:
+                    shutil.rmtree(
+                        os.path.join(self.root, name), ignore_errors=True
+                    )
 
     # -- reads ----------------------------------------------------------------
 
@@ -166,23 +261,36 @@ class TableStore:
 
     # -- writes ----------------------------------------------------------------
 
-    def init(self, df: DataFrame, meta: dict | None = None) -> None:
-        self._transact(lambda v: [self._write_segment(df, v)], meta)
+    def init(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
+        self._transact(lambda v: [self._write_segment(df, v)], meta, txn)
 
-    def append(self, rows: DataFrame, meta: dict | None = None) -> None:
+    def append(
+        self,
+        rows: DataFrame,
+        meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """SC4: append-only log write (the reference's open(...,'a')).
         O(new rows): one new segment, prior segments reused by reference.
         Safe under concurrent writers: the version slot is claimed before
         the segment write, so a racing append raises
-        :class:`ConcurrentWriteError` instead of dropping a segment."""
+        :class:`ConcurrentWriteError` instead of dropping a segment.
+        ``txn=(app_id, version)`` stamps an exactly-once watermark (see
+        :meth:`last_txn_version`)."""
         if not self.exists():
-            self.init(rows, meta)
+            self.init(rows, meta, txn)
             return
         # Prior segments are resolved INSIDE the claimed transaction: once
         # v is claimed, v-1 is immutable (no other writer can advance it).
         self._transact(
             lambda v: self._segments(v - 1) + [self._write_segment(rows, v)],
             meta,
+            txn,
         )
 
     def version_meta(self, version: int | None = None) -> dict:
@@ -193,6 +301,18 @@ class TableStore:
             return {}
         with open(self._manifest_path(v)) as f:
             return json.load(f).get("meta", {})
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Max txn version ever committed for ``app_id`` (-1 if none) — read
+        from the HEAD manifest, which carries every app's watermark forward
+        through all commit types (Delta's ``txnVersion`` lookup). Streaming
+        sinks compare their batch id against this to stay idempotent across
+        interleaved non-stream commits, other streams, and vacuum."""
+        v = self.current_version()
+        if v is None:
+            return -1
+        with open(self._manifest_path(v)) as f:
+            return int(json.load(f).get("txn", {}).get(app_id, -1))
 
     def _rewrite(self, df: DataFrame) -> None:
         """Full compaction commit: one segment holding ``df``."""

@@ -382,22 +382,25 @@ def stream_trace_turns(
     )
 
 
-def exactly_once_store_sink(store):
+def exactly_once_store_sink(store, app_id: str = "stream"):
     """Exactly-once streaming ingestion into the versioned TableStore.
 
     foreachBatch is at-least-once: after a failure the last batch REPLAYS
     with the same batch_id. The sink makes the append idempotent by
-    committing the batch id into the version's manifest metadata and
-    skipping any batch id at or below the last committed one — the same
-    txn-version protocol Delta's ``txnAppId``/``txnVersion`` options
-    implement. Combined with the store's optimistic version claim, a
-    replayed or racing batch can never double-append."""
+    committing ``(app_id, batch_id)`` as a transaction watermark the store
+    CARRIES FORWARD through every subsequent commit (TableStore.txn — the
+    same protocol as Delta's ``txnAppId``/``txnVersion``), and skipping any
+    batch id at or below the last committed one. Because the watermark
+    rides in every head manifest rather than only the stream's own commit,
+    idempotence survives interleaved upserts/deletes/compactions, other
+    streams on the same table (distinct ``app_id``s), and vacuum. Combined
+    with the store's optimistic version claim, a replayed or racing batch
+    can never double-append."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        last = store.version_meta().get("stream_batch_id", -1) if store.exists() else -1
-        if batch_id <= last:
+        if batch_id <= store.last_txn_version(app_id):
             return  # replayed batch — already committed
-        store.append(batch, meta={"stream_batch_id": batch_id})
+        store.append(batch, txn=(app_id, batch_id))
 
     return sink
 

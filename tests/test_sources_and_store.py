@@ -374,6 +374,136 @@ def test_store_failed_commit_releases_claim(spark, tmp_store_dir):
     assert store.current_version() == v0 + 1
 
 
+def test_vacuum_spares_inflight_claim_and_future_segments(spark, tmp_store_dir):
+    """vacuum must never touch versions ABOVE the pointer: a zero-length
+    file there is a concurrent writer's live claim (deleting it breaks the
+    O_EXCL mutual exclusion — two writers could then write the same slot),
+    and its _seg directory is data mid-write."""
+    import os
+
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k")
+    store.init(_kv(spark, ("a", 1, ts)))
+    store.append(_kv(spark, ("b", 2, ts)))
+    store.append(_kv(spark, ("c", 3, ts)))
+    cur = store.current_version()
+
+    # a concurrent writer mid-commit: claim + partially-written segment
+    store._claim(cur + 1)
+    os.makedirs(os.path.join(tmp_store_dir, f"_seg{cur + 1:06d}"))
+
+    store.vacuum(keep_last=1)
+    assert os.path.exists(store._manifest_path(cur + 1)), "live claim deleted"
+    assert os.path.isdir(os.path.join(tmp_store_dir, f"_seg{cur + 1:06d}"))
+    # old versions below the keep window are still collected
+    assert not os.path.exists(store._manifest_path(0))
+    assert store.read().count() == 3
+
+
+def test_orphan_claim_recovery_unwedges_table(spark, tmp_store_dir):
+    """A writer killed between claim and finalize (kill -9) leaves a
+    zero-length claim above the pointer. Before recovery existed, every
+    subsequent commit raised ConcurrentWriteError forever; now a claim
+    older than orphan_grace_sec is stolen and the commit proceeds."""
+    import os
+    import pytest
+
+    from lakehouse_spark.mutation.store import ConcurrentWriteError
+
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k", orphan_grace_sec=3600)
+    store.init(_kv(spark, ("a", 1, ts)))
+    v0 = store.current_version()
+    store._claim(v0 + 1)  # the crashed writer's debris
+
+    # within the grace period the claim is presumed live → still an error
+    with pytest.raises(ConcurrentWriteError):
+        store.append(_kv(spark, ("b", 2, ts)))
+
+    # age the claim past the grace period → stolen, append succeeds
+    old = 1_000_000_000
+    os.utime(store._manifest_path(v0 + 1), (old, old))
+    store.append(_kv(spark, ("b", 2, ts)))
+    assert store.current_version() == v0 + 1
+    assert store.read().count() == 2
+
+
+def test_rollforward_after_crash_between_finalize_and_pointer(
+    spark, tmp_store_dir
+):
+    """A finalized manifest above the pointer IS a durable commit (the
+    atomic os.replace is the commit point); a crash before the pointer swap
+    must not wedge the table. The next writer rolls the pointer forward and
+    commits at the following slot — the crashed writer's data survives."""
+    import shutil
+
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k")
+    store.init(_kv(spark, ("a", 1, ts)))
+    v0 = store.current_version()
+
+    # Simulate the crash: replay a full commit of version v0+1 by hand —
+    # segment written, manifest finalized — but leave the pointer at v0.
+    crashed = v0 + 1
+    seg = store._write_segment(_kv(spark, ("b", 2, ts)), crashed)
+    import json as _json
+    import os
+
+    with open(store._manifest_path(crashed), "w") as f:
+        _json.dump(
+            {"segments": store._segments(v0) + [seg], "meta": {}, "txn": {}},
+            f,
+        )
+    assert store.current_version() == v0
+
+    store.append(_kv(spark, ("c", 3, ts)))
+    # pointer rolled forward over the crashed commit, then advanced
+    assert store.current_version() == crashed + 1
+    assert {r.k for r in store.read().collect()} == {"a", "b", "c"}
+
+
+def test_threaded_append_race_loses_nothing(spark, tmp_store_dir):
+    """Two writers appending from the same base version, for real (threads):
+    the claim protocol must serialize them — every append that REPORTED
+    success is present in the final table, and a loser raises
+    ConcurrentWriteError instead of silently dropping a segment."""
+    import threading
+
+    from lakehouse_spark.mutation.store import ConcurrentWriteError
+
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k")
+    store.init(_kv(spark, ("base", 0, ts)))
+
+    results: dict[str, str] = {}
+    barrier = threading.Barrier(2)
+
+    def writer(name: str, df) -> None:
+        barrier.wait()
+        try:
+            store.append(df)
+            results[name] = "ok"
+        except ConcurrentWriteError:
+            results[name] = "conflict"
+
+    t1 = threading.Thread(
+        target=writer, args=("w1", _kv(spark, ("w1", 1, ts)))
+    )
+    t2 = threading.Thread(
+        target=writer, args=("w2", _kv(spark, ("w2", 2, ts)))
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    winners = [n for n, r in results.items() if r == "ok"]
+    assert len(winners) >= 1, f"both writers failed: {results}"
+    rows = {r.k for r in store.read().collect()}
+    for w in winners:
+        assert w in rows, f"{w} reported success but its rows are missing"
+    assert "base" in rows
+    # conflicting writer changed nothing it shouldn't have
+    assert rows <= {"base", "w1", "w2"}
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Bucketing pays the hash-distribution once at write time: a join of
     two tables bucketed on the same key with the same bucket count must plan

@@ -327,9 +327,42 @@ def test_exactly_once_store_sink_survives_replay(spark, tmp_path):
     sink(b1, 1)  # replay of the committed batch → no-op
     assert store.read().count() == 2
     assert store.current_version() == v_before
-    assert store.version_meta()["stream_batch_id"] == 1
+    assert store.last_txn_version("stream") == 1
 
     sink(spark.createDataFrame([("s3", 3)], "session_id string, v int"), 2)
+    assert store.read().count() == 3
+
+
+def test_exactly_once_sink_survives_interleaved_commits(spark, tmp_path):
+    """The idempotence watermark must be tracked ACROSS versions, not read
+    off the head commit only: an interleaved non-stream commit (here an
+    upsert) has no batch id of its own, and before the txn carry-forward a
+    replay arriving after it double-appended."""
+    from lakehouse_spark.mutation.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tbl"), key="session_id")
+    sink = live.exactly_once_store_sink(store)
+
+    sink(spark.createDataFrame([("s1", 1)], "session_id string, v int"), 0)
+    sink(spark.createDataFrame([("s2", 2)], "session_id string, v int"), 1)
+
+    # interleaved NON-stream commit: head manifest is no longer batch 1's
+    store.upsert(spark.createDataFrame([("s1", 99)], "session_id string, v int"))
+    assert store.read().count() == 2
+
+    sink(spark.createDataFrame([("s2", 2)], "session_id string, v int"), 1)
+    assert store.read().count() == 2, "replayed batch double-appended"
+
+    # a second stream under its own app id has an independent watermark
+    sink_b = live.exactly_once_store_sink(store, app_id="other_stream")
+    sink_b(spark.createDataFrame([("x1", 7)], "session_id string, v int"), 0)
+    assert store.read().count() == 3
+    sink_b(spark.createDataFrame([("x1", 7)], "session_id string, v int"), 0)
+    assert store.read().count() == 3
+    assert store.last_txn_version("stream") == 1
+    assert store.last_txn_version("other_stream") == 0
+    # stream A's watermark still intact after B's commits
+    sink(spark.createDataFrame([("s2", 2)], "session_id string, v int"), 1)
     assert store.read().count() == 3
 
 
