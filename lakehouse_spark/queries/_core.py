@@ -1,0 +1,102 @@
+"""Query catalog: every implemented operator as a named (Spark builder,
+DuckDB oracle SQL) pair over the driver's testdata tables.
+
+This is the correctness gate's contract (see __spark_entry__.py): the driver
+runs each builder on Spark and the oracle SQL on DuckDB at sf0.01 and
+compares row counts, schemas, and order-insensitive value hashes.
+
+Cross-engine determinism rules applied throughout:
+- every aggregate/computed column is aliased IDENTICALLY on both sides;
+- every float is rounded (4 decimals; 6 for cosine) on BOTH sides;
+- every LIMIT sits on a TOTAL order (explicit tie-break columns);
+- sums of integers are cast to BIGINT on the DuckDB side (DuckDB widens to
+  INT128 where Spark stays INT64);
+- row_number outputs are cast to INTEGER on the DuckDB side (Spark emits
+  INT32);
+- the shared 60-bit hash is md5-based: Spark `conv(substr(md5(x),1,15),16,10)`
+  == DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` (functions.scalar.hash64).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_spark.io import load_table
+
+
+@dataclass
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    headline: bool = False  # include in bench.py timing suite
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+    def reg(fn):
+        CATALOG[name] = QuerySpec(fn, oracle, headline, doc)
+        return fn
+
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, digits: int = 2):
+    """Order-independent rounded sum for money/quantity columns.
+
+    Double summation order is schedule-dependent (partial-aggregate combine
+    order varies with partitioning), so round(sum(double), 2) can flip a
+    cent between runs/engines whenever a group's true sum sits near a
+    half-cent boundary — ~1% of groups at 100-row group sizes (measured on
+    tpch_q7: 4 of 600 groups). Summing in DECIMAL is exact and
+    order-independent; the oracle SQL mirrors it with
+    ``CAST(round(sum(CAST(x AS DECIMAL(18,4))), d) AS DOUBLE)``. The 18,4
+    input widens automatically during aggregation in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,4)")), digits).cast("double")
+
+
+def _davg(col, digits: int = 4):
+    """Order-independent rounded mean: exact decimal sum, one double
+    division (deterministic), then round. Mirrors
+    ``round(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / count(x), d)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c), digits
+    )
+
+
+def _ssum(col, digits: int = 2, scale: int = 10000):
+    """Order-independent rounded sum at INT64 speed: the value is snapped to
+    a 1/scale grid (exact for money/quantity columns with <= 4 decimal
+    digits), summed as bigint (exact, order-independent, no decimal-kernel
+    cost — decimal sums measured ~2x slower on the 8-agg flagship query),
+    then divided back. int64 overflow bound: |sum(x)| * scale < 9.2e18 —
+    fine to ~1e14 in column units; use _dsum where totals can exceed that.
+    Mirrors ``round(sum(CAST(round(x * scale) AS BIGINT)) / (scale*1.0), d)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(F.round(c * scale).cast("long")) / F.lit(float(scale)), digits
+    )
+
+
+def _savg(col, digits: int = 4, scale: int = 10000):
+    """Scaled-int mean, same exactness argument as :func:`_ssum`; the single
+    double division is bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(F.round(c * scale).cast("long"))
+        / (F.lit(float(scale)) * F.count(c)),
+        digits,
+    )
