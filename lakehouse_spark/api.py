@@ -212,6 +212,72 @@ class SessionLake:
         seeds = self.spark.createDataFrame([(session_id,)], "child string")
         return closure.descendants(edges, seeds, "parent", "child")
 
+    def clone_session(self, session_id: str, seed: str | None = None) -> str:
+        """Clone a session AND its descendants with fresh ids — the
+        reference's recursive clone endpoint (amplifierd/routers/
+        sessions.py:461-516), composed from the J3 closure + T12 id
+        generation instead of per-node recursion:
+
+        - every subtree node gets a fresh ``session_<hex8>`` id
+          (deterministic when ``seed`` is given — replayable tests);
+        - parent pointers are REMAPPED onto the cloned ids; the cloned
+          root's parent is NULL (the reference clones to top level);
+        - the root clone's name gets the " (copy)" suffix, descendants keep
+          theirs (add_copy_suffix=False in the reference);
+        - transcript messages and events are copied verbatim under the new
+          ids (the reference copies the JSONL files; payload contents are
+          NOT rewritten there either).
+
+        Scale shape: one closure (bounded-depth frontier joins), then three
+        broadcast-mapping joins — the subtree mapping is tiny next to the
+        messages/events tables, which are never shuffled. Returns the new
+        root session id."""
+        mapping = closure.clone_id_mapping(
+            self.session_closure(session_id).select(
+                F.col("child").alias("session_id")
+            ),
+            "session_id",
+            seed=seed,
+        )
+        sess = self.sessions.read()
+        cols = sess.columns
+        parent_map = mapping.select(
+            F.col("session_id").alias("parent_session_id"),
+            F.col("new_id").alias("__new_parent"),
+        )
+        cloned = (
+            sess.join(F.broadcast(mapping), "session_id")
+            .join(F.broadcast(parent_map), "parent_session_id", "left")
+            .withColumn(
+                "name",
+                F.when(
+                    F.col("session_id") == session_id,
+                    F.concat(
+                        F.coalesce(F.col("name"), F.lit("Session")),
+                        F.lit(" (copy)"),
+                    ),
+                ).otherwise(F.col("name")),
+            )
+            .withColumn("session_id", F.col("new_id"))
+            .withColumn("parent_session_id", F.col("__new_parent"))
+            .select(*cols)
+        )
+        self.sessions.append(cloned)
+        for store in (self.messages, self.events):
+            if not store.exists():
+                continue
+            base = store.read()
+            copied = (
+                base.join(F.broadcast(mapping), "session_id")
+                .withColumn("session_id", F.col("new_id"))
+                .select(*base.columns)
+            )
+            if not copied.isEmpty():
+                store.append(copied)
+        return mapping.filter(F.col("session_id") == session_id).collect()[0][
+            "new_id"
+        ]
+
     def cascade_delete(self, session_id: str) -> int:
         """J4: delete the session tree from all three tables; returns the
         number of session rows removed (manager.py:422-452 semantics)."""

@@ -151,3 +151,35 @@ def nearest_ancestor_attr(
     return nodes.join(hit, path_col, "left").select(
         nodes["*"], F.col("__m.a").alias(f"inherited_{attr_col}")
     )
+
+
+def clone_id_mapping(
+    nodes: DataFrame,
+    node_col: str,
+    seed: str | None = None,
+    prefix: str = "session_",
+) -> DataFrame:
+    """(old id → fresh id) mapping for a subtree clone (J3→clone composition;
+    reference: amplifierd/routers/sessions.py:398-399 `session_{uuid4().hex
+    [:8]}` per cloned node).
+
+    With ``seed`` the fresh ids are DETERMINISTIC — ``prefix + sha256(seed ||
+    ':' || old_id)[:8]`` — so clones are replayable in tests and
+    differential oracles (DuckDB: ``'session_' || substr(sha256(seed || ':'
+    || id), 1, 8)``). Without a seed, uuid-derived ids match the reference's
+    nondeterminism. Either way the mapping is pinned with localCheckpoint:
+    every consumer (sessions/messages/events rewrites) must see the SAME
+    ids, and a lazy random column would re-roll per action."""
+    old = F.col(node_col).cast("string")
+    if seed is not None:
+        fresh = F.substring(
+            F.sha2(F.concat(F.lit(f"{seed}:"), old), 256), 1, 8
+        )
+    else:
+        fresh = F.substring(
+            F.regexp_replace(F.expr("uuid()"), "-", ""), 1, 8
+        )
+    return (
+        nodes.select(F.col(node_col), F.concat(F.lit(prefix), fresh).alias("new_id"))
+        .localCheckpoint(eager=True)
+    )

@@ -115,6 +115,58 @@ def j3_recursive_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j3_clone_remap",
+    """
+    WITH RECURSIVE r(custkey, depth) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT c.c_custkey, r.depth + 1
+      FROM customer c JOIN r ON c.c_custkey // 2 = r.custkey
+      WHERE r.depth < 4 AND c.c_custkey > 1
+    ), m AS (
+      SELECT custkey, depth,
+             'session_' || substr(sha256('42:' || CAST(custkey AS VARCHAR)), 1, 8)
+               AS new_id
+      FROM r
+    )
+    SELECT m.new_id, p.new_id AS new_parent_id, m.depth
+    FROM m LEFT JOIN m p ON m.custkey > 1 AND p.custkey = m.custkey // 2
+    """,
+    doc="J3→clone composition (reference clone endpoint, "
+    "amplifierd/routers/sessions.py:461-516): subtree closure + seeded "
+    "fresh-id mapping + parent-pointer REMAP onto the new ids; the cloned "
+    "root's parent is NULL. Seeded sha256 ids make the clone replayable "
+    "cross-engine; SessionLake.clone_session applies the same plan to the "
+    "session/message/event stores",
+)
+def j3_clone_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+        F.col("c_custkey").alias("child"),
+    ).filter(F.col("child") > 1)
+    seeds = spark.createDataFrame([(1,)], "child long")
+    sub = closure.descendants(edges, seeds, "parent", "child", max_depth=4)
+    mapping = closure.clone_id_mapping(sub.select("child"), "child", seed="42")
+    parents = mapping.select(
+        F.col("child").alias("__pkey"), F.col("new_id").alias("new_parent_id")
+    )
+    return (
+        sub.join(mapping, "child")
+        .withColumn(
+            "__pkey",
+            F.when(
+                F.col("child") > 1, F.floor(F.col("child") / 2).cast("long")
+            ),
+        )
+        .join(F.broadcast(parents), "__pkey", "left")
+        .select(
+            "new_id", "new_parent_id", F.col("depth").cast("int").alias("depth")
+        )
+    )
+
+
+@_q(
     "j5_fk_lookup_chain",
     """
     SELECT r_name, n_name, count(*) AS n_cust, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal), 4) AS avg_bal

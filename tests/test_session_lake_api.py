@@ -206,3 +206,72 @@ def test_lake_automations_surface(lake):
     assert lake.automations is mgr  # lazily built once
     later = datetime(2026, 6, 2, 3, 0, tzinfo=timezone.utc)
     assert [r.id for r in mgr.due(later).collect()] == ["auto-1"]
+
+
+def test_clone_session_remaps_subtree(spark, tmp_path_factory):
+    """Reference clone semantics (routers/sessions.py:461-516): the cloned
+    subtree is ISOMORPHIC to the source (same parent/child structure, same
+    non-id attributes), every id is FRESH (disjoint from all existing ids),
+    the root clone gets " (copy)" and a NULL parent, and transcript/events
+    rows are copied under the new ids."""
+    from lakehouse_spark.schemas import MESSAGE, SESSION
+
+    root = str(tmp_path_factory.mktemp("clone_lake"))
+    lake = SessionLake(spark, root)
+
+    def sess(sid, parent, name):
+        return (sid, name, parent, "projA", "active", None, None, None,
+                "default", 0, 0, None, None, None, False, None, 1)
+
+    lake.sessions.init(spark.createDataFrame(
+        [sess("root", None, "r"), sess("c1", "root", "child one"),
+         sess("c2", "root", "child two"), sess("gc", "c1", "grand"),
+         sess("other", None, "unrelated")], SESSION))
+    lake.messages.init(spark.createDataFrame(
+        [("c1", None, "user", "hello", None, 3, 1),
+         ("other", None, "user", "not cloned", None, 1, 1)], MESSAGE))
+
+    new_root = lake.clone_session("root", seed="t1")
+
+    sessions = lake.sessions.read().collect()
+    by_id = {r.session_id: r for r in sessions}
+    assert len(sessions) == 9  # 5 originals + 4 clones
+    # deterministic root id, " (copy)" suffix, NULL parent
+    assert by_id[new_root].name == "r (copy)"
+    assert by_id[new_root].parent_session_id is None
+
+    old_ids = {"root", "c1", "c2", "gc", "other"}
+    clones = [r for r in sessions if r.session_id not in old_ids]
+    assert len(clones) == 4 and new_root in {r.session_id for r in clones}
+
+    # isomorphism: child-name multiset per parent matches the source tree
+    def children(ids, rows):
+        return {
+            r.name.replace(" (copy)", ""): r.session_id
+            for r in rows if r.parent_session_id in ids
+        }
+    l1 = children({new_root}, clones)
+    assert set(l1) == {"child one", "child two"}
+    l2 = children(set(l1.values()), clones)
+    assert set(l2) == {"grand"}
+    # descendants keep their names verbatim
+    assert all(" (copy)" not in n for n in list(l1) + list(l2))
+
+    # messages copied under the remapped id, untouched elsewhere
+    msgs = lake.messages.read().collect()
+    assert len(msgs) == 3
+    cloned_msg = [m for m in msgs if m.session_id == l1["child one"]]
+    assert len(cloned_msg) == 1 and cloned_msg[0].content == "hello"
+
+    # seeded clone is replayable: same seed on an identical tree gives the
+    # same ids (fresh lake to avoid id collisions with the first clone)
+    root2 = str(tmp_path_factory.mktemp("clone_lake2"))
+    lake2 = SessionLake(spark, root2)
+    lake2.sessions.init(spark.createDataFrame(
+        [sess("root", None, "r"), sess("c1", "root", "child one"),
+         sess("c2", "root", "child two"), sess("gc", "c1", "grand"),
+         sess("other", None, "unrelated")], SESSION))
+    assert lake2.clone_session("root", seed="t1") == new_root
+    # unseeded clone still works and yields fresh ids
+    third = lake2.clone_session("root")
+    assert third not in {new_root, "root"}
