@@ -27,8 +27,11 @@ that's why this operator exists (SURVEY.md §2.10 ST8).
 
 Scale: both forms shuffle once on session_id. applyInPandas state is
 per-session (bounded by one session's events); sessions are independent so
-1000 executors scale linearly. Skewed giant sessions are the risk — mitigate
-upstream with per-session event caps or split-by-turn pre-pass.
+1000 executors scale linearly. Skewed giant sessions are the risk — use
+``aggregate_trace(events, split_by_turn=True)``: a window-form turn
+pre-pass bounds every pandas group by the largest TURN instead of the
+largest session, with cross-turn state (implicit turn close, global tool
+ordinals) restored relationally afterwards.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from lakehouse_spark.schemas import TRACE_TURN
 
@@ -310,14 +314,91 @@ def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(turns)
 
 
-def aggregate_trace(events: DataFrame) -> DataFrame:
+def aggregate_trace(events: DataFrame, split_by_turn: bool = False) -> DataFrame:
     """S1: events (TRACE_EVENT shape) → nested turns (TRACE_TURN shape).
 
-    One shuffle on session_id; per-group pandas fold; Arrow-batched both
-    ways. Output column set matches :data:`lakehouse_spark.schemas.TRACE_TURN`.
-    """
-    return events.groupBy("session_id").applyInPandas(
-        _fold_session, schema=TRACE_TURN
+    Default path: one shuffle on session_id; per-group pandas fold;
+    Arrow-batched both ways. Output column set matches
+    :data:`lakehouse_spark.schemas.TRACE_TURN`.
+
+    ``split_by_turn=True`` is the GIANT-SESSION skew mitigation: one
+    pathological session (e.g. 100k events) otherwise lands on a single
+    executor as one pandas group. The split path runs the cheap window-form
+    ``turn_number`` first (pure Catalyst), folds per (session_id, marker
+    segment) — each segment holds exactly one prompt and emits exactly one
+    turn, so the max pandas group is bounded by the largest TURN, not the
+    largest session — then restores the two pieces of cross-turn state
+    relationally:
+
+    - a non-final turn left "active" by its segment-local fold was really
+      closed implicitly by the next prompt → flipped to "completed";
+    - tool ids are session-global ordinals in the reference → rebuilt as
+      ``tool_{prefix-sum(size(tools)) + array index + 1}`` with a window
+      prefix sum over the (tiny, one-row-per-turn) folded output.
+
+    Costs two extra shuffles of the small turn rows; identical output
+    (parity-tested against the single-group fold and the golden fixtures).
+    Use it when session sizes are unbounded."""
+    if not split_by_turn:
+        return events.groupBy("session_id").applyInPandas(
+            _fold_session, schema=TRACE_TURN
+        )
+
+    # copy, not .add(): StructType.add mutates the receiver in place and
+    # would append __seg to the shared TRACE_TURN schema
+    seg_schema = StructType(
+        list(TRACE_TURN.fields) + [StructField("__seg", LongType())]
+    )
+    ev = turn_number(
+        events,
+        "session_id",
+        [F.asc("encounter_seq")],
+        F.col("event") == "prompt:submit",
+        out_col="__seg",
+    ).filter(F.col("__seg") > 0)  # pre-prompt events never reach a turn
+
+    def fold_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = pdf["__seg"].iloc[0] if len(pdf) else 0
+        out = _fold_session(pdf.drop(columns="__seg"))
+        out["__seg"] = seg
+        return out
+
+    segs = ev.groupBy("session_id", "__seg").applyInPandas(
+        fold_segment, schema=seg_schema
+    )
+    w_all = Window.partitionBy("session_id")
+    w_prev = (
+        Window.partitionBy("session_id")
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        segs.withColumn("turn_id", F.col("__seg"))
+        .withColumn(
+            "status",
+            F.when(
+                (F.col("__seg") < F.max("__seg").over(w_all))
+                & (F.col("status") == "active"),
+                F.lit("completed"),
+            ).otherwise(F.col("status")),
+        )
+        .withColumn(
+            "__toff", F.coalesce(F.sum(F.size("tools")).over(w_prev), F.lit(0))
+        )
+        .withColumn(
+            "tools",
+            F.transform(
+                "tools",
+                lambda t, i: t.withField(
+                    "id",
+                    F.concat(
+                        F.lit("tool_"),
+                        (F.col("__toff") + i + 1).cast("string"),
+                    ),
+                ),
+            ),
+        )
+        .drop("__seg", "__toff")
     )
 
 

@@ -273,3 +273,96 @@ def test_child_session_from_dict_output_direct_fold():
     assert tool["child_session_id"] == "child-7"
     # dict output is stored stringified (ref str(result.get("output", "")))
     assert tool["result"] == str({"session_id": "child-7"})
+
+
+def _parity_events():
+    """Event stream exercising every cross-turn coupling the split path must
+    restore: tools spanning many turns (global tool ordinals), implicit
+    closes (status flip), session:end mid-stream, unmatched posts, thinking,
+    trailing active turn, pre-prompt garbage."""
+    rows = [_ev(0, "tool:pre", session="sA", tool_name="Ghost")]  # pre-prompt
+    seq = 1
+    for s, n_turns in (("sA", 4), ("sB", 2)):
+        for k in range(n_turns):
+            rows.append(_ev(seq, "prompt:submit", session=s, prompt=f"p{k}")); seq += 1
+            rows.append(_ev(seq, "tool:pre", session=s, tool_name="Bash")); seq += 1
+            if k % 2 == 0:
+                rows.append(_ev(seq, "tool:post", session=s, tool_name="Bash",
+                                result={"success": True, "output": "ok", "error": None})); seq += 1
+                rows.append(_ev(seq, "tool:pre", session=s, tool_name="Read")); seq += 1
+            rows.append(_ev(seq, "thinking:delta", session=s, delta=f"t{k}")); seq += 1
+            rows.append(_ev(seq, "tool:post", session=s, tool_name="Nope")); seq += 1  # unmatched
+        if s == "sB":
+            rows.append(_ev(seq, "session:end", session=s)); seq += 1
+    return rows
+
+
+def test_split_by_turn_parity(spark):
+    """aggregate_trace(split_by_turn=True) must be byte-identical to the
+    single-group fold — including session-global tool ids and the implicit
+    'completed' flip on non-final turns."""
+    df = spark.createDataFrame(_parity_events(), TRACE_EVENT)
+
+    def snap(out):
+        return sorted(
+            (r.asDict(recursive=True) for r in out.collect()),
+            key=lambda t: (t["session_id"], t["turn_id"]),
+        )
+
+    plain = snap(aggregate_trace(df))
+    split = snap(aggregate_trace(df, split_by_turn=True))
+    assert plain == split
+    # sanity on the cross-turn state specifically
+    ids = [t["id"] for turn in plain if turn["session_id"] == "sA" for t in turn["tools"]]
+    assert ids == [f"tool_{i}" for i in range(1, len(ids) + 1)]
+    assert plain[-1]["status"] == "active" or plain[-1]["session_id"] == "sB"
+
+
+def test_split_by_turn_bounds_giant_session_groups(spark):
+    """Skew mitigation: one 20k-event session among many normal ones. The
+    split path's pandas groups are keyed by (session, turn), so the largest
+    group is one TURN (~10 events), not the giant session; output still
+    matches the single-group fold."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.operators.sessionize import turn_number
+
+    rows = []
+    seq = 0
+    for k in range(2000):  # giant session: 2000 turns x 10 events
+        rows.append(_ev(seq, "prompt:submit", session="giant", prompt=f"p{k}")); seq += 1
+        for j in range(4):
+            rows.append(_ev(seq, "tool:pre", session="giant", tool_name=f"T{j}")); seq += 1
+            rows.append(_ev(seq, "tool:post", session="giant", tool_name=f"T{j}",
+                            result={"success": True, "output": "y", "error": None})); seq += 1
+        rows.append(_ev(seq, "thinking:delta", session="giant", delta="d")); seq += 1
+    for s in range(50):  # normal sessions
+        rows.append(_ev(seq, "prompt:submit", session=f"n{s}", prompt="q")); seq += 1
+        rows.append(_ev(seq, "session:end", session=f"n{s}")); seq += 1
+    df = spark.createDataFrame(rows, TRACE_EVENT)
+
+    # the split key bounds every pandas group by the largest turn
+    seg = turn_number(
+        df, "session_id", [F.asc("encounter_seq")],
+        F.col("event") == "prompt:submit", out_col="__seg",
+    )
+    max_group = (
+        seg.groupBy("session_id", "__seg").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group == 10  # one turn, not 20k
+
+    split = aggregate_trace(df, split_by_turn=True)
+    assert split.count() == 2050
+    giant = {
+        r["turn_id"]: r.asDict(recursive=True)
+        for r in split.filter(F.col("session_id") == "giant").collect()
+    }
+    assert len(giant) == 2000
+    # non-final turns flipped to completed; final stays active (no session:end)
+    assert giant[1]["status"] == "completed"
+    assert giant[2000]["status"] == "active"
+    # global tool ordinals survive the split: turn k holds tools 4(k-1)+1..4k
+    assert [t["id"] for t in giant[3]["tools"]] == [
+        "tool_9", "tool_10", "tool_11", "tool_12"
+    ]
