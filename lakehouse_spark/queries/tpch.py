@@ -628,3 +628,188 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: max over a derived aggregate (the revenue 'view') "
+    "— argmax supplier(s) by quarterly revenue. The scalar max runs as its "
+    "own tiny job and becomes a LITERAL equality filter on the aggregated "
+    "frame (the q4/t8 uncorrelated-scalar pattern), so no 1-row join "
+    "appears in the plan; supplier lookup broadcasts. Revenue is a rounded "
+    "decimal sum (order-independent), making the equality cross-engine-safe",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    # Derived aggregates are cheap to cache and read twice (scalar max +
+    # equality filter); at scale this is one shuffle, reused.
+    revenue = revenue.localCheckpoint(eager=True)
+    best = revenue.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.filter(F.col("total_revenue") == F.lit(best))
+        .join(
+            F.broadcast(supplier),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, numwait FROM (
+      SELECT s_name, count(*) AS numwait
+      FROM base l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM base l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM base l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+      GROUP BY s_name) v
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape (adapted: 'late' = shipped >60 days after order "
+    "date, the trimmed schema's stand-in for receipt>commit): EXISTS + "
+    "NOT-EXISTS chain over the same fact — left-semi then left-anti hash "
+    "joins on l_orderkey with a supplier-inequality residual; supplier "
+    "name lookup broadcasts; top-10 on a total order",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    base = li.join(
+        orders_f, li.l_orderkey == orders_f.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("late"),
+    )
+    # The EXISTS/NOT-EXISTS subqueries scan the same joined fact: compute it
+    # once (one lineitem⋈orders shuffle) and reuse for all three roles.
+    base = base.localCheckpoint(eager=True)
+    l1 = base.filter(F.col("late"))
+    l2 = base.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("__ok"))
+        & (F.col("l_suppkey") != F.col("__sk")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("__ok"))
+        & (F.col("l_suppkey") != F.col("__sk")),
+        "left_anti",
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    out = (
+        cand.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return out.orderBy(F.desc("numwait"), F.asc("s_name")).limit(10)
+
+
+@_q(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM (
+      SELECT right(c_name, 2) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE right(c_name, 2) IN ('13','31','23','29','30','18','17')
+        AND c_acctbal > (
+          SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                       / count(c_acctbal), 4)
+          FROM customer
+          WHERE c_acctbal > 0.0
+            AND right(c_name, 2) IN ('13','31','23','29','30','18','17'))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    ) v
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape (adapted: country code = last 2 digits of c_name, "
+    "the trimmed schema's stand-in for the phone prefix): substring "
+    "bucketing + scalar-avg threshold (uncorrelated scalar → literal "
+    "predicate, rounded identically on both engines so membership can't "
+    "flip) + NOT EXISTS recent orders (the original's dormancy window) "
+    "as a left-anti join on o_custkey",
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    codes = ["13", "31", "23", "29", "30", "18", "17"]
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.expr("right(c_name, 2)")
+    )
+    in_codes = cust.filter(F.col("cntrycode").isin(codes))
+    threshold = (
+        in_codes.filter(F.col("c_acctbal") > 0.0)
+        .agg(_davg("c_acctbal").alias("a"))
+        .collect()[0]["a"]
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        in_codes.filter(F.col("c_acctbal") > F.lit(threshold))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

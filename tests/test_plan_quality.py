@@ -254,3 +254,32 @@ def test_q19_or_bands_broadcast_part(spark):
     # reaches the lineitem scan, the brand/size union reaches part.
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "EqualTo(p_brand,Brand#11)" in plan
+
+
+def test_q21_exists_chain_is_hash_joins(spark):
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both as equi hash joins on
+    # l_orderkey (the supplier inequality rides as a join residual) — never
+    # a nested-loop product; the supplier name lookup broadcasts.
+    plan = _plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier lookup
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+
+
+def test_q15_scalar_max_stays_literal(spark):
+    # the revenue view's max becomes a literal equality filter (q4/t8
+    # uncorrelated-scalar pattern) — no 1-row join in the plan
+    plan = _plan(spark, "tpch_q15_top_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier lookup
+
+
+def test_q22_dormancy_is_anti_join_with_pushdown(spark):
+    plan = _plan(spark, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the dormancy window reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
