@@ -43,13 +43,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #     division; float `/` loses precision above 2^53 (epoch-nanos
         #     ≈ 1.7e18) and rounds where DuckDB floors.
         #   - timestamp[us] with no timezone surfaces as TIMESTAMP_NTZ →
-        #     cast to TIMESTAMP. Value-preserving under the pinned-UTC
-        #     session (session.py sets spark.sql.session.timeZone=UTC).
+        #     wall-clock-as-UTC epoch via timestampdiff on NTZ operands,
+        #     then timestamp_micros. Session-timezone-INDEPENDENT: a plain
+        #     cast("timestamp") interprets the wall clock in
+        #     spark.sql.session.timeZone, so a foreign non-UTC session
+        #     would shift every epoch (and DST gaps could corrupt
+        #     individual rows); pure NTZ arithmetic can't.
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
     return df
 
 

@@ -50,3 +50,30 @@ def test_events_ts_is_ltz_timestamp_at_every_sf(spark):
         assert dict(df.dtypes)["ts"] == "timestamp", sf
         # unix_micros is the call sites' actual requirement — exercise it.
         assert df.select(F.unix_micros("ts")).limit(1).count() == 1, sf
+
+
+def test_events_ts_epoch_is_session_timezone_independent(spark):
+    """The NTZ parquet encoding stores a wall clock; load_table must anchor
+    it to UTC regardless of the session's spark.sql.session.timeZone. A
+    plain cast("timestamp") would shift every epoch by the foreign zone's
+    offset (and mangle rows landing in DST gaps); the timestampdiff form
+    cannot. Pins the engine's documented UTC assumption for wall-clock-
+    shifted FOREIGN sessions, not just foreign conf sets."""
+    ours = load_table(spark, SF, "events").agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.sum(F.unix_micros("ts")).alias("s"),
+    ).collect()[0]
+
+    foreign = spark.newSession()
+    prev = foreign.conf.get("spark.sql.session.timeZone")
+    foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        theirs = load_table(foreign, SF, "events").agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+            F.sum(F.unix_micros("ts")).alias("s"),
+        ).collect()[0]
+    finally:
+        foreign.conf.set("spark.sql.session.timeZone", prev)
+    assert tuple(ours) == tuple(theirs)
