@@ -813,3 +813,226 @@ def tpch_q22_global_sales_opportunity(
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation_rk = 1 THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_regionkey AS nation_rk
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31') v
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (adapted: supplier-region share instead of "
+    "supplier-nation — same CASE-volume ratio): 5-table star + two nation "
+    "roles + region, year bucketing, conditional decimal sums, one double "
+    "division. All five dims broadcast; lineitem never shuffles before the "
+    "2-row aggregate",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("__n1_rk"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_regionkey").alias("nation_rk"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), "c_nationkey")
+        .join(
+            F.broadcast(region),
+            F.col("__n1_rk") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n2), "s_nationkey")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("nation_rk") == 1, vol.cast("decimal(18,4)")
+                    ).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol.cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - 0.8 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'STANDARD') v
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (adapted: cost = 0.8 x p_retailprice x l_quantity "
+    "since the trimmed schema has no partsupp): profit expression over a "
+    "4-way star, grouped by supplier nation x order year. Identical "
+    "double-op sequence inside the decimal cast keeps cross-engine parity",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount), 2).cast("double").alias("sum_profit")
+        )
+    )
+
+
+@_q(
+    "tpch_q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey IN
+            (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      GROUP BY l_partkey)
+    SELECT l_partkey, value FROM v
+    WHERE value > (SELECT round(0.001 * sum(value), 4) FROM v)
+    """,
+    doc="TPC-H Q11 shape (adapted: shipped value per part for one region's "
+    "suppliers, partsupp being absent): grouped sum + HAVING against a "
+    "FRACTION of the global total — the scalar runs over the cached "
+    "aggregate and becomes a literal threshold (q15 pattern)",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nations = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    good_supp = supp.join(
+        F.broadcast(nations),
+        supp.s_nationkey == nations.n_nationkey,
+        "left_semi",
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(good_supp), li.l_suppkey == good_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(_dsum("l_extendedprice").alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    threshold = v.agg(
+        F.round(0.001 * F.sum("value"), 4).alias("t")
+    ).collect()[0]["t"]
+    return v.filter(F.col("value") > F.lit(threshold))
+
+
+@_q(
+    "tpch_q20_part_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50)
+      AND s_nationkey IN
+          (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    """,
+    doc="TPC-H Q20 shape (adapted: 'heavily shipped small parts' replaces "
+    "the partsupp availability predicate): nested IN chain — part semi "
+    "join inside a grouped HAVING inside a supplier semi join, plus a "
+    "nation semi join. Every IN becomes a (broadcast) left-semi hash join",
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(
+            F.broadcast(small_parts),
+            li.l_partkey == small_parts.p_partkey,
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    nations = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(heavy), "s_suppkey", "left_semi")
+        .join(
+            F.broadcast(nations),
+            supp.s_nationkey == nations.n_nationkey,
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
