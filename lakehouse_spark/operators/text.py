@@ -302,3 +302,108 @@ def decontaminate(
     ).select(
         id_col, F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
     )
+
+
+# --- chunking (embedding-pipeline windowing) ---------------------------------
+
+
+def chunk_words(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping word windows — the standard
+    pre-embedding chunker (window ``size`` words, new chunk every ``stride``;
+    stride < size ⇒ overlap). One chunk starts at every stride offset that
+    still has words, so short docs yield one (possibly short) chunk and
+    nothing is dropped.
+
+    Pure Catalyst: the word array is materialized once, chunk starts come
+    from ``sequence(1, n_words, stride)``, and ``posexplode`` emits
+    (chunk_id, chunk_text, n_tokens) — no UDF, scan-speed, and the explode
+    fan-out (~n_words/stride rows per doc) happens AFTER any pushed filters.
+    """
+    words = df.withColumn(
+        "__w", F.split(F.trim(F.col(text_col)), r"\s+")
+    ).withColumn("__n", F.size("__w"))
+    starts = F.sequence(F.lit(1), F.greatest("__n", F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice("__w", s, size))
+    )
+    return (
+        words.filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+        )
+    )
+
+
+# --- PII detection / redaction ------------------------------------------------
+
+# Conservative, cross-engine-safe patterns (no lookarounds: DuckDB is RE2).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+_PII_ORDER = ("ssn", "phone", "email")  # most-specific first
+
+
+def pii_counts(col: Column | str) -> Column:
+    """struct(email, phone, ssn) match counts — regexp_extract_all lengths,
+    scan-speed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(k)
+            for k, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with ``[<KIND>]`` — chained regexp_replace,
+    most-specific pattern first (an SSN would otherwise half-match the
+    phone pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in _PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c
+
+
+# --- deterministic dataset split ---------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a split label (train/val/test/…) by hashing its id —
+    deterministic, order-independent, and stable under re-runs and
+    repartitioning, which random() splits are not. ``weights`` are integer
+    proportions (e.g. {"train": 8, "val": 1, "test": 1} → 80/10/10).
+
+    Scale shape: one narrow projection, no shuffle — the md5-derived
+    :func:`hash64` bucket is computed inline at scan speed; downstream
+    writers can partition by the label column."""
+    from lakehouse_spark.functions.scalar import hash64
+
+    total = sum(weights.values())
+    bucket = F.pmod(hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), F.lit(total))
+    edges: list[tuple[str, int]] = []
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        edges.append((name, acc))
+    expr = F.lit(edges[-1][0])
+    for name, hi in reversed(edges[:-1]):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

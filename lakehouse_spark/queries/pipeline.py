@@ -882,3 +882,130 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_q(
+    "doc_chunks_overlap",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(n, 1), 24)) AS st
+      FROM w WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST((st - 1) // 24 AS INTEGER) AS chunk_id,
+           CAST(len(w[st:st+31]) AS INTEGER) AS n_tokens,
+           sha256(array_to_string(w[st:st+31], ' ')) AS chunk_fp
+    FROM s
+    """,
+    doc="Embedding-pipeline chunker: overlapping 32-word windows every 24 "
+    "words (posexplode of sequence starts — pure Catalyst, no UDF; the "
+    "fan-out happens after pushed filters). Chunk text is fingerprinted "
+    "so the oracle compares content without shipping it",
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_words(docs, "doc_id", "text", size=32, stride=24).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.sha2("chunk_text", 256).alias("chunk_fp"),
+    )
+
+
+@_q(
+    "pii_redaction",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             text ||
+             (CASE WHEN doc_id % 2 = 0
+                   THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   ELSE '' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567 ok' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789 end' ELSE '' END)
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS n_ssn,
+           sha256(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                 '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+           ) AS redacted_fp
+    FROM synth
+    """,
+    doc="PII detection + redaction over synthesized contact strings (the "
+    "corpus itself is clean): regexp_extract_all counts per kind and "
+    "chained regexp_replace redaction, most-specific pattern first — "
+    "scan-speed Catalyst, RE2-safe patterns so DuckDB mirrors exactly",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567 ok")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789 end")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = text.pii_counts("t")
+    return synth.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ssn"].cast("int").alias("n_ssn"),
+        F.sha2(text.redact_pii("t"), 256).alias("redacted_fp"),
+    )
+
+
+@_q(
+    "curation_train_split",
+    """
+    WITH b AS (
+      SELECT n_chars,
+             ((CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 10) + 10) % 10 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 dataset split: md5-derived hash bucket per "
+    "doc id — order-independent, repartition-stable, reproducible across "
+    "engines and re-runs (random() splits are none of these). No shuffle "
+    "until the 3-row summary",
+)
+def curation_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1})
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -208,3 +208,63 @@ def test_parse_ref_git_roundtrip(spark, org, repo, ref, path_segs):
     assert row.p.base_url == url
     assert row.p.ref_name == ref
     assert row.p.asset_path == ("/".join(path_segs) if path_segs else None)
+
+
+def test_chunk_words_edges(spark):
+    """Chunker edge cases: doc shorter than the window → one short chunk;
+    exact multiple of stride → no empty trailing chunk; overlap covers
+    every word at least once."""
+    from lakehouse_spark.operators.text import chunk_words
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),                      # shorter than window
+            (2, " ".join(f"w{i}" for i in range(48))),  # 2 windows, overlap
+            (3, " ".join(f"x{i}" for i in range(24))),  # == stride
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_words(df, "doc_id", "text", size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [c.n_tokens for c in by_doc[1]] == [3]
+    two = sorted(by_doc[2], key=lambda c: c.chunk_id)
+    assert [c.n_tokens for c in two] == [32, 24]  # second starts at word 25
+    assert two[1].chunk_text.split()[0] == "w24"
+    assert [c.n_tokens for c in by_doc[3]] == [24]
+    # every word of doc 2 appears in some chunk
+    covered = set(w for c in two for w in c.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(48)}
+
+
+def test_redact_pii_order_and_counts(spark):
+    """SSN must be redacted before the phone pattern can half-match it;
+    counts are independent per kind."""
+    from lakehouse_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("x", "mail a@b.co call 555-123-4567 ssn 123-45-6789 done")],
+        "id string, t string",
+    )
+    row = df.select(
+        pii_counts("t").alias("c"), redact_pii("t").alias("r")
+    ).collect()[0]
+    assert (row.c.email, row.c.phone, row.c.ssn) == (1, 1, 1)
+    assert row.r == "mail [EMAIL] call [PHONE] ssn [SSN] done"
+
+
+def test_hash_split_is_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.operators.text import hash_split
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k", {"train": 8, "val": 1, "test": 1})
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+    # repartition-stable: same assignment regardless of physical layout
+    b = hash_split(df.repartition(7), "k", {"train": 8, "val": 1, "test": 1})
+    assert a.select("k", "split").exceptAll(b.select("k", "split")).isEmpty()
