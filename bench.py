@@ -162,6 +162,20 @@ def main() -> None:
         ivf_recall = None
         errors["sim_ivf_topk"] = f"{type(ex).__name__}: {str(ex)[:200]}"
 
+    try:
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in kept.get("sim_topk_bruteforce", [])
+        }
+        pq = {
+            (r["query_id"], r["neighbor_id"])
+            for r in CATALOG["sim_pq_rerank_topk"].build(spark, sf_dir).collect()
+        }
+        pq_recall = round(len(pq & truth) / len(truth), 4) if truth else None
+    except Exception as ex:  # noqa: BLE001
+        pq_recall = None
+        errors["sim_pq_rerank_topk"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+
     out = {
         "metric": "headline_suite_wall_sec",
         "value": suite_median_sum,
@@ -173,6 +187,7 @@ def main() -> None:
         "host_probe_before": probe_before,
         "host_probe_after": probe_after,
         "ivf_recall_at_5": ivf_recall,
+        "pq_recall_at_5": pq_recall,
         "sf": sf,
     }
     if errors:

@@ -275,6 +275,48 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sim_pq_topk",
+    None,  # approximate by design: recall < 1 vs brute force → rows-only check
+    doc="Product-quantization approximate top-k: ADC over m=16/ksub=256 "
+    "codes (16x storage shrink at dim 64 float32); corpus codes never "
+    "shuffle — mapInPandas emits per-partition per-query top-k, then a "
+    "tiny global reduce",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PQ path: codebooks trained driver-side on a deterministic
+    hash-ordered sample (FAISS's quantizer-in-RAM trade), encode and ADC
+    search fully distributed. The memory story complements IVF: PQ codes
+    make a 100 TB float corpus fit hot storage; IVF bounds scan fan-out —
+    production systems compose them (IVF-PQ)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8)
+    encoded = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(
+        encoded, books, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_q(
+    "sim_pq_rerank_topk",
+    None,  # approximate by design → rows-only check
+    doc="Two-stage PQ search: ADC shortlist (4k candidates from compressed "
+    "codes) + exact cosine re-rank of only those candidates — recall@5 "
+    "reported by bench.py (1.0 at sf0.01/sf0.1 on near-random vectors)",
+)
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8)
+    encoded = similarity.pq_encode(emb, books)
+    return similarity.pq_topk_reranked(
+        encoded, books, emb.filter(F.col("vec_id") < 10), emb, k=5, shortlist=4
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS) + "]"
 
 

@@ -225,3 +225,50 @@ def test_connected_components_chain_triangle_singleton(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_pq_encode_shape_and_adc_beats_chance(spark):
+    """PQ codes: m indices in [0, ksub); ADC ranking from codes alone must
+    far outrank random (chance recall@5 on 500 vectors ≈ 1%)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=4)
+    assert books.shape == (16, 256, 4)
+    encoded = similarity.pq_encode(emb, books)
+    codes = encoded.select("pq_code").limit(50).collect()
+    assert all(
+        len(r.pq_code) == 16 and all(0 <= c < 256 for c in r.pq_code)
+        for r in codes
+    )
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(encoded, books, queries, k=5).collect()
+    }
+    assert len(adc & truth) / len(truth) >= 0.4
+
+
+def test_pq_rerank_recovers_exact_neighbors(spark):
+    """Two-stage PQ (ADC shortlist + exact re-rank) must essentially match
+    brute force; every query returns k ranked rows."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8)
+    encoded = similarity.pq_encode(emb, books)
+    rr = similarity.pq_topk_reranked(
+        encoded, books, queries, emb, k=5, shortlist=4
+    )
+    got = rr.collect()
+    hit = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(hit & truth) / len(truth) >= 0.9
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
