@@ -481,3 +481,102 @@ def pq_topk_reranked(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    bucketed_encoded: DataFrame,
+    codebooks: np.ndarray,
+    centroids: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 16,
+    shortlist: int = 4,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF-PQ: the full production ANN composition. IVF bounds the SCAN
+    (each query touches only its ``nprobe`` buckets via an equi join on
+    bucket_id), PQ bounds the BYTES (candidates are scored from m one-byte
+    codes by ADC table gathers — float vectors never flow through the
+    join), and an optional exact re-rank of the shortlist (pass ``corpus``)
+    buys back quantization recall by fetching only queries × shortlist×k
+    float vectors.
+
+    ``bucketed_encoded`` = corpus with ``bucket_id`` (assign_buckets) and
+    ``pq_code`` (pq_encode). Per-candidate ADC is one vectorized numpy
+    gather per Arrow batch: scores = lut[qidx, j, code_j] summed over j."""
+    m, ksub, dsub = codebooks.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qpos = {int(i): p for p, i in enumerate(qids)}
+    lut = np.einsum("qjd,jcd->jqc", Q.reshape(len(Q), m, dsub), codebooks)
+    # lut[j, q, c]; transposed so the gather below indexes j first
+
+    @F.pandas_udf("double")
+    def adc(qid: pd.Series, code: pd.Series) -> pd.Series:
+        if not len(qid):
+            return pd.Series([], dtype=float)
+        qi = np.array([qpos[int(x)] for x in qid], dtype=np.int64)
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in code])
+        s = lut[np.arange(m)[None, :], qi[:, None], C].sum(axis=1)
+        return pd.Series(s)
+
+    topb = _top_buckets_udf(centroids, centroid_id_col, centroid_vec_col, nprobe)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bucket_id", F.explode(topb(F.col("qv")))).select(
+        "query_id", "bucket_id"
+    )
+    cand = (
+        bucketed_encoded.select(
+            F.col(id_col).alias("neighbor_id"), "bucket_id", "pq_code"
+        )
+        .join(F.broadcast(probes), "bucket_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # spill assignment
+        .withColumn("score", adc(F.col("query_id"), F.col("pq_code")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (shortlist * k if corpus is not None else k))
+        .select("query_id", "neighbor_id", "score")
+    )
+    if corpus is None:
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return short.withColumn("rank", F.row_number().over(wk)).select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rer = (
+        short.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -317,6 +317,37 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sim_ivfpq_topk",
+    None,  # approximate by design → rows-only check
+    doc="IVF-PQ composition (the production ANN shape): probe nprobe "
+    "centroid buckets (equi join bounds the SCAN), ADC-score candidates "
+    "from PQ codes (bounds the BYTES — floats never flow through the "
+    "join), exact re-rank of the shortlist",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = similarity.kmeans_centroids(emb, n_clusters=64, iters=3)
+    bucketed = similarity.assign_buckets(emb, centroids, spill=2)
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8)
+    # encode each vector ONCE, then attach its (spilled) bucket rows
+    bucketed_encoded = similarity.pq_encode(emb, books).join(
+        bucketed.select("vec_id", "bucket_id"), "vec_id"
+    )
+    return similarity.ivfpq_topk(
+        bucketed_encoded,
+        books,
+        centroids,
+        emb.filter(F.col("vec_id") < 10),
+        corpus=emb,
+        k=5,
+        nprobe=16,
+        shortlist=4,
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS) + "]"
 
 

@@ -272,3 +272,30 @@ def test_pq_rerank_recovers_exact_neighbors(spark):
     for r in got:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_ivfpq_composition_recall(spark):
+    """IVF-PQ end-to-end: recall is bounded by the IVF probe (PQ+re-rank is
+    near-lossless inside the probed set), so it must sit at-or-near the
+    plain-IVF recall for the same probe config, and well above chance."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    centroids = similarity.kmeans_centroids(emb, n_clusters=25, iters=2)
+    bucketed = similarity.assign_buckets(emb, centroids, spill=2)
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=4)
+    be = similarity.pq_encode(emb, books).join(
+        bucketed.select("vec_id", "bucket_id"), "vec_id"
+    )
+    out = similarity.ivfpq_topk(
+        be, books, centroids, queries, corpus=emb, k=5, nprobe=12, shortlist=4
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(got & truth) / len(truth) >= 0.6
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
