@@ -368,6 +368,19 @@ class TableStore:
         tables accumulate small segments; run this on a cadence)."""
         self._rewrite(self.read())
 
+    def maybe_compact(self, max_segments: int = 16) -> bool:
+        """Small-file policy: compact only when the live version holds more
+        than ``max_segments`` segments. Call it after appends (streaming
+        sinks, ingest loops) — amortized cost stays O(table/max_segments)
+        per rewrite while reads never degrade past ``max_segments`` file
+        groups. Returns True when a compaction ran. A concurrent writer
+        winning the race simply surfaces ConcurrentWriteError like any
+        other commit — the caller's next maybe_compact retries."""
+        if self.n_segments() <= max_segments:
+            return False
+        self.compact()
+        return True
+
     def n_segments(self) -> int:
         v = self.current_version()
         return 0 if v is None else len(self._segments(v))

@@ -588,3 +588,19 @@ def test_partitioned_layout_prunes_and_overwrites_dynamically(spark, tmp_path):
         back2.filter(F.col("event_date") != "2024-01-05").count()
         == total - n_day
     )
+
+
+def test_maybe_compact_policy(spark, tmp_store_dir):
+    """Auto-compaction: no-op below the threshold, one-segment rewrite
+    above it; reads identical either way."""
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k")
+    store.init(_kv(spark, ("a", 0, ts)))
+    for i in range(4):
+        store.append(_kv(spark, (f"k{i}", i, ts)))
+    assert store.n_segments() == 5
+    assert store.maybe_compact(max_segments=8) is False
+    assert store.n_segments() == 5
+    assert store.maybe_compact(max_segments=4) is True
+    assert store.n_segments() == 1
+    assert store.read().count() == 5
