@@ -304,7 +304,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate by design → rows-only check
     doc="Two-stage PQ search: ADC shortlist (4k candidates from compressed "
     "codes) + exact cosine re-rank of only those candidates — recall@5 "
-    "reported by bench.py (1.0 at sf0.01/sf0.1 on near-random vectors)",
+    "reported by bench.py (1.0 at sf0.01, 0.98 at sf0.1, near-random "
+    "vectors)",
 )
 def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
