@@ -162,19 +162,25 @@ def main() -> None:
         ivf_recall = None
         errors["sim_ivf_topk"] = f"{type(ex).__name__}: {str(ex)[:200]}"
 
-    try:
+    def _recall(entry: str) -> float | None:
         truth = {
             (r["query_id"], r["neighbor_id"])
             for r in kept.get("sim_topk_bruteforce", [])
         }
-        pq = {
-            (r["query_id"], r["neighbor_id"])
-            for r in CATALOG["sim_pq_rerank_topk"].build(spark, sf_dir).collect()
-        }
-        pq_recall = round(len(pq & truth) / len(truth), 4) if truth else None
-    except Exception as ex:  # noqa: BLE001
-        pq_recall = None
-        errors["sim_pq_rerank_topk"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        if not truth:
+            return None
+        try:
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in CATALOG[entry].build(spark, sf_dir).collect()
+            }
+            return round(len(got & truth) / len(truth), 4)
+        except Exception as ex:  # noqa: BLE001
+            errors[entry] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            return None
+
+    pq_recall = _recall("sim_pq_rerank_topk")
+    ivfpq_recall = _recall("sim_ivfpq_topk")
 
     out = {
         "metric": "headline_suite_wall_sec",
@@ -188,6 +194,7 @@ def main() -> None:
         "host_probe_after": probe_after,
         "ivf_recall_at_5": ivf_recall,
         "pq_recall_at_5": pq_recall,
+        "ivfpq_recall_at_5": ivfpq_recall,
         "sf": sf,
     }
     if errors:

@@ -213,6 +213,44 @@ def minhash_signature(hashes: Column, k: int = 16) -> Column:
     )
 
 
+def band_signatures_from_shingles(
+    shingled: DataFrame, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, band_sig) LSH band relation from a :func:`shingle_frame`
+    output — the narrow join key for candidate generation. Shared by the
+    batch near-dup pipeline and the streaming dedup-ingest sink (whose
+    signature INDEX is exactly this relation, accumulated)."""
+    rows_per_band = k // bands
+    sig = shingled.select(
+        "id", F.transform("sh", lambda s: hash64(s)).alias("hs")
+    ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                ),
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Text → LSH band relation in one call (shingle + minhash + band)."""
+    return band_signatures_from_shingles(
+        shingle_frame(df, id_col, text_col, n), k, bands
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -237,21 +275,8 @@ def minhash_near_duplicates(
     recall/precision (standard LSH banding); at 100 TB raise k and bands
     rather than lowering min_jaccard.
     """
-    rows_per_band = k // bands
     base = _persist(shingle_frame(df, id_col, text_col, n))
-    sig = base.select(
-        "id", F.transform("sh", lambda s: hash64(s)).alias("hs")
-    ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-            )
-        ).alias("band", "band_sig"),
-    )
-    banded = _persist(banded)
+    banded = _persist(band_signatures_from_shingles(base, k, bands))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -427,3 +427,86 @@ def mark_unread_sink(sessions_store, subscribed_sessions):
             sessions_store.upsert(to_mark)
 
     return sink
+
+
+def dedup_ingest_sink(
+    store,
+    sig_store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    app_id: str = "dedup_ingest",
+):
+    """Streaming near-dup-FILTERED ingestion: each micro-batch's documents
+    are LSH-banded (operators.dedup.band_signatures), screened against the
+    accumulated signature index AND against earlier docs in the same batch,
+    and only novel documents append to ``store`` — their bands appending to
+    ``sig_store`` so later batches see them. The curation funnel's dedup
+    stage, expressed as a stream.
+
+    Semantics: CANDIDATE-level filtering — sharing any LSH band drops the
+    newcomer (keep-first). That is deliberately aggressive (no exact-Jaccard
+    verify; the index stores narrow band rows, never shingle sets) — the
+    right trade for ingest-time screening at scale, where the index must
+    stay small and false-positive drops are cheap. Run the exact batch
+    pipeline for offline verification.
+
+    Exactly-once: both stores carry the (app_id, batch_id) txn watermark and
+    are checked INDEPENDENTLY, so a crash between the two appends replays
+    into a half-committed state and completes it — survivors are recomputed
+    against the same index (the sig_store append is the LAST step), so the
+    replay decides identically.
+    """
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.operators import dedup
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store_done = batch_id <= store.last_txn_version(app_id)
+        sig_done = batch_id <= sig_store.last_txn_version(app_id)
+        if store_done and sig_done:
+            return  # fully-committed replay
+        bands_new = dedup.band_signatures(
+            batch, id_col, text_col, n=n, k=k, bands=bands
+        ).localCheckpoint(eager=True)
+        if sig_store.exists():
+            dup_vs_index = bands_new.join(
+                sig_store.read().select("band", "band_sig"),
+                ["band", "band_sig"],
+                "left_semi",
+            )
+        else:
+            dup_vs_index = bands_new.limit(0)
+        a, b = bands_new.alias("a"), bands_new.alias("b")
+        dup_in_batch = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.id") > F.col("b.id")),
+                "left_semi",
+            )
+            .select("id")
+        )
+        doomed = (
+            dup_vs_index.select("id").union(dup_in_batch).distinct()
+        )
+        survivors = batch.join(
+            doomed.withColumnRenamed("id", id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        # Both appends run even when empty: the commit advances the txn
+        # watermark, so a replay of an all-duplicates batch is a cheap skip
+        # instead of a recompute. Order matters — store first, index last —
+        # so a crash in between replays against the SAME index and decides
+        # identically.
+        if not store_done:
+            store.append(survivors, txn=(app_id, batch_id))
+        if not sig_done:
+            keep_bands = bands_new.join(
+                survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+            )
+            sig_store.append(keep_bands, txn=(app_id, batch_id))
+
+    return sink

@@ -396,3 +396,41 @@ def test_exactly_once_sink_end_to_end_stream(spark, tmp_path):
     assert store.read().count() == 2
     run()  # same checkpoint: no new files → no new batches → unchanged
     assert store.read().count() == 2
+
+
+def test_dedup_ingest_sink_filters_near_dups_across_batches(spark, tmp_path):
+    """Streaming curation: the sink must drop near-duplicates of anything
+    already ingested (via the accumulated LSH band index) AND within the
+    batch (keep-first), append only novel docs, and stay idempotent on
+    replay — including a replay arriving after the index advanced."""
+    from lakehouse_spark.mutation.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "docs"), key="doc_id")
+    sigs = TableStore(spark, str(tmp_path / "sigs"), key="id")
+    sink = live.dedup_ingest_sink(store, sigs)
+
+    base = ("spark shuffles the hash partitioned rows " * 6).strip()
+    other = ("an entirely different corpus about pelicans and rivers " * 6).strip()
+    third = ("yet another unique document concerning volcanoes today " * 6).strip()
+
+    def batch(*rows):
+        return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+    # batch 0: A and B novel; C is a near-dup of A within the batch
+    sink(batch((1, base), (2, other), (3, base + " extra")), 0)
+    assert sorted(r.doc_id for r in store.read().collect()) == [1, 2]
+
+    # batch 1: near-dup of A (vs index) dropped; novel doc kept
+    sink(batch((4, base + " tail"), (5, third)), 1)
+    assert sorted(r.doc_id for r in store.read().collect()) == [1, 2, 5]
+
+    # replay of batch 1: fully idempotent
+    v = store.current_version()
+    sink(batch((4, base + " tail"), (5, third)), 1)
+    assert store.current_version() == v
+    assert sorted(r.doc_id for r in store.read().collect()) == [1, 2, 5]
+
+    # all-duplicates batch still advances the watermark (cheap replays)
+    sink(batch((6, base)), 2)
+    assert sorted(r.doc_id for r in store.read().collect()) == [1, 2, 5]
+    assert store.last_txn_version("dedup_ingest") == 2
