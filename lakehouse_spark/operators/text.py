@@ -407,3 +407,61 @@ def hash_split(
     for name, hi in reversed(edges[:-1]):
         expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    prob: Column | float,
+    salt: str = "ds",
+) -> DataFrame:
+    """Keep each row with probability ``prob`` (0..1, may be a per-row
+    Column), decided by an md5-derived hash of the row id — deterministic,
+    reproducible across engines and re-runs, repartition-stable, and
+    joinable (the SAME ids survive every run, unlike rand()-based
+    sampling). The workhorse behind quality resampling and source mixing."""
+    from lakehouse_spark.functions.scalar import hash64
+
+    p = F.lit(prob) if isinstance(prob, (int, float)) else prob
+    u = (
+        F.pmod(
+            hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+    )
+    return df.filter(u < p)
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_weights: dict[str, float] | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Data-mixing downsample: re-balance a corpus across its sources to
+    ``target_weights`` (default: equal shares). Each source's acceptance
+    rate is ``min(1, w_s/max_s(n_s'/w_s')⁻¹ …)`` — concretely the rate that
+    makes realized counts proportional to the weights without ever
+    OVERsampling (the binding source keeps everything; larger ones thin
+    deterministically via :func:`deterministic_sample`).
+
+    Scale shape: one count aggregate (tiny), rates become a broadcast map,
+    then a scan-speed hash filter — the corpus never shuffles."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    if target_weights is None:
+        target_weights = {s: 1.0 for s in counts}
+    # scale chosen so the most-constrained source keeps 100% of its rows
+    scale = min(counts[s] / w for s, w in target_weights.items() if s in counts)
+    rates = {
+        s: min(1.0, target_weights.get(s, 0.0) * scale / n)
+        for s, n in counts.items()
+    }
+    rate_col = F.lit(0.0)
+    for s, r in rates.items():
+        rate_col = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate_col)
+    return deterministic_sample(df, id_col, rate_col, salt=salt)

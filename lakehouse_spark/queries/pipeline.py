@@ -1083,3 +1083,49 @@ def curation_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@_q(
+    "curation_quality_resample",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE (((CAST('0x' || substr(md5('ds:' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 1000000) + 1000000) % 1000000) / 1000000.0
+          < least(1.0, n_chars / 400.0)
+    """,
+    doc="Importance resampling: keep probability proportional to a per-doc "
+    "score (here length-based), decided by an md5-derived hash of the id — "
+    "deterministic, reproducible, repartition-stable; the SAME ids survive "
+    "every run, unlike rand() sampling. Scan-speed filter, no shuffle",
+)
+def curation_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    prob = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    return text.deterministic_sample(docs, "doc_id", prob, salt="ds").select(
+        "doc_id", "n_chars"
+    )
+
+
+@_q(
+    "curation_source_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS mn FROM c),
+    r AS (SELECT source, least(1.0, (SELECT mn * 1.0 FROM m) / n) AS rate
+          FROM c)
+    SELECT doc_id, source
+    FROM documents d JOIN r USING (source)
+    WHERE (((CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 1000000) + 1000000) % 1000000) / 1000000.0 < rate
+    """,
+    doc="Data mixing: re-balance the corpus to equal shares per source — "
+    "per-source acceptance rates from one tiny count aggregate (the "
+    "binding source keeps 100%), then the deterministic hash filter at "
+    "scan speed; the corpus never shuffles",
+)
+def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.mix_sources(docs, "source", "doc_id", salt="mix").select(
+        "doc_id", "source"
+    )

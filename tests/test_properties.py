@@ -268,3 +268,81 @@ def test_hash_split_is_deterministic_and_proportional(spark):
     # repartition-stable: same assignment regardless of physical layout
     b = hash_split(df.repartition(7), "k", {"train": 8, "val": 1, "test": 1})
     assert a.select("k", "split").exceptAll(b.select("k", "split")).isEmpty()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: the distributed min-label propagation (with pointer-doubling
+    shortcuts) must agree with a driver-side union-find on arbitrary graphs —
+    including self-loops, duplicate edges, chains (deep diameters), and
+    isolated nodes added via all_nodes."""
+    from lakehouse_spark.operators.dedup import connected_components
+
+    all_nodes = list(range(26))
+
+    # reference: classic union-find
+    parent = {n: n for n in all_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in all_nodes:
+        root = find(n)
+        expected[n] = min(m for m in all_nodes if find(m) == root)
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "a_id long, b_id long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    nodes = spark.createDataFrame([(n,) for n in all_nodes], "node long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs, "a_id", "b_id", all_nodes=nodes, node_col="node"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_mix_sources_balances_and_keeps_binding_source(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.operators.text import mix_sources
+
+    rows = (
+        [(i, "big") for i in range(3000)]
+        + [(10_000 + i, "mid") for i in range(1000)]
+        + [(20_000 + i, "small") for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, "source", "doc_id")
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["small"] == 300  # binding source keeps everything
+    for s in ("big", "mid"):  # others thin toward the same share
+        assert abs(counts[s] - 300) < 60, counts
+    # deterministic: same survivors on a repartitioned input
+    out2 = mix_sources(df.repartition(13), "source", "doc_id")
+    assert out.select("doc_id").exceptAll(out2.select("doc_id")).isEmpty()
