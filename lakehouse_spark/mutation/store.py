@@ -384,3 +384,34 @@ class TableStore:
     def n_segments(self) -> int:
         v = self.current_version()
         return 0 if v is None else len(self._segments(v))
+
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change-data-feed between two versions: every row added or removed
+        going from ``v_from`` to ``v_to`` (default: current), tagged with a
+        ``_change`` column ('insert' / 'delete'). Multiset semantics
+        (exceptAll both ways), so duplicate-row count changes surface too.
+
+        Fast path for the append-only history: when ``v_to`` reuses every
+        ``v_from`` segment (the append case), the diff reads ONLY the new
+        segments — O(new rows), no exceptAll over the base. Rewrite commits
+        (upsert/delete/compact) fall back to the two-sided exceptAll, which
+        is what a Delta CDF reader must do without a change log either."""
+        v_to = self.current_version() if v_to is None else v_to
+        old_segs, new_segs = self._segments(v_from), self._segments(v_to)
+        if set(old_segs) <= set(new_segs):
+            added = [s for s in new_segs if s not in set(old_segs)]
+            if not added:
+                return self.read(v_from).limit(0).withColumn(
+                    "_change", F.lit("insert")
+                )
+            rows = self.spark.read.parquet(
+                *[os.path.join(self.root, s) for s in added]
+            )
+            return rows.withColumn("_change", F.lit("insert"))
+        old, new = self.read(v_from), self.read(v_to)
+        return (
+            new.exceptAll(old).withColumn("_change", F.lit("insert"))
+            .unionByName(
+                old.exceptAll(new).withColumn("_change", F.lit("delete"))
+            )
+        )

@@ -596,3 +596,43 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def incremental_connected_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    new_nodes: DataFrame | None = None,
+    node_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Merge NEW documents and near-dup pairs into an EXISTING clustering
+    without recomputing from the historical edge set — the maintenance path
+    a 100 TB dedup index needs when a fresh crawl lands.
+
+    ``labels`` is a previous :func:`connected_components` output
+    (doc_id, cluster_id). Each existing cluster is re-entered as its STAR —
+    one (member ↔ cluster_id) edge per member — which is a connectivity-
+    preserving contraction of all historical edges: any old intra-cluster
+    path exists through the representative. Propagation cost is therefore
+    O(new pairs + members of touched clusters), independent of how many
+    historical pairs produced the clustering. Output format matches
+    :func:`connected_components` and EQUALS a full recompute over
+    (old ∪ new) edges (parity-tested), because min-labels only depend on
+    connectivity, and cluster ids are already component minima."""
+    star = labels.filter(F.col(node_col) != F.col("cluster_id")).select(
+        F.col(node_col).alias("a_id"), F.col("cluster_id").alias("b_id")
+    )
+    pairs = new_pairs.select(
+        F.col(left_col).alias("a_id"), F.col(right_col).alias("b_id")
+    ).unionByName(star)
+    nodes = labels.select(F.col(node_col).alias("node"))
+    if new_nodes is not None:
+        nodes = nodes.unionByName(
+            new_nodes.select(F.col(node_col).alias("node"))
+        )
+    return connected_components(
+        pairs, "a_id", "b_id",
+        all_nodes=nodes.distinct(), node_col="node", max_iter=max_iter,
+    )

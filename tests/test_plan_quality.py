@@ -283,3 +283,41 @@ def test_q22_dormancy_is_anti_join_with_pushdown(spark):
     assert "CartesianProduct" not in plan
     # the dormancy window reaches the orders scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_audit_flags_scale_antipatterns(spark):
+    """plans.audit: the catalog's lint rules as a user-callable gate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from lakehouse_spark.plans import audit
+
+    import pytest
+
+    a = spark.range(5)
+    b = spark.range(5).withColumnRenamed("id", "jd")
+
+    cross = a.crossJoin(b)
+    checks = {f.check for f in audit.audit(cross)}
+    assert "cartesian_product" in checks or "broadcast_nested_loop" in checks
+    with pytest.raises(ValueError, match="scale audit"):
+        audit.assert_scalable(cross)
+
+    slow = a.withColumn("y", udf(lambda x: x + 1, "long")(F.col("id")))
+    assert "python_row_udf" in {f.check for f in audit.audit(slow)}
+
+    narrow = a.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert "unpartitioned_window" in {f.check for f in audit.audit(narrow)}
+
+
+def test_audit_passes_catalog_plans(spark):
+    # representative catalog entries must clear the fatal checks
+    from lakehouse_spark.plans import audit
+
+    for name in ("j5_fk_lookup_chain", "tpch_q21_waiting_supplier",
+                 "dedup_ngram_jaccard", "curation_source_mix"):
+        df = CATALOG[name].build(spark, SF_SMALL)
+        audit.assert_scalable(df)

@@ -346,3 +346,52 @@ def test_mix_sources_balances_and_keeps_binding_source(spark):
     # deterministic: same survivors on a repartitioned input
     out2 = mix_sources(df.repartition(13), "source", "doc_id")
     assert out.select("doc_id").exceptAll(out2.select("doc_id")).isEmpty()
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=30),
+    st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=20),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_cc_equals_full_recompute(spark, old_edges, new_edges):
+    """Property: clustering old edges, then folding in new edges/nodes via
+    the star contraction, must equal one full recompute over old ∪ new.
+    New node ids (16-25) only exist in the new batch."""
+    from lakehouse_spark.operators.dedup import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    def pairs_df(edges):
+        df = spark.createDataFrame(edges or [(0, 0)], "a_id long, b_id long")
+        return df if edges else df.limit(0)
+
+    old_nodes = spark.createDataFrame(
+        [(n,) for n in range(16)], "doc_id long"
+    )
+    all_nodes = spark.createDataFrame(
+        [(n,) for n in range(26)], "doc_id long"
+    )
+    base = connected_components(
+        pairs_df(old_edges), "a_id", "b_id",
+        all_nodes=old_nodes, node_col="doc_id",
+    )
+    inc = {
+        r.doc_id: r.cluster_id
+        for r in incremental_connected_components(
+            base, pairs_df(new_edges), "a_id", "b_id",
+            new_nodes=all_nodes, node_col="doc_id",
+        ).collect()
+    }
+    full = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs_df(old_edges + new_edges), "a_id", "b_id",
+            all_nodes=all_nodes, node_col="doc_id",
+        ).collect()
+    }
+    assert inc == full

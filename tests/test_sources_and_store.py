@@ -604,3 +604,22 @@ def test_maybe_compact_policy(spark, tmp_store_dir):
     assert store.maybe_compact(max_segments=4) is True
     assert store.n_segments() == 1
     assert store.read().count() == 5
+
+
+def test_diff_cdc_between_versions(spark, tmp_store_dir):
+    """Change-data-feed: append diffs read ONLY the new segments (insert
+    rows); rewrite commits (upsert) surface both sides."""
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k")
+    store.init(_kv(spark, ("a", 1, ts), ("b", 2, ts)))
+    v0 = store.current_version()
+    store.append(_kv(spark, ("c", 3, ts)))
+    v1 = store.current_version()
+
+    d = store.diff(v0, v1).collect()
+    assert [(r.k, r._change) for r in d] == [("c", "insert")]
+    assert store.diff(v0, v0).count() == 0
+
+    store.upsert(_kv(spark, ("b", 20, ts)))
+    d2 = {(r.k, r.v, r._change) for r in store.diff(v1).collect()}
+    assert d2 == {("b", 20, "insert"), ("b", 2, "delete")}
