@@ -580,3 +580,110 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+class AnnIndex:
+    """Persisted IVF-PQ index: build once over a corpus, search many times,
+    survive process restarts — the missing piece between the ANN operators
+    (pure plans) and a production retrieval service.
+
+    Storage is three versioned TableStores under ``root`` (so index builds
+    are atomic, time-travelable, vacuumable, and safe under concurrent
+    writers like every other table):
+
+    - ``centroids``  — (centroid_id, centroid) coarse quantizer,
+    - ``codebooks``  — (subspace, code, vec) PQ codewords (flattened numpy),
+    - ``codes``      — (id, bucket_id, pq_code) — the only corpus-sized
+      relation, and it is CODES not floats (m bytes/vector).
+
+    ``search`` re-assembles the numpy codebooks from the tiny table and
+    runs :func:`ivfpq_topk`; pass ``corpus`` (the float source of truth)
+    to re-rank the shortlist exactly."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        import os
+
+        from lakehouse_spark.mutation.store import TableStore
+
+        self.spark = spark
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.centroids = TableStore(
+            spark, os.path.join(root, "centroids"), "centroid_id"
+        )
+        self.codebooks = TableStore(
+            spark, os.path.join(root, "codebooks"), "subspace"
+        )
+        self.codes = TableStore(spark, os.path.join(root, "codes"), id_col)
+
+    def build(
+        self,
+        corpus: DataFrame,
+        n_clusters: int = 64,
+        m: int = 16,
+        ksub: int = 256,
+        spill: int = 2,
+        kmeans_iters: int = 3,
+        pq_iters: int = 8,
+    ) -> None:
+        cent = kmeans_centroids(
+            corpus, n_clusters, self.id_col, self.vec_col, iters=kmeans_iters
+        )
+        books = pq_train(
+            corpus, self.id_col, self.vec_col, m=m, ksub=ksub, iters=pq_iters
+        )
+        bucketed = assign_buckets(
+            corpus, cent, self.id_col, self.vec_col, spill=spill
+        )
+        encoded = pq_encode(corpus, books, self.id_col, self.vec_col).join(
+            bucketed.select(self.id_col, "bucket_id"), self.id_col
+        )
+        self.centroids.init(cent)
+        rows = [
+            (j, c, books[j, c].tolist())
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        self.codebooks.init(
+            self.spark.createDataFrame(
+                rows, "subspace int, code int, vec array<double>"
+            )
+        )
+        self.codes.init(encoded.select(self.id_col, "bucket_id", "pq_code"))
+
+    def _load_codebooks(self) -> np.ndarray:
+        rows = self.codebooks.read().collect()
+        m = 1 + max(r["subspace"] for r in rows)
+        ksub = 1 + max(r["code"] for r in rows)
+        dsub = len(rows[0]["vec"])
+        books = np.empty((m, ksub, dsub))
+        for r in rows:
+            books[r["subspace"], r["code"]] = r["vec"]
+        return books
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 16,
+        shortlist: int = 4,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        return ivfpq_topk(
+            self.codes.read(),
+            self._load_codebooks(),
+            self.centroids.read(),
+            queries,
+            corpus=corpus,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            k=k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+        )

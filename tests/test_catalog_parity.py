@@ -46,3 +46,31 @@ def test_entry_contract(spark):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(CATALOG)
+
+
+def test_driver_correctness_names_are_stable():
+    """The driver's CORRECTNESS scoreboard keys on these exact entry names
+    (the round-1 set). Renaming any of them silently drops the entry from
+    the official gate — fail here instead."""
+    DRIVER_SET = {
+        "a1_group_count", "a2_running_counters", "a3_metrics_argmax",
+        "a5_collect_per_group", "a6_duplicate_keys", "agg_distinct_count",
+        "d1_exact_dedup", "d2_first_wins", "d3_union_dedup",
+        "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "f1_and_equality_filter", "f2_time_range",
+        "f4_prefix_filter", "f5_ci_prefix", "flagship_pricing_summary",
+        "j1_semi_join_fetch", "j2_parent_child_self_join",
+        "j3_recursive_descendants", "j5_fk_lookup_chain", "j6_history_topk",
+        "j7_union_resort", "j9_nearest_ancestor", "o1_top_n",
+        "o2_offset_page", "o4_tail_per_group", "o5_completion_sort",
+        "rollup_time_buckets", "s1_sessionize_flat", "s3_truncation",
+        "sim_ivf_topk", "sim_topk_bruteforce", "skew_salted_agg",
+        "t17_json_extract", "t1_mention_tokens", "t4_sha256",
+        "t7_month_format", "t8_date_arithmetic", "text_fingerprint",
+        "text_langid", "text_quality", "text_tokens",
+        "tpch_q14_promo_revenue", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume", "w1_turn_numbering",
+        "w2_pre_post_pairing", "w3_lag_gaps",
+    }
+    missing = DRIVER_SET - set(CATALOG)
+    assert not missing, f"driver-scoreboard entries renamed/removed: {missing}"

@@ -299,3 +299,30 @@ def test_ivfpq_composition_recall(spark):
     for r in out:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_ann_index_persists_and_reloads(spark, tmp_path):
+    """AnnIndex: build writes the three versioned tables; a FRESH instance
+    over the same root (new process analog) searches identically; re-ranked
+    results track brute force."""
+    from lakehouse_spark.operators.similarity import AnnIndex
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = AnnIndex(spark, str(tmp_path / "ann"))
+    idx.build(emb, n_clusters=25, m=16, ksub=64, kmeans_iters=2, pq_iters=4)
+
+    r1 = {(r.query_id, r.neighbor_id, r.rank)
+          for r in idx.search(queries, k=5, nprobe=12, corpus=emb).collect()}
+
+    idx2 = AnnIndex(spark, str(tmp_path / "ann"))  # reload from disk
+    r2 = {(r.query_id, r.neighbor_id, r.rank)
+          for r in idx2.search(queries, k=5, nprobe=12, corpus=emb).collect()}
+    assert r1 == r2 and len(r1) == 25
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {(q, n) for q, n, _ in r1}
+    assert len(got & truth) / len(truth) >= 0.6
