@@ -314,20 +314,27 @@ class TableStore:
         with open(self._manifest_path(v)) as f:
             return int(json.load(f).get("txn", {}).get(app_id, -1))
 
-    def _rewrite(self, df: DataFrame) -> None:
+    def _rewrite(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
         """Full compaction commit: one segment holding ``df``."""
-        self._transact(lambda v: [self._write_segment(df, v)])
+        self._transact(lambda v: [self._write_segment(df, v)], txn=txn)
 
-    def upsert(self, rows: DataFrame) -> None:
+    def upsert(
+        self, rows: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
         """SC5: whole-row upsert keyed by ``self.key`` — the atomic
         tmp+rename document replace. Delta form: MERGE WHEN MATCHED UPDATE
-        WHEN NOT MATCHED INSERT."""
+        WHEN NOT MATCHED INSERT. ``txn`` stamps an exactly-once watermark
+        (see :meth:`last_txn_version`)."""
         if not self.exists():
-            self.init(rows)
+            self.init(rows, txn=txn)
             return
         base = self.read()
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
-        self._rewrite(survivors.unionByName(rows.select(*base.columns)))
+        self._rewrite(
+            survivors.unionByName(rows.select(*base.columns)), txn=txn
+        )
 
     def delete_keys(self, keys: DataFrame) -> int:
         """J4 target: delete all rows whose key appears in ``keys`` (feed

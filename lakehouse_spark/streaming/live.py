@@ -405,6 +405,22 @@ def exactly_once_store_sink(store, app_id: str = "stream"):
     return sink
 
 
+def exactly_once_upsert_sink(store, app_id: str = "stream_upsert"):
+    """Exactly-once streaming MERGE: each micro-batch upserts into the
+    keyed TableStore (last write per key wins within the batch is the
+    caller's contract, as with Delta MERGE), idempotent under foreachBatch
+    replay via the same carried-forward txn watermark as
+    :func:`exactly_once_store_sink`. The CDC-apply shape: a stream of
+    changed rows keeps a dimension table current."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.last_txn_version(app_id):
+            return  # replayed batch — already merged
+        store.upsert(batch, txn=(app_id, batch_id))
+
+    return sink
+
+
 def mark_unread_sink(sessions_store, subscribed_sessions):
     """ST5 ← routers/messages.py:249-271: conditional side-effect on batch
     completion — a session receiving new messages is flipped to unread ONLY

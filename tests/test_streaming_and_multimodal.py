@@ -434,3 +434,27 @@ def test_dedup_ingest_sink_filters_near_dups_across_batches(spark, tmp_path):
     sink(batch((6, base)), 2)
     assert sorted(r.doc_id for r in store.read().collect()) == [1, 2, 5]
     assert store.last_txn_version("dedup_ingest") == 2
+
+
+def test_exactly_once_upsert_sink_merges_and_survives_replay(spark, tmp_path):
+    """CDC-apply: batches MERGE by key; a replayed batch changes nothing,
+    even after an interleaved non-stream commit advanced the version."""
+    from lakehouse_spark.mutation.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "dim"), key="k")
+    sink = live.exactly_once_upsert_sink(store)
+
+    def b(*rows):
+        return spark.createDataFrame(list(rows), "k string, v int")
+
+    sink(b(("a", 1), ("b", 2)), 0)
+    sink(b(("b", 20), ("c", 3)), 1)  # update b, insert c
+    assert {(r.k, r.v) for r in store.read().collect()} == {
+        ("a", 1), ("b", 20), ("c", 3)
+    }
+    store.append(b(("z", 99)))  # interleaved non-stream commit
+    sink(b(("b", 20), ("c", 3)), 1)  # replay → no-op
+    assert {(r.k, r.v) for r in store.read().collect()} == {
+        ("a", 1), ("b", 20), ("c", 3), ("z", 99)
+    }
+    assert store.last_txn_version("stream_upsert") == 1
