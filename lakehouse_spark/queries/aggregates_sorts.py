@@ -610,3 +610,23 @@ def rollup_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_q(
+    "agg_sketches",
+    None,  # approximate by design (HLL++ / KLL): rows-only; error bounds
+    # are pytest-pinned against the exact entries
+    doc="Sketch aggregates — the 100 TB form of agg_distinct_count /"
+    " agg_percentiles: approx_count_distinct (HyperLogLog++, default 5%"
+    " rsd) and approx_percentile (mergeable quantile sketch, 1e-4"
+    " accuracy). Constant memory per group, single pass, mergeable"
+    " partials; relative error vs the exact entries is pinned in"
+    " tests/test_catalog_parity.py",
+)
+def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+    )

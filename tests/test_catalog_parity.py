@@ -74,3 +74,34 @@ def test_driver_correctness_names_are_stable():
     }
     missing = DRIVER_SET - set(CATALOG)
     assert not missing, f"driver-scoreboard entries renamed/removed: {missing}"
+
+
+def test_sketch_aggregates_track_exact_within_bounds(spark):
+    """agg_sketches is approximate by design; pin its error against the
+    exact computations: HLL++ within 3x the default 5% rsd, the quantile
+    sketch's p50 between the exact p45 and p55."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+
+    sf = SF_SMALL
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in CATALOG["agg_sketches"].build(spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.parts) / e.parts <= 0.15, flag
+        assert e.p45 <= a.approx_p50 <= e.p55, flag
