@@ -623,3 +623,60 @@ def test_diff_cdc_between_versions(spark, tmp_store_dir):
     store.upsert(_kv(spark, ("b", 20, ts)))
     d2 = {(r.k, r.v, r._change) for r in store.diff(v1).collect()}
     assert d2 == {("b", 20, "insert"), ("b", 2, "delete")}
+
+
+def test_store_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based hardening: random sequences of append / upsert /
+    delete_keys / compact / vacuum / time-travel reads must always agree
+    with a trivial in-memory dict model. Deterministic seeds so failures
+    reproduce."""
+    import random
+
+    ts = datetime(2026, 1, 1)
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        store = TableStore(spark, str(tmp_path / f"model{seed}"), key="k")
+        model: dict[str, int] = {}
+        history: list[dict[str, int]] = []
+
+        def kv(pairs):
+            return _kv(spark, *[(k, v, ts) for k, v in pairs])
+
+        for step in range(14):
+            op = rng.choice(["append", "append", "upsert", "delete", "compact", "vacuum"])
+            if not store.exists() or op == "append":
+                pairs = [(f"k{rng.randint(0, 9)}_{step}", step)]
+                if store.exists():
+                    store.append(kv(pairs))
+                else:
+                    store.init(kv(pairs))
+                model.update(pairs)
+            elif op == "upsert":
+                key = rng.choice(sorted(model) + [f"new{step}"])
+                store.upsert(kv([(key, 100 + step)]))
+                model[key] = 100 + step
+            elif op == "delete" and model:
+                key = rng.choice(sorted(model))
+                removed = store.delete_keys(
+                    spark.createDataFrame([(key,)], "k string")
+                )
+                assert removed == 1
+                del model[key]
+            elif op == "compact":
+                store.compact()
+            elif op == "vacuum":
+                store.vacuum(keep_last=2)
+            history.append(dict(model))
+            got = {r.k: r.v for r in store.read().collect()}
+            assert got == model, f"seed={seed} step={step} op={op}"
+
+        # time travel: the previous version (kept by vacuum keep_last=2)
+        # matches the model one step back whenever that commit exists
+        cur = store.current_version()
+        if cur and cur >= 1 and len(history) >= 2:
+            import os
+
+            if os.path.exists(store._manifest_path(cur - 1)):
+                prev = {r.k: r.v for r in store.read(version=cur - 1).collect()}
+                assert prev in history, f"seed={seed}: unknown past state"

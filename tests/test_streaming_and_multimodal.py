@@ -458,3 +458,32 @@ def test_exactly_once_upsert_sink_merges_and_survives_replay(spark, tmp_path):
         ("a", 1), ("b", 20), ("c", 3), ("z", 99)
     }
     assert store.last_txn_version("stream_upsert") == 1
+
+
+def test_multimodal_features_flow_into_ann_index(spark, tmp_path):
+    """End-to-end media retrieval plumbing: decode (fake) → feature vectors
+    → persisted AnnIndex → top-k search. Proves the multimodal feature
+    column is shaped right for the similarity tier without any real codec."""
+    from lakehouse_spark.operators.similarity import AnnIndex
+
+    rows = [
+        (f"img{i}", "image", bytes([i, 2 * i % 256, 7]), "image/png",
+         64, 64, None, {})
+        for i in range(40)
+    ]
+    assets = spark.createDataFrame(rows, MEDIA_ASSET)
+    feats = (
+        multimodal.extract_features(assets, decoder=multimodal.fake_decoder)
+        .filter(F.size("feature") > 0)
+        .select(
+            F.regexp_replace("asset_id", "img", "").cast("long").alias("vec_id"),
+            F.col("feature").cast("array<double>").alias("embedding"),
+        )
+    )
+    idx = AnnIndex(spark, str(tmp_path / "media_ann"))
+    idx.build(feats, n_clusters=8, m=4, ksub=16, kmeans_iters=2, pq_iters=4)
+    out = idx.search(
+        feats.filter(F.col("vec_id") < 3), k=3, nprobe=4, corpus=feats
+    ).collect()
+    assert len(out) == 9  # 3 queries x k=3
+    assert all(r.query_id != r.neighbor_id for r in out)
