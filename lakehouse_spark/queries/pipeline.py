@@ -28,6 +28,7 @@ from lakehouse_spark.operators.sessionize import (
 )
 from lakehouse_spark.plans import closure
 from lakehouse_spark.queries._core import (
+    CATALOG,
     _davg,
     _dsum,
     _q,
@@ -1128,4 +1129,52 @@ def curation_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.mix_sources(docs, "source", "doc_id", salt="mix").select(
         "doc_id", "source"
+    )
+
+
+@_q(
+    "dedup_cluster_incremental",
+    CATALOG["dedup_cluster_components"].oracle,  # IDENTICAL final labels
+    doc="Incremental clustering maintenance: cluster the first 60% of the "
+    "corpus, then fold the remaining docs' pairs in via star contraction "
+    "of the existing clusters (incremental_connected_components) — "
+    "propagation cost independent of historical pair count. The oracle is "
+    "the SAME full recursive-CTE closure as dedup_cluster_components: "
+    "incremental == full recompute, hash-checked",
+)
+def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            "lang",
+            "source",
+            F.floor(
+                F.log2(F.size(F.split(F.trim("text"), r"\s+")))
+            ).cast("long").cast("string"),
+        ),
+    )
+    split_at = F.lit(300)
+    old_docs = docs.filter(F.col("doc_id") < split_at)
+
+    def pairs_of(frame):
+        p = dedup.ngram_jaccard_pairs(
+            frame, "doc_id", "text", "blk", n=3, min_jaccard=0.0
+        )
+        return p.withColumn("jaccard", F.round("jaccard", 4)).filter(
+            F.col("jaccard") >= 0.1
+        )
+
+    base = dedup.connected_components(
+        pairs_of(old_docs), "a_id", "b_id",
+        all_nodes=old_docs.select("doc_id"), node_col="doc_id",
+    )
+    # the new batch's pairs: everything the full pair set adds beyond the
+    # old-corpus pairs (at least one endpoint in the new docs)
+    new_pairs = pairs_of(docs).filter(
+        (F.col("a_id") >= split_at) | (F.col("b_id") >= split_at)
+    )
+    return dedup.incremental_connected_components(
+        base, new_pairs, "a_id", "b_id",
+        new_nodes=docs.select("doc_id"), node_col="doc_id",
     )
