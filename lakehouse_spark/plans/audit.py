@@ -29,9 +29,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-FATAL = ("cartesian_product", "broadcast_nested_loop", "python_row_udf",
-         "unpartitioned_window")
-
 
 @dataclass
 class Finding:

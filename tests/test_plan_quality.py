@@ -321,3 +321,16 @@ def test_audit_passes_catalog_plans(spark):
                  "dedup_ngram_jaccard", "curation_source_mix"):
         df = CATALOG[name].build(spark, SF_SMALL)
         audit.assert_scalable(df)
+
+
+def test_audit_allows_pandas_udfs(spark):
+    # Arrow-batched pandas UDFs are the sanctioned escape hatch — the
+    # python_row_udf check must not fire on ArrowEvalPython plans.
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.plans import audit
+
+    plus_one = F.pandas_udf(lambda s: s + 1, "long")
+    df = spark.range(5).withColumn("y", plus_one(F.col("id")))
+    assert "python_row_udf" not in {f.check for f in audit.audit(df)}
+    audit.assert_scalable(df)
