@@ -9,7 +9,7 @@ Python in the hot path, so these run at scan speed over 100 TB of text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark.functions.scalar import (  # noqa: F401  (re-export)
@@ -465,3 +465,55 @@ def mix_sources(
     for s, r in rates.items():
         rate_col = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate_col)
     return deterministic_sample(df, id_col, rate_col, salt=salt)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style training-prep
+    step): documents are laid end-to-end in deterministic ``id_col`` order
+    and sliced into ``capacity``-token training windows. Each doc gets its
+    global ``start_offset``, its window (``bin_id = start_offset div
+    capacity``), and a ``crosses_boundary`` flag (the doc spans a window
+    edge and will be split by the materializer).
+
+    The global running token sum uses the two-phase distributed index (the
+    o7 discipline): per-``bucket`` token totals → cumulative offsets via a
+    partition-less window over the TINY bucket table only, then a
+    partitioned within-bucket cumsum + broadcast offset join. No
+    partition-less window ever touches the data, so the plan survives any
+    scale-up. ``bucket`` must be a deterministic function of ``id_col``
+    that respects its order (default: id div 1000)."""
+    if bucket is None:
+        bucket = (F.col(id_col) / 1000).cast("long")
+    b = bucket.alias("__b")
+    per_bucket = df.groupBy(b).agg(F.sum(tokens_col).alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy(bucket)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0)) + F.col("__off")
+    ).cast("long")
+    return (
+        df.join(F.broadcast(offsets), bucket == F.col("__b"))
+        .withColumn("start_offset", start)
+        .withColumn(
+            "bin_id", F.floor(F.col("start_offset") / capacity).cast("long")
+        )
+        .withColumn(
+            "crosses_boundary",
+            F.floor((F.col("start_offset") + F.col(tokens_col) - 1) / capacity)
+            > F.col("bin_id"),
+        )
+        .drop("__b", "__off")
+    )

@@ -14,8 +14,12 @@ tests/test_plan_quality.py):
 - ``python_row_udf`` — BatchEvalPython: row-at-a-time Python UDF in the
   plan (Arrow-batched pandas UDFs show as ArrowEvalPython / MapInPandas
   and are allowed — they are the sanctioned escape hatch).
-- ``unpartitioned_window`` — a window function whose partition spec is
-  empty: every row flows through ONE task.
+- ``unpartitioned_window`` (advisory) — a window function whose partition
+  spec is empty: every row it sees flows through ONE task. Advisory, not
+  fatal, because the two-phase global-index pattern legitimately runs one
+  partition-less window over a TINY aggregated table (per-bucket counts)
+  — fatal only if it sits over the data, which plan text alone cannot
+  distinguish; the finding tells the reader what to check.
 - ``full_scan_no_pruning`` (advisory) — a parquet scan with neither
   PushedFilters nor a pruned ReadSchema; often intended (full-table
   aggregates), so it is reported but never fatal.
@@ -64,8 +68,10 @@ def audit(df: DataFrame) -> list[Finding]:
             first_arg = spec.split(",")[0]
             if "ASC" in first_arg or "DESC" in first_arg:
                 out.append(Finding(
-                    "unpartitioned_window", True,
-                    "window with empty PARTITION BY: single-task bottleneck",
+                    "unpartitioned_window", False,
+                    "window with empty PARTITION BY: single-task bottleneck "
+                    "unless its input is a tiny aggregate (two-phase index "
+                    "offsets table) — verify which relation feeds it",
                 ))
                 break
     if "PushedFilters: []" in plan:

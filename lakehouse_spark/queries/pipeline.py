@@ -1178,3 +1178,39 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, new_pairs, "a_id", "b_id",
         new_nodes=docs.select("doc_id"), node_col="doc_id",
     )
+
+
+@_q(
+    "pack_training_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset,
+           CAST((coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                // 512 AS BIGINT) AS bin_id,
+           ((coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + n_tokens - 1) // 512)
+           > ((coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+              // 512) AS crosses_boundary
+    FROM t
+    """,
+    doc="Sequence packing for training windows (concat-then-chunk): docs "
+    "laid end-to-end in id order, sliced into 512-token bins; per-doc "
+    "start offset, bin id, boundary-crossing flag. The global running sum "
+    "is the two-phase distributed index — the only partition-less window "
+    "runs over the tiny per-bucket table, never the data",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.whitespace_token_count("text").cast("long").alias("n_tokens")
+    )
+    return text.pack_sequences(docs, "doc_id", "n_tokens", capacity=512)

@@ -334,3 +334,25 @@ def test_audit_allows_pandas_udfs(spark):
     df = spark.range(5).withColumn("y", plus_one(F.col("id")))
     assert "python_row_udf" not in {f.check for f in audit.audit(df)}
     audit.assert_scalable(df)
+
+
+def test_pack_sequences_scales_and_is_contiguous(spark):
+    """Packing invariants: offsets are gapless end-to-end in id order, bins
+    hold <= capacity except for docs longer than a bin, and the plan clears
+    the scale audit (no partition-less window over the DATA — the global
+    cumsum must ride the two-phase bucket index)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.plans import audit
+
+    df = CATALOG["pack_training_sequences"].build(spark, SF_SMALL)
+    audit.assert_scalable(df)
+    rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    expect = 0
+    for r in rows:
+        assert r.start_offset == expect, f"gap at doc {r.doc_id}"
+        assert r.bin_id == r.start_offset // 512
+        assert r.crosses_boundary == (
+            (r.start_offset + r.n_tokens - 1) // 512 > r.bin_id
+        )
+        expect += r.n_tokens
