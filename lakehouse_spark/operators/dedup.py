@@ -636,3 +636,69 @@ def incremental_connected_components(
         pairs, "a_id", "b_id",
         all_nodes=nodes.distinct(), node_col="node", max_iter=max_iter,
     )
+
+
+class DedupIndex:
+    """Persisted LSH screening index: the batch face of the streaming
+    dedup-ingest sink (same band relation, same TableStore). Build once
+    over the accepted corpus, then ``screen`` any candidate batch into
+    (novel, duplicate) BEFORE paying ingestion/tokenization costs — and
+    ``admit`` what you kept so the index keeps up.
+
+    Candidate-level semantics (sharing any LSH band = duplicate), matching
+    streaming.live.dedup_ingest_sink — the index stores only the narrow
+    (id, band, band_sig) rows, never shingle sets. Run the exact
+    pair/cluster pipeline offline for verification."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        k: int = 16,
+        bands: int = 4,
+    ):
+        from lakehouse_spark.mutation.store import TableStore
+
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n, self.k, self.bands = n, k, bands
+        self.store = TableStore(spark, root, "id")
+
+    def _bands(self, docs: DataFrame) -> DataFrame:
+        return band_signatures(
+            docs, self.id_col, self.text_col, n=self.n, k=self.k,
+            bands=self.bands,
+        )
+
+    def build(self, corpus: DataFrame) -> None:
+        self.store.init(self._bands(corpus))
+
+    def admit(self, docs: DataFrame) -> None:
+        """Append the band rows of newly-accepted documents (O(new docs))."""
+        self.store.append(self._bands(docs))
+
+    def screen(self, docs: DataFrame) -> DataFrame:
+        """``docs`` + a boolean ``is_duplicate`` column: True when the doc
+        shares any LSH band with the indexed corpus. One equi join on
+        (band, band_sig); the index relation is narrow and the candidate
+        batch is usually small → broadcast-friendly either way."""
+        if not self.store.exists():
+            return docs.withColumn("is_duplicate", F.lit(False))
+        hits = (
+            self._bands(docs)
+            .join(
+                self.store.read().select("band", "band_sig"),
+                ["band", "band_sig"],
+                "left_semi",
+            )
+            .select(F.col("id").alias(self.id_col))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        return docs.join(hits, self.id_col, "left").withColumn(
+            "is_duplicate", F.coalesce(F.col("__dup"), F.lit(False))
+        ).drop("__dup")

@@ -326,3 +326,33 @@ def test_ann_index_persists_and_reloads(spark, tmp_path):
     }
     got = {(q, n) for q, n, _ in r1}
     assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_dedup_index_screens_and_extends(spark, tmp_path):
+    """DedupIndex: near-dups of the indexed corpus screen as duplicates,
+    novel docs pass; admit() extends the index incrementally; a fresh
+    instance over the same root behaves identically (persistence)."""
+    from lakehouse_spark.operators.dedup import DedupIndex
+
+    base = ("spark shuffles the hash partitioned rows " * 6).strip()
+    other = ("a completely different story about rivers and owls " * 6).strip()
+
+    def docs(*rows):
+        return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+    idx = DedupIndex(spark, str(tmp_path / "lsh"))
+    idx.build(docs((1, base)))
+
+    screened = {
+        r.doc_id: r.is_duplicate
+        for r in idx.screen(docs((10, base + " tail"), (11, other))).collect()
+    }
+    assert screened == {10: True, 11: False}
+
+    idx.admit(docs((11, other)))
+    fresh = DedupIndex(spark, str(tmp_path / "lsh"))  # reload from disk
+    screened2 = {
+        r.doc_id: r.is_duplicate
+        for r in fresh.screen(docs((20, other + " more"), (21, base))).collect()
+    }
+    assert screened2 == {20: True, 21: True}
