@@ -232,6 +232,11 @@ class SessionLake:
         broadcast-mapping joins — the subtree mapping is tiny next to the
         messages/events tables, which are never shuffled. Returns the new
         root session id."""
+        sess = self.sessions.read()
+        if sess.filter(F.col("session_id") == session_id).isEmpty():
+            # the reference's clone endpoint 404s on unknown sessions; a
+            # silent empty clone would still hand back a plausible new id
+            raise KeyError(f"session {session_id!r} not found")
         mapping = closure.clone_id_mapping(
             self.session_closure(session_id).select(
                 F.col("child").alias("session_id")
@@ -239,7 +244,6 @@ class SessionLake:
             "session_id",
             seed=seed,
         )
-        sess = self.sessions.read()
         cols = sess.columns
         parent_map = mapping.select(
             F.col("session_id").alias("parent_session_id"),

@@ -275,3 +275,17 @@ def test_clone_session_remaps_subtree(spark, tmp_path_factory):
     # unseeded clone still works and yields fresh ids
     third = lake2.clone_session("root")
     assert third not in {new_root, "root"}
+
+
+def test_clone_session_unknown_id_raises(spark, tmp_path_factory):
+    from lakehouse_spark.schemas import SESSION
+
+    root = str(tmp_path_factory.mktemp("clone_404"))
+    lake = SessionLake(spark, root)
+    lake.sessions.init(spark.createDataFrame(
+        [("only", "n", None, "p", "active", None, None, None,
+          "d", 0, 0, None, None, None, False, None, 1)], SESSION))
+    n_before = lake.sessions.read().count()
+    with pytest.raises(KeyError, match="ghost"):
+        lake.clone_session("ghost", seed="x")
+    assert lake.sessions.read().count() == n_before  # nothing appended
