@@ -98,3 +98,50 @@ def test_stream_matches_batch_for_closed_turns(spark, tmp_path):
     # timeout fires during the run — when it does, it must match the batch
     # fold's unclosed-turn-at-EOF row exactly
     assert batch_closed <= streamed <= batch
+
+
+def test_streamed_turns_materialize_to_batch_metrics(spark, tmp_path):
+    """Composition: stream_trace_turns → exactly_once_upsert_sink keyed by
+    (session, turn) → trace_metrics over the materialized table equals the
+    batch trace_metrics for the CLOSED turns. The 'live metrics dashboard'
+    pipeline assembled purely from existing pieces."""
+    import pyspark.sql.functions as F
+
+    from lakehouse_spark.mutation.store import TableStore
+    from lakehouse_spark.operators.sessionize import trace_metrics
+    from lakehouse_spark.streaming.live import exactly_once_upsert_sink
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    (events_dir / "a.jsonl").write_text("\n".join(json.dumps(e) for e in FILE_A))
+    (events_dir / "b.jsonl").write_text("\n".join(json.dumps(e) for e in FILE_B))
+
+    store = TableStore(spark, str(tmp_path / "turns"), key="turn_key")
+    sink = exactly_once_upsert_sink(store)
+    stream = jsonl.read_jsonl_stream(spark, str(events_dir), TRACE_EVENT)
+    q = (
+        stream_trace_turns(stream, timeout_ms=3_600_000)
+        .withColumn(
+            "turn_key",
+            F.concat_ws("#", "session_id", F.col("turn_id").cast("string")),
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mat"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    live_metrics = {
+        r.session_id: r.asDict()
+        for r in trace_metrics(store.read().drop("turn_key")).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [tuple(e.values()) for e in FILE_A + FILE_B], TRACE_EVENT
+    )
+    closed = aggregate_trace(batch_df).filter(F.col("status") != "active")
+    batch_metrics = {
+        r.session_id: r.asDict() for r in trace_metrics(closed).collect()
+    }
+    assert live_metrics == batch_metrics
+    assert live_metrics["s1"]["total_tools"] == 1
