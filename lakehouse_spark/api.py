@@ -12,6 +12,7 @@ this engine gets the same queries over Spark tables:
     lake.execution_trace("sess-1")           # nested turns (S1 fold)
     lake.trace_metrics("sess-1")             # A3 tool metrics
     lake.session_closure("sess-1")           # J3 descendants
+    lake.clone_session("sess-1", seed="t")   # recursive clone, ids remapped
     lake.cascade_delete("sess-1")            # J4, via the table store
     lake.cleanup(older_than_days=30)         # F2 retention sweep
 
