@@ -231,6 +231,45 @@ class AutomationManager:
     def record_execution(self, execution_row: DataFrame, now: datetime) -> None:
         record_execution(self.automations, self.executions, execution_row, now)
 
+    def tick(self, now: datetime, run=None) -> int:
+        """One scheduler pass — the reference daemon's fire loop (due scan →
+        execute → record → reschedule) as a single call. ``run(automation
+        Row) -> (session_id, status, error)`` performs the work (the
+        reference spawns a session and sends the automation's message); the
+        default records a success with no session. Fired automations get
+        their execution rows appended and last/next_execution advanced in
+        one :func:`record_execution` pass, so an automation can never
+        re-fire for the same ``now``. Returns the number fired.
+
+        The loop owner calls tick once per clock beat (the reference's
+        asyncio scheduler task); ticks are serialized by the store's
+        optimistic concurrency like every other mutation."""
+        from lakehouse_spark.schemas import EXECUTION
+
+        fired = sorted(self.due(now).collect(), key=lambda r: r.id)
+        if not fired:
+            return 0
+        naive = now.astimezone(timezone.utc).replace(tzinfo=None)
+        seq0 = self.executions.read().count() if self.executions.exists() else 0
+        rows = []
+        for i, a in enumerate(fired):
+            sid, status, error = run(a) if run else (None, "success", None)
+            rows.append(
+                (
+                    f"{a.id}@{naive.isoformat()}",
+                    a.id,
+                    sid,
+                    naive,
+                    status,
+                    error,
+                    seq0 + i + 1,
+                )
+            )
+        self.record_execution(
+            self.automations.spark.createDataFrame(rows, EXECUTION), now
+        )
+        return len(rows)
+
 
 def execution_history(
     executions: DataFrame, automation_id: str, offset: int = 0, limit: int = 50

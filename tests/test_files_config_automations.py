@@ -223,3 +223,48 @@ def test_automation_manager_crud_lifecycle(spark, tmp_path):
     mgr.reload_all(far)
     a1 = mgr.get("a1")
     assert a1.next_execution == datetime(2026, 2, 1, 6, 0)
+
+
+def test_scheduler_tick_fires_records_and_reschedules(spark, tmp_path):
+    """tick(): the complete fire loop — due automations execute via the
+    callback, executions land with ids/sequence, last/next_execution
+    advance, and an immediate second tick at the same instant fires
+    nothing (the reschedule makes re-firing impossible)."""
+    from datetime import datetime, timezone
+
+    from lakehouse_spark.mutation.automations import AutomationManager
+    from lakehouse_spark.mutation.store import TableStore
+
+    NOW = datetime(2026, 1, 15, 10, 0, tzinfo=timezone.utc)
+    mgr = AutomationManager(
+        TableStore(spark, str(tmp_path / "a"), "id"),
+        TableStore(spark, str(tmp_path / "x"), "id"),
+    )
+    mgr.create("t1", "proj", "hourly", "go", "interval", "1h", NOW)
+    mgr.create("t2", "proj", "daily", "go", "cron", "0 23 * * *", NOW)
+    mgr.reload_all(NOW)  # daemon startup: register everything
+
+    later = datetime(2026, 1, 15, 11, 0, tzinfo=timezone.utc)
+    ran = []
+
+    def run(a):
+        ran.append(a.id)
+        return (f"sess-{a.id}", "success", None)
+
+    assert mgr.tick(later, run) == 1  # only the hourly interval is due
+    assert ran == ["t1"]
+    execs = mgr.executions.read().collect()
+    assert len(execs) == 1 and execs[0].session_id == "sess-t1"
+    t1 = mgr.get("t1")
+    assert t1.last_execution == datetime(2026, 1, 15, 11, 0)
+    assert t1.next_execution == datetime(2026, 1, 15, 12, 0)
+
+    assert mgr.tick(later, run) == 0  # rescheduled: nothing re-fires
+    assert len(ran) == 1
+
+    # failure path recorded verbatim, schedule still advances
+    noon = datetime(2026, 1, 15, 12, 0, tzinfo=timezone.utc)
+    assert mgr.tick(noon, lambda a: (None, "failed", "boom")) == 1
+    last = sorted(mgr.executions.read().collect(), key=lambda r: r.encounter_seq)[-1]
+    assert (last.status, last.error) == ("failed", "boom")
+    assert mgr.get("t1").next_execution == datetime(2026, 1, 15, 13, 0)
