@@ -24,3 +24,31 @@ Package map
 __version__ = "0.1.0"
 
 from lakehouse_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (import cost stays near zero until used):
+    ``SessionLake`` (the facade), ``TableStore`` (versioned tables),
+    ``CATALOG`` (the query catalog), ``AnnIndex`` / ``DedupIndex``
+    (persisted indexes)."""
+    if name == "SessionLake":
+        from lakehouse_spark.api import SessionLake
+
+        return SessionLake
+    if name == "TableStore":
+        from lakehouse_spark.mutation.store import TableStore
+
+        return TableStore
+    if name == "CATALOG":
+        from lakehouse_spark.queries import CATALOG
+
+        return CATALOG
+    if name == "AnnIndex":
+        from lakehouse_spark.operators.similarity import AnnIndex
+
+        return AnnIndex
+    if name == "DedupIndex":
+        from lakehouse_spark.operators.dedup import DedupIndex
+
+        return DedupIndex
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

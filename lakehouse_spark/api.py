@@ -294,6 +294,35 @@ class SessionLake:
         self.events.delete_keys(doomed)
         return removed
 
+    # -- consistent reads ------------------------------------------------------
+
+    def snapshot(self) -> dict[str, int | None]:
+        """Pin the CURRENT version of every table — a consistent multi-table
+        read point. The stores version independently (each mutation is its
+        own atomic commit), so two ``read()`` calls around a concurrent
+        write can observe a torn view (e.g. a message whose session row
+        isn't there yet); queries that must agree across tables take a
+        snapshot once and pass it to :meth:`read_at`. Old versions stay
+        readable until :class:`TableStore` ``vacuum`` — hold snapshots
+        shorter than the vacuum horizon."""
+        return {
+            name: store.current_version()
+            for name, store in (
+                ("sessions", self.sessions),
+                ("messages", self.messages),
+                ("events", self.events),
+            )
+        }
+
+    def read_at(self, snap: dict[str, int | None], table: str) -> DataFrame:
+        """Read one table at a :meth:`snapshot`'s pinned version."""
+        store = {
+            "sessions": self.sessions,
+            "messages": self.messages,
+            "events": self.events,
+        }[table]
+        return store.read(version=snap[table])
+
     # -- maintenance -----------------------------------------------------------
 
     def cleanup(self, older_than_days: int = 30, now: datetime | None = None) -> int:

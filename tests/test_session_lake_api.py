@@ -289,3 +289,32 @@ def test_clone_session_unknown_id_raises(spark, tmp_path_factory):
     with pytest.raises(KeyError, match="ghost"):
         lake.clone_session("ghost", seed="x")
     assert lake.sessions.read().count() == n_before  # nothing appended
+
+
+def test_snapshot_gives_consistent_view_across_writes(spark, tmp_path_factory):
+    """A snapshot taken before concurrent-style writes keeps reading the
+    old state of EVERY table, while live reads see the new one."""
+    from lakehouse_spark.schemas import MESSAGE, SESSION
+
+    root = str(tmp_path_factory.mktemp("snap_lake"))
+    lake = SessionLake(spark, root)
+    mk = lambda sid: (sid, sid, None, "p", "active", None, None, None,
+                      "d", 0, 0, None, None, None, False, None, 1)
+    lake.sessions.init(spark.createDataFrame([mk("s1")], SESSION))
+    lake.messages.init(spark.createDataFrame(
+        [("s1", None, "user", "hi", None, 1, 1)], MESSAGE))
+
+    snap = lake.snapshot()
+
+    # writes after the snapshot: new session + its message
+    lake.sessions.append(spark.createDataFrame([mk("s2")], SESSION))
+    lake.messages.append(spark.createDataFrame(
+        [("s2", None, "user", "later", None, 1, 2)], MESSAGE))
+
+    assert lake.sessions.read().count() == 2  # live view moved on
+    assert {r.session_id for r in lake.read_at(snap, "sessions").collect()} == {"s1"}
+    assert {r.session_id for r in lake.read_at(snap, "messages").collect()} == {"s1"}
+    # the snapshot's tables AGREE: every message's session exists in it
+    msgs = lake.read_at(snap, "messages")
+    sess = lake.read_at(snap, "sessions")
+    assert msgs.join(sess, "session_id", "left_anti").isEmpty()
