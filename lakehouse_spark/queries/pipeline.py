@@ -1214,3 +1214,36 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.whitespace_token_count("text").cast("long").alias("n_tokens")
     )
     return text.pack_sequences(docs, "doc_id", "n_tokens", capacity=512)
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    WITH a AS (
+      SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS asset_id,
+             'audio' AS kind,
+             n_chars / 100.0 AS duration_s
+      FROM documents),
+    n AS (SELECT asset_id, kind,
+                 greatest(CAST(floor(duration_s / 1.0) AS INTEGER), 1) AS nf
+          FROM a)
+    SELECT asset_id, kind,
+           CAST(i AS INTEGER) AS frame_idx,
+           round(i * 1.0, 3) AS frame_ts
+    FROM n, unnest(generate_series(0, nf - 1)) AS t(i)
+    """,
+    doc="Media frame/window sampling plan: one row per (asset, frame_ts) at "
+    "1 s spacing from the duration metadata — posexplode of a generated "
+    "sequence, decode-free (the real decoder plugs into extract_features). "
+    "Short assets yield exactly one frame",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import multimodal
+
+    assets = _doc_assets(spark, sf_dir)
+    return multimodal.frame_sample_plan(assets, every_s=1.0).select(
+        "asset_id",
+        "kind",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "frame_ts",
+    )

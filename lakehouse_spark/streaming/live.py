@@ -224,6 +224,34 @@ def stream_windowed_counts(
     )
 
 
+def stream_windowed_distinct(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ST6 + sketches: per-window APPROX distinct keys (unique users/docs/
+    sessions) via HyperLogLog++ — the only distinct that works in a
+    watermarked stream with bounded state. Exact countDistinct would need
+    every key retained per open window; the HLL register array is
+    constant-size and MERGEABLE, so partial aggregates combine across
+    micro-batches and the result is order-independent (a batch replay of
+    the same data produces the identical estimate — parity-tested)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *group_cols)
+        .agg(F.approx_count_distinct(key_col).alias("approx_distinct"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "approx_distinct",
+        )
+    )
+
+
 def stream_session_gap_stats(
     events: DataFrame,
     ts_col: str = "ts",

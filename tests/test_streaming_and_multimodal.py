@@ -487,3 +487,50 @@ def test_multimodal_features_flow_into_ann_index(spark, tmp_path):
     ).collect()
     assert len(out) == 9  # 3 queries x k=3
     assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_stream_windowed_distinct_matches_batch(spark, tmp_path):
+    """HLL++ is order-independent and mergeable, so the streamed per-window
+    approx distinct must equal the batch computation on the same rows —
+    across micro-batch boundaries."""
+    rows_a = [
+        {"session_id": f"u{i % 7}", "ts": f"2026-01-01T00:{i:02d}:00Z",
+         "event": "e", "turn_id": 1}
+        for i in range(20)
+    ]
+    rows_b = [
+        {"session_id": f"u{i % 5}", "ts": f"2026-01-01T00:{40 + i:02d}:00Z",
+         "event": "e", "turn_id": 1}
+        for i in range(15)
+    ]
+    d = tmp_path / "events"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows_a))
+    (d / "b.jsonl").write_text("\n".join(json.dumps(r) for r in rows_b))
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(EVENT_SCHEMA)
+    stream = jsonl.read_jsonl_stream(spark, str(d), schema)
+    q = (
+        live.stream_windowed_distinct(stream, "session_id")
+        .writeStream.format("memory")
+        .queryName("wd_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        (str(r.window_start), r.approx_distinct)
+        for r in spark.sql("SELECT * FROM wd_test").collect()
+    }
+    batch = {
+        (str(r.window_start), r.approx_distinct)
+        for r in live.stream_windowed_distinct(
+            spark.read.schema(schema).json(str(d)), "session_id"
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 2
+    # small cardinalities: HLL++ is exact here (7 and 5 uniques)
+    assert {n for _, n in streamed} == {7, 5}
