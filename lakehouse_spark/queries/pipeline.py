@@ -1247,3 +1247,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         "frame_ts",
     )
+
+
+@_q(
+    "mm_resize",
+    """
+    WITH a AS (
+      SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS asset_id,
+             CAST(200 + doc_id % 1800 AS INTEGER) AS width,
+             CAST(150 + (doc_id * 7) % 1200 AS INTEGER) AS height
+      FROM documents)
+    SELECT asset_id, width, height,
+           CAST(ceil(width * least(512.0 / greatest(width, height), 1.0))
+                AS INTEGER) AS target_width,
+           CAST(ceil(height * least(512.0 / greatest(width, height), 1.0))
+                AS INTEGER) AS target_height
+    FROM a
+    """,
+    doc="Image resize plan: aspect-preserving target dimensions capped at "
+    "512 px, never upscaling — pure column math over synthesized image "
+    "metadata (the pixel work happens in the injected decoder)",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("asset_id"),
+        (200 + F.col("doc_id") % 1800).cast("int").alias("width"),
+        (150 + (F.col("doc_id") * 7) % 1200).cast("int").alias("height"),
+    )
+    return multimodal.resize_plan(assets, max_side=512)
