@@ -687,3 +687,20 @@ class AnnIndex:
             nprobe=nprobe,
             shortlist=shortlist,
         )
+
+    def add(self, new_vectors) -> None:
+        """Fold new vectors into the index without retraining: assign
+        against the EXISTING centroids, encode with the EXISTING codebooks,
+        append the code rows (O(new vectors) — one narrow Arrow pass + one
+        segment commit). Quantizer drift is the documented trade (FAISS
+        add() makes the same one): retrain/rebuild on a cadence if the
+        distribution moves."""
+        cent = self.centroids.read()
+        books = self._load_codebooks()
+        bucketed = assign_buckets(
+            new_vectors, cent, self.id_col, self.vec_col, spill=2
+        )
+        encoded = pq_encode(
+            new_vectors, books, self.id_col, self.vec_col
+        ).join(bucketed.select(self.id_col, "bucket_id"), self.id_col)
+        self.codes.append(encoded.select(self.id_col, "bucket_id", "pq_code"))

@@ -356,3 +356,30 @@ def test_dedup_index_screens_and_extends(spark, tmp_path):
         for r in fresh.screen(docs((20, other + " more"), (21, base))).collect()
     }
     assert screened2 == {20: True, 21: True}
+
+
+def test_ann_index_add_makes_new_vectors_searchable(spark, tmp_path):
+    """Incremental index maintenance: vectors added after build are found
+    by search without retraining; prior contents are untouched."""
+    from lakehouse_spark.operators.similarity import AnnIndex
+
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = AnnIndex(spark, str(tmp_path / "annadd"))
+    idx.build(old, n_clusters=25, m=16, ksub=64, kmeans_iters=2, pq_iters=4)
+    before = idx.codes.read().select("vec_id").distinct().count()
+    idx.add(new)
+    assert idx.codes.read().select("vec_id").distinct().count() == 500
+    assert before == 400
+
+    # a query that IS one of the added vectors must now see added neighbors
+    q = emb.filter(F.col("vec_id") == 450)
+    out = idx.search(q, k=5, nprobe=25, corpus=emb).collect()
+    assert len(out) == 5
+    truth = {
+        r.neighbor_id
+        for r in similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    got = {r.neighbor_id for r in out}
+    assert len(got & truth) >= 3  # full-probe search tracks exact top-k
