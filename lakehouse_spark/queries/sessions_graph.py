@@ -611,3 +611,84 @@ def cr1_due_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return due.select("id", "schedule_value", "next_execution")
 
 
+
+
+@_q(
+    "j_asof_attribution",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts, event_id AS click_event_id,
+                      value AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id, c.click_ts,
+           round(c.click_value, 4) AS click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts > c.click_ts
+    """,
+    doc=(
+        "As-of join (backward, strict): each purchase attributed to the "
+        "latest strictly-prior click by the same user. Spark side is the "
+        "merge formulation (union-tag + one per-key window, single shuffle, "
+        "no range blow-up); oracle is DuckDB's native ASOF JOIN."
+    ),
+)
+def j_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = joins.asof_join(purchases, clicks, "user_id", "ts", "click_ts")
+    return out.withColumn("click_value", F.round("click_value", 4))
+
+
+@_q(
+    "j_range_window_count",
+    """
+    WITH wins AS (
+      SELECT event_id AS win_id, ts AS start_ts,
+             ts + INTERVAL 24 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY value DESC, event_id LIMIT 20
+    )
+    SELECT w.win_id, w.start_ts,
+           CAST(count(e.event_id) AS BIGINT) AS n_events
+    FROM wins w LEFT JOIN events e
+      ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Range join without an equi key: traffic count inside the 24h "
+        "window after each of the top-20 purchases. Spark side bucketizes "
+        "time to day grain (window explodes to <=2 buckets, events map to "
+        "exactly one) so the plan is a broadcast hash join + filter, never "
+        "a cartesian product; oracle is the naive theta join."
+    ),
+)
+def j_range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wins = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(20)
+        .select(
+            F.col("event_id").alias("win_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("end_ts"),
+        )
+    )
+    pairs = joins.range_bucket_join(ev, wins, "ts", "start_ts", "end_ts")
+    counts = pairs.groupBy("win_id", "start_ts").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        wins.select("win_id", "start_ts")
+        .join(F.broadcast(counts), ["win_id", "start_ts"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+    )
