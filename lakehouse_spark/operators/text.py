@@ -517,3 +517,113 @@ def pack_sequences(
         )
         .drop("__b", "__off")
     )
+
+
+# --- Gopher-style document quality rules ---------------------------------------
+
+# The stopword-presence rule counts how many of these appear in the doc;
+# Gopher requires >= 2 of its 8 common English words (Rae et al. 2021,
+# "Scaling Language Models", §A1.1.2 quality heuristics).
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Full Gopher-style quality rule set per document, pure Catalyst
+    (split + higher-order functions — per-row, no shuffle, scan speed):
+
+    - ``n_words`` in [min_words, max_words];
+    - ``mean_word_len`` in [3, 10];
+    - ``frac_alpha_words`` (words containing at least one letter) >= 0.80;
+    - ``symbol_ratio`` (# of '#' and '...' occurrences per word) < 0.1;
+    - ``stop_hits`` (distinct GOPHER_STOPWORDS present) >= 2.
+
+    Emits each feature plus the composite ``gopher_pass`` flag so the
+    curation funnel can report per-rule reject reasons. All ratios rounded
+    to 4 so the DuckDB oracle hashes identically.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    hash_cnt = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    ell_cnt = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(words, s))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(sum_len / n_words, 4).alias("mean_word_len"),
+        F.round(n_alpha / n_words, 4).alias("frac_alpha_words"),
+        F.round((hash_cnt + ell_cnt) / n_words, 4).alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    gopher_pass = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 5
+) -> DataFrame:
+    """C4-style global span-level dedup: split each document into
+    consecutive ``span_words``-word spans, keep only the FIRST occurrence of
+    every span corpus-wide (ordered by (doc id, span position) — the same
+    "first document wins" rule C4 applies to its three-sentence spans,
+    Raffel et al. 2020 §2.2), and reassemble the surviving spans in order.
+
+    Scale shape: two shuffles total — one hash partition by span content
+    for the first-wins ``row_number`` (dedup state never sits on one node;
+    hot spans are single-key groups a skew-split handles), one by doc id to
+    reassemble. No driver-side state, no all-pairs comparison; this is the
+    exact-substring analog of the MinHash pipeline and composes with it.
+
+    Returns (id, n_spans, n_kept, dedup_text).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.ceil(F.size(words) / span_words)
+    span_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    spans = df.select(
+        F.col(id_col), F.posexplode(span_arr).alias("pos", "span")
+    )
+    w = Window.partitionBy("span").orderBy(id_col, "pos")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("span"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

@@ -1278,3 +1278,124 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (150 + (F.col("doc_id") * 7) % 1200).cast("int").alias("height"),
     )
     return multimodal.resize_plan(assets, max_side=512)
+
+
+@_q(
+    "text_gopher_rules",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             length(text) - length(replace(text, '#', '')) AS hash_cnt,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt,
+             text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4)
+               AS mean_word_len,
+             round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(w), 4) AS frac_alpha_words,
+             round((hash_cnt + ell_cnt) * 1.0 / len(w), 4) AS symbol_ratio,
+             CAST(len(list_filter(['the','a','and','of','to','in','is','for'],
+                                  s -> list_contains(w, s))) AS BIGINT)
+               AS stop_hits
+      FROM feats
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND frac_alpha_words >= 0.8
+            AND symbol_ratio < 0.1
+            AND stop_hits >= 2) AS gopher_pass
+    FROM m
+    """,
+    doc=(
+        "Gopher quality rule set (Rae et al. 2021 A1.1.2): word-count "
+        "bounds, mean word length, alpha-word fraction, symbol ratio, "
+        "stopword presence — pure Catalyst HOFs, per-row at scan speed."
+    ),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.gopher_rules(docs, "doc_id", "text")
+
+
+@_q(
+    "dedup_spans_firstwins",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i*5+1):(i*5+5)], ' ') AS span
+      FROM words, unnest(range(CAST(ceil(len(w) / 5.0) AS BIGINT))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY pos), '') AS dedup_text
+    FROM ranked GROUP BY doc_id
+    """,
+    doc=(
+        "C4-style global span dedup (first occurrence wins, 5-word spans): "
+        "one shuffle by span for first-wins row_number, one by doc to "
+        "reassemble — the exact-substring analog of the MinHash pipeline."
+    ),
+)
+def dedup_spans_firstwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.span_dedup(docs, "doc_id", "text", span_words=5)
+
+
+@_q(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS cnt FROM tok GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(CAST(round(-ln(cnt / t) * 1000000) AS BIGINT))
+                 / (1000000.0 * count(*)), 4) AS avg_nll
+    FROM tok JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Unigram LM scoring: corpus-learned word log-probs, per-doc mean "
+        "negative log-likelihood (the cheap perplexity proxy used for "
+        "quality filtering, e.g. CCNet). Vocab is Zipf-bounded so it "
+        "broadcasts; the corpus shuffles only for the per-doc mean. "
+        "Per-token NLL snapped to a 1e-6 grid and summed as int64 so the "
+        "mean is order-independent (see _ssum)."
+    ),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
+    scored = tok.join(F.broadcast(vocab), "w")
+    nll_grid = F.round(
+        -F.log(F.col("cnt") / F.lit(total)) * 1_000_000
+    ).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(nll_grid) / (F.lit(1_000_000.0) * F.count("*")), 4
+        ).alias("avg_nll"),
+    )

@@ -1,0 +1,166 @@
+"""Edge-semantics tests for the as-of join, bucketed range join, Gopher
+rules, and C4-style span dedup (the sf0.01 oracle parity for each lives in
+test_catalog_parity.py — these pin the boundary behaviors the oracle data
+may never exercise)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from lakehouse_spark.operators import joins, text
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, "u1", _ts("2024-01-01 10:00:00")),
+                (2, "u1", _ts("2024-01-01 12:00:00")),
+                (3, "u2", _ts("2024-01-01 09:00:00")),
+            ],
+            "event_id long, user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u1", _ts("2024-01-01 09:30:00"), 100),
+                ("u1", _ts("2024-01-01 10:00:00"), 200),  # ties left #1
+                ("u1", _ts("2024-01-01 11:00:00"), 300),
+                ("u2", _ts("2024-01-01 09:30:00"), 400),  # after left #3
+            ],
+            "user_id string, r_ts timestamp, r_val long",
+        )
+        return left, right
+
+    def test_latest_strictly_prior_wins(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r.event_id: (r.r_val, r.r_ts)
+            for r in joins.asof_join(left, right, "user_id", "ts", "r_ts").collect()
+        }
+        # 10:00 left must NOT see the 10:00 right row (strict), only 09:30.
+        assert out[1] == (100, _ts("2024-01-01 09:30:00"))
+        # 12:00 left sees the latest of three priors.
+        assert out[2] == (300, _ts("2024-01-01 11:00:00"))
+
+    def test_no_prior_row_yields_nulls(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r.event_id: r.r_val
+            for r in joins.asof_join(left, right, "user_id", "ts", "r_ts").collect()
+        }
+        assert out[3] is None  # u2's only right row is after 09:00
+
+    def test_left_rowcount_preserved(self, spark):
+        left, right = self._frames(spark)
+        assert joins.asof_join(left, right, "user_id", "ts", "r_ts").count() == 3
+
+
+class TestRangeBucketJoin:
+    def test_half_open_bounds_and_bucket_crossing(self, spark):
+        # Window 23:00 → next-day 01:00 crosses a day-bucket boundary; events
+        # at exactly start (in), mid (in), exactly end (OUT — half-open).
+        windows = spark.createDataFrame(
+            [(1, _ts("2024-01-01 23:00:00"), _ts("2024-01-02 01:00:00"))],
+            "win_id long, start_ts timestamp, end_ts timestamp",
+        )
+        events = spark.createDataFrame(
+            [
+                (10, _ts("2024-01-01 23:00:00")),  # == start: included
+                (11, _ts("2024-01-02 00:30:00")),  # next bucket: included
+                (12, _ts("2024-01-02 01:00:00")),  # == end: excluded
+                (13, _ts("2024-01-01 22:59:59")),  # before: excluded
+            ],
+            "event_id long, ts timestamp",
+        )
+        got = sorted(
+            r.event_id
+            for r in joins.range_bucket_join(
+                events, windows, "ts", "start_ts", "end_ts"
+            ).collect()
+        )
+        assert got == [10, 11]
+
+    def test_no_duplicate_pairs(self, spark):
+        # An event matching a multi-bucket window must appear exactly once.
+        windows = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"))],
+            "win_id long, start_ts timestamp, end_ts timestamp",
+        )
+        events = spark.createDataFrame(
+            [(10, _ts("2024-01-01 12:00:00"))], "event_id long, ts timestamp"
+        )
+        pairs = joins.range_bucket_join(events, windows, "ts", "start_ts", "end_ts")
+        assert pairs.count() == 1
+
+
+class TestGopherRules:
+    def test_each_rule_fires(self, spark):
+        good = "the quick brown fox jumps over a lazy dog " * 10  # 90 words
+        docs = spark.createDataFrame(
+            [
+                (1, good),
+                (2, "short text only"),  # fails min_words
+                (3, "#### #### #### " * 20 + good),  # symbol ratio + alpha
+                (4, ("supercalifragilistic " * 60).strip()),  # mean len + stopwords
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in text.gopher_rules(docs, "doc_id", "text").collect()}
+        assert out[1].gopher_pass
+        assert not out[2].gopher_pass and out[2].n_words == 3
+        assert not out[3].gopher_pass and out[3].symbol_ratio > 0.1
+        assert not out[4].gopher_pass
+        assert out[4].mean_word_len > 10 and out[4].stop_hits == 0
+        assert out[1].stop_hits >= 2
+
+    def test_ellipsis_counted(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "wait ... what ... is ... this ... thing ...")],
+            "doc_id long, text string",
+        )
+        row = text.gopher_rules(docs, "doc_id", "text").first()
+        # 5 ellipses over 14 whitespace tokens (the '...' are tokens too)
+        assert row.symbol_ratio > 0.3
+
+
+class TestSpanDedup:
+    def test_cross_doc_first_wins_and_remainder(self, spark):
+        # doc 1 owns span "a b"; doc 2 repeats it and keeps its unique tail.
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b x")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in text.span_dedup(docs, "doc_id", "text", span_words=2).collect()
+        }
+        # doc 1: spans [a b][c d][e] — all first occurrences.
+        assert (out[1].n_spans, out[1].n_kept) == (3, 3)
+        assert out[1].dedup_text == "a b c d e"
+        # doc 2: [a b] lost to doc 1, remainder span [x] kept.
+        assert (out[2].n_spans, out[2].n_kept) == (2, 1)
+        assert out[2].dedup_text == "x"
+
+    def test_within_doc_repeat_removed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "p q p q p q")], "doc_id long, text string"
+        )
+        row = text.span_dedup(docs, "doc_id", "text", span_words=2).first()
+        assert (row.n_spans, row.n_kept) == (3, 1)
+        assert row.dedup_text == "p q"
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "m n"), (2, "m n")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in text.span_dedup(docs, "doc_id", "text", span_words=2).collect()
+        }
+        assert out[2].n_kept == 0 and out[2].dedup_text == ""
