@@ -439,3 +439,52 @@ def trace_metrics(turns: DataFrame) -> DataFrame:
         metrics.join(durations, "session_id", "left")
         .join(thinking, "session_id", "left")
     )
+
+
+def gap_sessions(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tie_col: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Inactivity-gap sessionization (S-series addition): a new session
+    starts when the time since the previous event of the same ``key`` is
+    STRICTLY MORE than ``gap_s`` seconds. The strict boundary matches
+    Spark's native ``F.session_window`` merge rule exactly (an event at
+    precisely ``last_ts + gap`` still merges — windows [a, a+gap] and
+    [a+gap, a+2gap] overlap at the endpoint and session_window coalesces
+    overlapping windows), so the batch output is bit-identical to the Structured-Streaming
+    ``stream_session_gap_stats`` operator over the same events — the
+    batch/stream parity pair for gap sessions (marker sessions have the
+    same pair via aggregate_trace / stream_trace_turns).
+
+    Scale shape: one shuffle on ``key``; the running ``sum(is_new)`` session
+    index and the per-session aggregate reuse the same partitioning, so
+    Catalyst plans a single Exchange. ``tie_col`` makes the order total —
+    without it, equal timestamps make the session index nondeterministic.
+
+    Returns (key, session_idx (1-based), session_start, n_events,
+    duration_us).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    gap_us = gap_s * 1_000_000
+    prev = F.lag(ts_col).over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us)
+    )
+    idx = F.sum(is_new.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("session_idx", idx.cast("long"))
+        .groupBy(key, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            (
+                F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+            ).alias("duration_us"),
+        )
+    )

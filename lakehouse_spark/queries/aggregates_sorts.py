@@ -630,3 +630,121 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
     )
+
+
+@_q(
+    "a9_event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS v_ts
+      FROM events
+    ), s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS c_ts
+      FROM s1
+    ), s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS p_ts
+      FROM s2
+    )
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN v_ts IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_viewed,
+           CAST(count(DISTINCT CASE WHEN c_ts IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_clicked_after_view,
+           CAST(count(DISTINCT CASE WHEN p_ts IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_purchased_after_click
+    FROM s3
+    """,
+    doc=(
+        "Ordered funnel analysis (view -> click -> purchase): three chained "
+        "min-over-user windows on ONE shuffle (same partition spec, no sort "
+        "needed for unbounded frames), then distinct-user stage counts. The "
+        "strictly-after chaining makes each stage conditional on the prior."
+    ),
+)
+def a9_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(win)
+    )
+    s2 = s1.withColumn(
+        "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                F.col("ts"),
+            )
+        ).over(win),
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                F.col("ts"),
+            )
+        ).over(win),
+    )
+    return s3.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("v_ts").isNotNull(), F.col("user_id"))).alias(
+            "n_viewed"
+        ),
+        F.countDistinct(F.when(F.col("c_ts").isNotNull(), F.col("user_id"))).alias(
+            "n_clicked_after_view"
+        ),
+        F.countDistinct(F.when(F.col("p_ts").isNotNull(), F.col("user_id"))).alias(
+            "n_purchased_after_click"
+        ),
+    )
+
+
+@_q(
+    "a8_cohort_retention",
+    """
+    WITH su AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT e.user_id, s.cohort_week,
+             CAST(date_diff('day', s.cohort_week, date_trunc('week', e.ts)) / 7
+                  AS BIGINT) AS offset_weeks
+      FROM events e JOIN su s USING (user_id)
+    )
+    SELECT cohort_week, offset_weeks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM act WHERE offset_weeks >= 0
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Cohort retention: users bucketed by signup week, distinct-active "
+        "counts per (cohort, week offset). Signup dim aggregates first then "
+        "joins the fact — at scale the join shuffles on user_id once and "
+        "the distinct-count reuses AQE-sized partitions."
+    ),
+)
+def a8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        # cast to date: day-grain truncations are dates in DuckDB, and the
+        # cohort key has no sub-day information by construction
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    joined = ev.join(signups, "user_id")
+    offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        joined.withColumn("offset_weeks", offset)
+        .filter(F.col("offset_weeks") >= 0)
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

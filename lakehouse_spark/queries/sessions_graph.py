@@ -692,3 +692,41 @@ def j_range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), ["win_id", "start_ts"], "left")
         .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
     )
+
+
+@_q(
+    "s8_gap_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+             AS duration_us
+    FROM s GROUP BY user_id, session_idx
+    """,
+    doc=(
+        "Inactivity-gap sessionization (30 min): lag + running-sum session "
+        "index + per-session stats, all on ONE per-user shuffle. The strict "
+        "> gap boundary matches F.session_window merge semantics, giving "
+        "batch/stream parity pair for gap sessions."
+    ),
+)
+def s8_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators.sessionize import gap_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_sessions(ev, "user_id", "ts", "event_id", gap_s=1800)

@@ -164,3 +164,59 @@ class TestSpanDedup:
             for r in text.span_dedup(docs, "doc_id", "text", span_words=2).collect()
         }
         assert out[2].n_kept == 0 and out[2].dedup_text == ""
+
+
+class TestGapSessions:
+    def test_boundary_matches_session_window(self, spark):
+        # An event at EXACTLY gap seconds after the previous one still
+        # MERGES: session_window coalesces windows [a, a+gap] and
+        # [a+gap, a+2gap], which touch at the endpoint. Only a strictly
+        # larger gap starts a new session.
+        ev = spark.createDataFrame(
+            [
+                (1, "u", _ts("2024-01-01 10:00:00")),
+                (2, "u", _ts("2024-01-01 10:30:00")),   # == gap: merges
+                (3, "u", _ts("2024-01-01 10:59:59")),   # < gap: merges
+                (4, "u", _ts("2024-01-01 11:30:00")),   # > gap from #3: new
+            ],
+            "event_id long, user_id string, ts timestamp",
+        )
+        from lakehouse_spark.operators.sessionize import gap_sessions
+
+        mine = sorted(
+            (r.session_start, r.n_events)
+            for r in gap_sessions(ev, "user_id", "ts", "event_id", 1800).collect()
+        )
+        native = sorted(
+            (r.start, r.n)
+            for r in ev.groupBy(
+                F.session_window("ts", "30 minutes"), "user_id"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("session_window.start").alias("start"), "n")
+            .collect()
+        )
+        assert mine == native == [
+            (_ts("2024-01-01 10:00:00"), 3),
+            (_ts("2024-01-01 11:30:00"), 1),
+        ]
+
+    def test_parity_on_testdata(self, spark):
+        # Full parity with the native operator on real event data: same
+        # session count and same (user, start, n_events) triples.
+        from lakehouse_spark.io import load_table
+        from lakehouse_spark.operators.sessionize import gap_sessions
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        mine = sorted(
+            (r.user_id, r.session_start, r.n_events)
+            for r in gap_sessions(ev, "user_id", "ts", "event_id", 1800).collect()
+        )
+        native = sorted(
+            (r.user_id, r.start, r.n)
+            for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("session_window.start").alias("start"), "n")
+            .collect()
+        )
+        assert mine == native and len(mine) > 0
