@@ -627,3 +627,34 @@ def span_dedup(
             " ",
         ).alias("dedup_text"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES): each row gets key = ln(u) / w for a per-row uniform
+    u, and the k largest keys are the sample — inclusion probability
+    proportional to weight, no sequential state, so it distributes as a
+    plain top-k (TakeOrderedAndProject: per-partition heaps, no full sort,
+    no shuffle of the corpus).
+
+    u derives from the cross-engine md5 hash of the id (never from rand() —
+    the sample must be reproducible and oracle-checkable): u = (h+1)/2^60
+    in (0, 1]. ln(1) = 0 is the best possible key, -inf cannot occur.
+    """
+    from lakehouse_spark.functions.scalar import hash64
+
+    h = hash64(F.col(id_col).cast("string"), seed=seed)
+    u = (h + F.lit(1)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), id_col)
+        .limit(k)
+        .drop("__es_key")
+    )

@@ -1399,3 +1399,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nll_grid) / (F.lit(1_000_000.0) * F.count("*")), 4
         ).alias("avg_nll"),
     )
+
+
+@_q(
+    "curation_weighted_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             ln((CAST('0x' || substr(md5(concat('s11:',
+                    CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT) + 1)
+                / 1152921504606846976.0) / n_chars AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM scored
+    ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+    doc=(
+        "Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+        "key = ln(u)/weight, top-k by key. u comes from the cross-engine "
+        "md5 hash so the sample is reproducible; the plan is "
+        "TakeOrderedAndProject (per-partition heaps), not a global sort."
+    ),
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return text.weighted_sample(docs, "doc_id", "n_chars", k=100, seed=11)
+
+
+@_q(
+    "skew_salted_join",
+    """
+    SELECT concat('flag_', l_returnflag) AS flag_label,
+           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    doc=(
+        "Salted broadcast join under extreme key skew (3 distinct keys over "
+        "the whole fact table): the dim replicates across 16 salt ids so a "
+        "hot key spreads over 16 tasks; result must equal the unsalted "
+        "join + group-by exactly."
+    ),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    joined = skew.salted_broadcast_join(li, dim, "l_returnflag")
+    return joined.groupBy("flag_label").agg(
+        _ssum("l_extendedprice", 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
