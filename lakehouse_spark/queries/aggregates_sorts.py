@@ -748,3 +748,192 @@ def a8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "offset_weeks")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@_q(
+    "agg_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           round(sum(CAST(round(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                                     ELSE 0 END * 10000) AS BIGINT)) / 10000.0, 2)
+             AS open_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Pivot (long->wide): order counts per priority x status via "
+        "df.pivot with EXPLICIT value list — without it Spark runs an extra "
+        "distinct scan AND the output schema becomes data-dependent, which "
+        "breaks at 100 TB. Compiles to one conditional aggregation pass."
+    ),
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    wide = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(lit(1)): count(*) star-expansion is rejected inside Pivot
+            F.count(F.lit(1)).alias("n"),
+            _ssum(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+                .otherwise(0.0),
+                2,
+            ).alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("open_revenue"),
+    )
+
+
+@_q(
+    "agg_cube_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "CUBE aggregation (all 2^2 grouping sets in one pass): completes "
+        "the ROLLUP family (rollup_hierarchy). Spark expands grouping sets "
+        "map-side, so the fact table still shuffles once."
+    ),
+)
+def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_ssum("l_extendedprice", 2).alias("revenue"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@_q(
+    "w4_running_share",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS ship_day,
+             round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                   / 10000.0, 2) AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_day, revenue,
+           round(sum(revenue) OVER (ORDER BY ship_day
+                                    ROWS UNBOUNDED PRECEDING)
+                 / sum(revenue) OVER (), 6) AS cum_share
+    FROM daily
+    """,
+    doc=(
+        "Cumulative revenue share by ship day. The unpartitioned running "
+        "window is safe ONLY because it runs over the day-grain AGGREGATE "
+        "(one row per day — thousands of rows at any fact scale), never "
+        "over the fact table; the fact shuffles once for the daily rollup."
+    ),
+)
+def w4_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").cast("date").alias("ship_day")
+    ).agg(_ssum("l_extendedprice", 2).alias("revenue"))
+    w_run = Window.orderBy("ship_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return daily.withColumn(
+        "cum_share",
+        F.round(F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all), 6),
+    )
+
+
+@_q(
+    "agg_outlier_zscore",
+    """
+    WITH g AS (
+      SELECT event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type) AS s1,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type) AS s2,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), z AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mean_c,
+             sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) AS std_c,
+             vc
+      FROM g
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(max(mean_c) / 100, 4) AS mean_value,
+           round(max(std_c) / 100, 4) AS std_value,
+           CAST(sum(CASE WHEN abs(vc - mean_c) > 3 * std_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM z GROUP BY event_type
+    """,
+    doc=(
+        "Z-score outlier detection per event type: mean/std from exact "
+        "scaled-int64 sums (order-independent — stddev_samp over doubles "
+        "is schedule-dependent in the last ulp), flags |z| > 3. One "
+        "per-type shuffle; the unbounded window and the final aggregate "
+        "reuse the same partitioning."
+    ),
+)
+def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    win = Window.partitionBy("event_type")
+    g = ev.select(
+        "event_type",
+        vc.alias("vc"),
+        F.sum(vc).over(win).alias("s1"),
+        F.sum(vc * vc).over(win).alias("s2"),
+        F.count("*").over(win).alias("n"),
+    )
+    z = g.select(
+        "event_type",
+        "n",
+        "vc",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("std_c"),
+    )
+    return z.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("mean_c") / 100, 4).alias("mean_value"),
+        F.round(F.max("std_c") / 100, 4).alias("std_value"),
+        F.sum(
+            (
+                F.abs(F.col("vc") - F.col("mean_c")) > 3 * F.col("std_c")
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
