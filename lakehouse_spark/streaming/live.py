@@ -554,3 +554,42 @@ def dedup_ingest_sink(
             sig_store.append(keep_bands, txn=(app_id, batch_id))
 
     return sink
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition: each
+    left row pairs with right rows of the same ``key`` whose ``right_ts``
+    falls in [left_ts - lookback, left_ts] — the streaming attribution
+    shape (purchase ⨝ clicks in the preceding hour), the live twin of the
+    batch :func:`lakehouse_spark.operators.joins.asof_join` family.
+
+    Scale/state design: Spark buffers BOTH sides in join state; without a
+    time bound that state grows forever. The watermark on each side plus
+    the range condition lets the engine evict a buffered row as soon as its
+    event time drops below (max event time - watermark - lookback), so
+    state is bounded by (input rate x (watermark + lookback)) per side
+    regardless of how long the query runs. ``watermark`` must be >= the
+    out-of-orderness you tolerate; rows later than that are dropped, which
+    is the documented trade.
+
+    ``right``'s non-key columns must not collide with ``left``'s.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("__l")
+    r = right.withWatermark(right_ts, watermark).alias("__r")
+    cond = (
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}"))
+        & (
+            F.col(f"__r.{right_ts}")
+            >= F.col(f"__l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"__r.{key}"))

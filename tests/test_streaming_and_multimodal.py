@@ -534,3 +534,78 @@ def test_stream_windowed_distinct_matches_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) == 2
     # small cardinalities: HLL++ is exact here (7 and 5 uniques)
     assert {n for _, n in streamed} == {7, 5}
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (purchase x clicks in the preceding
+    hour): the streaming availableNow result must equal the same join run
+    as a plain batch query, and state stays watermark-bounded by
+    construction (both sides watermarked + closed range condition)."""
+    import json as _json
+
+    rows = [
+        {"user_id": "u1", "ts": "2026-01-01T10:00:00Z", "kind": "click", "value": 1.0},
+        {"user_id": "u1", "ts": "2026-01-01T10:30:00Z", "kind": "click", "value": 2.0},
+        {"user_id": "u1", "ts": "2026-01-01T11:00:00Z", "kind": "purchase", "value": 9.0},
+        # click exactly at the lookback edge (10:00 for an 11:00 purchase):
+        # included — closed interval [ts - 1h, ts].
+        {"user_id": "u2", "ts": "2026-01-01T10:00:00Z", "kind": "click", "value": 3.0},
+        {"user_id": "u2", "ts": "2026-01-01T11:00:00Z", "kind": "purchase", "value": 8.0},
+        # click 61 minutes before: excluded.
+        {"user_id": "u3", "ts": "2026-01-01T09:59:00Z", "kind": "click", "value": 4.0},
+        {"user_id": "u3", "ts": "2026-01-01T11:00:00Z", "kind": "purchase", "value": 7.0},
+        # click AFTER the purchase: excluded.
+        {"user_id": "u4", "ts": "2026-01-01T11:30:00Z", "kind": "click", "value": 5.0},
+        {"user_id": "u4", "ts": "2026-01-01T11:00:00Z", "kind": "purchase", "value": 6.0},
+    ]
+    src = tmp_path / "ij"
+    src.mkdir()
+    (src / "events.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    schema = "user_id string, ts timestamp, kind string, value double"
+
+    def split(df):
+        clicks = df.filter(F.col("kind") == "click").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        purchases = df.filter(F.col("kind") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        return clicks, purchases
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    s_clicks, s_purchases = split(stream)
+    joined = live.stream_interval_join(
+        s_purchases, s_clicks, "user_id", "ts", "click_ts", lookback="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_value)
+        for r in spark.sql("SELECT * FROM ij_test").collect()
+    }
+
+    batch = spark.read.schema(schema).json(str(src))
+    b_clicks, b_purchases = split(batch)
+    cond = (
+        (b_purchases.user_id == b_clicks.user_id)
+        & (b_clicks.click_ts <= b_purchases.ts)
+        & (b_clicks.click_ts >= b_purchases.ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    want = {
+        (r.user_id, r.click_value)
+        for r in b_purchases.join(b_clicks, cond)
+        .select(b_purchases.user_id, "click_value")
+        .collect()
+    }
+    assert got == want == {("u1", 1.0), ("u1", 2.0), ("u2", 3.0)}
