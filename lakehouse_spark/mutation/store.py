@@ -320,6 +320,19 @@ class TableStore:
         """Full compaction commit: one segment holding ``df``."""
         self._transact(lambda v: [self._write_segment(df, v)], txn=txn)
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
+        """Full-replace commit (CREATE OR REPLACE): the new version holds
+        exactly ``df``, with ``meta`` riding in the manifest. The refresh
+        primitive for derived tables (materialized views) that must record
+        provenance — e.g. which base version they reflect — atomically with
+        their data."""
+        self._transact(lambda v: [self._write_segment(df, v)], meta, txn)
+
     def upsert(
         self, rows: DataFrame, txn: tuple[str, int] | None = None
     ) -> None:

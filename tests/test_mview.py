@@ -1,0 +1,114 @@
+"""Incremental materialized-view maintenance: the view after any chain of
+base commits must equal a from-scratch recompute EXACTLY (decimal sums —
+no tolerance), groups must appear/disappear as their counts cross zero,
+and an up-to-date view must not commit a new version."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_spark.mutation.mview import MaterializedAgg
+from lakehouse_spark.mutation.store import TableStore
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "base"), key="id")
+    store.init(
+        spark.createDataFrame(
+            [(1, "a", 10.5), (2, "a", 2.25), (3, "b", 1.0)],
+            "id long, grp string, amount double",
+        )
+    )
+    return store
+
+
+def _mk(spark, tmp_path, base):
+    return MaterializedAgg(
+        spark, str(tmp_path / "view"), base, ["grp"], sum_cols=("amount",)
+    )
+
+
+def _expected(base):
+    return {
+        r.grp: (r.n, float(r.s))
+        for r in base.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("amount").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _got(view):
+    return {r.grp: (r.n, float(r.sum_amount)) for r in view.read().collect()}
+
+
+def test_initial_refresh_matches_recompute(spark, tmp_path, base):
+    mv = _mk(spark, tmp_path, base)
+    v = mv.refresh()
+    assert v == base.current_version()
+    assert _got(mv) == _expected(base) == {"a": (2, 12.75), "b": (1, 1.0)}
+
+
+def test_incremental_append(spark, tmp_path, base):
+    mv = _mk(spark, tmp_path, base)
+    mv.refresh()
+    base.append(
+        spark.createDataFrame(
+            [(4, "b", 3.5), (5, "c", 7.0)], "id long, grp string, amount double"
+        )
+    )
+    mv.refresh()
+    assert _got(mv) == _expected(base) == {
+        "a": (2, 12.75),
+        "b": (2, 4.5),
+        "c": (1, 7.0),
+    }
+
+
+def test_incremental_delete_drops_empty_group(spark, tmp_path, base):
+    mv = _mk(spark, tmp_path, base)
+    mv.refresh()
+    base.delete_keys(spark.createDataFrame([(3,)], "id long"))
+    mv.refresh()
+    got = _got(mv)
+    assert got == _expected(base)
+    assert "b" not in got  # count reached zero → group removed
+
+
+def test_mixed_churn_stays_exact(spark, tmp_path, base):
+    mv = _mk(spark, tmp_path, base)
+    mv.refresh()
+    base.append(
+        spark.createDataFrame([(6, "a", 0.125)], "id long, grp string, amount double")
+    )
+    mv.refresh()
+    base.delete_keys(spark.createDataFrame([(1,), (6,)], "id long"))
+    base.append(
+        spark.createDataFrame([(7, "d", -4.75)], "id long, grp string, amount double")
+    )
+    mv.refresh()
+    assert _got(mv) == _expected(base)
+
+
+def test_noop_refresh_commits_nothing(spark, tmp_path, base):
+    mv = _mk(spark, tmp_path, base)
+    mv.refresh()
+    v_view = mv.view.current_version()
+    mv.refresh()  # base unchanged
+    assert mv.view.current_version() == v_view
+
+
+def test_full_refresh_recovers(spark, tmp_path, base):
+    mv = _mk(spark, tmp_path, base)
+    mv.refresh()
+    base.append(
+        spark.createDataFrame([(8, "e", 5.0)], "id long, grp string, amount double")
+    )
+    mv.refresh(full=True)
+    assert _got(mv) == _expected(base)
+    assert mv.base_version_reflected() == base.current_version()
