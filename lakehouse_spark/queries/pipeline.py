@@ -1456,3 +1456,38 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ssum("l_extendedprice", 2).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+def _zorder_oracle() -> str:
+    from lakehouse_spark.operators.layout import interleave_bits_sql
+
+    z = interleave_bits_sql("l_partkey % 256", "l_suppkey % 256", 8)
+    return f"""
+    SELECT l_orderkey, l_linenumber, {z} AS zkey
+    FROM lineitem
+    ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50
+    """
+
+
+@_q(
+    "layout_zorder_key",
+    _zorder_oracle(),
+    doc=(
+        "Z-order (Morton) clustering key: bit-interleave of two dimension "
+        "keys, verified bit-for-bit against the DuckDB rendering. The "
+        "write path (operators/layout.write_zordered) range-partitions by "
+        "this key so 2-D box predicates prune files on both dimensions — "
+        "pruning gain is asserted from parquet footer stats in "
+        "tests/test_layout_zorder.py."
+    ),
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators.layout import interleave_bits
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = interleave_bits(F.col("l_partkey") % 256, F.col("l_suppkey") % 256, 8)
+    return (
+        li.select("l_orderkey", "l_linenumber", z.alias("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(50)
+    )

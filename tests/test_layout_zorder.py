@@ -1,0 +1,88 @@
+"""Z-order layout: bit interleave correctness, and the pruning claim
+itself — a 2-D box predicate must skip more files under Z-order than under
+a single-column sort, on both dimensions at once."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_spark.operators import layout
+
+
+def test_interleave_bits_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "a long, b long"
+    )
+    got = [
+        r.z
+        for r in df.select(
+            layout.interleave_bits(F.col("a"), F.col("b"), 4).alias("z")
+        ).collect()
+    ]
+    # z(3,5) : a=0011 -> bits 0,2 ; b=0101 -> bits 1,5 -> 0b100111 = 39
+    assert got == [0, 1, 2, 3, 39]
+
+
+def test_interleave_matches_duckdb_rendering(spark):
+    import duckdb
+
+    rows = [(i, (i * 37) % 256) for i in range(100)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    s = sorted(
+        (r.a, r.z)
+        for r in df.select(
+            "a", layout.interleave_bits(F.col("a"), F.col("b"), 8).alias("z")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    d = sorted(
+        con.sql(
+            f"SELECT a, {layout.interleave_bits_sql('a', 'b', 8)} AS z FROM t"
+        ).fetchall()
+    )
+    assert s == d
+
+
+def test_zorder_prunes_2d_box_better_than_single_sort(spark, tmp_path):
+    # Two independent uniform dimensions: a single-column sort clusters one
+    # and scrambles the other; Z-order clusters both.
+    n = 20_000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 1000 + 1000) .alias("x"),
+        (F.hash(F.col("id") + 7) % 1000 + 1000).alias("y"),
+    )
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "xsort")
+    layout.write_zordered(df, z_path, "x", "y", bits=8, n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    # Box predicate: one decile in x AND one decile in y.
+    zx, zt = layout.pruning_stats(z_path, "x", 1400, 1500)
+    zy, _ = layout.pruning_stats(z_path, "y", 1400, 1500)
+    sx, st = layout.pruning_stats(s_path, "x", 1400, 1500)
+    sy, _ = layout.pruning_stats(s_path, "y", 1400, 1500)
+
+    assert zt == st == 16
+    # x-sort: perfect on x, useless on y (every file eligible).
+    assert sx <= 3 and sy == 16
+    # Z-order: prunes on BOTH dimensions simultaneously.
+    assert zx < 16 and zy < 16
+    assert zx + zy < sx + sy
+
+
+def test_rank_bucket_handles_skew(spark):
+    # 90% of rows share one hot value; width_bucket boundaries must stay
+    # strictly ascending after dedup and every row must get a bucket.
+    df = spark.createDataFrame(
+        [(7,)] * 900 + [(i,) for i in range(100)], "v long"
+    )
+    out = df.select(layout.rank_bucket(df, "v", bits=4).alias("b"))
+    vals = [r.b for r in out.collect()]
+    assert all(v is not None and v >= 0 for v in vals)
