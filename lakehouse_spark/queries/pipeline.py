@@ -1491,3 +1491,27 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "l_orderkey", "l_linenumber")
         .limit(50)
     )
+
+
+@_q(
+    "search_keyword_and",
+    """
+    SELECT doc_id FROM documents
+    WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'spark')
+      AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'window')
+      AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'merge')
+    """,
+    doc=(
+        "Keyword AND-search through the inverted-index plan (posting "
+        "filter + distinct-term count per doc) — must return exactly the "
+        "full-scan answer. The persisted/maintained index variant "
+        "(InvertedIndex over TableStore) is pytest-covered; cost is "
+        "O(matched postings), not O(corpus)."
+    ),
+)
+def search_keyword_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = search.postings(docs, "doc_id", "text")
+    return search.and_search(idx, ["spark", "window", "merge"])
