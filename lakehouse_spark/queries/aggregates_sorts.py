@@ -937,3 +937,99 @@ def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("n_outliers"),
     )
+
+
+@_q(
+    "rollup_interpolate",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             round(sum(CAST(round(value * 10000) AS BIGINT))
+                   / (10000.0 * count(value)), 4) AS v
+      FROM events WHERE event_type = 'error' AND value > 520
+      GROUP BY 1
+    ), j AS (
+      SELECT s.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER w_prev AS prev_day,
+             first_value(d.v IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER w_next AS next_day
+      FROM spine s LEFT JOIN daily d USING (day)
+      WINDOW w_prev AS (ORDER BY s.day ROWS UNBOUNDED PRECEDING),
+             w_next AS (ORDER BY s.day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT day, v AS v_raw,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * date_diff('day', prev_day, day)
+                  / date_diff('day', prev_day, next_day)
+           END, 4) AS v_interp
+    FROM j
+    """,
+    doc=(
+        "Time-series linear interpolation over a gap-filled spine: sparse "
+        "daily averages, missing days filled by interpolating between the "
+        "nearest observed neighbors (edges back/forward-fill). Two "
+        "IGNORE-NULLS windows over the DAY-GRAIN aggregate (tiny at any "
+        "fact scale — see w4_running_share for the same argument)."
+    ),
+)
+def rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 520))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(_savg("value", 4).alias("v"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    s = spine.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = s.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * F.datediff(F.col("day"), F.col("prev_day"))
+            / F.datediff(F.col("next_day"), F.col("prev_day"))
+        )
+    )
+    return j.select(
+        "day",
+        F.col("v").alias("v_raw"),
+        F.round(interp, 4).alias("v_interp"),
+    )
