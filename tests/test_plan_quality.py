@@ -356,3 +356,74 @@ def test_pack_sequences_scales_and_is_contiguous(spark):
             (r.start_offset + r.n_tokens - 1) // 512 > r.bin_id
         )
         expect += r.n_tokens
+
+
+def test_asof_join_is_single_exchange_window(spark):
+    # The merge formulation: ONE hash exchange on the key feeding a window —
+    # never a range join (which would be a cartesian/BNLJ blow-up).
+    plan = (
+        CATALOG["j_asof_attribution"]
+        .build(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_is_broadcast_hash_on_bucket(spark):
+    plan = _plan(spark, "j_range_window_count")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark):
+    plan = _plan(spark, "curation_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_gap_sessions_single_shuffle(spark):
+    # Window + per-session aggregate must reuse ONE user_id partitioning:
+    # the final HashAggregate on (user_id, session_idx) is satisfied by the
+    # window's hashpartitioning(user_id) — no second Exchange.
+    plan = (
+        CATALOG["s8_gap_sessions"]
+        .build(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    # Three chained min-over-user windows: same partition spec -> Catalyst
+    # plans ONE user_id-only Exchange (the extra exchanges belong to the
+    # countDistinct expand-regroup, which run over 5 rows, not the fact).
+    import re
+
+    plan = (
+        CATALOG["a9_event_funnel"]
+        .build(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    user_only = re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan)
+    assert len(user_only) == 1, plan
+    assert plan.count("Window ") == 3 or plan.count("Window") >= 3
+
+
+def test_keyword_search_filter_pushed(spark):
+    # The posting filter must reach the scan as an isin/In pushed filter on
+    # the token source — no full-corpus shuffle before filtering.
+    plan = _plan(spark, "search_keyword_and")
+    assert "CartesianProduct" not in plan
+    # postings are built inline here: the isin filter sits right above the
+    # generate (explode), before any exchange
+    gen_idx = plan.find("Generate")
+    filt_idx = plan.find("Filter")
+    assert gen_idx != -1 and filt_idx != -1
