@@ -1515,3 +1515,53 @@ def search_keyword_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     idx = search.postings(docs, "doc_id", "text")
     return search.and_search(idx, ["spark", "window", "merge"])
+
+
+@_q(
+    "dedup_fuzzy_levenshtein",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', -1) AS block
+      FROM part
+    )
+    SELECT a.block,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(min(CASE WHEN a.p_name <> b.p_name
+                         THEN levenshtein(a.p_name, b.p_name) END) AS BIGINT)
+             AS min_nonzero_dist
+    FROM p a JOIN p b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    GROUP BY a.block
+    """,
+    doc=(
+        "Fuzzy string matching: blocked Levenshtein self-join (equi join on "
+        "the head-noun block), aggregated to per-block near-match stats. "
+        "The blocking key keeps the pair space O(sum block^2) instead of "
+        "all-pairs — the same discipline as the n-gram Jaccard dedup; both "
+        "engines use the standard DP edit distance, so values hash-match."
+    ),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return joined.groupBy(F.col("a.block").alias("block")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((dist <= 2).cast("long")).alias("n_near"),
+        F.min(
+            F.when(F.col("a.p_name") != F.col("b.p_name"), dist)
+        ).cast("long").alias("min_nonzero_dist"),
+    )

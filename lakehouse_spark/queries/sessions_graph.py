@@ -730,3 +730,38 @@ def s8_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return gap_sessions(ev, "user_id", "ts", "event_id", gap_s=1800)
+
+
+@_q(
+    "w5_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    doc=(
+        "Markov transition matrix over per-user event sequences: lead() on "
+        "the per-user time order, then a global (from, to) count. One "
+        "shuffle for the window; the 25-cell aggregate combines map-side."
+    ),
+)
+def w5_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -593,3 +593,22 @@ def stream_interval_join(
         )
     )
     return l.join(r, cond, "inner").drop(F.col(f"__r.{key}"))
+
+
+def stream_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state: the streaming face
+    of the batch `d1_exact_dedup` family. ``dropDuplicatesWithinWatermark``
+    keeps a key in state only until the event-time watermark passes it, so
+    state is O(keys per watermark window), not O(all keys ever) — the
+    difference between a dedup that survives a month-long stream and one
+    that OOMs. Duplicates arriving later than ``watermark`` are NOT
+    suppressed (they're beyond the dedup horizon by contract); exactly-once
+    delivery into a store composes via exactly_once_store_sink."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )

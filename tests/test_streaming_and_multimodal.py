@@ -609,3 +609,43 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want == {("u1", 1.0), ("u1", 2.0), ("u2", 3.0)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate ids inside the horizon are
+    suppressed, and the streaming result matches the batch dropDuplicates
+    answer on the same input."""
+    import json as _json
+
+    rows = [
+        {"id": 1, "ts": "2026-01-01T10:00:00Z", "v": "a"},
+        {"id": 1, "ts": "2026-01-01T10:05:00Z", "v": "a-dup"},
+        {"id": 2, "ts": "2026-01-01T10:10:00Z", "v": "b"},
+        {"id": 1, "ts": "2026-01-01T10:20:00Z", "v": "a-dup2"},
+        {"id": 3, "ts": "2026-01-01T10:30:00Z", "v": "c"},
+    ]
+    src = tmp_path / "dd"
+    src.mkdir()
+    (src / "events.jsonl").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = "id long, ts timestamp, v string"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = live.stream_dedup(stream, ["id"], "ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.sql("SELECT * FROM dd_test").collect())
+    want = sorted(
+        r.id
+        for r in spark.read.schema(schema)
+        .json(str(src))
+        .dropDuplicates(["id"])
+        .collect()
+    )
+    assert got == want == [1, 2, 3]
