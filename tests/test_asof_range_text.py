@@ -220,3 +220,64 @@ class TestGapSessions:
             .collect()
         )
         assert mine == native and len(mine) > 0
+
+
+class TestNewOpInvariants:
+    def test_span_dedup_conservation(self, spark):
+        # Global invariant: total kept spans == number of DISTINCT spans in
+        # the corpus (each distinct span survives exactly once).
+        from lakehouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = text.span_dedup(docs, "doc_id", "text", span_words=5)
+        total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        n_spans = F.ceil(F.size(words) / 5)
+        spans = docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+                )
+            ).alias("span")
+        )
+        n_distinct = spans.distinct().count()
+        assert total_kept == n_distinct
+
+    def test_weighted_sample_deterministic_subset(self, spark):
+        from lakehouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "n_chars"
+        )
+        a = {r.doc_id for r in text.weighted_sample(docs, "doc_id", "n_chars", 25).collect()}
+        b = {r.doc_id for r in text.weighted_sample(docs, "doc_id", "n_chars", 25).collect()}
+        assert a == b and len(a) == 25
+        all_ids = {r.doc_id for r in docs.collect()}
+        assert a <= all_ids
+
+    def test_weighted_sample_prefers_heavy_rows(self, spark):
+        # With weights 1000:1, the heavy half must dominate the sample.
+        rows = [(i, 1000 if i < 50 else 1) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        got = [r.id for r in text.weighted_sample(df, "id", "w", 20).collect()]
+        heavy = sum(1 for i in got if i < 50)
+        assert heavy >= 16  # P(light row chosen) ~ w_l/w_h per slot
+
+    def test_asof_preserves_left_cardinality_on_testdata(self, spark):
+        from lakehouse_spark.io import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_v")
+        )
+        out = joins.asof_join(purchases, clicks, "user_id", "ts", "c_ts")
+        assert out.count() == purchases.count()
+        # and every non-null attribution respects key equality + strictness
+        assert (
+            out.filter(F.col("c_ts").isNotNull() & (F.col("c_ts") >= F.col("ts"))).count()
+            == 0
+        )
