@@ -612,3 +612,23 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols
     )
+
+
+def continuous_agg_sink(store, view, app_id: str = "stream_cagg"):
+    """Continuous aggregate (the Timescale/Databricks pattern): one
+    foreachBatch sink that (a) appends the batch into the base TableStore
+    exactly-once, then (b) advances the incremental materialized view
+    (:class:`lakehouse_spark.mutation.mview.MaterializedAgg`) to the new
+    base version. Replayed batches skip BOTH steps via the txn watermark,
+    and the view refresh reads only the CDF of the appended segment —
+    O(batch), never O(table). If the process dies between (a) and (b), the
+    next batch's refresh() catches the view up (it advances version-to-
+    version, not batch-to-batch), so the view lags but never diverges."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.last_txn_version(app_id):
+            return
+        store.append(batch, txn=(app_id, batch_id))
+        view.refresh()
+
+    return sink

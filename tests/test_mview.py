@@ -112,3 +112,59 @@ def test_full_refresh_recovers(spark, tmp_path, base):
     mv.refresh(full=True)
     assert _got(mv) == _expected(base)
     assert mv.base_version_reflected() == base.current_version()
+
+
+def test_continuous_agg_sink_streaming(spark, tmp_path):
+    """Streaming ingestion keeps the materialized view current: after an
+    availableNow run the view equals a recompute over everything ingested,
+    and a full checkpoint replay changes nothing (exactly-once)."""
+    import json as _json
+
+    from lakehouse_spark.streaming.live import continuous_agg_sink
+
+    rows = [
+        {"id": 1, "grp": "a", "amount": 1.5},
+        {"id": 2, "grp": "a", "amount": 2.5},
+        {"id": 3, "grp": "b", "amount": 4.0},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "r.jsonl").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = "id long, grp string, amount double"
+
+    base = TableStore(spark, str(tmp_path / "cagg_base"), key="id")
+    mv = MaterializedAgg(
+        spark, str(tmp_path / "cagg_view"), base, ["grp"], sum_cols=("amount",)
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(continuous_agg_sink(base, mv))
+            .option("checkpointLocation", str(tmp_path / "cagg_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert _got(mv) == _expected(base) == {"a": (2, 4.0), "b": (1, 4.0)}
+    v_base, v_view = base.current_version(), mv.view.current_version()
+
+    # New file + second run: view advances incrementally.
+    (src / "r2.jsonl").write_text(
+        _json.dumps({"id": 4, "grp": "b", "amount": 6.0}) + "\n"
+    )
+    run()
+    assert _got(mv) == _expected(base) == {"a": (2, 4.0), "b": (2, 10.0)}
+
+    # Replay from a WIPED checkpoint: txn watermark must reject the replayed
+    # batches — no double counting, no new versions.
+    import shutil
+
+    v_base2, v_view2 = base.current_version(), mv.view.current_version()
+    assert v_base2 == v_base + 1 and v_view2 == v_view + 1
+    shutil.rmtree(tmp_path / "cagg_ckpt")
+    run()
+    assert base.current_version() == v_base2
+    assert _got(mv) == {"a": (2, 4.0), "b": (2, 10.0)}
