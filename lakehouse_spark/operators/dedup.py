@@ -702,3 +702,113 @@ class DedupIndex:
         return docs.join(hits, self.id_col, "left").withColumn(
             "is_duplicate", F.coalesce(F.col("__dup"), F.lit(False))
         ).drop("__dup")
+
+
+# --- random-hyperplane LSH for embeddings --------------------------------------
+
+
+def hyperplanes(k: int, dim: int, seed: int = 5) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, derived from
+    md5 so Spark and the DuckDB oracle inline the SAME literals (never
+    rand(): the signature must be reproducible across engines and runs)."""
+    import hashlib
+
+    out = []
+    for p in range(k):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(h / float(1 << 60) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def rp_lsh_near_duplicates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    bands: int = 2,
+    min_cosine: float = 0.3,
+    seed: int = 5,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH (SimHash for vectors,
+    Charikar 2002): sign of <v, h_p> for k fixed hyperplanes gives a k-bit
+    signature whose Hamming distance estimates the angle; banding the bits
+    turns near-neighbor search into equi joins on (band, bits).
+
+    Scale shape — identical discipline to the MinHash pipeline: the corpus
+    is touched once to sign (per-row HOF fold, no shuffle), candidates come
+    from a banded EQUI self-join (never all-pairs; collision probability
+    for a random pair at 8-bit bands is (1 - θ/π)^8 ≈ 1-2%), and the exact
+    cosine verifies candidates only. Unlike the label-blocked
+    embedding_near_duplicates, this needs NO precomputed block column —
+    the hash IS the blocking, which is what works when no natural blocking
+    key exists.
+    """
+    from pyspark.sql import functions as F
+
+    planes = hyperplanes(k, len(emb.select(vec_col).first()[0]), seed)
+    v = F.col(vec_col)
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(0).cast("long")
+    signed = emb.select(F.col(id_col).alias("id"), v.alias("v"), sig.alias("sig"))
+
+    width = k // bands
+    mask = (1 << width) - 1
+    banded = signed.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "bb.band", "bb.bits")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.v").alias("av"),
+            F.col("b.v").alias("bv"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda m, n: m * n), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    cos = _dot(F.col("av"), F.col("bv")) / (
+        F.sqrt(_dot(F.col("av"), F.col("av")))
+        * F.sqrt(_dot(F.col("bv"), F.col("bv")))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("a_id", "b_id", "cosine")
+    )

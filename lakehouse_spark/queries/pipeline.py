@@ -1565,3 +1565,57 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("a.p_name") != F.col("b.p_name"), dist)
         ).cast("long").alias("min_nonzero_dist"),
     )
+
+
+def _rp_lsh_oracle(k: int = 16, bands: int = 2, min_cos: float = 0.3) -> str:
+    from lakehouse_spark.operators.dedup import hyperplanes
+
+    planes = hyperplanes(k, 64)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[p]!r}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(k)
+    )
+    width = k // bands
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, (sig >> {b * width}) & {mask} AS bits "
+        "FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, CAST({sig_terms} AS BIGINT) AS sig FROM e),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cosine FROM (
+      SELECT c.a_id, c.b_id,
+             round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.a_id
+      JOIN e eb ON eb.vec_id = c.b_id)
+    WHERE cosine >= {min_cos}
+    """
+
+
+@_q(
+    "dedup_embedding_rplsh",
+    _rp_lsh_oracle(),
+    doc=(
+        "Random-hyperplane LSH near-dup (Charikar SimHash for vectors): "
+        "16-bit sign signature from md5-derived hyperplanes, 2x8-bit "
+        "banded equi self-join, exact-cosine verify of candidates only. "
+        "The no-blocking-column ANN path — the hash IS the blocking."
+    ),
+)
+def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return dedup.rp_lsh_near_duplicates(emb, "vec_id", "v")
