@@ -1619,3 +1619,50 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     return dedup.rp_lsh_near_duplicates(emb, "vec_id", "v")
+
+
+@_q(
+    "text_char_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id, regexp_split_to_array(text, '') AS cs FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_chars,
+           round(-list_sum(list_transform(list_distinct(cs),
+               ch -> CAST(round(
+                 (len(list_filter(cs, x -> x = ch)) * 1.0 / len(cs))
+                 * log2(len(list_filter(cs, x -> x = ch)) * 1.0 / len(cs))
+                 * 100000000) AS BIGINT)))
+             / 100000000.0, 4) AS entropy_bits
+    FROM c
+    """,
+    doc=(
+        "Character-level Shannon entropy per document (compressibility "
+        "quality signal: gibberish and boilerplate sit at the extremes). "
+        "Pure per-row HOFs — distinct chars x length work per row, no "
+        "explode, no shuffle, scan speed. Each p*log2(p) term snaps to a "
+        "1e-8 grid and sums as int64 so the fold order (which differs "
+        "between engines' distinct implementations) cannot move the hash."
+    ),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cs = F.split("text", "")
+    n = F.size(cs)
+
+    def term(ch):
+        cnt = F.size(F.filter(cs, lambda x: x == ch))
+        p = cnt * F.lit(1.0) / n
+        return F.round(p * F.log2(p) * 100_000_000).cast("long")
+
+    total = F.aggregate(
+        F.transform(F.array_distinct(cs), term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.round(-total / F.lit(100_000_000.0), 4).alias("entropy_bits"),
+    )
