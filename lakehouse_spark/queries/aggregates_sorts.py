@@ -1033,3 +1033,46 @@ def rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_raw"),
         F.round(interp, 4).alias("v_interp"),
     )
+
+
+@_q(
+    "rollup_hopping_windows",
+    """
+    WITH bounds AS (
+      -- back up by (width - slide): epoch-aligned windows STARTING before
+      -- the first hour still cover the earliest events; surplus starts are
+      -- dropped by the inner join
+      SELECT date_trunc('hour', min(ts)) - INTERVAL 45 MINUTE AS lo,
+             max(ts) AS hi
+      FROM events
+    ), starts AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS w_start
+      FROM bounds
+    )
+    SELECT s.w_start, CAST(count(e.event_id) AS BIGINT) AS n,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM starts s
+    JOIN events e
+      ON e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL 1 HOUR
+    GROUP BY s.w_start
+    """,
+    doc=(
+        "Hopping (sliding) window aggregation: 1h windows every 15min via "
+        "F.window(ts, '1 hour', '15 minutes') — Spark expands each event "
+        "into its <=4 covering windows map-side (no spine join, no range "
+        "join), then one shuffle on the window key. The oracle is the "
+        "explicit spine x range join DuckDB needs for the same result. "
+        "Windows with zero events don't exist on either side (inner "
+        "semantics)."
+    ),
+)
+def rollup_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "n_users")
+    )
