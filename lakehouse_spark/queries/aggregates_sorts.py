@@ -1076,3 +1076,39 @@ def rollup_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("w_start"), "n", "n_users")
     )
+
+
+@_q(
+    "a10_user_growth",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events
+      GROUP BY user_id
+    ), daily AS (
+      SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS total_users
+    FROM daily
+    """,
+    doc=(
+        "User growth curve: exact cumulative distinct users per day WITHOUT "
+        "a cumulative-distinct window (quadratic state) — each user reduces "
+        "to a first-seen day (one shuffle), then a day-grain running sum "
+        "(tiny, same argument as w4_running_share)."
+    ),
+)
+def a10_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn("total_users", F.sum("new_users").over(w))
