@@ -1112,3 +1112,74 @@ def a10_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.withColumn("total_users", F.sum("new_users").over(w))
+
+
+@_q(
+    "o10_ntile_quartiles",
+    """
+    SELECT event_type, quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM (
+      SELECT event_type, value,
+             CAST(ntile(4) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS BIGINT)
+               AS quartile
+      FROM events)
+    GROUP BY event_type, quartile
+    """,
+    doc=(
+        "NTILE quartile bucketing per group + per-bucket stats. The window "
+        "tie-breaks on event_id so bucket boundaries are a total order — "
+        "without it, equal values straddle buckets nondeterministically "
+        "and the hash flaps."
+    ),
+)
+def o10_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc=(
+        "Explicit GROUPING SETS (two independent rollups in ONE scan + one "
+        "shuffle — vs running two group-bys and unioning, which scans "
+        "twice). DataFrame API has only cube/rollup, so this entry goes "
+        "through spark.sql over a temp view — the SQL front-end is part of "
+        "the engine surface."
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                     / 10000.0, 2) AS revenue
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
