@@ -1183,3 +1183,91 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@_q(
+    "agg_histogram",
+    """
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 600 THEN 13
+                     ELSE floor(value / 50) + 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Equi-width histogram via width_bucket (12 bins over [0, 600)): "
+        "one map-side-combined aggregation — the profiling primitive "
+        "behind range-boundary sampling (see layout.rank_bucket)."
+    ),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket",
+            F.width_bucket(
+                F.col("value"), F.lit(0.0), F.lit(600.0), F.lit(12)
+            ).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@_q(
+    "agg_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+    doc=(
+        "Pearson correlation per group from exact scaled-int64 moment sums "
+        "(F.corr's double accumulation is combine-order-dependent in the "
+        "last ulps; int sums make the result bit-identical across engines "
+        "and runs). Overflow bound: cents-scale products stay < 9.2e18 "
+        "past sf10; widen to DECIMAL moments beyond that."
+    ),
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
