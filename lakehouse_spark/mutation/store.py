@@ -254,7 +254,36 @@ class TableStore:
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         paths = [os.path.join(self.root, s) for s in self._segments(v)]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: segments may carry evolved schemas (append with new
+        # columns — see append's schema note); without it Spark takes ONE
+        # segment's footer as the table schema and silently drops columns
+        # the other segments added. Union semantics: missing columns read
+        # as null, matching Delta's additive schema evolution.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first: every retained version with its
+        segment count, meta, and txn watermarks (the DESCRIBE HISTORY
+        surface; vacuumed versions are absent)."""
+        out = []
+        v = self.current_version()
+        if v is None:
+            return out
+        for i in range(v, -1, -1):
+            try:
+                with open(self._manifest_path(i)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:  # vacuumed
+                continue
+            out.append(
+                {
+                    "version": i,
+                    "n_segments": len(m["segments"]),
+                    "meta": m.get("meta", {}),
+                    "txn": m.get("txn", {}),
+                }
+            )
+        return out
 
     def exists(self) -> bool:
         return self.current_version() is not None

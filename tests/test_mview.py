@@ -168,3 +168,29 @@ def test_continuous_agg_sink_streaming(spark, tmp_path):
     run()
     assert base.current_version() == v_base2
     assert _got(mv) == {"a": (2, 4.0), "b": (2, 10.0)}
+
+
+def test_store_schema_evolution_and_history(spark, tmp_path):
+    """Additive schema evolution: appending a segment with a new column
+    must surface the column table-wide (old rows read null), and history()
+    exposes the commit log with meta/txn."""
+    store = TableStore(spark, str(tmp_path / "evo"), key="id")
+    store.init(
+        spark.createDataFrame([(1, "a")], "id long, grp string"),
+        meta={"origin": "init"},
+    )
+    store.append(
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id long, grp string, score double"
+        )
+    )
+    got = {r.id: (r.grp, r.score) for r in store.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 0.5)}
+
+    h = store.history()
+    assert [e["version"] for e in h] == [1, 0]
+    assert h[1]["meta"] == {"origin": "init"}
+    assert h[0]["n_segments"] == 2
+
+    # time travel still sees the pre-evolution schema
+    assert store.read(0).columns == ["id", "grp"]
