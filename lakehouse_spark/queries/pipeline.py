@@ -1678,3 +1678,74 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "curation_contamination_matrix",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 4),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             )) AS gram
+      FROM documents),
+    bench AS (
+      SELECT 'holdout_a' AS benchmark, gram FROM grams WHERE doc_id % 97 = 0
+      UNION
+      SELECT 'holdout_b', gram FROM grams WHERE doc_id % 89 = 1
+    ),
+    members AS (
+      SELECT 'holdout_a' AS benchmark, doc_id FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT 'holdout_b', doc_id FROM documents WHERE doc_id % 89 = 1
+    ),
+    hits AS (
+      SELECT DISTINCT b.benchmark, g.doc_id
+      FROM grams g JOIN bench b USING (gram)
+      WHERE NOT EXISTS (SELECT 1 FROM members m
+                        WHERE m.benchmark = b.benchmark
+                          AND m.doc_id = g.doc_id)
+    )
+    SELECT benchmark,
+           CAST(count(*) AS BIGINT) AS n_contaminated,
+           round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS rate
+    FROM hits GROUP BY benchmark
+    """,
+    doc=(
+        "Contamination matrix across MULTIPLE benchmarks in one pass: all "
+        "benchmark 5-gram sets union into one tagged broadcast side, the "
+        "training corpus's grams join it ONCE (vs one scan per benchmark), "
+        "benchmark members excluded via the tagged anti condition. Per-"
+        "benchmark contaminated counts + rates."
+    ),
+)
+def curation_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(text.word_ngrams(F.col("text"), 5)).alias("gram")
+    )
+    benches = [
+        ("holdout_a", F.col("doc_id") % 97 == 0),
+        ("holdout_b", F.col("doc_id") % 89 == 1),
+    ]
+    bench_grams = None
+    members = None
+    for name, cond in benches:
+        bg = grams.filter(cond).select(
+            F.lit(name).alias("benchmark"), "gram"
+        ).distinct()
+        mb = docs.filter(cond).select(F.lit(name).alias("benchmark"), "doc_id")
+        bench_grams = bg if bench_grams is None else bench_grams.unionByName(bg)
+        members = mb if members is None else members.unionByName(mb)
+    hits = (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .select("benchmark", "doc_id")
+        .dropDuplicates(["benchmark", "doc_id"])
+        .join(F.broadcast(members), ["benchmark", "doc_id"], "left_anti")
+    )
+    n_docs = docs.count()
+    return hits.groupBy("benchmark").agg(
+        F.count("*").alias("n_contaminated"),
+        F.round(F.count("*") / F.lit(float(n_docs)), 6).alias("rate"),
+    )
