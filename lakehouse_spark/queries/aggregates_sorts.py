@@ -1271,3 +1271,40 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@_q(
+    "agg_unpivot_stack",
+    """
+    SELECT o_orderpriority, status, CAST(n AS BIGINT) AS n FROM (
+      SELECT o_orderpriority, 'F' AS status,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT o_orderpriority, 'O',
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT o_orderpriority, 'P',
+             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+      FROM orders GROUP BY 1)
+    """,
+    doc=(
+        "UNPIVOT (wide->long) via stack() over the pivoted counts: the "
+        "inverse of agg_pivot_status, one generator row per (priority, "
+        "status) — Spark evaluates stack map-side with no join or "
+        "shuffle beyond the original aggregation."
+    ),
+)
+def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    wide = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'F', F, 'O', O, 'P', P) AS (status, n)"),
+    )

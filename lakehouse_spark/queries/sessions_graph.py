@@ -765,3 +765,35 @@ def w5_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@_q(
+    "j_null_safe_join",
+    """
+    WITH a AS (
+      SELECT nullif(user_id % 7, 0) AS k, count(*) AS n_a
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT nullif(user_id % 7, 0) AS k,
+             round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
+               AS sum_b
+      FROM events GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.sum_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc=(
+        "Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL "
+        "group joins to itself instead of silently dropping — plain = "
+        "would lose it. Still a hash-joinable equi condition (Catalyst "
+        "plans EqualNullSafe as a join key, no nested loop)."
+    ),
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 7, F.lit(0)).alias("k")
+    a = ev.select(k).groupBy("k").agg(F.count("*").alias("n_a"))
+    b = ev.select(k, "value").groupBy("k").agg(_ssum("value", 2).alias("sum_b"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"], "n_a", "sum_b"
+    )
