@@ -1749,3 +1749,171 @@ def curation_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_contaminated"),
         F.round(F.count("*") / F.lit(float(n_docs)), 6).alias("rate"),
     )
+
+
+@_q(
+    "sim_topk_filtered",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+               neighbor_id) AS INTEGER) AS rank
+      FROM q JOIN c ON neighbor_id <> query_id AND q.label = c.label) t
+    WHERE rank <= 5
+    """,
+    doc=(
+        "Filtered ANN (metadata predicate INSIDE the search): top-k cosine "
+        "restricted to corpus rows sharing the query's label. The filter "
+        "rides the join condition, so pruning happens before any distance "
+        "is computed — post-filtering a plain top-k instead would return "
+        "fewer than k hits whenever the filter is selective."
+    ),
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),
+    ).withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@_q(
+    "search_hybrid_rrf",
+    """
+    WITH d AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+      FROM documents
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT d.doc_id AS query_id, d.toks AS qt, e.v AS qv
+      FROM d JOIN e ON e.vec_id = d.doc_id WHERE d.doc_id < 3
+    ), kw AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY len(list_intersect(qt, toks)) DESC, doc_id) AS INTEGER)
+               AS rank_kw
+      FROM q JOIN d ON d.doc_id <> q.query_id
+      QUALIFY rank_kw <= 50
+    ), vec AS (
+      SELECT query_id, vec_id AS doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) DESC,
+               vec_id) AS INTEGER) AS rank_vec
+      FROM q JOIN e ON e.vec_id <> q.query_id
+      QUALIFY rank_vec <= 50
+    ), fused AS (
+      SELECT coalesce(kw.query_id, vec.query_id) AS query_id,
+             coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + rank_kw), 0)
+                   + coalesce(1.0 / (60 + rank_vec), 0), 6) AS rrf
+      FROM kw FULL OUTER JOIN vec
+        ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id
+    )
+    SELECT query_id, doc_id, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+    doc=(
+        "Hybrid search with Reciprocal Rank Fusion: keyword ranking "
+        "(distinct-token overlap) and vector ranking (exact cosine) each "
+        "produce a top-50, fused by 1/(60+rank) sums, top-10 emitted. Both "
+        "arms broadcast only the 3 queries; the corpus is scanned once per "
+        "modality and never shuffled — the lexical arm runs over the same "
+        "posting representation the inverted index persists."
+    ),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_spark.operators.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("toks"),
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("toks").alias("qt"),
+            F.col("v").alias("qv"),
+        )
+    )
+    w_kw = Window.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("doc_id")
+    )
+    kw = (
+        docs.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn("overlap", F.size(F.array_intersect("qt", "toks")))
+        .withColumn("rank_kw", F.row_number().over(w_kw))
+        .filter(F.col("rank_kw") <= 50)
+        .select("query_id", "doc_id", "rank_kw")
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    vec = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("doc_id", F.col("vec_id"))
+        .withColumn("rank_vec", F.row_number().over(w_vec))
+        .filter(F.col("rank_vec") <= 50)
+        .select("query_id", "doc_id", "rank_vec")
+    )
+    fused = kw.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_kw")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= 10)
+    )
