@@ -1308,3 +1308,89 @@ def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.expr("stack(3, 'F', F, 'O', O, 'P', P) AS (status, n)"),
     )
+
+
+@_q(
+    "w6_wow_change",
+    """
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+             round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                   / 10000.0, 2) AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT week, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY week), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY week))
+                 / lag(revenue) OVER (ORDER BY week) * 100, 4) AS pct_change
+    FROM weekly
+    """,
+    doc=(
+        "Period-over-period change: weekly revenue with lag() delta and "
+        "percent change. The unpartitioned lag runs over the week-grain "
+        "aggregate only (see w4_running_share); first week emits nulls."
+    ),
+)
+def w6_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week")
+    ).agg(_ssum("l_extendedprice", 2).alias("revenue"))
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
+    )
+
+
+@_q(
+    "s9_bounce_rate",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    ), sess AS (
+      SELECT user_id, session_idx, count(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM sess
+    """,
+    doc=(
+        "Bounce rate over gap sessions: fraction of single-event sessions "
+        "— composes the s8 sessionization with a global ratio (one per-user "
+        "shuffle + a scalar aggregate)."
+    ),
+)
+def s9_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators.sessionize import gap_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    sess = gap_sessions(ev, "user_id", "ts", "event_id", gap_s=1800)
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("int"))
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )
