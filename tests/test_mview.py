@@ -194,3 +194,39 @@ def test_store_schema_evolution_and_history(spark, tmp_path):
 
     # time travel still sees the pre-evolution schema
     assert store.read(0).columns == ["id", "grp"]
+
+
+def test_scd2_history_reconstruction(spark, tmp_path):
+    """SCD2 intervals from the version log: an upsert closes the old row
+    value and opens the new one; a delete closes without reopening; a
+    re-inserted identical row opens a SECOND interval for the same
+    identity."""
+    from lakehouse_spark.mutation.scd import scd2_history
+
+    store = TableStore(spark, str(tmp_path / "dim"), key="id")
+    store.init(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "id long, val string"
+        )
+    )  # v0
+    store.upsert(spark.createDataFrame([(1, "alpha2")], "id long, val string"))  # v1
+    store.delete_keys(spark.createDataFrame([(2,)], "id long"))  # v2
+    store.append(spark.createDataFrame([(2, "beta")], "id long, val string"))  # v3
+
+    hist = {
+        (r.id, r.val, r.valid_from): (r.valid_to, r.is_current)
+        for r in scd2_history(store).collect()
+    }
+    assert hist[(1, "alpha", 0)] == (1, False)     # closed by the upsert
+    assert hist[(1, "alpha2", 1)] == (None, True)
+    assert hist[(2, "beta", 0)] == (2, False)      # closed by the delete
+    assert hist[(2, "beta", 3)] == (None, True)    # re-inserted → new interval
+    assert len(hist) == 4
+
+    # Sanity: current rows of the history == the head version's rows.
+    cur = {
+        (r.id, r.val)
+        for r in scd2_history(store).filter("is_current").collect()
+    }
+    head = {(r.id, r.val) for r in store.read().collect()}
+    assert cur == head
