@@ -658,3 +658,29 @@ def weighted_sample(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL for web-corpus dedup keys: lowercase scheme+host,
+    strip default ports / fragments / trailing slash, and SORT query
+    params (``?b=2&a=1`` == ``?a=1&b=2``). Pure Catalyst (regexp + split +
+    array_sort), per-row at scan speed — runs before the exact-dedup
+    groupBy so mirror URLs collapse to one key."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    # lowercase scheme+host (leave path/query case alone)
+    lowered = F.concat(
+        F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z]+://[^/?]*)", 1)),
+        F.regexp_replace(no_frag, r"^[a-zA-Z]+://[^/?]*", ""),
+    )
+    # no lookahead: the oracle's RE2 engine lacks it — capture the
+    # following char (or end) and re-emit it
+    no_port = F.regexp_replace(
+        lowered, r"^(https?://[^/:?]*):(?:80|443)([/?]|$)", r"$1$2"
+    )
+    base = F.regexp_extract(no_port, r"^([^?]*?)/?(?:\?.*)?$", 1)
+    query = F.regexp_extract(no_port, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.when(query == "", base).otherwise(
+        F.concat(base, F.lit("?"), sorted_q)
+    )

@@ -1917,3 +1917,63 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w_f))
         .filter(F.col("rank") <= 10)
     )
+
+
+@_q(
+    "curation_url_normalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTP://Example.COM:80/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/?b=2&a=1#frag'
+                       WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+                       ELSE '/' END AS url
+      FROM documents
+    ), n AS (
+      SELECT doc_id, url,
+             CASE WHEN q = '' THEN base
+                  ELSE base || '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+             END AS canonical
+      FROM (
+        SELECT doc_id, url,
+               regexp_extract(np, '^([^?]*?)/?(?:\\?.*)?$', 1) AS base,
+               regexp_extract(np, '\\?(.*)$', 1) AS q
+        FROM (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   lower(regexp_extract(nf, '^([a-zA-Z]+://[^/?]*)', 1))
+                     || regexp_replace(nf, '^[a-zA-Z]+://[^/?]*', ''),
+                   '^(https?://[^/:?]*):(?:80|443)([/?]|$)', '\\1\\2') AS np
+          FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+                FROM u) t1) t2) t3
+    )
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM n GROUP BY canonical
+    """,
+    doc=(
+        "URL canonicalization for web-corpus dedup: lowercase scheme+host, "
+        "strip default port/fragment/trailing slash, sort query params — "
+        "then the exact-dedup groupBy. Mirror forms (case, param order, "
+        "trailing slash) collapse to one canonical key on both engines."
+    ),
+)
+def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Example.COM:80/Docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?b=2&a=1#frag"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("/")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return (
+        u.withColumn("canonical", text.normalize_url("url"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
