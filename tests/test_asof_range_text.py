@@ -281,3 +281,24 @@ class TestNewOpInvariants:
             out.filter(F.col("c_ts").isNotNull() & (F.col("c_ts") >= F.col("ts"))).count()
             == 0
         )
+
+
+class TestNormalizeUrl:
+    CASES = [
+        ("HTTP://Example.COM:80/a/?b=2&a=1#frag", "http://example.com/a?a=1&b=2"),
+        ("https://Host.io:443/x", "https://host.io/x"),
+        ("https://host.io:8443/x", "https://host.io:8443/x"),  # non-default kept
+        ("http://h/p/", "http://h/p"),
+        ("http://h/?z=1", "http://h?z=1"),
+    ]
+
+    def test_known_forms(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r.c for r in df.select(text.normalize_url("url").alias("c")).collect()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_idempotent(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        once = df.select(text.normalize_url("url").alias("url"))
+        twice = once.select(text.normalize_url("url").alias("url"))
+        assert [r.url for r in once.collect()] == [r.url for r in twice.collect()]
