@@ -649,3 +649,60 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .collect()
     )
     assert got == want == [1, 2, 3]
+
+
+def test_stream_interval_join_left_outer_emits_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: an unmatched purchase emits
+    with null click columns once the watermark passes its join window —
+    the state-finalization behavior that distinguishes outer stream joins
+    from inner ones."""
+    import json as _json
+
+    rows = [
+        {"user_id": "u1", "ts": "2026-01-01T10:30:00Z", "kind": "click", "value": 1.0},
+        {"user_id": "u1", "ts": "2026-01-01T11:00:00Z", "kind": "purchase", "value": 9.0},
+        # u2 purchase has NO click; later events push the watermark far past
+        # its window so the outer row can finalize.
+        {"user_id": "u2", "ts": "2026-01-01T11:00:00Z", "kind": "purchase", "value": 8.0},
+        {"user_id": "u3", "ts": "2026-01-02T12:00:00Z", "kind": "click", "value": 2.0},
+        {"user_id": "u3", "ts": "2026-01-02T12:30:00Z", "kind": "purchase", "value": 7.0},
+    ]
+    src = tmp_path / "oj"
+    src.mkdir()
+    (src / "events.jsonl").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = "user_id string, ts timestamp, kind string, value double"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    clicks = stream.filter(F.col("kind") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    ).withWatermark("click_ts", "10 minutes")
+    purchases = stream.filter(F.col("kind") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    ).withWatermark("ts", "10 minutes")
+    p, c = purchases.alias("p"), clicks.alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.click_ts") <= F.col("p.ts"))
+        & (F.col("c.click_ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(c, cond, "left_outer").select(
+        F.col("p.user_id").alias("user_id"), "purchase_value", "click_value"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("oj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "oj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.purchase_value, r.click_value)
+        for r in spark.sql("SELECT * FROM oj_test").collect()
+    }
+    assert ("u1", 9.0, 1.0) in got
+    assert ("u3", 7.0, 2.0) in got
+    # the unmatched purchase must appear exactly once, with nulls
+    assert ("u2", 8.0, None) in got
+    assert len(got) == 3
