@@ -1394,3 +1394,33 @@ def s9_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@_q(
+    "agg_mode",
+    """
+    SELECT event_type, user_id AS mode_user, CAST(cnt AS BIGINT) AS n FROM (
+      SELECT event_type, user_id, cnt, row_number() OVER (
+        PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn
+      FROM (SELECT event_type, user_id, count(*) AS cnt
+            FROM events GROUP BY 1, 2))
+    WHERE rn = 1
+    """,
+    doc=(
+        "Mode (most frequent value) per group with a deterministic "
+        "smallest-id tie-break: count sub-aggregate + one partitioned "
+        "top-1 window. Spark's native mode() has no tie-break contract, "
+        "so the hash would flap — the explicit form pins it."
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), F.col("cnt").alias("n"))
+    )

@@ -797,3 +797,66 @@ def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"], "n_a", "sum_b"
     )
+
+
+@_q(
+    "j_interval_overlap",
+    """
+    WITH pw AS (
+      SELECT event_id AS p_id, ts AS p_start, ts + INTERVAL 12 HOUR AS p_end
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY value DESC, event_id LIMIT 20
+    ), sw AS (
+      SELECT event_id AS s_id, ts AS s_start, ts + INTERVAL 12 HOUR AS s_end
+      FROM events WHERE event_type = 'signup'
+      ORDER BY value DESC, event_id LIMIT 20
+    )
+    SELECT p_id, s_id
+    FROM pw JOIN sw ON p_start < s_end AND s_start < p_end
+    """,
+    doc=(
+        "Interval-OVERLAP join (intervals x intervals — harder than "
+        "containment: BOTH sides explode into covered day buckets, so one "
+        "pair can meet in several buckets and needs a dropDuplicates; the "
+        "containment case j_range_window_count needs none). Equi join on "
+        "the bucket + exact overlap predicate; oracle is the theta join."
+    ),
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def windows(kind: str, id_alias: str, pre: str):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .orderBy(F.desc("value"), "event_id")
+            .limit(20)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(f"{pre}_start"),
+                (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias(f"{pre}_end"),
+            )
+        )
+
+    def explode_buckets(df, pre):
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", F.col(f"{pre}_start")),
+                    F.date_trunc("day", F.col(f"{pre}_end")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+
+    pw = explode_buckets(windows("purchase", "p_id", "p"), "p")
+    sw = explode_buckets(windows("signup", "s_id", "s"), "s")
+    return (
+        pw.join(F.broadcast(sw), "__bucket")
+        .filter(
+            (F.col("p_start") < F.col("s_end"))
+            & (F.col("s_start") < F.col("p_end"))
+        )
+        .select("p_id", "s_id")
+        .dropDuplicates(["p_id", "s_id"])
+    )
