@@ -1424,3 +1424,54 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("user_id").alias("mode_user"), F.col("cnt").alias("n"))
     )
+
+
+@_q(
+    "agg_weighted_median",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             round(l_extendedprice, 2) AS price,
+             CAST(round(l_quantity * 100) AS BIGINT) AS wq,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum_w,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag, min(price) AS weighted_median_price
+    FROM ranked
+    WHERE cum_w * 2 >= tot_w
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Weighted median (price weighted by quantity) per group: one "
+        "partitioned sort window for cumulative weight, the median is the "
+        "first row whose cumulative weight crosses half the total. Weights "
+        "as scaled int64 so the crossing point can't move with combine "
+        "order; total order includes the key columns so equal prices rank "
+        "deterministically."
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    wq = F.round(F.col("l_quantity") * 100).cast("long")
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.sum(wq).over(w_cum).alias("cum_w"),
+        F.sum(wq).over(w_tot).alias("tot_w"),
+    )
+    return (
+        ranked.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median_price"))
+    )
