@@ -860,3 +860,33 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", "s_id")
         .dropDuplicates(["p_id", "s_id"])
     )
+
+
+@_q(
+    "graph_pagerank",
+    None,  # iterative fixed-point: no SQL oracle; exact-value pytest on
+    # known graphs (tests/test_graph_pagerank.py) is the correctness gate
+    doc=(
+        "PageRank over the user-adjacency graph (users adjacent in the "
+        "per-day event timeline): iterative DataFrame joins, one shuffle "
+        "per round + dangling-mass scalar, localCheckpoint lineage cuts — "
+        "the same no-driver-graph discipline as connected components."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    ranks = pagerank(seq, iters=10)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -1,0 +1,64 @@
+"""PageRank exact-value tests on hand-analyzable graphs (the catalog entry
+is rows-only — no SQL oracle exists for a fixed-point iteration — so the
+correctness gate lives here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_cycle_is_uniform(spark):
+    # A directed 3-cycle is perfectly symmetric: ranks stay exactly 1/3.
+    r = _ranks(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert all(v == pytest.approx(1 / 3, abs=1e-12) for v in r.values())
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_star_center_dominates(spark):
+    # Every leaf points at the hub; the hub dangles (mass redistributes).
+    r = _ranks(spark, [("l1", "hub"), ("l2", "hub"), ("l3", "hub")], iters=30)
+    assert r["hub"] > r["l1"] == pytest.approx(r["l2"], abs=1e-12)
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_chain_fixed_point_values(spark):
+    # a -> b -> c (c dangling). Verified against an independent numpy
+    # power iteration of the same Google matrix.
+    import numpy as np
+
+    nodes = ["a", "b", "c"]
+    M = np.zeros((3, 3))
+    M[1, 0] = 1.0  # a -> b
+    M[2, 1] = 1.0  # b -> c
+    d = 0.85
+    v = np.full(3, 1 / 3)
+    for _ in range(20):
+        dang = v[2]
+        v = (1 - d) / 3 + d * (M @ v + dang / 3)
+    r = _ranks(spark, [("a", "b"), ("b", "c")], iters=20)
+    for i, nname in enumerate(nodes):
+        assert r[nname] == pytest.approx(v[i], abs=1e-9)
+
+
+def test_rank_mass_conserved_on_testdata_graph(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    edges = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    ranks = pagerank(edges, iters=5)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert ranks.filter("rank <= 0").count() == 0
