@@ -890,3 +890,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+@_q(
+    "graph_triangles",
+    """
+    WITH seq AS (
+      SELECT user_id AS src,
+             lead(user_id) OVER (PARTITION BY CAST(ts AS DATE)
+                                 ORDER BY ts, event_id) AS dst
+      FROM events
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM seq WHERE dst IS NOT NULL AND src <> dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc=(
+        "Triangle counting on the undirected user-adjacency graph: "
+        "canonical a<b edge orientation makes each triangle count exactly "
+        "once via two equi joins (the a<b<c enumeration). At scale, "
+        "orienting by DEGREE instead of id bounds the wedge join by the "
+        "arboricity (the standard heavy-hitter fix); id orientation keeps "
+        "the oracle simple here."
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    und = seq.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
