@@ -76,3 +76,40 @@ def scd2_history(store: TableStore) -> DataFrame:
         F.col("__close_v").alias("valid_to"),
         F.col("__close_v").isNull().alias("is_current"),
     )
+
+
+def as_of_version_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """Point-in-time-correct enrichment (the feature-store replay join):
+    each fact row joins the dimension row that was LIVE at the fact's
+    observed base version — key equality plus
+    ``valid_from <= version < valid_to`` (open ``valid_to`` = still live).
+    Guarantees no time-travel leakage: a fact can never see attribute
+    values committed after it was observed.
+
+    The predicate is an equi join on ``key`` with the version range as the
+    join filter — per-key history is short (one row per change), so the
+    range filter prunes a handful of candidates after the hash join; no
+    range-join blow-up."""
+    h = history.alias("__h")
+    f = facts.alias("__f")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__h.{key}"))
+        & (F.col(f"__f.{version_col}") >= F.col("__h.valid_from"))
+        & (
+            F.col("__h.valid_to").isNull()
+            | (F.col(f"__f.{version_col}") < F.col("__h.valid_to"))
+        )
+    )
+    dim_cols = [
+        c
+        for c in history.columns
+        if c not in {key, "valid_from", "valid_to", "is_current"}
+    ]
+    return f.join(h, cond, "left").select(
+        "__f.*", *[F.col(f"__h.{c}").alias(c) for c in dim_cols]
+    )

@@ -230,3 +230,26 @@ def test_scd2_history_reconstruction(spark, tmp_path):
     }
     head = {(r.id, r.val) for r in store.read().collect()}
     assert cur == head
+
+
+def test_as_of_version_join_no_leakage(spark, tmp_path):
+    """Facts observed at version v must see the dim value live AT v —
+    never a later upsert (time-travel leakage) and never an earlier
+    closed value."""
+    from lakehouse_spark.mutation.scd import as_of_version_join, scd2_history
+
+    store = TableStore(spark, str(tmp_path / "ptd"), key="id")
+    store.init(spark.createDataFrame([(1, "v0")], "id long, val string"))  # v0
+    store.upsert(spark.createDataFrame([(1, "v1")], "id long, val string"))  # v1
+    store.upsert(spark.createDataFrame([(1, "v2")], "id long, val string"))  # v2
+
+    hist = scd2_history(store)
+    facts = spark.createDataFrame(
+        [(100, 1, 0), (101, 1, 1), (102, 1, 2), (103, 2, 1)],
+        "fact_id long, id long, observed_v long",
+    )
+    out = {
+        r.fact_id: r.val
+        for r in as_of_version_join(facts, hist, "id", "observed_v").collect()
+    }
+    assert out == {100: "v0", 101: "v1", 102: "v2", 103: None}
