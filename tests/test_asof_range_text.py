@@ -302,3 +302,60 @@ class TestNormalizeUrl:
         once = df.select(text.normalize_url("url").alias("url"))
         twice = once.select(text.normalize_url("url").alias("url"))
         assert [r.url for r in once.collect()] == [r.url for r in twice.collect()]
+
+
+class TestCsvSource:
+    def test_typed_scan_skips_malformed_and_header(self, spark, tmp_path):
+        from pyspark.sql.types import _parse_datatype_string
+
+        from lakehouse_spark.sources import csvsrc
+
+        p = tmp_path / "data.csv"
+        p.write_text(
+            "id,name,score\n"
+            "1,alice,0.5\n"
+            "not,a,valid,row,at,all\n"
+            "\n"
+            "2,bob,0.75\n"
+            "3,carol,not_a_number\n"
+        )
+        schema = _parse_datatype_string("id long, name string, score double")
+        rows = {
+            r.id: (r.name, r.score)
+            for r in csvsrc.read_csv(
+                spark, str(p), schema, skip_header=True
+            ).collect()
+        }
+        # PERMISSIVE fills unparseable CELLS with null but flags the row via
+        # the corrupt column -> row 3 is quarantined, not half-parsed.
+        assert rows == {1: ("alice", 0.5), 2: ("bob", 0.75)}
+        bad = {
+            r.raw_line
+            for r in csvsrc.corrupt_rows(spark, str(p), schema).collect()
+        }
+        assert "not,a,valid,row,at,all" in bad
+        assert "3,carol,not_a_number" in bad
+
+    def test_streaming_parity(self, spark, tmp_path):
+        from pyspark.sql.types import _parse_datatype_string
+
+        from lakehouse_spark.sources import csvsrc
+
+        src = tmp_path / "csvstream"
+        src.mkdir()
+        (src / "a.csv").write_text("1,x,0.1\nbroken,row\n2,y,0.2\n")
+        schema = _parse_datatype_string("id long, name string, score double")
+        stream = csvsrc.read_csv_stream(spark, str(src), schema)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("csv_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "csv_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = sorted(
+            (r.id, r.name) for r in spark.sql("SELECT * FROM csv_stream_test").collect()
+        )
+        assert got == [(1, "x"), (2, "y")]
