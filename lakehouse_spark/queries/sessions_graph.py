@@ -936,3 +936,62 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
     )
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+@_q(
+    "w7_rolling_7day",
+    """
+    SELECT event_id, user_id,
+           CAST(cnt_7d AS BIGINT) AS cnt_7d,
+           floor(CAST(sum_7d AS DOUBLE) / cnt_7d + 0.5) / 10000.0 AS avg_7d
+    FROM (
+      SELECT event_id, user_id, event_type,
+             count(*) OVER w AS cnt_7d,
+             sum(CAST(round(value * 10000) AS BIGINT)) OVER w AS sum_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ) t
+    WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "Rolling 7-day behavioral features per user (RANGE frame over "
+        "event time, not ROWS — the frame is defined by the clock, so "
+        "bursty users and quiet users get the same lookback). One per-user "
+        "shuffle; rolling sums in scaled int64 and floor(x+0.5) rounding "
+        "so the trailing average is bit-identical across engines. The "
+        "feature-engineering shape "
+        "behind churn/LTV training tables."
+    ),
+)
+def w7_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    vi = F.round(F.col("value") * 10000).cast("long")
+    rolled = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count("*").over(w).alias("cnt_7d"),
+        F.sum(vi).over(w).alias("sum_7d"),
+    )
+    # floor(x+0.5) instead of round(): Spark's round() re-reads the double
+    # through its shortest decimal repr while DuckDB rounds the raw double —
+    # values a hair under a half-boundary round differently (3 of 1981 rows
+    # here). floor of the identical double is bit-identical (same trick as
+    # emb_quantize_int8).
+    avg = F.floor(
+        F.col("sum_7d").cast("double") / F.col("cnt_7d") + F.lit(0.5)
+    ) / F.lit(10000.0)
+    return rolled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "cnt_7d",
+        avg.alias("avg_7d"),
+    )
