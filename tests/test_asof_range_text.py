@@ -359,3 +359,54 @@ class TestCsvSource:
             (r.id, r.name) for r in spark.sql("SELECT * FROM csv_stream_test").collect()
         )
         assert got == [(1, "x"), (2, "y")]
+
+
+class TestExportShards:
+    def test_layout_determinism_and_pruned_read(self, spark, tmp_path):
+        import os
+
+        from lakehouse_spark.io import load_table
+        from lakehouse_spark.operators import export
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text", "source"
+        )
+        out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+        export.export_training_shards(docs, out1, n_shards=4)
+        export.export_training_shards(docs, out2, n_shards=4)
+
+        # layout: split=*/shard=* directories, one file set per shard
+        splits = sorted(
+            d for d in os.listdir(out1) if d.startswith("split=")
+        )
+        assert splits == ["split=test", "split=train", "split=val"]
+        shards = sorted(
+            d for d in os.listdir(os.path.join(out1, "split=train"))
+            if d.startswith("shard=")
+        )
+        assert len(shards) == 4
+
+        # lossless + deterministic placement: identical (id, split, shard)
+        # assignment across independent export runs
+        a = {
+            (r.doc_id, r.split, r.shard)
+            for r in spark.read.parquet(out1).collect()
+        }
+        b = {
+            (r.doc_id, r.split, r.shard)
+            for r in spark.read.parquet(out2).collect()
+        }
+        assert a == b and len(a) == docs.count()
+
+        # reader contract: one split, all its rows, nothing else
+        train = export.read_split(spark, out1, "train")
+        n_train = sum(1 for (_, s, _) in a if s == "train")
+        assert train.count() == n_train
+
+        # shard balance: uniform hash keeps the largest shard within 3x of
+        # the smallest at this corpus size
+        sizes = [
+            sum(1 for (_, s, sh) in a if s == "train" and sh == k)
+            for k in range(4)
+        ]
+        assert min(sizes) > 0 and max(sizes) <= 3 * min(sizes)
