@@ -684,3 +684,41 @@ def normalize_url(col: Column | str) -> Column:
     return F.when(query == "", base).otherwise(
         F.concat(base, F.lit("?"), sorted_q)
     )
+
+
+def corpus_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-call per-document quality panel: every text signal the engine
+    computes, as one wide frame — quality features + composite score,
+    Gopher rule flags, language ID, token counts, repetition, char
+    entropy, and the dedup fingerprint. All pure Catalyst projections over
+    ONE scan (the entropy term is the only aggregation-bearing piece and
+    reuses the per-row HOF form since the panel is per-row by contract);
+    at 100 TB this is the profiling pass you run before choosing curation
+    thresholds."""
+    from lakehouse_spark.operators.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        gopher_rules,
+        lang_id,
+        quality_score,
+        repetition_score,
+        whitespace_token_count,
+    )
+
+    scored = quality_score(df.select(id_col, text_col), text_col)
+    gopher = gopher_rules(df, id_col, text_col).select(
+        id_col,
+        "frac_alpha_words",
+        "symbol_ratio",
+        "stop_hits",
+        "gopher_pass",
+    )
+    extras = df.select(
+        F.col(id_col),
+        lang_id(text_col).alias("lang_pred"),
+        whitespace_token_count(text_col).alias("n_tokens_ws"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        repetition_score(text_col).alias("repetition_3gram"),
+        fingerprint(text_col).alias("dedup_fingerprint"),
+    )
+    return scored.join(gopher, id_col).join(extras, id_col)

@@ -410,3 +410,22 @@ class TestExportShards:
             for k in range(4)
         ]
         assert min(sizes) > 0 and max(sizes) <= 3 * min(sizes)
+
+
+class TestCorpusReport:
+    def test_panel_complete_and_consistent(self, spark):
+        from lakehouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        panel = text.corpus_report(docs, "doc_id", "text")
+        assert panel.count() == docs.count()
+        cols = set(panel.columns)
+        for want in [
+            "quality_score", "gopher_pass", "lang_pred", "n_tokens_ws",
+            "n_tokens_bpe", "repetition_3gram", "dedup_fingerprint",
+            "mean_word_len", "stopword_ratio", "frac_alpha_words",
+        ]:
+            assert want in cols, want
+        row = panel.first()
+        assert 0.0 <= row.quality_score <= 1.0
+        assert row.n_tokens_ws > 0 and row.n_tokens_bpe >= row.n_tokens_ws
