@@ -253,3 +253,28 @@ def test_as_of_version_join_no_leakage(spark, tmp_path):
         for r in as_of_version_join(facts, hist, "id", "observed_v").collect()
     }
     assert out == {100: "v0", 101: "v1", 102: "v2", 103: None}
+
+
+def test_scd2_after_vacuum_skips_missing_versions(spark, tmp_path):
+    """scd2_history over a vacuumed store: intervals are computed across
+    the RETAINED versions only (consecutive retained pair diffs still see
+    every net change), and current rows still equal the head."""
+    from lakehouse_spark.mutation.scd import scd2_history
+
+    store = TableStore(spark, str(tmp_path / "vac"), key="id")
+    store.init(spark.createDataFrame([(1, "a")], "id long, val string"))   # v0
+    store.upsert(spark.createDataFrame([(1, "b")], "id long, val string"))  # v1
+    store.upsert(spark.createDataFrame([(1, "c")], "id long, val string"))  # v2
+    store.upsert(spark.createDataFrame([(1, "d")], "id long, val string"))  # v3
+    store.vacuum(keep_last=2)  # only v2, v3 retained
+
+    hist = {
+        (r.val, r.valid_from): (r.valid_to, r.is_current)
+        for r in scd2_history(store).collect()
+    }
+    # v2 is the oldest retained snapshot: 'c' opens there; the v2->v3 diff
+    # closes it and opens 'd'. Vacuumed intermediate states (a, b) are
+    # genuinely unrecoverable and must NOT appear as phantom intervals.
+    assert hist == {("c", 2): (3, False), ("d", 3): (None, True)}
+    cur = {r.val for r in scd2_history(store).filter("is_current").collect()}
+    assert cur == {r.val for r in store.read().collect()}
