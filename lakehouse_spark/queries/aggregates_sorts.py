@@ -1475,3 +1475,72 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("price").alias("weighted_median_price"))
     )
+
+
+@_q(
+    "agg_skew_kurtosis",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS s1,
+             sum(CAST(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS s2,
+             sum(CAST(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(round(value * 100) AS BIGINT)) AS s3,
+             sum((CAST(CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                  * CAST(round(value * 100) AS BIGINT))
+                 * CAST(round(value * 100) AS BIGINT)) AS s4
+      FROM events GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+                 / pow(r2 - m1 * m1, 1.5), 6) AS skewness,
+           round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+                 / pow(r2 - m1 * m1, 2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+    doc=(
+        "Skewness + excess kurtosis per group from exact DECIMAL(38) "
+        "central-moment sums (the int64 trick of agg_correlation overflows "
+        "at the 4th power — centi-units^4 x row count passes 9.2e18 — so "
+        "the higher moments widen to decimal, still exact and "
+        "order-independent; only the final normalization runs in double)."
+    ),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    xd = x.cast("decimal(38,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("s2"),
+        F.sum((x * x).cast("decimal(38,0)") * x).alias("s3"),
+        F.sum(((x * x).cast("decimal(38,0)") * x) * x).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    var = r2 - m1 * m1
+    skew = (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    ) / F.pow(var, 2) - 3
+    return s.select(
+        "event_type",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
