@@ -812,3 +812,56 @@ def rp_lsh_near_duplicates(
         .filter(F.col("cosine") >= min_cosine)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def minhash_cross_corpus(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH: which INCOMING documents near-duplicate
+    something already in the EXISTING corpus — the batch face of
+    incremental ingest (the streaming twin is dedup_ingest_sink; the
+    persisted face is DedupIndex.screen).
+
+    Scale shape: at 100 TB the existing side's band relation is the
+    precomputed INDEX (build once, reuse per batch — exactly what
+    DedupIndex persists); the incoming batch bands are tiny and the
+    candidate join is banded-equi existing⨝incoming, never existing²
+    or all-pairs. Returns (existing_id, incoming_id, jaccard).
+    """
+    ex_base = _persist(shingle_frame(existing, id_col, text_col, n))
+    in_base = _persist(shingle_frame(incoming, id_col, text_col, n))
+    ex_band = band_signatures_from_shingles(ex_base, k, bands)
+    in_band = band_signatures_from_shingles(in_base, k, bands)
+    cand = (
+        ex_band.alias("e")
+        .join(
+            in_band.alias("i"),
+            (F.col("e.band") == F.col("i.band"))
+            & (F.col("e.band_sig") == F.col("i.band_sig")),
+        )
+        .select(
+            F.col("e.id").alias("existing_id"), F.col("i.id").alias("incoming_id")
+        )
+        .dropDuplicates(["existing_id", "incoming_id"])
+    )
+    verified = cand.join(
+        ex_base.select(F.col("id").alias("existing_id"), F.col("sh").alias("e_sh")),
+        "existing_id",
+    ).join(
+        in_base.select(F.col("id").alias("incoming_id"), F.col("sh").alias("i_sh")),
+        "incoming_id",
+    )
+    inter = F.size(F.array_intersect("e_sh", "i_sh"))
+    union = F.size(F.array_union("e_sh", "i_sh"))
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("existing_id", "incoming_id", "jaccard")
+    )

@@ -1977,3 +1977,77 @@ def curation_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+def _minhash_cross_oracle(k: int = 16, bands: int = 4, min_j: float = 0.5) -> str:
+    from lakehouse_spark.operators.dedup import xor_salts
+
+    rows = k // bands
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> xor(h, {salt}))) AS m{j}"
+        for j, salt in enumerate(xor_salts(k))
+    )
+    band_rows = ", ".join(
+        "({b}, [{ms}])".format(
+            b=b, ms=", ".join(f"m{b * rows + i}" for i in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    ), sig AS (
+      SELECT id, sh,
+             {sig_exprs}
+      FROM (SELECT id, sh,
+                   list_transform(sh, s -> {_hash64_sql('s')}) AS hs
+            FROM base)
+    ), banded AS (
+      SELECT id, b.band, b.band_sig
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, band_sig)
+    ), pairs AS (
+      SELECT DISTINCT e.id AS existing_id, i.id AS incoming_id
+      FROM banded e JOIN banded i
+        ON e.band = i.band AND e.band_sig = i.band_sig
+      WHERE e.id < 400 AND i.id >= 400
+    )
+    SELECT existing_id, incoming_id, jaccard FROM (
+      SELECT p.existing_id, p.incoming_id,
+             round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                   len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      FROM pairs p
+      JOIN base x ON x.id = p.existing_id
+      JOIN base y ON y.id = p.incoming_id) v
+    WHERE jaccard >= {min_j}
+    """
+
+
+@_q(
+    "dedup_minhash_incoming",
+    _minhash_cross_oracle(),
+    doc=(
+        "Cross-corpus MinHash-LSH (incremental ingest, batch face): which "
+        "incoming documents (doc_id >= 400) near-duplicate the existing "
+        "corpus (doc_id < 400). The existing side's band relation is the "
+        "reusable index; the candidate join is banded existing x incoming, "
+        "never existing-squared."
+    ),
+)
+def dedup_minhash_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_cross_corpus(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+        "doc_id",
+        "text",
+        min_jaccard=0.0,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.5
+    )
