@@ -430,3 +430,31 @@ def test_keyword_search_filter_pushed(spark):
     gen_idx = plan.find("Generate")
     filt_idx = plan.find("Filter")
     assert gen_idx != -1 and filt_idx != -1
+
+
+def test_triangles_are_hash_joins(spark):
+    plan = _plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_range_window_single_shuffle(spark):
+    # The RANGE-frame window and the purchase filter share one per-user
+    # exchange; no second shuffle appears downstream.
+    plan = (
+        CATALOG["w7_rolling_7day"]
+        .build(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cross_corpus_minhash_is_banded_equi_join(spark):
+    from lakehouse_spark.operators.dedup import release_caches
+
+    plan = _plan(spark, "dedup_minhash_incoming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_caches()
