@@ -349,6 +349,18 @@ class TableStore:
         """Full compaction commit: one segment holding ``df``."""
         self._transact(lambda v: [self._write_segment(df, v)], txn=txn)
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: roll the table back to ``version`` by
+        committing a NEW version that references the old version's
+        segments — history is preserved (the bad commits stay inspectable
+        and the restore itself is an auditable commit with provenance
+        meta), nothing is rewritten, and concurrent-writer safety is the
+        ordinary claim protocol. Fails if ``version`` was vacuumed."""
+        segs = self._segments(version)  # raises if vacuumed
+        return self._transact(
+            lambda v: segs, meta={"restored_from": version}
+        )
+
     def overwrite(
         self,
         df: DataFrame,

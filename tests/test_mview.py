@@ -278,3 +278,23 @@ def test_scd2_after_vacuum_skips_missing_versions(spark, tmp_path):
     assert hist == {("c", 2): (3, False), ("d", 3): (None, True)}
     cur = {r.val for r in scd2_history(store).filter("is_current").collect()}
     assert cur == {r.val for r in store.read().collect()}
+
+
+def test_restore_rolls_back_without_rewriting(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "rb"), key="id")
+    store.init(spark.createDataFrame([(1, "good")], "id long, val string"))  # v0
+    store.upsert(spark.createDataFrame([(1, "bad")], "id long, val string"))  # v1
+    v = store.restore(0)  # v2 references v0's segments
+    assert v == 2
+    assert [r.val for r in store.read().collect()] == ["good"]
+    # history keeps the bad commit inspectable and stamps provenance
+    h = {e["version"]: e for e in store.history()}
+    assert h[2]["meta"] == {"restored_from": 0}
+    assert [r.val for r in store.read(1).collect()] == ["bad"]
+    # a restore of a vacuumed version must fail loudly
+    store.upsert(spark.createDataFrame([(1, "e")], "id long, val string"))  # v3
+    store.vacuum(keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.restore(0)

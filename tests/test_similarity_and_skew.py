@@ -383,3 +383,66 @@ def test_ann_index_add_makes_new_vectors_searchable(spark, tmp_path):
     }
     got = {r.neighbor_id for r in out}
     assert len(got & truth) >= 3  # full-probe search tracks exact top-k
+
+
+def test_cross_corpus_minhash_agrees_with_dedup_index(spark, tmp_path):
+    """The batch cross-corpus join and the persisted DedupIndex must be two
+    faces of the SAME pipeline: candidate pairs recovered from the index's
+    band relation + the shared exact-Jaccard verify reproduce the batch
+    result exactly, and doc-level screen() flags a superset of the
+    verified incoming docs (LSH candidates before verification)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.operators import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    existing = docs.filter(F.col("doc_id") < 80)
+    incoming = docs.filter(F.col("doc_id") >= 80)
+
+    batch = {
+        (r.existing_id, r.incoming_id)
+        for r in dedup.minhash_cross_corpus(
+            existing, incoming, "doc_id", "text", min_jaccard=0.5
+        ).collect()
+    }
+
+    ix = dedup.DedupIndex(spark, str(tmp_path / "ix"))
+    ix.build(existing)
+    # pair recovery through the PERSISTED band relation
+    inc_bands = dedup.band_signatures(incoming, "doc_id", "text")
+    cand = (
+        ix.store.read()
+        .select(F.col("id").alias("existing_id"), "band", "band_sig")
+        .join(
+            inc_bands.select(F.col("id").alias("incoming_id"), "band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .select("existing_id", "incoming_id")
+        .dropDuplicates(["existing_id", "incoming_id"])
+    )
+    sh_e = dedup.shingle_frame(existing, "doc_id", "text", 3).select(
+        F.col("id").alias("existing_id"), F.col("sh").alias("e_sh")
+    )
+    sh_i = dedup.shingle_frame(incoming, "doc_id", "text", 3).select(
+        F.col("id").alias("incoming_id"), F.col("sh").alias("i_sh")
+    )
+    jac = (
+        F.size(F.array_intersect("e_sh", "i_sh"))
+        / F.size(F.array_union("e_sh", "i_sh"))
+    )
+    via_index = {
+        (r.existing_id, r.incoming_id)
+        for r in cand.join(sh_e, "existing_id")
+        .join(sh_i, "incoming_id")
+        .filter(jac >= 0.5)
+        .collect()
+    }
+    assert batch == via_index
+
+    screened = {
+        r.doc_id
+        for r in ix.screen(incoming).filter("is_duplicate").collect()
+    }
+    dedup.release_caches()
+    assert {i for _, i in batch} <= screened
