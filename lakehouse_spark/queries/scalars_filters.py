@@ -617,3 +617,66 @@ def t11_clock_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_q(
+    "t19_variant_semistructured",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(props ->> 'k' AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+    doc=(
+        "Semi-structured access through Spark 4's VARIANT type: parse_json "
+        "once, variant_get with a typed path — the open-schema column "
+        "pattern (Snowflake VARIANT / Databricks VARIANT) where the JSON "
+        "shape is not known at table-definition time. The typed extraction "
+        "and the filter both run JVM-side; the oracle uses DuckDB's JSON "
+        "operators over the same column."
+    ),
+)
+def t19_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "t20_sql_named_params",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'purchase' AND value >= 100.0
+    GROUP BY user_id HAVING count(*) >= 3
+    """,
+    doc=(
+        "Parameterized SQL through spark.sql(query, args=...) — named "
+        "parameter binding (Spark 3.4+), the injection-safe front-end for "
+        "templated queries; parameters reach Catalyst as literals so "
+        "pushdown and constant folding still apply."
+    ),
+)
+def t20_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__param_events")
+    return spark.sql(
+        """
+        SELECT user_id, count(*) AS n
+        FROM __param_events
+        WHERE event_type = :etype AND value >= :vmin
+        GROUP BY user_id HAVING count(*) >= :minn
+        """,
+        args={"etype": "purchase", "vmin": 100.0, "minn": 3},
+    )
