@@ -680,3 +680,59 @@ def t20_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"etype": "purchase", "vmin": 100.0, "minn": 3},
     )
+
+
+@_q(
+    "t21_try_arithmetic",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_ratio,
+           round(sum(CAST(round(coalesce(ratio, 0) * 10000) AS BIGINT))
+                 / 10000.0, 2) AS sum_ratio,
+           CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparseable
+    FROM (
+      SELECT event_type,
+             value / nullif(CAST(event_id % 7 AS DOUBLE), 0) AS ratio,
+             try_cast(CASE WHEN event_id % 13 = 0 THEN 'x' || user_id
+                           ELSE CAST(user_id AS VARCHAR) END AS BIGINT)
+               AS parsed
+      FROM events)
+    GROUP BY event_type
+    """,
+    doc=(
+        "Error-safe arithmetic surface: try_divide (divide-by-zero -> NULL "
+        "instead of an ANSI exception killing the job at row 3 billion) "
+        "and try_cast for dirty strings. NULL ratios are counted, the "
+        "clean ones sum on the int grid; DuckDB mirrors with "
+        "nullif-division and try_cast."
+    ),
+)
+def t21_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ratio = F.try_divide(
+        F.col("value"), (F.col("event_id") % 7).cast("double")
+    )
+    dirty = F.when(
+        F.col("event_id") % 13 == 0,
+        F.concat(F.lit("x"), F.col("user_id").cast("string")),
+    ).otherwise(F.col("user_id").cast("string"))
+    parsed = dirty.try_cast("long")
+    return (
+        ev.select("event_type", ratio.alias("ratio"), parsed.alias("parsed"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("ratio").isNull().cast("long")).alias("n_null_ratio"),
+            F.round(
+                F.sum(
+                    F.round(F.coalesce("ratio", F.lit(0.0)) * 10000).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("sum_ratio"),
+            F.sum(F.col("parsed").isNull().cast("long")).alias("n_unparseable"),
+        )
+    )
