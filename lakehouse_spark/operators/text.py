@@ -722,3 +722,79 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fingerprint(text_col).alias("dedup_fingerprint"),
     )
     return scored.join(gopher, id_col).join(extras, id_col)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 17,
+    seeds: tuple[int, ...] = (31, 37, 41),
+) -> DataFrame:
+    """Benchmark decontamination with a BLOOM-FILTER prescreen: identical
+    result to the plain broadcast-semi-join :func:`decontaminate` (a bloom
+    has no false negatives; false positives are removed by the exact
+    verify join), but the thing broadcast to every executor is an m-bit
+    array (16 KiB here) instead of the full benchmark n-gram set — at
+    100 TB with millions of benchmark grams that's the difference between
+    a broadcast that fits and one that doesn't. The exact join runs only
+    over prescreen survivors, typically a tiny fraction of corpus grams.
+
+    The filter is built DRIVER-side from the (small) benchmark gram set
+    and inlined as an array<long> literal: k md5-derived probes per gram,
+    deterministic — the same hash family as every other cross-engine op.
+    """
+    from lakehouse_spark.functions.scalar import hash64
+
+    grams_col = word_ngrams(F.col(text_col), n)
+    bench_grams = [
+        r.g
+        for r in bench.select(
+            F.explode(F.array_distinct(grams_col)).alias("g")
+        )
+        .distinct()
+        .collect()
+    ]
+    import hashlib
+
+    words = [0] * (m_bits // 64)
+    for g in bench_grams:
+        for s in seeds:
+            h = int(hashlib.md5(f"s{s}:{g}".encode()).hexdigest()[:15], 16)
+            pos = h % m_bits
+            words[pos // 64] |= 1 << (pos % 64)
+    # two's-complement to signed int64 for the Spark literal; the whole
+    # filter ships inside the plan as one array<bigint> literal — no join,
+    # no broadcast variable plumbing
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams_col)).alias("g")
+    ).withColumn("__bloom", F.lit(words))
+    probes = []
+    for i, s in enumerate(seeds):
+        doc_grams = doc_grams.withColumn(
+            f"__p{i}", F.pmod(hash64(F.col("g"), seed=s), F.lit(m_bits))
+        )
+        probes.append(
+            f"bit_get(element_at(__bloom, CAST(__p{i} / 64 AS INT) + 1), "
+            f"CAST(__p{i} % 64 AS INT)) = 1"
+        )
+    candidates = doc_grams.filter(F.expr(" AND ".join(probes)))
+    verified = candidates.join(
+        F.broadcast(
+            bench.select(F.explode(F.array_distinct(grams_col)).alias("g")).distinct()
+        ),
+        "g",
+        "left_semi",
+    )
+    flagged = verified.select(id_col).distinct().withColumn(
+        "contaminated", F.lit(True)
+    )
+    return (
+        docs.select(id_col)
+        .join(flagged, id_col, "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    )

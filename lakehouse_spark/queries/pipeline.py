@@ -2051,3 +2051,33 @@ def dedup_minhash_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 4)).filter(
         F.col("jaccard") >= 0.5
     )
+
+
+@_q(
+    "curation_decontaminate_bloom",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 4),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             )) AS gram
+      FROM documents),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 5),
+    hits AS (SELECT DISTINCT doc_id FROM grams
+             WHERE gram IN (SELECT gram FROM bench))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    doc=(
+        "Bloom-prescreened decontamination: a 16 KiB bit-array literal "
+        "replaces broadcasting the full benchmark gram set (the thing that "
+        "stops fitting at 100 TB); survivors verify against the exact set. "
+        "No false negatives + exact verify = byte-identical to the plain "
+        "semi-join decontamination — the oracle IS the plain form."
+    ),
+)
+def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return text.bloom_decontaminate(docs, bench, "doc_id", "text", n=5)

