@@ -461,3 +461,39 @@ class TestBloomDecontaminate:
             F.explode(F.array_distinct(text.word_ngrams(F.col("text"), 5))).alias("g")
         ).distinct().count()
         assert bench_grams < total / 10
+
+
+class TestCurationJob:
+    def test_end_to_end_funnel(self, spark, tmp_path):
+        from lakehouse_spark.io import load_table
+        from lakehouse_spark.operators.curation_job import run_curation
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.filter(F.col("doc_id") < 5)
+        out = str(tmp_path / "corpus")
+        stats = run_curation(spark, docs, bench, out)
+
+        # monotone funnel, nothing negative, something survives
+        order = [
+            "n_input", "n_after_quality", "n_after_exact",
+            "n_after_neardup", "n_after_decontam",
+        ]
+        vals = [stats[k] for k in order]
+        assert vals[0] == docs.count()
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        assert vals[-1] > 0
+
+        # exported corpus is exactly the survivors, readable by split
+        exported = spark.read.parquet(out)
+        assert exported.count() == stats["n_after_decontam"]
+        # survivors contain no benchmark-contaminated docs
+        from lakehouse_spark.operators import text as T
+
+        leak = (
+            T.decontaminate(
+                exported.select("doc_id", "text"), bench, "doc_id", "text", n=5
+            )
+            .filter("contaminated")
+            .count()
+        )
+        assert leak == 0
