@@ -51,4 +51,24 @@ def __getattr__(name):
         from lakehouse_spark.operators.dedup import DedupIndex
 
         return DedupIndex
+    if name == "InvertedIndex":
+        from lakehouse_spark.operators.search import InvertedIndex
+
+        return InvertedIndex
+    if name == "MaterializedAgg":
+        from lakehouse_spark.mutation.mview import MaterializedAgg
+
+        return MaterializedAgg
+    if name == "run_curation":
+        from lakehouse_spark.operators.curation_job import run_curation
+
+        return run_curation
+    if name == "scd2_history":
+        from lakehouse_spark.mutation.scd import scd2_history
+
+        return scd2_history
+    if name == "collect_with_metrics":
+        from lakehouse_spark.plans.metrics import collect_with_metrics
+
+        return collect_with_metrics
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
