@@ -395,3 +395,54 @@ def test_incremental_cc_equals_full_recompute(spark, old_edges, new_edges):
         ).collect()
     }
     assert inc == full
+
+
+# --- gap sessions vs native session_window: property parity -------------------
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # user
+        st.integers(min_value=0, max_value=20_000),   # seconds offset
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(_events_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gap_sessions_equals_session_window_on_random_events(spark, evs):
+    """For ANY event set, the lag-based gap sessionization must produce the
+    same (user, session_start, n_events) triples as Spark's native
+    session_window — including duplicate timestamps across users, bursts,
+    and events exactly at the merge boundary (generated offsets hit
+    multiples of the 600 s gap often enough to matter)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.operators.sessionize import gap_sessions
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, f"u{u}", base + timedelta(seconds=s))
+        for i, (u, s) in enumerate(sorted(evs))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    mine = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in gap_sessions(df, "user_id", "ts", "event_id", gap_s=600).collect()
+    )
+    native = sorted(
+        (r.user_id, r.start, r.n)
+        for r in df.groupBy(F.session_window("ts", "600 seconds"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("session_window.start").alias("start"), "n")
+        .collect()
+    )
+    assert mine == native
