@@ -325,3 +325,46 @@ def test_plan_metrics_observability(spark):
     per = plan_metrics(df)
     assert any(k.startswith("Scan parquet") for k in per)
     assert sum(1 for k in per if k.startswith("HashAggregate")) == 2
+
+
+def test_automation_tick_drives_mview_refresh(spark, tmp_path, base):
+    """Scheduling plane driving the data plane: a cron automation whose
+    run() refreshes the materialized view. After base-table churn, one
+    scheduler tick brings the view current and records the execution."""
+    from datetime import datetime, timezone
+
+    from lakehouse_spark.mutation.automations import AutomationManager
+
+    mv = _mk(spark, tmp_path, base)
+    mv.refresh()
+    base.append(
+        spark.createDataFrame(
+            [(9, "z", 2.5)], "id long, grp string, amount double"
+        )
+    )
+    assert mv.base_version_reflected() != base.current_version()  # stale
+
+    autos = TableStore(spark, str(tmp_path / "autos"), key="id")
+    execs = TableStore(spark, str(tmp_path / "execs"), key="id")
+    mgr = AutomationManager(autos, execs)
+    mgr.create(
+        "auto-1",
+        "proj",
+        "refresh-mview",
+        "refresh the aggregates view",
+        "interval",
+        "5m",
+        now=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+
+    def run(automation):
+        v = mv.refresh()
+        return (f"mview@v{v}", "success", None)
+
+    fired = mgr.tick(datetime(2026, 1, 1, 0, 6, tzinfo=timezone.utc), run=run)
+    assert fired == 1
+    assert mv.base_version_reflected() == base.current_version()
+    assert _got(mv) == _expected(base)
+    ex = mgr.executions.read().collect()
+    assert len(ex) == 1 and ex[0].status == "success"
+    assert ex[0].session_id.startswith("mview@v")
