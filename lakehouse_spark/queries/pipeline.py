@@ -2081,3 +2081,56 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 5)
     return text.bloom_decontaminate(docs, bench, "doc_id", "text", n=5)
+
+
+def _simhash_pairs_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT id, {_hash64_sql('t')} AS h FROM tok
+    ), votes AS (
+      SELECT id, {votes} FROM h GROUP BY id
+    ), sigs AS (
+      SELECT id, CAST({fingerprint} AS BIGINT) AS sh FROM votes
+    ), banded AS (
+      SELECT id, sh, b AS band, (sh >> (b * {band_bits})) & {mask} AS band_val
+      FROM sigs, unnest([{bands}]) AS u(b)
+    )
+    SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@_q(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(),
+    doc=(
+        "SimHash near-dup PAIRS with pigeonhole-complete banding: any pair "
+        "within Hamming distance 3 must agree on one of 4 full 15-bit "
+        "bands, so the banded equi self-join has ZERO recall loss (unlike "
+        "probabilistic MinHash banding); candidates verify with "
+        "bit_count(xor). Complements the fingerprint entry dedup_simhash."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
