@@ -355,25 +355,47 @@ PII_PATTERNS: dict[str, str] = {
 _PII_ORDER = ("ssn", "phone", "email")  # most-specific first
 
 
-def pii_counts(col: Column | str) -> Column:
-    """struct(email, phone, ssn) match counts — regexp_extract_all lengths,
-    scan-speed."""
+# Additional RE2-safe detectors for the extended pass. The card pattern is
+# 13-16 digits in 3-4 dash/space-joined groups (pattern-level screening —
+# Luhn validation is a downstream verify, like exact-Jaccard after LSH);
+# ipv4 is octet-bounded so version strings like 1.2.3 don't match.
+PII_PATTERNS_EXTENDED: dict[str, str] = {
+    "card": r"\b\d{4}[- ]\d{4}[- ]\d{4}(?:[- ]\d{4})?\b",
+    "ipv4": (
+        r"\b(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+        r"(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b"
+    ),
+}
+_PII_ORDER_EXTENDED = ("card", "ssn", "phone", "ipv4", "email")
+
+
+def pii_counts(
+    col: Column | str, patterns: dict[str, str] | None = None
+) -> Column:
+    """struct of per-kind match counts — regexp_extract_all lengths,
+    scan-speed. Defaults to the core (email, phone, ssn) set; pass a
+    pattern dict to widen."""
     c = F.col(col) if isinstance(col, str) else col
     return F.struct(
         *[
             F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(k)
-            for k, p in PII_PATTERNS.items()
+            for k, p in (patterns or PII_PATTERNS).items()
         ]
     )
 
 
-def redact_pii(col: Column | str) -> Column:
+def redact_pii(
+    col: Column | str,
+    patterns: dict[str, str] | None = None,
+    order: tuple[str, ...] | None = None,
+) -> Column:
     """Replace every PII match with ``[<KIND>]`` — chained regexp_replace,
     most-specific pattern first (an SSN would otherwise half-match the
-    phone pattern)."""
+    phone pattern; a card number would half-match an SSN)."""
     c = F.col(col) if isinstance(col, str) else col
-    for kind in _PII_ORDER:
-        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    pats = patterns or PII_PATTERNS
+    for kind in order or _PII_ORDER:
+        c = F.regexp_replace(c, pats[kind], f"[{kind.upper()}]")
     return c
 
 

@@ -2134,3 +2134,74 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@_q(
+    "pii_redaction_extended",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text ||
+             (CASE WHEN doc_id % 2 = 0
+                   THEN ' card 4111-1111-1111-1111 used' ELSE '' END) ||
+             (CASE WHEN doc_id % 3 = 0
+                   THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 host' ELSE '' END) ||
+             (CASE WHEN doc_id % 7 = 0 THEN ' build v1.2.3 tag' ELSE '' END)
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{4}[- ]\d{4}[- ]\d{4}(?:[- ]\d{4})?\b')) AS INTEGER)
+             AS n_card,
+           CAST(len(regexp_extract_all(t,
+             '\b(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b'))
+             AS INTEGER) AS n_ipv4,
+           sha256(
+             regexp_replace(
+               regexp_replace(t,
+                 '\b\d{4}[- ]\d{4}[- ]\d{4}(?:[- ]\d{4})?\b', '[CARD]', 'g'),
+               '\b(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b',
+               '[IPV4]', 'g')
+           ) AS redacted_fp
+    FROM synth
+    """,
+    doc=(
+        "Extended PII pass: payment-card and IPv4 detectors (octet-bounded "
+        "so 'v1.2.3' version strings don't false-positive) over synthesized "
+        "contact strings, counts + redaction fingerprint — same RE2-safe "
+        "chained-replace shape as the core pii_redaction entry."
+    ),
+)
+def pii_redaction_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" card 4111-1111-1111-1111 used")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 host"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" build v1.2.3 tag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    counts = text.pii_counts("t", text.PII_PATTERNS_EXTENDED)
+    red = text.redact_pii(
+        "t", text.PII_PATTERNS_EXTENDED, ("card", "ipv4")
+    )
+    return synth.select(
+        "doc_id",
+        counts["card"].alias("n_card"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.sha2(red, 256).alias("redacted_fp"),
+    )
