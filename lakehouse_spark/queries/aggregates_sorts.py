@@ -1544,3 +1544,75 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@_q(
+    "agg_hhi_concentration",
+    """
+    WITH seg AS (
+      SELECT o_orderpriority,
+             round(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+                   / 10000.0, 2) AS revenue
+      FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+      SELECT sum(revenue) AS t FROM seg
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_segments,
+           round(sum(pow(revenue / t, 2)), 6) AS hhi
+    FROM seg CROSS JOIN tot
+    """,
+    doc=(
+        "Herfindahl-Hirschman concentration of revenue across segments: "
+        "sum of squared shares over the tiny segment aggregate (1/n = "
+        "perfect competition, 1 = monopoly). Exact int-grid segment sums; "
+        "the share division and squares run over identical doubles on "
+        "both engines."
+    ),
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    seg = od.groupBy("o_orderpriority").agg(
+        _ssum("o_totalprice", 2).alias("revenue")
+    )
+    t = F.sum("revenue").over(Window.partitionBy())
+    return (
+        seg.withColumn("share", F.col("revenue") / t)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.round(F.sum(F.pow("share", 2)), 6).alias("hhi"),
+        )
+    )
+
+
+@_q(
+    "meta_table_counts",
+    """
+    SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+    doc=(
+        "Catalog health check: row counts of every registered table in one "
+        "union (each arm is a metadata-only parquet count). The first "
+        "query to run after pointing the engine at a new dataset root."
+    ),
+)
+def meta_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.oracle import TABLES
+
+    parts = None
+    for t in TABLES:
+        one = _t(spark, sf_dir, t).agg(F.count("*").alias("n")).select(
+            F.lit(t).alias("tbl"), "n"
+        )
+        parts = one if parts is None else parts.unionByName(one)
+    return parts

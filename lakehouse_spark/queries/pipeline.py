@@ -2205,3 +2205,61 @@ def pii_redaction_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ipv4"),
         F.sha2(red, 256).alias("redacted_fp"),
     )
+
+
+@_q(
+    "text_bigram_logprob",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM words, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(CAST(round(-ln(n12 * 1.0 / n1) * 1000000) AS BIGINT))
+                 / (1000000.0 * count(*)), 4) AS avg_bigram_nll
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Bigram LM scoring: corpus-learned conditional probabilities "
+        "p(w2|w1) = c(w1,w2)/c(w1), per-doc mean NLL on the 1e-6 int grid "
+        "(order-independent, see text_unigram_logprob). Both count tables "
+        "are Zipf-bounded and broadcast; the corpus shuffles once for the "
+        "per-doc mean — the natural next rung above the unigram proxy."
+    ),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    scored = bg.join(F.broadcast(c12), ["w1", "w2"]).join(
+        F.broadcast(c1), "w1"
+    )
+    nll = F.round(
+        -F.log(F.col("n12") * F.lit(1.0) / F.col("n1")) * 1_000_000
+    ).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum(nll) / (F.lit(1_000_000.0) * F.count("*")), 4).alias(
+            "avg_bigram_nll"
+        ),
+    )
