@@ -704,3 +704,85 @@ class AnnIndex:
             new_vectors, books, self.id_col, self.vec_col
         ).join(bucketed.select(self.id_col, "bucket_id"), self.id_col)
         self.codes.append(encoded.select(self.id_col, "bucket_id", "pq_code"))
+
+
+# --- PCA dimensionality reduction ---------------------------------------------
+
+
+def pca_fit(
+    emb: DataFrame, vec_col: str = "embedding", k: int = 16
+) -> tuple[list[float], list[list[float]]]:
+    """Fit a k-component PCA over an embedding column. Returns
+    ``(mean, components)`` with components row-major (k x dim),
+    orthonormal, ordered by descending explained variance.
+
+    Scale shape: the only distributed work is accumulating the Gram matrix
+    — each partition computes its local X^T X and row-sum with ONE numpy
+    matmul over an Arrow batch (mapInPandas; same justification as the IVF
+    quantizer scoring), the driver sums the (dim x dim) partials and runs
+    the eigendecomposition on a matrix whose size is independent of row
+    count. No row ever leaves its partition; 100 TB of vectors reduce to
+    dim^2 doubles per partition.
+
+    Sign convention: each component's largest-|coordinate| entry is made
+    positive, so the fit is deterministic across BLAS builds up to fp
+    noise (eigenvectors are otherwise sign-ambiguous)."""
+    import numpy as np
+
+    dim = len(emb.select(vec_col).first()[0])
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.vstack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    parts = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(partials, "n double, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r.n for r in parts)
+    s = np.sum([np.array(r.s) for r in parts], axis=0)
+    g = np.sum([np.array(r.g).reshape(dim, dim) for r in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(x) for x in mean], comps
+
+
+def pca_transform(
+    emb: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the fitted components — pure Catalyst HOF dot
+    products against literal arrays (k small), scan-speed, no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    mean_lit = F.lit([float(x) for x in mean])
+    centered = F.zip_with(v, mean_lit, lambda a, b: a - b)
+
+    def dot(plane):
+        return F.aggregate(
+            F.zip_with(centered, F.lit([float(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.withColumn(out_col, F.array(*[dot(c) for c in components]))

@@ -446,3 +446,44 @@ def test_cross_corpus_minhash_agrees_with_dedup_index(spark, tmp_path):
     }
     dedup.release_caches()
     assert {i for _, i in batch} <= screened
+
+
+def test_pca_fit_transform_properties(spark):
+    """PCA over the embeddings: components orthonormal and
+    variance-ordered, the k-dim projection reconstructs the corpus better
+    than a random k-dim projection, and transform is deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.operators.similarity import pca_fit, pca_transform
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps = pca_fit(emb, k=16)
+    C = np.array(comps)
+    assert C.shape == (16, 64)
+    # orthonormal rows
+    assert np.allclose(C @ C.T, np.eye(16), atol=1e-8)
+
+    X = np.vstack(
+        [r.embedding for r in emb.select(F.col("embedding").cast("array<double>").alias("embedding")).collect()]
+    )
+    Xc = X - np.array(mean)
+    # variance along components is non-increasing
+    var = ((Xc @ C.T) ** 2).mean(axis=0)
+    assert all(a >= b - 1e-9 for a, b in zip(var, var[1:]))
+
+    # reconstruction beats a deterministic 'random' orthonormal basis
+    rng = np.random.default_rng(3)
+    R = np.linalg.qr(rng.standard_normal((64, 16)))[0].T
+    err_pca = ((Xc - (Xc @ C.T) @ C) ** 2).sum()
+    err_rand = ((Xc - (Xc @ R.T) @ R) ** 2).sum()
+    assert err_pca < err_rand
+
+    # Catalyst transform equals the numpy projection
+    t = pca_transform(emb, mean, comps).select("vec_id", "pca").collect()
+    got = {r.vec_id: np.array(r.pca) for r in t}
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    want = Xc @ C.T
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], want[i], atol=1e-9)
