@@ -1616,3 +1616,54 @@ def meta_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts = one if parts is None else parts.unionByName(one)
     return parts
+
+
+@_q(
+    "agg_gini",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             round(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+                   / 10000.0, 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS tot
+      FROM cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(sum((2.0 * i - n - 1) * rev) / (max(n) * max(tot)), 6)
+             AS gini
+    FROM ranked
+    """,
+    doc=(
+        "Gini coefficient of revenue across customers (0 = equal, 1 = one "
+        "customer is everything) via the sorted-rank identity "
+        "sum((2i-n-1)x_i)/(n*sum x) — one window over the per-customer "
+        "AGGREGATE (thousands of rows at any fact scale), no O(n^2) "
+        "pairwise differences. Total rank order ties broken by key."
+    ),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(_ssum("o_totalprice", 2).alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    wa = Window.partitionBy()
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wa).alias("n"),
+        F.sum("rev").over(wa).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("rev"))
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )
