@@ -1667,3 +1667,49 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@_q(
+    "a11_user_type_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, event_type, cnt,
+             sum(cnt) OVER (PARTITION BY user_id) AS tot
+      FROM c
+    )
+    SELECT user_id,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           round(-sum(CAST(round((cnt * 1.0 / tot) * log2(cnt * 1.0 / tot)
+                                 * 100000000) AS BIGINT))
+                 / 100000000.0, 4) AS type_entropy_bits
+    FROM t GROUP BY user_id
+    """,
+    doc=(
+        "Behavioral diversity: Shannon entropy of each user's event-type "
+        "distribution (0 = one-note user, log2(5) = uniform across all "
+        "types). Count sub-aggregate + per-user window + int-grid entropy "
+        "sum (order-independent) — one shuffle, reused by window and "
+        "final aggregate."
+    ),
+)
+def a11_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    tot = F.sum("cnt").over(Window.partitionBy("user_id"))
+    p = F.col("cnt") * F.lit(1.0) / F.col("tot")
+    term = F.round(p * F.log2(p) * 100_000_000).cast("long")
+    return (
+        c.withColumn("tot", tot)
+        .withColumn("term", term)
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(-F.sum("term") / F.lit(100_000_000.0), 4).alias(
+                "type_entropy_bits"
+            ),
+        )
+    )

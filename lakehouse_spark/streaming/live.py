@@ -632,3 +632,36 @@ def continuous_agg_sink(store, view, app_id: str = "stream_cagg"):
         view.refresh()
 
     return sink
+
+
+def stream_trending_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 10,
+) -> DataFrame:
+    """Trending terms over a live document stream: tumbling event-time
+    windows of per-term counts. Emit the windowed counts in append mode
+    once the watermark closes each window; the top-k cut runs downstream
+    on the CLOSED window's counts (a per-window sort inside the stream
+    would need complete mode — unbounded state). The batch face of the
+    same cut is text_top_words; this keeps term state bounded by
+    (vocabulary x open windows)."""
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .groupBy(F.window(ts_col, window), "term")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "term",
+            "n",
+        )
+    )

@@ -706,3 +706,52 @@ def test_stream_interval_join_left_outer_emits_nulls(spark, tmp_path):
     # the unmatched purchase must appear exactly once, with nulls
     assert ("u2", 8.0, None) in got
     assert len(got) == 3
+
+
+def test_stream_trending_terms_matches_batch(spark, tmp_path):
+    """Windowed term counts over a doc stream equal the same computation
+    in batch, and the downstream top-k over closed windows is stable."""
+    import json as _json
+
+    rows = [
+        {"ts": "2026-01-01T10:05:00Z", "text": "spark spark window"},
+        {"ts": "2026-01-01T10:20:00Z", "text": "spark merge"},
+        {"ts": "2026-01-01T11:10:00Z", "text": "window window window"},
+    ]
+    src = tmp_path / "tt"
+    src.mkdir()
+    (src / "docs.jsonl").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    # append mode emits a window only after the watermark passes it; the
+    # watermark advances BETWEEN micro-batches, so a second file with a
+    # far-future doc pushes both earlier windows closed (its own window
+    # stays open and must NOT appear).
+    (src / "late.jsonl").write_text(
+        _json.dumps({"ts": "2026-01-01T16:00:00Z", "text": "sentinel"}) + "\n"
+    )
+    schema = "ts timestamp, text string"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = live.stream_trending_terms(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tt_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tt_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.term): r.n
+        for r in spark.sql("SELECT * FROM tt_test").collect()
+    }
+    batch = spark.read.schema(schema).json(str(src / "docs.jsonl"))
+    want = {
+        (str(r.window_start), r.term): r.n
+        for r in live.stream_trending_terms(batch).collect()
+    }
+    assert got == want
+    assert not any("16:00:00" in w for w, _ in got)  # open window withheld
+    assert got[("2026-01-01 10:00:00", "spark")] == 3
+    assert got[("2026-01-01 11:00:00", "window")] == 3
