@@ -995,3 +995,65 @@ def w7_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt_7d",
         avg.alias("avg_7d"),
     )
+
+
+@_q(
+    "w8_session_conversion",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    ), sess AS (
+      SELECT user_id, session_idx,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converting,
+           round(sum(converted) * 1.0 / count(*), 6) AS conversion_rate
+    FROM sess
+    """,
+    doc=(
+        "Session-level conversion rate: fraction of gap sessions that "
+        "contain a purchase — the sessionize-then-classify composition "
+        "(one per-user shuffle shared by the lag window, the running "
+        "index, and the per-session max)."
+    ),
+)
+def w8_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000)
+    )
+    idx = F.sum(is_new.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        ev.withColumn("session_idx", idx)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "converted"
+            )
+        )
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converting"),
+        F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
+    )
