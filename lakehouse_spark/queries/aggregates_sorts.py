@@ -1713,3 +1713,28 @@ def a11_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "o11_keyset_page",
+    """
+    SELECT event_id, user_id, ts FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+       OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 5000)
+    ORDER BY ts, event_id LIMIT 50
+    """,
+    doc=(
+        "Keyset (cursor) pagination over the composite (ts, event_id) "
+        "order: the strictly-past-the-cursor predicate pushes to the scan "
+        "(min/max pruning skips whole files) and each page costs O(page) "
+        "at ANY depth — a deep OFFSET page re-sorts and discards offset "
+        "rows every call, making page 10k cost 10k x page 1."
+    ),
+)
+def o11_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sorts.keyset_page(
+        ev, ["ts", "event_id"], (datetime(2024, 1, 15), 5000), 50
+    )
