@@ -368,3 +368,49 @@ def test_automation_tick_drives_mview_refresh(spark, tmp_path, base):
     ex = mgr.executions.read().collect()
     assert len(ex) == 1 and ex[0].status == "success"
     assert ex[0].session_id.startswith("mview@v")
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """DPP: joining a date-partitioned fact against a FILTERED dim must
+    inject a runtime partition filter into the fact scan — the fact reads
+    only the dim's surviving days, visible both in the plan
+    (dynamicpruning) and in the scan metrics (partitions/rows read)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.plans.metrics import plan_metrics
+    from lakehouse_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_by_day")
+    write_partitioned(ev, path, "day", derive_from=F.to_date("ts"))
+    fact = read_partitioned(spark, path)
+    n_days = fact.select("day").distinct().count()
+    assert n_days > 5
+
+    dim_all = fact.select("day").distinct().withColumn(
+        "label", F.concat(F.lit("d:"), F.col("day").cast("string"))
+    )
+    dim = dim_all.filter(F.dayofmonth("day") <= 2)  # few surviving days
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = fact.join(dim.hint("merge"), "day").groupBy("label").count()
+        joined.collect()
+        per = plan_metrics(joined)
+        scans = [v for k, v in per.items() if k.startswith("Scan parquet")]
+        fact_scan = max(scans, key=lambda m: m.get("numOutputRows", 0))
+        n_selected_days = dim.count()
+        # the fact scan read only the surviving partitions' rows
+        expected = (
+            fact.join(F.broadcast(dim.select("day")), "day", "left_semi").count()
+        )
+        assert fact_scan["numOutputRows"] == expected
+        assert fact_scan["numPartitions"] == n_selected_days < n_days
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
