@@ -414,3 +414,30 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """AQE folds the 32 configured shuffle partitions of a tiny aggregate
+    into a handful at runtime — read from the executed plan's
+    numCoalescedPartitions/numPartitions metrics, the mechanism that keeps
+    small intermediate stages from paying 32-task overhead while huge ones
+    still fan out."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.plans.metrics import plan_metrics
+
+    df = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()
+    per = plan_metrics(df)
+    read = next(
+        (v for k, v in per.items() if k.startswith("AQEShuffleRead")), None
+    )
+    assert read is not None, sorted(per)
+    assert read["numPartitions"] < int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
