@@ -1738,3 +1738,38 @@ def o11_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorts.keyset_page(
         ev, ["ts", "event_id"], (datetime(2024, 1, 15), 5000), 50
     )
+
+
+@_q(
+    "agg_mad_robust",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(max(m.m), 6) AS median_value,
+           round(quantile_cont(abs(e.value - m.m), 0.5), 6) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "Median absolute deviation — the robust spread statistic outliers "
+        "can't poison (unlike stddev): per-group median, deviations, "
+        "median of deviations. Two passes over one per-type shuffle; the "
+        "group medians broadcast back as a 5-row dim. Same exact-"
+        "interpolation mapping as agg_percentiles."
+    ),
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    joined = ev.join(F.broadcast(med), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.round(F.max("m"), 6).alias("median_value"),
+        F.round(
+            F.expr("percentile(abs(value - m), 0.5)"), 6
+        ).alias("mad"),
+    )
