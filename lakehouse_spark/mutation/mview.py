@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from lakehouse_spark.mutation.store import TableStore
 
-_SEP = "\x1f"
 _DEC = "decimal(28,6)"
 
 
@@ -70,7 +69,13 @@ class MaterializedAgg:
         return out
 
     def _with_key(self, df: DataFrame) -> DataFrame:
-        key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in self.group_cols])
+        # Null-unambiguous key: to_json keeps field names and explicit
+        # nulls, so (NULL,'x') vs ('x',NULL) vs ('',…) all key differently —
+        # concat_ws would silently skip NULLs and collide distinct groups.
+        key = F.to_json(
+            F.struct(*[F.col(c) for c in self.group_cols]),
+            {"ignoreNullFields": "false"},
+        )
         return df.withColumn("_group_key", key)
 
     def base_version_reflected(self) -> int | None:

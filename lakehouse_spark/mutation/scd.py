@@ -51,8 +51,16 @@ def scd2_history(store: TableStore) -> DataFrame:
         opens = _acc(opens, ins.withColumn("__v", F.lit(cur).cast("long")))
         closes = _acc(closes, dels.withColumn("__v", F.lit(cur).cast("long")))
 
+    # Null-unambiguous identity: to_json keeps field names and explicit
+    # nulls, so rows differing only in which column is NULL (or NULL vs '')
+    # get distinct identities — concat_ws would skip NULLs and mis-pair
+    # open/close intervals.
     ident = F.sha2(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256
+        F.to_json(
+            F.struct(*[F.col(c) for c in cols]),
+            {"ignoreNullFields": "false"},
+        ),
+        256,
     )
     o = opens.withColumn("__id", ident)
     w_o = Window.partitionBy("__id").orderBy("__v")

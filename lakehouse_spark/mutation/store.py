@@ -465,7 +465,10 @@ class TableStore:
                 return self.read(v_from).limit(0).withColumn(
                     "_change", F.lit("insert")
                 )
-            rows = self.spark.read.parquet(
+            # mergeSchema matches read(): appended segments may have
+            # introduced new columns, and a single-footer view would
+            # silently drop them from the CDF.
+            rows = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, s) for s in added]
             )
             return rows.withColumn("_change", F.lit("insert"))

@@ -55,7 +55,7 @@ def run_curation(
     stats["n_after_quality"] = passed.count()
 
     exact = dedup.exact(passed, text_col, id_col).select(
-        F.array_min("doc_ids").alias(id_col)
+        F.array_min(f"{id_col}s").alias(id_col)
     )
     passed = passed.join(exact, id_col, "left_semi")
     stats["n_after_exact"] = passed.count()

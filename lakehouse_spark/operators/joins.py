@@ -142,7 +142,9 @@ def range_bucket_join(
 
     Returns the matched (event row ⨯ window row) pairs; aggregate outside.
     """
-    win_b = windows.withColumn(
+    # Inverted (dirty) windows would make sequence() throw at runtime
+    # (negative range, positive step); they should match nothing instead.
+    win_b = windows.filter(F.col(end_col) >= F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

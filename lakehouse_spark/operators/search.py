@@ -26,9 +26,11 @@ def postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     )
+    # split() on an empty/whitespace-only doc yields [''] — drop the empty
+    # token so it never pollutes the persisted postings.
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
-    )
+    ).filter(F.col("token") != "")
 
 
 def and_search(index: DataFrame, terms: list[str]) -> DataFrame:

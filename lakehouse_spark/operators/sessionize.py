@@ -314,12 +314,40 @@ def _fold_session(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(turns)
 
 
-def aggregate_trace(events: DataFrame, split_by_turn: bool = False) -> DataFrame:
+def _max_session_events(events: DataFrame) -> int:
+    """Largest per-session event count — the skew probe. One
+    map-side-combined count shuffle over (session_id); the shuffled
+    relation is one row per session, so the probe is metadata-cheap
+    relative to the fold it guards."""
+    rows = (
+        events.groupBy("session_id")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()
+    )
+    return int(rows[0].m or 0)
+
+
+def aggregate_trace(
+    events: DataFrame,
+    split_by_turn: bool | None = None,
+    skew_threshold: int = 10_000,
+) -> DataFrame:
     """S1: events (TRACE_EVENT shape) → nested turns (TRACE_TURN shape).
 
     Default path: one shuffle on session_id; per-group pandas fold;
     Arrow-batched both ways. Output column set matches
     :data:`lakehouse_spark.schemas.TRACE_TURN`.
+
+    ``split_by_turn=None`` (the default) AUTO-ENGAGES the skew mitigation:
+    a cheap probe (:func:`_max_session_events`) measures the largest
+    session and the split path switches on when it exceeds
+    ``skew_threshold`` events — no caller flag needed for the
+    one-pathological-session-among-thousands case. The probe costs one
+    extra count job over ``events``; callers that already know their
+    session-size distribution pass an explicit True/False to skip it.
+    The chosen path is recorded on ``aggregate_trace.last_auto_split``
+    (None when the caller decided) for tests and observability.
 
     ``split_by_turn=True`` is the GIANT-SESSION skew mitigation: one
     pathological session (e.g. 100k events) otherwise lands on a single
@@ -339,6 +367,11 @@ def aggregate_trace(events: DataFrame, split_by_turn: bool = False) -> DataFrame
     Costs two extra shuffles of the small turn rows; identical output
     (parity-tested against the single-group fold and the golden fixtures).
     Use it when session sizes are unbounded."""
+    if split_by_turn is None:
+        split_by_turn = _max_session_events(events) > skew_threshold
+        aggregate_trace.last_auto_split = split_by_turn
+    else:
+        aggregate_trace.last_auto_split = None
     if not split_by_turn:
         return events.groupBy("session_id").applyInPandas(
             _fold_session, schema=TRACE_TURN
@@ -400,6 +433,9 @@ def aggregate_trace(events: DataFrame, split_by_turn: bool = False) -> DataFrame
         )
         .drop("__seg", "__toff")
     )
+
+
+aggregate_trace.last_auto_split = None
 
 
 # --- A3: per-session tool metrics ----------------------------------------------

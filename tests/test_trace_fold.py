@@ -366,3 +366,39 @@ def test_split_by_turn_bounds_giant_session_groups(spark):
     assert [t["id"] for t in giant[3]["tools"]] == [
         "tool_9", "tool_10", "tool_11", "tool_12"
     ]
+
+
+def test_auto_skew_split_engages_without_caller_flag(spark):
+    """The default (split_by_turn=None) probes session sizes and switches to
+    the split path on its own when one session exceeds skew_threshold;
+    output is identical to the forced single-group fold, and the threshold
+    is configurable."""
+    rows = []
+    seq = 0
+    for k in range(1200):  # giant session: 12k events > default 10k threshold
+        rows.append(_ev(seq, "prompt:submit", session="giant", prompt=f"p{k}")); seq += 1
+        for j in range(4):
+            rows.append(_ev(seq, "tool:pre", session="giant", tool_name=f"T{j}")); seq += 1
+            rows.append(_ev(seq, "tool:post", session="giant", tool_name=f"T{j}",
+                            result={"success": True, "output": "y", "error": None})); seq += 1
+        rows.append(_ev(seq, "thinking:delta", session="giant", delta="d")); seq += 1
+    for s in range(50):  # normal sessions
+        rows.append(_ev(seq, "prompt:submit", session=f"n{s}", prompt="q")); seq += 1
+        rows.append(_ev(seq, "session:end", session=f"n{s}")); seq += 1
+    df = spark.createDataFrame(rows, TRACE_EVENT)
+
+    def snap(out):
+        return sorted(
+            (r.asDict(recursive=True) for r in out.collect()),
+            key=lambda t: (t["session_id"], t["turn_id"]),
+        )
+
+    auto = snap(aggregate_trace(df))  # no caller flag
+    assert aggregate_trace.last_auto_split is True
+    forced = snap(aggregate_trace(df, split_by_turn=False))
+    assert aggregate_trace.last_auto_split is None  # caller decided
+    assert auto == forced
+
+    # threshold is configurable: raise it and the probe keeps the plain path
+    aggregate_trace(df, skew_threshold=1_000_000).count()
+    assert aggregate_trace.last_auto_split is False
