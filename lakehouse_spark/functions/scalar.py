@@ -17,15 +17,30 @@ from pyspark.sql import functions as F
 # operators need a hash the DuckDB oracle can reproduce. md5 is available
 # in both engines; 15 hex chars = 60 bits, always fits in a signed BIGINT.
 # DuckDB equivalent: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
+#
+# mode="xxhash64" is the PRODUCTION fast path: Spark's native xxHash64
+# (one codegen'd integer pipeline — no hex-string materialization like
+# md5+conv), masked to the same 60-bit range so every downstream consumer
+# (MinHash XOR salts, pmod buckets, the 2^60 uniform scale) works
+# unchanged. Not oracle-reproducible — keep md5 wherever a DuckDB parity
+# check replays the hash.
 # ---------------------------------------------------------------------------
 
+_MASK60 = (1 << 60) - 1
 
-def hash64(col: Column | str, seed: int = 0) -> Column:
-    """Deterministic cross-engine 60-bit hash of a string column. ``seed``
-    lets MinHash derive k independent hash families from one md5 pass."""
+
+def hash64(col: Column | str, seed: int = 0, mode: str = "md5") -> Column:
+    """Deterministic 60-bit hash of a string column. ``seed`` derives
+    independent hash families from one pass; ``mode`` picks the engine:
+    ``"md5"`` (cross-engine, DuckDB-replayable) or ``"xxhash64"``
+    (JVM-native fast path, same [0, 2^60) range)."""
     c = F.col(col) if isinstance(col, str) else col
     if seed:
         c = F.concat(F.lit(f"s{seed}:"), c)
+    if mode == "xxhash64":
+        return F.xxhash64(c).bitwiseAND(F.lit(_MASK60))
+    if mode != "md5":
+        raise ValueError(f"unknown hash mode {mode!r}: use 'md5' or 'xxhash64'")
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 

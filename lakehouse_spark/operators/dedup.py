@@ -10,10 +10,12 @@ Scale design
   minhashes, banded, and only same-bucket pairs are compared — the join is
   an equi join on (band, band_hash), so Catalyst shuffles on bucket keys and
   skew-prone giant buckets are split by AQE.
-- All hashes use the cross-engine md5-based :func:`hash64` so the DuckDB
-  oracle can replay every step bit-for-bit (Spark's xxhash64 would be
-  faster; swap in production where no oracle parity is needed — the seam is
-  this one function).
+- Hashes default to the cross-engine md5-based :func:`hash64` so the DuckDB
+  oracle can replay every step bit-for-bit; pass ``hash_mode="xxhash64"``
+  (band_signatures / minhash_near_duplicates, and hash_split /
+  deterministic_sample / weighted_sample in operators.text) for the
+  JVM-native production fast path where no oracle parity is needed — same
+  60-bit range, tested for determinism, benched as dedup_minhash_lsh_xxh.
 
 Provenance (read, not copied): content dedup by SHA-256 ←
 amplifierd/services/content_deduplicator.py:36-88; first-wins ordered dedup
@@ -214,15 +216,19 @@ def minhash_signature(hashes: Column, k: int = 16) -> Column:
 
 
 def band_signatures_from_shingles(
-    shingled: DataFrame, k: int = 16, bands: int = 4
+    shingled: DataFrame, k: int = 16, bands: int = 4, hash_mode: str = "md5"
 ) -> DataFrame:
     """(id, band, band_sig) LSH band relation from a :func:`shingle_frame`
     output — the narrow join key for candidate generation. Shared by the
     batch near-dup pipeline and the streaming dedup-ingest sink (whose
-    signature INDEX is exactly this relation, accumulated)."""
+    signature INDEX is exactly this relation, accumulated).
+
+    ``hash_mode="xxhash64"`` is the production fast path (native JVM hash,
+    no md5 hex round-trip); keep the default ``"md5"`` where a DuckDB
+    oracle must replay the signatures."""
     rows_per_band = k // bands
     sig = shingled.select(
-        "id", F.transform("sh", lambda s: hash64(s)).alias("hs")
+        "id", F.transform("sh", lambda s: hash64(s, mode=hash_mode)).alias("hs")
     ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
     return sig.select(
         "id",
@@ -244,10 +250,11 @@ def band_signatures(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Text → LSH band relation in one call (shingle + minhash + band)."""
     return band_signatures_from_shingles(
-        shingle_frame(df, id_col, text_col, n), k, bands
+        shingle_frame(df, id_col, text_col, n), k, bands, hash_mode
     )
 
 
@@ -259,6 +266,7 @@ def minhash_near_duplicates(
     k: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → k minhashes → ``bands`` bands of
     k/bands rows → explode to (band_idx, band_signature) → self equi join on
@@ -276,7 +284,7 @@ def minhash_near_duplicates(
     rather than lowering min_jaccard.
     """
     base = _persist(shingle_frame(df, id_col, text_col, n))
-    banded = _persist(band_signatures_from_shingles(base, k, bands))
+    banded = _persist(band_signatures_from_shingles(base, k, bands, hash_mode))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

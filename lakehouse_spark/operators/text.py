@@ -407,6 +407,7 @@ def hash_split(
     id_col: str,
     weights: dict[str, int],
     salt: str = "split",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Assign every row a split label (train/val/test/…) by hashing its id —
     deterministic, order-independent, and stable under re-runs and
@@ -419,7 +420,13 @@ def hash_split(
     from lakehouse_spark.functions.scalar import hash64
 
     total = sum(weights.values())
-    bucket = F.pmod(hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), F.lit(total))
+    bucket = F.pmod(
+        hash64(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")),
+            mode=hash_mode,
+        ),
+        F.lit(total),
+    )
     edges: list[tuple[str, int]] = []
     acc = 0
     for name, w in weights.items():
@@ -436,6 +443,7 @@ def deterministic_sample(
     id_col: str,
     prob: Column | float,
     salt: str = "ds",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Keep each row with probability ``prob`` (0..1, may be a per-row
     Column), decided by an md5-derived hash of the row id — deterministic,
@@ -447,7 +455,10 @@ def deterministic_sample(
     p = F.lit(prob) if isinstance(prob, (int, float)) else prob
     u = (
         F.pmod(
-            hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            hash64(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")),
+                mode=hash_mode,
+            ),
             F.lit(1_000_000),
         )
         / 1_000_000.0
@@ -657,6 +668,7 @@ def weighted_sample(
     weight_col: str,
     k: int,
     seed: int = 11,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     Spirakis 2006 A-ES): each row gets key = ln(u) / w for a per-row uniform
@@ -671,7 +683,7 @@ def weighted_sample(
     """
     from lakehouse_spark.functions.scalar import hash64
 
-    h = hash64(F.col(id_col).cast("string"), seed=seed)
+    h = hash64(F.col(id_col).cast("string"), seed=seed, mode=hash_mode)
     u = (h + F.lit(1)) / F.lit(float(1 << 60))
     key = F.log(u) / F.col(weight_col)
     return (

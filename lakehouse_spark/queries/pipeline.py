@@ -106,6 +106,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_minhash_lsh_xxh",
+    None,  # xxhash64 is JVM-native — DuckDB cannot replay the signatures
+    headline=True,
+    doc="MinHash+LSH near-dup on the xxhash64 production fast path "
+    "(same pipeline as dedup_minhash_lsh; verified pairs still exact "
+    "Jaccard, so the result set matches the md5 entry up to LSH recall)",
+)
+def dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, k=16, bands=4, min_jaccard=0.0,
+        hash_mode="xxhash64",
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
 def _simhash_oracle(bits: int = 60) -> str:
     votes = ",\n             ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
