@@ -352,10 +352,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = similarity.kmeans_centroids(emb, n_clusters=64, iters=3)
     bucketed = similarity.assign_buckets(emb, centroids, spill=2)
-    books = similarity.pq_train(emb, m=16, ksub=256, iters=8)
-    # encode each vector ONCE, then attach its (spilled) bucket rows
-    bucketed_encoded = similarity.pq_encode(emb, books).join(
-        bucketed.select("vec_id", "bucket_id"), "vec_id"
+    # residual IVF-PQ (the FAISS shape): codebooks trained on, and each
+    # (vector, bucket) row encoded as, normalized-vector − bucket-centroid
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8, centroids=centroids)
+    bucketed_encoded = similarity.pq_encode(
+        bucketed.select("vec_id", "embedding", "bucket_id"),
+        books,
+        centroids=centroids,
     )
     return similarity.ivfpq_topk(
         bucketed_encoded,
@@ -364,8 +367,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         corpus=emb,
         k=5,
-        nprobe=16,
+        nprobe=20,
         shortlist=4,
+        residual=True,
     )
 
 
