@@ -81,6 +81,67 @@ def host_probe() -> dict[str, float]:
     return {"python_loop_sec": _min3(_py), "numpy_matmul_sec": _min3(_np)}
 
 
+def scaling_section(spark, suite, sf_big: str) -> dict:
+    """Per-query {t_001, t_01, time_ratio, shuffle_ratio}: one run at
+    sf0.01 and one at the bench SF, shuffle bytes/records from the
+    executed plan (plans/metrics). ``shuffle_ratio`` is bytes-based;
+    records ratio rides alongside. Ratios are single-shot (the medians
+    above are the timing artifact — this section is about SLOPE).
+
+    Caveat: queries that localCheckpoint/cache their iterative core (e.g.
+    dedup_cluster_components) report only the FINAL job's plan metrics —
+    their per-round shuffles aren't visible from the returned DataFrame,
+    so a 0-byte reading there means "not measurable here", not "free";
+    their time_ratio is the meaningful slope."""
+    from lakehouse_spark.operators.dedup import release_caches
+    from lakehouse_spark.plans.metrics import plan_metrics
+
+    sf_small = os.path.join(os.path.dirname(sf_big.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf_small) or os.path.realpath(
+        sf_small
+    ) == os.path.realpath(sf_big):
+        return {"skipped": f"no small-SF dir next to {sf_big}"}
+
+    queries: dict[str, dict] = {}
+    superlinear: list[str] = []
+    for name, spec in suite.items():
+        entry: dict = {}
+        try:
+            for tag, d in (("001", sf_small), ("01", sf_big)):
+                t0 = time.perf_counter()
+                df = spec.build(spark, d)
+                df.collect()
+                entry[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
+                m = plan_metrics(df, total=True)
+                entry[f"shuffle_bytes_{tag}"] = m.get("shuffleBytesWritten", 0)
+                entry[f"shuffle_records_{tag}"] = m.get("shuffleRecordsWritten", 0)
+                release_caches()
+            entry["time_ratio"] = (
+                round(entry["t_01"] / entry["t_001"], 2)
+                if entry["t_001"]
+                else None
+            )
+            sb, bb = entry["shuffle_bytes_001"], entry["shuffle_bytes_01"]
+            sr, br = entry["shuffle_records_001"], entry["shuffle_records_01"]
+            entry["shuffle_ratio"] = (
+                round(bb / sb, 2) if sb else (1.0 if bb == 0 else None)
+            )
+            entry["shuffle_records_ratio"] = (
+                round(br / sr, 2) if sr else (1.0 if br == 0 else None)
+            )
+            if entry["shuffle_ratio"] is not None and entry["shuffle_ratio"] > 12:
+                superlinear.append(name)
+        except Exception as ex:  # noqa: BLE001 — scaling must not kill bench
+            entry["error"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        queries[name] = entry
+    return {
+        "sf_small": sf_small,
+        "sf_big": sf_big,
+        "queries": queries,
+        "superlinear_shuffle": superlinear,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -182,6 +243,14 @@ def main() -> None:
     pq_recall = _recall("sim_pq_rerank_topk")
     ivfpq_recall = _recall("sim_ivfpq_topk")
 
+    # Scaling curve: every headline query once at sf0.01 AND the bench SF
+    # (10x data), with executed-plan shuffle metrics. The check that the
+    # plans hold at scale, as a measured artifact instead of an eyeballed
+    # EXPLAIN: time and shuffle volume should grow ~linearly with data —
+    # a query whose shuffle grows super-linearly (ratio >> 10 on 10x
+    # data) has a pair-blowup or a broadcast that silently flipped.
+    scaling = scaling_section(spark, suite, sf_dir)
+
     out = {
         "metric": "headline_suite_wall_sec",
         "value": suite_median_sum,
@@ -195,6 +264,7 @@ def main() -> None:
         "ivf_recall_at_5": ivf_recall,
         "pq_recall_at_5": pq_recall,
         "ivfpq_recall_at_5": ivfpq_recall,
+        "scaling": scaling,
         "sf": sf,
     }
     if errors:

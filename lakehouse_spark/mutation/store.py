@@ -51,6 +51,31 @@ _MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
 _SEG_RE = re.compile(r"^_seg(\d{6})$")
 
 
+def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
+    """Conservative overlap test of a segment's per-column [min, max]
+    against a predicate of scalars / (lo, hi) ranges. Missing stats (or an
+    all-null column, min==max==None) keep the segment — pruning must never
+    change results, only skip provably-impossible files."""
+    if not seg_stats:
+        return True
+    for col, bounds in predicate.items():
+        st = seg_stats.get(col)
+        if st is None:
+            continue
+        mn, mx = st
+        if mn is None or mx is None:
+            continue
+        lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            continue  # incomparable (e.g. JSON-degraded type): keep segment
+    return True
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer claimed the next version first. The table is intact at
     its current version; re-read and retry the mutation (the same contract as
@@ -67,10 +92,18 @@ class TableStore:
         root: str,
         key: str,
         orphan_grace_sec: float = 300.0,
+        stats_cols: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.root = root
         self.key = key
+        # Columns whose per-segment min/max ride in the manifest (Delta's
+        # add-file stats): read(predicate=...) skips whole segments whose
+        # range can't match BEFORE Spark lists a single data file. Declare
+        # the columns queries range-filter on (numeric or string); stats
+        # cost one column-pruned scan of each NEW segment at commit time.
+        self.stats_cols = tuple(stats_cols)
+        self._pending_stats: dict[str, dict] = {}
         # A zero-length claim file older than this is treated as the debris
         # of a writer that died between claim and finalize, and is stolen.
         # Must comfortably exceed the longest segment write a live writer
@@ -99,7 +132,23 @@ class TableStore:
 
     def _write_segment(self, df: DataFrame, v: int) -> str:
         seg = f"_seg{v:06d}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, seg))
+        path = os.path.join(self.root, seg)
+        df.write.mode("overwrite").parquet(path)
+        if self.stats_cols:
+            # Stats from the WRITTEN files (one column-pruned scan of the
+            # new segment only — parquet footers make min/max near-free),
+            # so they describe exactly what readers will see.
+            written = self.spark.read.parquet(path)
+            cols = [c for c in self.stats_cols if c in written.columns]
+            if cols:
+                aggs = []
+                for c in cols:
+                    aggs.append(F.min(c).alias(f"__mn_{c}"))
+                    aggs.append(F.max(c).alias(f"__mx_{c}"))
+                row = written.agg(*aggs).collect()[0]
+                self._pending_stats[seg] = {
+                    c: [row[f"__mn_{c}"], row[f"__mx_{c}"]] for c in cols
+                }
         return seg
 
     def _claim(self, v: int) -> None:
@@ -194,20 +243,35 @@ class TableStore:
                 if attempt == 1 or not self._recover_slot(nxt):
                     raise
         try:
-            prev_txn = {}
+            prev_txn, prev_stats = {}, {}
             if cur is not None:
                 with open(self._manifest_path(cur)) as f:
-                    prev_txn = json.load(f).get("txn", {})
+                    prev = json.load(f)
+                prev_txn = prev.get("txn", {})
+                prev_stats = prev.get("stats", {})
             new_txn = dict(prev_txn)
             if txn is not None:
                 app, ver = txn
                 new_txn[app] = max(int(ver), int(new_txn.get(app, -1)))
             segments = make_segments(nxt)
+            # Per-segment stats: fresh for new segments, carried forward
+            # for reused ones (the append case rewrites nothing).
+            stats = {}
+            for s in segments:
+                st = self._pending_stats.pop(s, prev_stats.get(s))
+                if st:
+                    stats[s] = st
             tmp = self._manifest_path(nxt) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
-                    {"segments": segments, "meta": meta or {}, "txn": new_txn},
+                    {
+                        "segments": segments,
+                        "meta": meta or {},
+                        "txn": new_txn,
+                        "stats": stats,
+                    },
                     f,
+                    default=str,  # dates/decimals degrade to strings
                 )
             os.replace(tmp, self._manifest_path(nxt))
             self._swap_pointer(nxt)
@@ -249,17 +313,48 @@ class TableStore:
 
     # -- reads ----------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        predicate: dict | None = None,
+    ) -> DataFrame:
+        """Read a version. ``predicate`` maps stats-tracked columns to a
+        scalar (equality) or ``(lo, hi)`` range (either bound None =
+        unbounded): segments whose manifest min/max can't overlap are
+        skipped before Spark ever lists their files — Delta-style data
+        skipping at manifest scale, on top of parquet's own row-group
+        pruning within the surviving segments. The exact filter is still
+        applied to the surviving rows, so
+        ``read(predicate=p)`` ≡ ``read().filter(p)`` always; segments
+        without stats (or columns not tracked) are conservatively kept."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        paths = [os.path.join(self.root, s) for s in self._segments(v)]
+        segments = self._segments(v)
+        cond = None
+        if predicate:
+            with open(self._manifest_path(v)) as f:
+                stats = json.load(f).get("stats", {})
+            segments = [
+                s for s in segments if _segment_may_match(stats.get(s), predicate)
+            ]
+            for c, bounds in predicate.items():
+                lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
+                for b, op in ((lo, "__ge__"), (hi, "__le__")):
+                    if b is not None:
+                        term = getattr(F.col(c), op)(F.lit(b))
+                        cond = term if cond is None else (cond & term)
+            if not segments:
+                empty = self.read(v)  # schema from the unpruned version
+                return empty.limit(0) if cond is None else empty.filter(cond).limit(0)
+        paths = [os.path.join(self.root, s) for s in segments]
         # mergeSchema: segments may carry evolved schemas (append with new
         # columns — see append's schema note); without it Spark takes ONE
         # segment's footer as the table schema and silently drops columns
         # the other segments added. Union semantics: missing columns read
         # as null, matching Delta's additive schema evolution.
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        out = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return out if cond is None else out.filter(cond)
 
     def history(self) -> list[dict]:
         """Commit log, newest first: every retained version with its

@@ -1,0 +1,97 @@
+"""Segment-stats data skipping: the manifest carries per-segment min/max
+for declared columns, read(predicate=...) skips whole segments before
+Spark lists their files, and pruning NEVER changes results — only which
+files get opened."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_spark.mutation.store import TableStore, _segment_may_match
+
+
+def _mk(spark, tmp_path):
+    store = TableStore(
+        spark, str(tmp_path / "t"), key="id", stats_cols=("id", "cat")
+    )
+    # four appends with disjoint id ranges → four segments with known stats
+    store.init(spark.createDataFrame(
+        [(i, "a", i * 1.0) for i in range(0, 100)], "id long, cat string, x double"))
+    for lo, cat in ((100, "b"), (200, "c"), (300, "d")):
+        store.append(spark.createDataFrame(
+            [(i, cat, i * 1.0) for i in range(lo, lo + 100)],
+            "id long, cat string, x double"))
+    return store
+
+
+def test_predicate_read_prunes_files_and_matches_full_filter(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    full = store.read()
+    n_files_total = len(full.inputFiles())
+
+    pruned = store.read(predicate={"id": (150, 249)})
+    assert len(pruned.inputFiles()) < n_files_total  # files skipped
+    # identical semantics to the unpruned filter
+    want = sorted(r.id for r in full.filter(F.col("id").between(150, 249)).collect())
+    got = sorted(r.id for r in pruned.collect())
+    assert got == want == list(range(150, 250))
+
+    # equality predicate on the string column: exactly one segment survives
+    one = store.read(predicate={"cat": "c"})
+    assert one.count() == 100
+    assert len(one.inputFiles()) < n_files_total
+
+    # open-ended range
+    tail = store.read(predicate={"id": (350, None)})
+    assert sorted(r.id for r in tail.collect()) == list(range(350, 400))
+    assert len(tail.inputFiles()) < n_files_total
+
+
+def test_predicate_outside_all_ranges_reads_nothing(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    none = store.read(predicate={"id": (5000, 6000)})
+    assert none.count() == 0
+    assert none.columns == store.read().columns
+
+
+def test_stats_survive_append_and_rewrite(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    # append reuses old segments: their stats must carry forward unchanged
+    pruned = store.read(predicate={"id": (0, 50)})
+    assert len(pruned.inputFiles()) < len(store.read().inputFiles())
+    # a rewrite commit (upsert) recomputes stats for the new segment
+    store.upsert(spark.createDataFrame([(0, "a", 9.9)], "id long, cat string, x double"))
+    after = store.read(predicate={"id": (0, 50)})
+    assert after.filter("id = 0").collect()[0].x == 9.9
+    assert sorted(r.id for r in after.collect()) == list(range(0, 51))
+
+
+def test_untracked_and_statless_segments_are_kept(spark, tmp_path):
+    # a store created WITHOUT stats declares nothing — predicate reads must
+    # still be correct (no stats → no pruning, filter still applied)
+    store = TableStore(spark, str(tmp_path / "ns"), key="id")
+    store.init(spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string"))
+    out = store.read(predicate={"id": (2, 2)})
+    assert [r.v for r in out.collect()] == ["y"]
+    assert len(out.inputFiles()) == len(store.read().inputFiles())
+
+
+def test_segment_may_match_conservative_rules():
+    assert _segment_may_match(None, {"id": (0, 1)})  # no stats: keep
+    assert _segment_may_match({}, {"id": (0, 1)})
+    assert _segment_may_match({"id": [None, None]}, {"id": (0, 1)})  # all-null col
+    assert _segment_may_match({"other": [0, 9]}, {"id": (0, 1)})  # untracked col
+    assert not _segment_may_match({"id": [10, 20]}, {"id": (0, 9)})
+    assert not _segment_may_match({"id": [10, 20]}, {"id": (21, None)})
+    assert _segment_may_match({"id": [10, 20]}, {"id": (20, None)})  # touch
+    assert _segment_may_match({"id": ["10", "20"]}, {"id": (15, 16)})  # type mix: keep
+
+
+def test_null_bounds_and_evolved_schema(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "ev"), key="id", stats_cols=("id", "extra"))
+    store.init(spark.createDataFrame([(1,)], "id long"))
+    store.append(spark.createDataFrame([(2, 7)], "id long, extra long"))
+    # 'extra' absent from segment 1: stats recorded only where present,
+    # segment 1 conservatively kept on an extra-predicate
+    out = store.read(predicate={"extra": (0, 100)})
+    assert sorted(r.id for r in out.filter(F.col("extra").isNotNull()).collect()) == [2]
