@@ -117,24 +117,29 @@ def visited_anti(frontier: DataFrame, visited: DataFrame, key: str) -> DataFrame
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of a text column as ARRAY<STRING>. Pure
-    Catalyst higher-order functions (transform over a sequence of offsets) —
-    no UDF, so shingling runs inside codegen.
+    Catalyst higher-order functions — no UDF, so shingling runs inside
+    codegen.
 
-    NOTE: the split() is inlined into the per-shingle lambda, so expression
-    evaluation re-splits the text per gram. For anything beyond one-off use,
-    go through :func:`shingle_frame`, which projects the word array as an
-    attribute first (evaluated once per row)."""
+    The split() is bound as a LAMBDA VARIABLE (``transform`` over a
+    one-element array) so the text splits once per row — naively inlining
+    the split expression into the per-gram lambda re-splits per gram,
+    which used to make this the documented slow form. Column-level
+    convenience; :func:`shingle_frame` remains the bulk path (its zip_with
+    fold additionally avoids per-gram slice allocations)."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(c), r"\s+")
-    count = F.size(words) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    # sequence(0, k) runs DESCENDING when k < 0 — guard short/empty docs
-    # with an explicit empty array instead.
-    empty = F.array().cast("array<string>")
-    return F.when(count > 0, F.array_distinct(grams)).otherwise(empty)
+
+    def _grams(words: Column) -> Column:
+        count = F.size(words) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+        # sequence(0, k) runs DESCENDING when k < 0 — guard short/empty
+        # docs with an explicit empty array instead.
+        empty = F.array().cast("array<string>")
+        return F.when(count > 0, F.array_distinct(grams)).otherwise(empty)
+
+    return F.transform(F.array(F.split(F.trim(c), r"\s+")), _grams)[0]
 
 
 def shingle_frame(

@@ -19,8 +19,9 @@ Cross-engine determinism rules applied throughout:
 Layout: entries register into ``CATALOG`` (defined in :mod:`._core`) at
 import time, one domain module each — :mod:`.tpch` (analytical shapes),
 :mod:`.scalars_filters` / :mod:`.aggregates_sorts` / :mod:`.sessions_graph`
-(the reference engine's own surface), :mod:`.pipeline` (LLM training-data
-operators). Entry NAMES are the driver's stable contract — never rename.
+(the reference engine's own surface), :mod:`.pipeline` (text / curation /
+multimodal training-data operators), :mod:`.dedup_sim` (near-dup and
+similarity-search operators). Entry NAMES are the driver's stable contract — never rename.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from lakehouse_spark.queries._core import CATALOG, QuerySpec
 # Importing the domain modules registers their entries into CATALOG.
 from lakehouse_spark.queries import (  # noqa: E402,F401  (import-for-effect)
     aggregates_sorts,
+    dedup_sim,
     pipeline,
     scalars_filters,
     sessions_graph,

@@ -1,0 +1,975 @@
+"""Dedup and similarity-search catalog entries: the MinHash/SimHash/
+Jaccard/Levenshtein near-dup family, connected-components clustering,
+embedding ANN (brute force / IVF / PQ / IVF-PQ / RP-LSH), int8
+quantization, and inverted-index / hybrid search.
+
+Split out of :mod:`.pipeline` (text/curation/multimodal entries) at the
+round-4 size mandate; same registration contract — importing this module
+registers entries into ``CATALOG``. Each entry pairs a Spark DataFrame
+builder with a DuckDB oracle over the driver testdata; determinism rules
+are in the package docstring (lakehouse_spark/queries/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_spark.operators import dedup, similarity, text
+from lakehouse_spark.queries._core import (
+    CATALOG,
+    _q,
+    _t,
+)
+
+def _hash64_sql(expr: str, seed: int = 0) -> str:
+    inner = f"concat('s{seed}:', {expr})" if seed else expr
+    return f"CAST('0x' || substr(md5({inner}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, min_j: float = 0.5) -> str:
+    from lakehouse_spark.operators.dedup import xor_salts
+
+    rows = k // bands
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> xor(h, {salt}))) AS m{j}"
+        for j, salt in enumerate(xor_salts(k))
+    )
+    band_rows = ", ".join(
+        "({b}, [{ms}])".format(
+            b=b, ms=", ".join(f"m{b * rows + i}" for i in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    ), sig AS (
+      SELECT id, sh,
+             {sig_exprs}
+      FROM (SELECT id, sh,
+                   list_transform(sh, s -> {_hash64_sql('s')}) AS hs
+            FROM base)
+    ), banded AS (
+      SELECT id, b.band, b.band_sig
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, band_sig)
+    ), pairs AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT p.a_id, p.b_id,
+             round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                   len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      FROM pairs p
+      JOIN base x ON x.id = p.a_id
+      JOIN base y ON y.id = p.b_id) v
+    WHERE jaccard >= {min_j}
+    """
+
+
+@_q(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    headline=True,
+    doc="MinHash+LSH near-dup: shingle→sign→band→bucket-join→verify",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, k=16, bands=4, min_jaccard=0.0
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+@_q(
+    "dedup_minhash_lsh_xxh",
+    None,  # xxhash64 is JVM-native — DuckDB cannot replay the signatures
+    headline=True,
+    doc="MinHash+LSH near-dup on the xxhash64 production fast path "
+    "(same pipeline as dedup_minhash_lsh; verified pairs still exact "
+    "Jaccard, so the result set matches the md5 entry up to LSH recall)",
+)
+def dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, k=16, bands=4, min_jaccard=0.0,
+        hash_mode="xxhash64",
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT id, {_hash64_sql('tok')} AS h FROM tok
+    ), votes AS (
+      SELECT id, {votes}
+      FROM h GROUP BY id
+    )
+    SELECT id AS doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@_q(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="SimHash 60-bit fingerprints: explode + 60 static bit-vote aggregates",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id AS id,
+             lang || '|' || source || '|' ||
+               CAST(CAST(floor(log2(len(regexp_split_to_array(trim(text), '\\s+'))))
+                    AS BIGINT) AS VARCHAR) AS blk,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id, blk,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a.id AS a_id, b.id AS b_id,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id) v
+    WHERE jaccard >= 0.1
+    """,
+    doc="Exact n-gram Jaccard within (lang, source, log2-length) blocks",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block key includes a log2 word-count bucket: the O(block²) pair join
+    is bounded by the largest (lang, source, length-bucket) cell, so one
+    giant (en, web) slice can no longer go quadratic at scale. Trade-off
+    (documented): cross-bucket pairs are unseen — acceptable because this
+    operator is the exact VERIFIER; candidate recall belongs to MinHash/
+    SimHash upstream. Same blocking on the oracle side, so the comparison
+    stays exact."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            "lang",
+            "source",
+            F.floor(
+                F.log2(F.size(F.split(F.trim("text"), r"\s+")))
+            ).cast("long").cast("string"),
+        ),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "blk", n=3, min_jaccard=0.0
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.1
+    )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a_id, b_id, cosine FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) v
+    WHERE cosine >= 0.3
+    """,
+    doc="Embedding-cosine near-dup within label blocks (JVM vector math)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = dedup.embedding_near_duplicates(
+        emb, "vec_id", "embedding", block_col="label", min_cosine=-1.0
+    )
+    return pairs.withColumn("cosine", F.round("cosine", 6)).filter(
+        F.col("cosine") >= 0.3
+    )
+
+
+@_q(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+               neighbor_id) AS INTEGER) AS rank
+      FROM q JOIN c ON neighbor_id <> query_id) t
+    WHERE rank <= 5
+    """,
+    headline=True,
+    doc="Exact cosine top-k ANN baseline (broadcast queries, no corpus shuffle)",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_q(
+    "sim_ivf_topk",
+    None,  # approximate by design: recall < 1 vs brute force → rows-only check
+    doc="IVF-bucketed approximate top-k (probe nprobe nearest centroids)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-index path: centroids come from the DataFrame-
+    native k-means (Lloyd iterations, corpus never shuffles), not a modulo
+    sample — so the catalog exercises build + assign + probe together.
+    Recall@k vs sim_topk_bruteforce is reported by bench.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = similarity.kmeans_centroids(emb, n_clusters=64, iters=3)
+    bucketed = similarity.assign_buckets(emb, centroids, spill=2)
+    # The testdata embeddings are near-random — the hardest case for IVF
+    # (no real cluster structure to exploit). spill=2 assignment (each vector
+    # indexed under its top-2 buckets) + nprobe=16 of 64 scans ~40% of the
+    # corpus per query for recall@5 ≈ 0.9+ at sf0.1 (vs 0.64 with
+    # single-assignment nprobe=12/50 in round 2). Clustered real embeddings
+    # buy far higher recall at a much smaller probe fraction.
+    return similarity.ivf_topk(
+        bucketed, centroids, emb.filter(F.col("vec_id") < 10), k=5, nprobe=16
+    )
+
+
+@_q(
+    "sim_pq_topk",
+    None,  # approximate by design: recall < 1 vs brute force → rows-only check
+    doc="Product-quantization approximate top-k: ADC over m=16/ksub=256 "
+    "codes (16x storage shrink at dim 64 float32); corpus codes never "
+    "shuffle — mapInPandas emits per-partition per-query top-k, then a "
+    "tiny global reduce",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PQ path: codebooks trained driver-side on a deterministic
+    hash-ordered sample (FAISS's quantizer-in-RAM trade), encode and ADC
+    search fully distributed. The memory story complements IVF: PQ codes
+    make a 100 TB float corpus fit hot storage; IVF bounds scan fan-out —
+    production systems compose them (IVF-PQ)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8)
+    encoded = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(
+        encoded, books, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_q(
+    "sim_pq_rerank_topk",
+    None,  # approximate by design → rows-only check
+    doc="Two-stage PQ search: ADC shortlist (4k candidates from compressed "
+    "codes) + exact cosine re-rank of only those candidates — recall@5 "
+    "reported by bench.py (1.0 at sf0.01, 0.98 at sf0.1, near-random "
+    "vectors)",
+)
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8)
+    encoded = similarity.pq_encode(emb, books)
+    return similarity.pq_topk_reranked(
+        encoded, books, emb.filter(F.col("vec_id") < 10), emb, k=5, shortlist=4
+    )
+
+
+@_q(
+    "sim_ivfpq_topk",
+    None,  # approximate by design → rows-only check
+    doc="IVF-PQ composition (the production ANN shape): probe nprobe "
+    "centroid buckets (equi join bounds the SCAN), ADC-score candidates "
+    "from PQ codes (bounds the BYTES — floats never flow through the "
+    "join), exact re-rank of the shortlist",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = similarity.kmeans_centroids(emb, n_clusters=64, iters=3)
+    bucketed = similarity.assign_buckets(emb, centroids, spill=2)
+    # residual IVF-PQ (the FAISS shape): codebooks trained on, and each
+    # (vector, bucket) row encoded as, normalized-vector − bucket-centroid
+    books = similarity.pq_train(emb, m=16, ksub=256, iters=8, centroids=centroids)
+    bucketed_encoded = similarity.pq_encode(
+        bucketed.select("vec_id", "embedding", "bucket_id"),
+        books,
+        centroids=centroids,
+    )
+    return similarity.ivfpq_topk(
+        bucketed_encoded,
+        books,
+        centroids,
+        emb.filter(F.col("vec_id") < 10),
+        corpus=emb,
+        k=5,
+        nprobe=20,
+        shortlist=4,
+        residual=True,
+    )
+
+
+@_q(
+    "emb_quantize_int8",
+    """
+    SELECT vec_id,
+           array_to_string(
+             list_transform(emb,
+                            x -> CAST(floor(x * scale + 0.5) AS INT)),
+             ',') AS qvec,
+           round(scale, 6) AS scale_r,
+           round(list_aggregate(
+             list_transform(emb,
+                            x -> abs(floor(x * scale + 0.5) / scale - x)),
+             'sum') / len(emb), 9) AS mae
+    FROM (
+      SELECT vec_id, emb,
+             CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+      FROM (
+        -- float32 -> double FIRST so both engines do all math in double
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings))
+    """,
+    doc="Symmetric per-vector int8 quantization (4x embedding storage shrink "
+    "at 100 TB) + per-row mean-abs reconstruction error; floor(x+0.5) "
+    "rounding so both engines emit identical codes",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q, scale, err = similarity.quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+        F.round(scale, 6).alias("scale_r"),
+        F.round(err, 9).alias("mae"),
+    )
+
+
+@_q(
+    "dedup_cluster_components",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id AS id,
+             lang || '|' || source || '|' ||
+               CAST(CAST(floor(log2(len(regexp_split_to_array(trim(text), '\\s+'))))
+                    AS BIGINT) AS VARCHAR) AS blk,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id, blk,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.id AS a_id, b.id AS b_id,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id) v
+      WHERE jaccard >= 0.1
+    ), edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), walk(s, d) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s
+    )
+    SELECT s AS doc_id, min(d) AS cluster_id FROM walk GROUP BY s
+    """,
+    headline=True,
+    doc="Near-dup CLUSTERING: connected components over the exact ngram-"
+    "jaccard pairs (min-label propagation; cluster_id = smallest member — "
+    "the doc a keep-first policy retains). Every doc appears; singletons "
+    "cluster as themselves. Oracle replays it as a recursive CTE closure",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            "lang",
+            "source",
+            F.floor(
+                F.log2(F.size(F.split(F.trim("text"), r"\s+")))
+            ).cast("long").cast("string"),
+        ),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "blk", n=3, min_jaccard=0.0
+    )
+    pairs = pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.1
+    )
+    return dedup.connected_components(
+        pairs, "a_id", "b_id",
+        all_nodes=docs.select("doc_id"), node_col="doc_id",
+    )
+
+
+@_q(
+    "dedup_cluster_incremental",
+    CATALOG["dedup_cluster_components"].oracle,  # IDENTICAL final labels
+    doc="Incremental clustering maintenance: cluster the first 60% of the "
+    "corpus, then fold the remaining docs' pairs in via star contraction "
+    "of the existing clusters (incremental_connected_components) — "
+    "propagation cost independent of historical pair count. The oracle is "
+    "the SAME full recursive-CTE closure as dedup_cluster_components: "
+    "incremental == full recompute, hash-checked",
+)
+def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            "lang",
+            "source",
+            F.floor(
+                F.log2(F.size(F.split(F.trim("text"), r"\s+")))
+            ).cast("long").cast("string"),
+        ),
+    )
+    split_at = F.lit(300)
+    old_docs = docs.filter(F.col("doc_id") < split_at)
+
+    def pairs_of(frame):
+        p = dedup.ngram_jaccard_pairs(
+            frame, "doc_id", "text", "blk", n=3, min_jaccard=0.0
+        )
+        return p.withColumn("jaccard", F.round("jaccard", 4)).filter(
+            F.col("jaccard") >= 0.1
+        )
+
+    base = dedup.connected_components(
+        pairs_of(old_docs), "a_id", "b_id",
+        all_nodes=old_docs.select("doc_id"), node_col="doc_id",
+    )
+    # the new batch's pairs: everything the full pair set adds beyond the
+    # old-corpus pairs (at least one endpoint in the new docs)
+    new_pairs = pairs_of(docs).filter(
+        (F.col("a_id") >= split_at) | (F.col("b_id") >= split_at)
+    )
+    return dedup.incremental_connected_components(
+        base, new_pairs, "a_id", "b_id",
+        new_nodes=docs.select("doc_id"), node_col="doc_id",
+    )
+
+
+@_q(
+    "dedup_spans_firstwins",
+    """
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i*5+1):(i*5+5)], ' ') AS span
+      FROM words, unnest(range(CAST(ceil(len(w) / 5.0) AS BIGINT))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY pos), '') AS dedup_text
+    FROM ranked GROUP BY doc_id
+    """,
+    doc=(
+        "C4-style global span dedup (first occurrence wins, 5-word spans): "
+        "one shuffle by span for first-wins row_number, one by doc to "
+        "reassemble — the exact-substring analog of the MinHash pipeline."
+    ),
+)
+def dedup_spans_firstwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.span_dedup(docs, "doc_id", "text", span_words=5)
+
+
+@_q(
+    "search_keyword_and",
+    """
+    SELECT doc_id FROM documents
+    WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'spark')
+      AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'window')
+      AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'merge')
+    """,
+    doc=(
+        "Keyword AND-search through the inverted-index plan (posting "
+        "filter + distinct-term count per doc) — must return exactly the "
+        "full-scan answer. The persisted/maintained index variant "
+        "(InvertedIndex over TableStore) is pytest-covered; cost is "
+        "O(matched postings), not O(corpus)."
+    ),
+)
+def search_keyword_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = search.postings(docs, "doc_id", "text")
+    return search.and_search(idx, ["spark", "window", "merge"])
+
+
+@_q(
+    "dedup_fuzzy_levenshtein",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', -1) || '|' || substr(p_name, 1, 1) AS block
+      FROM part
+    )
+    SELECT a.block,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(min(CASE WHEN a.p_name <> b.p_name
+                         THEN levenshtein(a.p_name, b.p_name) END) AS BIGINT)
+             AS min_nonzero_dist
+    FROM p a JOIN p b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    GROUP BY a.block
+    """,
+    doc=(
+        "Fuzzy string matching: blocked Levenshtein self-join, aggregated "
+        "to per-block near-match stats. Block = (head noun, first char): "
+        "at dist<=2 the adjectives almost always share an initial; a "
+        "noun-only block squares 2k-row groups into 20M pairs (38s at "
+        "sf0.1), the two-key block is ~3.5s with the pair space O(sum "
+        "block^2). Production recall adds a second blocking pass on "
+        "another key (multi-pass blocking), same plan shape."
+    ),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.element_at(F.split("p_name", " "), -1),
+            F.lit("|"),
+            F.substring("p_name", 1, 1),
+        ).alias("block"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return joined.groupBy(F.col("a.block").alias("block")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((dist <= 2).cast("long")).alias("n_near"),
+        F.min(
+            F.when(F.col("a.p_name") != F.col("b.p_name"), dist)
+        ).cast("long").alias("min_nonzero_dist"),
+    )
+
+
+def _rp_lsh_oracle(k: int = 16, bands: int = 2, min_cos: float = 0.3) -> str:
+    from lakehouse_spark.operators.dedup import hyperplanes
+
+    planes = hyperplanes(k, 64)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[p]!r}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(k)
+    )
+    width = k // bands
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, (sig >> {b * width}) & {mask} AS bits "
+        "FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, CAST({sig_terms} AS BIGINT) AS sig FROM e),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cosine FROM (
+      SELECT c.a_id, c.b_id,
+             round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.a_id
+      JOIN e eb ON eb.vec_id = c.b_id)
+    WHERE cosine >= {min_cos}
+    """
+
+
+@_q(
+    "dedup_embedding_rplsh",
+    _rp_lsh_oracle(),
+    doc=(
+        "Random-hyperplane LSH near-dup (Charikar SimHash for vectors): "
+        "16-bit sign signature from md5-derived hyperplanes, 2x8-bit "
+        "banded equi self-join, exact-cosine verify of candidates only. "
+        "The no-blocking-column ANN path — the hash IS the blocking."
+    ),
+)
+def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return dedup.rp_lsh_near_duplicates(emb, "vec_id", "v")
+
+
+@_q(
+    "sim_topk_filtered",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+               neighbor_id) AS INTEGER) AS rank
+      FROM q JOIN c ON neighbor_id <> query_id AND q.label = c.label) t
+    WHERE rank <= 5
+    """,
+    doc=(
+        "Filtered ANN (metadata predicate INSIDE the search): top-k cosine "
+        "restricted to corpus rows sharing the query's label. The filter "
+        "rides the join condition, so pruning happens before any distance "
+        "is computed — post-filtering a plain top-k instead would return "
+        "fewer than k hits whenever the filter is selective."
+    ),
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),
+    ).withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@_q(
+    "search_hybrid_rrf",
+    """
+    WITH d AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+      FROM documents
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT d.doc_id AS query_id, d.toks AS qt, e.v AS qv
+      FROM d JOIN e ON e.vec_id = d.doc_id WHERE d.doc_id < 3
+    ), kw AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY len(list_intersect(qt, toks)) DESC, doc_id) AS INTEGER)
+               AS rank_kw
+      FROM q JOIN d ON d.doc_id <> q.query_id
+      QUALIFY rank_kw <= 50
+    ), vec AS (
+      SELECT query_id, vec_id AS doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) DESC,
+               vec_id) AS INTEGER) AS rank_vec
+      FROM q JOIN e ON e.vec_id <> q.query_id
+      QUALIFY rank_vec <= 50
+    ), fused AS (
+      SELECT coalesce(kw.query_id, vec.query_id) AS query_id,
+             coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + rank_kw), 0)
+                   + coalesce(1.0 / (60 + rank_vec), 0), 6) AS rrf
+      FROM kw FULL OUTER JOIN vec
+        ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id
+    )
+    SELECT query_id, doc_id, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+    doc=(
+        "Hybrid search with Reciprocal Rank Fusion: keyword ranking "
+        "(distinct-token overlap) and vector ranking (exact cosine) each "
+        "produce a top-50, fused by 1/(60+rank) sums, top-10 emitted. Both "
+        "arms broadcast only the 3 queries; the corpus is scanned once per "
+        "modality and never shuffled — the lexical arm runs over the same "
+        "posting representation the inverted index persists."
+    ),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_spark.operators.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("toks"),
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("toks").alias("qt"),
+            F.col("v").alias("qv"),
+        )
+    )
+    w_kw = Window.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("doc_id")
+    )
+    kw = (
+        docs.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn("overlap", F.size(F.array_intersect("qt", "toks")))
+        .withColumn("rank_kw", F.row_number().over(w_kw))
+        .filter(F.col("rank_kw") <= 50)
+        .select("query_id", "doc_id", "rank_kw")
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    vec = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("doc_id", F.col("vec_id"))
+        .withColumn("rank_vec", F.row_number().over(w_vec))
+        .filter(F.col("rank_vec") <= 50)
+        .select("query_id", "doc_id", "rank_vec")
+    )
+    fused = kw.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_kw")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def _minhash_cross_oracle(k: int = 16, bands: int = 4, min_j: float = 0.5) -> str:
+    from lakehouse_spark.operators.dedup import xor_salts
+
+    rows = k // bands
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> xor(h, {salt}))) AS m{j}"
+        for j, salt in enumerate(xor_salts(k))
+    )
+    band_rows = ", ".join(
+        "({b}, [{ms}])".format(
+            b=b, ms=", ".join(f"m{b * rows + i}" for i in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    ), sig AS (
+      SELECT id, sh,
+             {sig_exprs}
+      FROM (SELECT id, sh,
+                   list_transform(sh, s -> {_hash64_sql('s')}) AS hs
+            FROM base)
+    ), banded AS (
+      SELECT id, b.band, b.band_sig
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, band_sig)
+    ), pairs AS (
+      SELECT DISTINCT e.id AS existing_id, i.id AS incoming_id
+      FROM banded e JOIN banded i
+        ON e.band = i.band AND e.band_sig = i.band_sig
+      WHERE e.id < 400 AND i.id >= 400
+    )
+    SELECT existing_id, incoming_id, jaccard FROM (
+      SELECT p.existing_id, p.incoming_id,
+             round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                   len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      FROM pairs p
+      JOIN base x ON x.id = p.existing_id
+      JOIN base y ON y.id = p.incoming_id) v
+    WHERE jaccard >= {min_j}
+    """
+
+
+@_q(
+    "dedup_minhash_incoming",
+    _minhash_cross_oracle(),
+    doc=(
+        "Cross-corpus MinHash-LSH (incremental ingest, batch face): which "
+        "incoming documents (doc_id >= 400) near-duplicate the existing "
+        "corpus (doc_id < 400). The existing side's band relation is the "
+        "reusable index; the candidate join is banded existing x incoming, "
+        "never existing-squared."
+    ),
+)
+def dedup_minhash_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_cross_corpus(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+        "doc_id",
+        "text",
+        min_jaccard=0.0,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 4)).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def _simhash_pairs_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT id, {_hash64_sql('t')} AS h FROM tok
+    ), votes AS (
+      SELECT id, {votes} FROM h GROUP BY id
+    ), sigs AS (
+      SELECT id, CAST({fingerprint} AS BIGINT) AS sh FROM votes
+    ), banded AS (
+      SELECT id, sh, b AS band, (sh >> (b * {band_bits})) & {mask} AS band_val
+      FROM sigs, unnest([{bands}]) AS u(b)
+    )
+    SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@_q(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(),
+    doc=(
+        "SimHash near-dup PAIRS with pigeonhole-complete banding: any pair "
+        "within Hamming distance 3 must agree on one of 4 full 15-bit "
+        "bands, so the banded equi self-join has ZERO recall loss (unlike "
+        "probabilistic MinHash banding); candidates verify with "
+        "bit_count(xor). Complements the fingerprint entry dedup_simhash."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
