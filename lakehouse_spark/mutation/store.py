@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
 _MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
-_SEG_RE = re.compile(r"^_seg(\d{6})$")
+_SEG_RE = re.compile(r"^_seg(\d{6})(?:_\d+)?$")  # optional multi-part suffix
 
 
 def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
@@ -130,8 +130,8 @@ class TableStore:
         with open(self._manifest_path(v)) as f:
             return json.load(f)["segments"]
 
-    def _write_segment(self, df: DataFrame, v: int) -> str:
-        seg = f"_seg{v:06d}"
+    def _write_segment(self, df: DataFrame, v: int, part: int | None = None) -> str:
+        seg = f"_seg{v:06d}" if part is None else f"_seg{v:06d}_{part:02d}"
         path = os.path.join(self.root, seg)
         df.write.mode("overwrite").parquet(path)
         if self.stats_cols:
@@ -519,10 +519,58 @@ class TableStore:
         self._rewrite(keep)
         return removed
 
-    def compact(self) -> None:
+    def compact(
+        self,
+        zorder_by: tuple[str, str] | None = None,
+        bits: int = 8,
+        n_segments: int = 8,
+    ) -> None:
         """OPTIMIZE analog: fold all live segments into one (append-heavy
-        tables accumulate small segments; run this on a cadence)."""
-        self._rewrite(self.read())
+        tables accumulate small segments; run this on a cadence).
+
+        ``zorder_by=(col_a, col_b)`` is OPTIMIZE ZORDER BY: rows are
+        Morton-clustered on the two columns (operators.layout) and written
+        as ``n_segments`` z-range-banded segments instead of one. Each
+        band covers a compact rectangle of the 2-D key space, so with the
+        same columns in ``stats_cols`` the manifest's per-segment min/max
+        lets ``read(predicate=...)`` skip most bands on a box predicate
+        over EITHER column — manifest-level data skipping on top of the
+        parquet row-group pruning the z-sort already buys. One full
+        rewrite, same as Delta's OPTIMIZE; the banded writes read the keyed
+        snapshot from a persisted cache, not n_segments recomputes of
+        upstream lineage."""
+        if zorder_by is None:
+            self._rewrite(self.read())
+            return
+        from lakehouse_spark.operators.layout import zorder_key
+
+        a, b = zorder_by
+        base = self.read()
+        keyed = base.withColumn("__z", zorder_key(base, a, b, bits)).persist()
+        try:
+            n = max(1, n_segments)
+            qs = keyed.approxQuantile(
+                "__z", [i / n for i in range(1, n)], 0.001
+            )
+            bounds = sorted(set(qs))
+            edges = [None, *bounds, None]  # half-open bands, ends unbounded
+
+            def _bands(v: int) -> list[str]:
+                segs = []
+                for i in range(len(edges) - 1):
+                    lo, hi = edges[i], edges[i + 1]
+                    band = keyed
+                    if lo is not None:
+                        band = band.filter(F.col("__z") >= lo)
+                    if hi is not None:
+                        band = band.filter(F.col("__z") < hi)
+                    band = band.sortWithinPartitions("__z").drop("__z")
+                    segs.append(self._write_segment(band, v, part=i))
+                return segs
+
+            self._transact(_bands, meta={"zorder_by": list(zorder_by)})
+        finally:
+            keyed.unpersist()
 
     def maybe_compact(self, max_segments: int = 16) -> bool:
         """Small-file policy: compact only when the live version holds more

@@ -95,3 +95,53 @@ def test_null_bounds_and_evolved_schema(spark, tmp_path):
     # segment 1 conservatively kept on an extra-predicate
     out = store.read(predicate={"extra": (0, 100)})
     assert sorted(r.id for r in out.filter(F.col("extra").isNotNull()).collect()) == [2]
+
+
+def test_zorder_compact_bands_prune_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER: compact(zorder_by=(a, b)) rewrites the table as
+    z-range-banded segments; with (a, b) in stats_cols, a box predicate on
+    EITHER column prunes segments at the manifest — and results always
+    equal the plain filtered read."""
+    store = TableStore(
+        spark, str(tmp_path / "z"), key="id", stats_cols=("xa", "xb")
+    )
+    # 40x40 grid scattered over row order: pre-compact segments have full
+    # value ranges on both columns, so nothing prunes
+    rows = [(i, (i * 17) % 40, (i * 29) % 40) for i in range(1600)]
+    store.init(spark.createDataFrame(rows, "id long, xa long, xb long"))
+    before = store.read(predicate={"xa": (0, 4)})
+    assert len(before.inputFiles()) == len(store.read().inputFiles())
+
+    store.compact(zorder_by=("xa", "xb"), bits=5, n_segments=8)
+
+    full = store.read()
+    assert store.n_segments() == 8
+    want_a = sorted(r.id for r in full.filter(F.col("xa").between(0, 4)).collect())
+    pruned_a = store.read(predicate={"xa": (0, 4)})
+    assert sorted(r.id for r in pruned_a.collect()) == want_a
+    assert len(pruned_a.inputFiles()) < len(full.inputFiles())
+
+    want_b = sorted(r.id for r in full.filter(F.col("xb").between(35, 39)).collect())
+    pruned_b = store.read(predicate={"xb": (35, 39)})
+    assert sorted(r.id for r in pruned_b.collect()) == want_b
+    assert len(pruned_b.inputFiles()) < len(full.inputFiles())
+
+    # 2-D box: both predicates at once prunes at least as hard
+    box = store.read(predicate={"xa": (0, 4), "xb": (0, 4)})
+    assert len(box.inputFiles()) <= min(
+        len(pruned_a.inputFiles()), len(pruned_b.inputFiles())
+    )
+    assert sorted(r.id for r in box.collect()) == sorted(
+        r.id
+        for r in full.filter(
+            F.col("xa").between(0, 4) & F.col("xb").between(0, 4)
+        ).collect()
+    )
+
+    # vacuum must recognize suffixed segment names (regex extension)
+    store.append(spark.createDataFrame([(9999, 1, 1)], "id long, xa long, xb long"))
+    store.compact()  # back to one segment
+    store.vacuum(keep_last=1)
+    import os
+    left = [n for n in os.listdir(store.root) if n.startswith("_seg")]
+    assert left == [f"_seg{store.current_version():06d}"]
