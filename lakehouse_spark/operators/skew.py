@@ -76,3 +76,62 @@ def top_keys(df: DataFrame, key_cols: list[str], n: int = 20) -> DataFrame:
     before deciding to salt."""
     counts = df.groupBy(*key_cols).count()
     return counts.orderBy(F.desc("count"), *key_cols).limit(n)
+
+
+def adaptive_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    hot_multiplier: float = 8.0,
+    min_hot_rows: int = 1000,
+    max_hot_keys: int = 1000,
+    how: str = "inner",
+) -> DataFrame:
+    """Selective skew join: salt ONLY the hot keys, leave the rest alone.
+
+    Blanket salting (:func:`salted_broadcast_join`) replicates the whole
+    dim ``n_salts``× even though typically a handful of keys are skewed —
+    at a 100 TB fact with a wide dim that replication is real money. This
+    probe-and-split shape is what engines do under the name "skew join
+    optimization":
+
+    1. probe the fact's key histogram (one map-side-combined count — the
+       shuffled relation is one row per key) and collect keys with
+       ``count > max(hot_multiplier × avg, min_hot_rows)``, capped at
+       ``max_hot_keys`` heaviest (the cap bounds driver memory; keys past
+       it fall back to the plain join, which AQE's runtime skew split
+       still covers);
+    2. hot fact rows join a salted broadcast replica of ONLY the hot dim
+       rows (hot dim side is ≤ max_hot_keys rows — broadcastable by
+       construction);
+    3. cold fact rows join the dim normally (Spark picks SMJ/broadcast);
+    4. union. Result equals the plain join EXACTLY (oracle-checked);
+       only the shuffle distribution changes.
+
+    ``how``: 'inner' or 'left' (dim-preserving joins would need dim-side
+    residual handling the split doesn't do)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"adaptive_skew_join supports inner/left, got {how!r}")
+    counts = fact.groupBy(key).count()
+    stats = counts.agg(
+        F.avg("count").alias("avg"), F.count("*").alias("nkeys")
+    ).collect()[0]
+    if stats.nkeys == 0:
+        return fact.join(dim, key, how)
+    threshold = max(float(stats.avg) * hot_multiplier, float(min_hot_rows))
+    hot_rows = (
+        counts.filter(F.col("count") > threshold)
+        .orderBy(F.desc("count"), key)
+        .limit(max_hot_keys)
+        .collect()
+    )
+    hot = [r[key] for r in hot_rows]
+    if not hot:
+        return fact.join(dim, key, how)
+    fact_hot = fact.filter(F.col(key).isin(hot))
+    fact_cold = fact.filter(~F.col(key).isin(hot) | F.col(key).isNull())
+    dim_hot = dim.filter(F.col(key).isin(hot))
+    hot_joined = salted_broadcast_join(fact_hot, dim_hot, key, n_salts, how)
+    cold_joined = fact_cold.join(dim, key, how)
+    return hot_joined.unionByName(cold_joined)

@@ -937,6 +937,39 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "skew_adaptive_join",
+    """
+    SELECT l_returnflag AS k,
+           round(sum(CAST(round(l.l_extendedprice * 10000) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN (SELECT DISTINCT l_returnflag FROM lineitem) d
+      USING (l_returnflag)
+    GROUP BY 1
+    """,
+    doc=(
+        "Selective skew join: probe the fact's key histogram, salt ONLY "
+        "hot keys (every l_returnflag qualifies here), cold keys join "
+        "plain; result equals the unsalted join exactly. Blanket salting "
+        "replicates the whole dim n_salts x; this replicates only the "
+        "hot dim rows."
+    ),
+)
+def skew_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = li.select("l_returnflag").distinct()
+    joined = skew.adaptive_skew_join(
+        li, dim, "l_returnflag", min_hot_rows=100
+    )
+    return joined.groupBy(F.col("l_returnflag").alias("k")).agg(
+        _ssum("l_extendedprice", 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def _zorder_oracle() -> str:
     from lakehouse_spark.operators.layout import interleave_bits_sql
 

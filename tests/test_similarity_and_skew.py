@@ -564,3 +564,41 @@ def test_ann_index_residual_flag_roundtrips(spark, tmp_path):
         queries, k=5, nprobe=12, corpus=emb
     )
     assert hits.filter(F.col("neighbor_id") < 20).count() > 0  # added rows found
+
+
+def test_adaptive_skew_join_equals_plain_join(spark):
+    """Probe-and-split skew join: hot keys salted, cold keys plain, union
+    equals the plain join exactly — for inner AND left, including fact
+    keys missing from the dim and null fact keys."""
+    from lakehouse_spark.operators.skew import adaptive_skew_join
+
+    rows = [(i, "hot", i * 1.0) for i in range(500)]          # one hot key
+    rows += [(i, f"k{i % 20}", i * 1.0) for i in range(200)]   # cold keys
+    rows += [(998, "orphan", 1.0), (999, None, 2.0)]           # no dim match
+    fact = spark.createDataFrame(rows, "id long, k string, x double")
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{j}", f"D{j}") for j in range(20)],
+        "k string, label string",
+    )
+
+    for how in ("inner", "left"):
+        got = adaptive_skew_join(
+            fact, dim, "k", n_salts=4, hot_multiplier=2.0, min_hot_rows=50,
+            how=how,
+        )
+        want = fact.join(dim, "k", how)
+        snap = lambda df: sorted(
+            (r.id, r.k, r.x, r.label) for r in df.collect()
+        )
+        assert snap(got) == snap(want), how
+
+    # degenerate inputs: no hot keys at all -> plain-join fallback
+    flat = spark.createDataFrame(
+        [(i, f"k{i}", 0.0) for i in range(50)], "id long, k string, x double"
+    )
+    out = adaptive_skew_join(flat, dim, "k", min_hot_rows=1000)
+    assert out.count() == flat.join(dim, "k").count()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        adaptive_skew_join(fact, dim, "k", how="right")
