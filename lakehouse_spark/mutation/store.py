@@ -485,6 +485,91 @@ class TableStore:
             survivors.unionByName(rows.select(*base.columns)), txn=txn
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        update_cols: list[str] | None = None,
+        update_cond: str | None = None,
+        delete_cond: str | None = None,
+        insert: bool = True,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
+        """Conditional MERGE keyed by ``self.key`` — the full Delta shape
+        :meth:`upsert` is the unconditional special case of::
+
+            MERGE INTO target t USING source s ON t.<key> = s.<key>
+            WHEN MATCHED [AND <delete_cond>] THEN DELETE
+            WHEN MATCHED [AND <update_cond>] THEN UPDATE SET <update_cols>
+            WHEN NOT MATCHED [AND insert]    THEN INSERT *
+
+        ``update_cond`` / ``delete_cond`` are SQL boolean expressions over
+        ``t.<col>`` (current row) and ``s.<col>`` (incoming row); DELETE
+        is evaluated before UPDATE, matching Delta's clause ordering.
+        ``update_cols`` limits which target columns the update rewrites
+        (default: every source column except the key). Unmatched target
+        rows always survive; unmatched source rows insert when ``insert``.
+
+        Cost shape: one left-outer join of the table against the (usually
+        small) source on the key plus one full-rewrite commit — the same
+        O(table) a Delta MERGE without deletion vectors pays."""
+        if not self.exists():
+            if insert:
+                self.init(source, txn=txn)
+            return
+        base = self.read()
+        cols = base.columns
+        upd = [
+            c
+            for c in (update_cols if update_cols is not None else source.columns)
+            if c != self.key and c in cols and c in source.columns
+        ]
+        t = base.alias("t")
+        s = source.alias("s")
+        joined = t.join(
+            s, F.col(f"t.{self.key}") == F.col(f"s.{self.key}"), "left"
+        )
+        matched = F.col(f"s.{self.key}").isNotNull()
+        if delete_cond is not None:
+            deleted = matched & F.coalesce(F.expr(delete_cond), F.lit(False))
+        else:
+            deleted = F.lit(False)
+        updated = matched & ~deleted
+        if update_cond is not None:
+            updated = updated & F.coalesce(F.expr(update_cond), F.lit(False))
+        kept = joined.filter(~deleted).select(
+            *[
+                F.when(updated, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                if c in upd
+                else F.col(f"t.{c}").alias(c)
+                for c in cols
+            ]
+        )
+        out = kept
+        if insert:
+            new_rows = s.join(
+                t.select(F.col(f"t.{self.key}")),
+                F.col(f"s.{self.key}") == F.col(f"t.{self.key}"),
+                "left_anti",
+            )
+            missing = [c for c in cols if c not in source.columns]
+            ins = new_rows.select(
+                *[
+                    F.col(c).alias(c)
+                    if c in source.columns
+                    else F.lit(None).alias(c)
+                    for c in cols
+                ]
+            )
+            if missing:
+                ins = ins.select(
+                    *[
+                        F.col(c).cast(base.schema[c].dataType).alias(c)
+                        for c in cols
+                    ]
+                )
+            out = kept.unionByName(ins)
+        self._rewrite(out, txn=txn)
+
     def delete_keys(self, keys: DataFrame) -> int:
         """J4 target: delete all rows whose key appears in ``keys`` (feed
         with plans.closure.cascade_delete_targets for recursive deletes)."""
