@@ -458,3 +458,12 @@ def test_cross_corpus_minhash_is_banded_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_caches()
+
+
+def test_adaptive_skew_join_hot_path_broadcasts(spark):
+    """The hot branch of skew_adaptive_join must be a BroadcastHashJoin on
+    (key, salt) — if the salted replica ever stops broadcasting, the hot
+    keys shuffle again and the mitigation is a no-op."""
+    plan = _plan(spark, "skew_adaptive_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
