@@ -93,3 +93,43 @@ def assert_scalable(df: DataFrame) -> None:
             "plan fails scale audit:\n"
             + "\n".join(f"- [{f.check}] {f.detail}" for f in bad)
         )
+
+
+def _main(argv: list[str]) -> int:
+    """``python -m lakehouse_spark.plans.audit <sf_dir> [entry ...]`` —
+    audit catalog entries' physical plans (all entries when none named).
+    Exit 1 if any audited plan has a fatal finding. The CLI twin of
+    :func:`assert_scalable`, for eyeballing a plan before it ships."""
+    from lakehouse_spark.queries import CATALOG
+    from lakehouse_spark.session import get_spark
+
+    if not argv:
+        print("usage: python -m lakehouse_spark.plans.audit <sf_dir> [entry ...]")
+        return 2
+    sf_dir, names = argv[0], argv[1:] or list(CATALOG)
+    unknown = [n for n in names if n not in CATALOG]
+    if unknown:
+        print(f"unknown entries: {', '.join(unknown)}")
+        return 2
+    spark = get_spark(app_name="lakehouse_spark_audit")
+    n_fatal = 0
+    for name in names:
+        try:
+            findings = audit(CATALOG[name].build(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — report, keep auditing
+            print(f"{name:40s} ERROR {type(ex).__name__}: {str(ex)[:120]}")
+            n_fatal += 1
+            continue
+        if not findings:
+            print(f"{name:40s} clean")
+        for f in findings:
+            tag = "FATAL" if f.fatal else "note"
+            print(f"{name:40s} {tag:5s} [{f.check}] {f.detail}")
+            n_fatal += int(f.fatal)
+    return 1 if n_fatal else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_main(sys.argv[1:]))
