@@ -104,3 +104,53 @@ def test_merge_txn_idempotence(spark, tmp_path):
     if s.last_txn_version("app") >= 7:
         pass  # skip duplicate batch
     assert _rows(s)[1] == ("A", 11.0, "t1")
+
+
+def test_merge_property_vs_reference_model(spark, tmp_path):
+    """Randomized MERGE against a python reference model: for random
+    base/source key-value sets and every condition combination, the store
+    result must equal clause-by-clause simulation (DELETE before UPDATE,
+    unmatched target kept, unmatched source inserted)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        base_rows = [(i, rng.randint(0, 50)) for i in rng.sample(range(12), 7)]
+        src_rows = [(i, rng.randint(0, 50)) for i in rng.sample(range(12), 7)]
+        for update_cond, delete_cond, insert in itertools.product(
+            [None, "s.x > t.x"], [None, "s.x < 10"], [True, False]
+        ):
+            s = TableStore(
+                spark, str(tmp_path / f"m{trial}_{update_cond}_{delete_cond}_{insert}"),
+                key="id",
+            )
+            s.init(spark.createDataFrame(base_rows, "id long, x long"))
+            s.merge(
+                spark.createDataFrame(src_rows, "id long, x long"),
+                update_cond=update_cond,
+                delete_cond=delete_cond,
+                insert=insert,
+            )
+            got = {r.id: r.x for r in s.read().collect()}
+
+            src = dict(src_rows)
+            want = {}
+            for i, x in base_rows:
+                if i in src:
+                    sx = src[i]
+                    if delete_cond is not None and sx < 10:
+                        continue
+                    if update_cond is None or sx > x:
+                        want[i] = sx
+                    else:
+                        want[i] = x
+                else:
+                    want[i] = x
+            if insert:
+                for i, sx in src.items():
+                    if i not in dict(base_rows):
+                        want[i] = sx
+            assert got == want, (
+                trial, update_cond, delete_cond, insert, got, want
+            )
