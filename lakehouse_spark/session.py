@@ -77,3 +77,58 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def cluster_conf(
+    data_tb: float,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+) -> dict[str, str]:
+    """Derived Spark conf for a real cluster run at ``data_tb`` of input —
+    the sizing arithmetic behind the engine's 100 TB posture, as code
+    instead of a wiki page. Merge the result into ``get_spark(extra_conf=)``
+    or spark-submit ``--conf`` flags.
+
+    The invariants it encodes (pytest-pinned):
+
+    - shuffle partitions target ~200 MB of pre-AQE shuffle data each,
+      floored at 2x total cores so every core has work; AQE coalescing
+      then shrinks small stages at runtime, so oversizing is safe and
+      undersizing is the only real failure mode;
+    - max partition bytes stays 256 MB — scan task count scales with data,
+      not with the partition knob;
+    - per-core working memory (executor mem / cores, after the 0.6 unified
+      fraction) must comfortably hold one shuffle partition — the
+      spill-avoidance bound;
+    - AQE skew-join split + runtime broadcast stay on (they ARE the
+      per-scale tuner; static conf can't know which keys run hot).
+    """
+    total_cores = executors * cores_per_executor
+    # ~1/3 of scanned bytes typically survives projection+filter into the
+    # big shuffles (measured 0.1-0.5 across the headline suite's scaling
+    # section); size partitions for that at 200 MB apiece.
+    shuffle_bytes = data_tb * (1 << 40) / 3
+    parts = max(2 * total_cores, int(shuffle_bytes // (200 * (1 << 20))))
+    per_core_mb = executor_mem_gb * 1024 * 0.6 / cores_per_executor
+    if per_core_mb < 300:
+        raise ValueError(
+            f"{executor_mem_gb} GB / {cores_per_executor} cores leaves "
+            f"{per_core_mb:.0f} MB working memory per task — under the "
+            "~300 MB a 200 MB shuffle partition needs headroom for; "
+            "use fewer cores per executor or more memory"
+        )
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * (1 << 20)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * (1 << 20)),
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        # Arrow batches stay bounded so pandas-UDF peak memory is
+        # per-batch, not per-partition.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }

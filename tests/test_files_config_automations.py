@@ -268,3 +268,28 @@ def test_scheduler_tick_fires_records_and_reschedules(spark, tmp_path):
     last = sorted(mgr.executions.read().collect(), key=lambda r: r.encounter_seq)[-1]
     assert (last.status, last.error) == ("failed", "boom")
     assert mgr.get("t1").next_execution == datetime(2026, 1, 15, 13, 0)
+
+
+def test_cluster_conf_sizing_invariants():
+    from lakehouse_spark.session import cluster_conf
+
+    import pytest
+
+    conf = cluster_conf(data_tb=100, executors=1000, cores_per_executor=4,
+                        executor_mem_gb=16)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    # 100 TB / 3 at ~200 MB per partition ≈ 187k partitions — and never
+    # below 2x total cores
+    assert parts >= 2 * 1000 * 4
+    assert 150_000 <= parts <= 250_000
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+
+    # small data still keeps every core busy
+    small = cluster_conf(data_tb=0.001, executors=10, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80
+
+    # memory-starved layout is rejected with the sizing math in the message
+    with pytest.raises(ValueError, match="working memory"):
+        cluster_conf(data_tb=1, executors=10, cores_per_executor=32,
+                     executor_mem_gb=8)
