@@ -41,6 +41,12 @@ class MaterializedAgg:
     """
 
     META_KEY = "mview_base_version"
+    # Stamped into every view commit; a persisted view WITHOUT the current
+    # marker was keyed by an older scheme (the pre-round-5 concat_ws form)
+    # and must be fully rebuilt — merging new-format deltas into old-format
+    # rows would double-count every group.
+    FORMAT_KEY = "mview_key_format"
+    FORMAT = "json1"
 
     def __init__(
         self,
@@ -96,14 +102,19 @@ class MaterializedAgg:
         if v_base is None:
             raise FileNotFoundError("base table has no committed version")
         v_have = self.base_version_reflected()
-        if v_have == v_base:
+        stale_format = (
+            self.view.exists()
+            and self.view.version_meta().get(self.FORMAT_KEY) != self.FORMAT
+        )
+        if v_have == v_base and not stale_format:
             return v_base
-        if full or v_have is None:
+        if full or v_have is None or stale_format:
             snap = self.base.read(v_base).groupBy(*self.group_cols).agg(
                 *self._aggs()
             )
             self.view.overwrite(
-                self._with_key(snap), meta={self.META_KEY: v_base}
+                self._with_key(snap),
+                meta={self.META_KEY: v_base, self.FORMAT_KEY: self.FORMAT},
             )
             return v_base
 
@@ -141,6 +152,7 @@ class MaterializedAgg:
             ],
         )
         self.view.overwrite(
-            merged.filter(F.col("n") > 0), meta={self.META_KEY: v_base}
+            merged.filter(F.col("n") > 0),
+            meta={self.META_KEY: v_base, self.FORMAT_KEY: self.FORMAT},
         )
         return v_base

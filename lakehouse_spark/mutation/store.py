@@ -354,7 +354,16 @@ class TableStore:
         # the other segments added. Union semantics: missing columns read
         # as null, matching Delta's additive schema evolution.
         out = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        return out if cond is None else out.filter(cond)
+        if cond is None:
+            return out
+        if any(c not in out.columns for c in predicate):
+            # Pruning removed every segment that carried a schema-evolved
+            # predicate column; the survivors can't even resolve the
+            # filter. Fall back to the unpruned read so
+            # read(predicate=p) ≡ read().filter(p) holds exactly
+            # (correctness beats skipping in this rare case).
+            return self.read(v).filter(cond)
+        return out.filter(cond)
 
     def history(self) -> list[dict]:
         """Commit log, newest first: every retained version with its
@@ -512,6 +521,17 @@ class TableStore:
         Cost shape: one left-outer join of the table against the (usually
         small) source on the key plus one full-rewrite commit — the same
         O(table) a Delta MERGE without deletion vectors pays."""
+        dup = (
+            source.groupBy(self.key).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.count():
+            k = dup.collect()[0][self.key]
+            raise ValueError(
+                f"merge source has multiple rows for key {k!r}; a duplicate "
+                "key would fan matched target rows out (Delta raises "
+                "'multiple source rows matched' here too) — dedupe the "
+                "source first"
+            )
         if not self.exists():
             if insert:
                 self.init(source, txn=txn)
@@ -648,7 +668,14 @@ class TableStore:
                     if lo is not None:
                         band = band.filter(F.col("__z") >= lo)
                     if hi is not None:
-                        band = band.filter(F.col("__z") < hi)
+                        # NULL z (null zorder column) fails every range
+                        # filter — route null rows into the FIRST band so
+                        # the rewrite never loses them (Delta ZORDER keeps
+                        # null rows too).
+                        cond = F.col("__z") < hi
+                        if lo is None:
+                            cond = cond | F.col("__z").isNull()
+                        band = band.filter(cond)
                     band = band.sortWithinPartitions("__z").drop("__z")
                     segs.append(self._write_segment(band, v, part=i))
                 return segs

@@ -126,7 +126,10 @@ def adaptive_skew_join(
         .limit(max_hot_keys)
         .collect()
     )
-    hot = [r[key] for r in hot_rows]
+    # NULL keys never match an equi join and must NOT enter the isin()
+    # lists: `NOT (k IN (NULL, ...))` is NULL (not TRUE) for every
+    # non-matching key, which would silently drop all cold rows.
+    hot = [r[key] for r in hot_rows if r[key] is not None]
     if not hot:
         return fact.join(dim, key, how)
     fact_hot = fact.filter(F.col(key).isin(hot))

@@ -940,32 +940,33 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "skew_adaptive_join",
     """
-    SELECT l_returnflag AS k,
-           round(sum(CAST(round(l.l_extendedprice * 10000) AS BIGINT))
-                 / 10000.0, 2) AS revenue,
+    SELECT lang AS k,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars,
            CAST(count(*) AS BIGINT) AS n
-    FROM lineitem l JOIN (SELECT DISTINCT l_returnflag FROM lineitem) d
-      USING (l_returnflag)
+    FROM documents d JOIN (SELECT DISTINCT lang FROM documents) x
+      USING (lang)
     GROUP BY 1
     """,
     doc=(
-        "Selective skew join: probe the fact's key histogram, salt ONLY "
-        "hot keys (every l_returnflag qualifies here), cold keys join "
-        "plain; result equals the unsalted join exactly. Blanket salting "
-        "replicates the whole dim n_salts x; this replicates only the "
-        "hot dim rows."
+        "Selective skew join on a genuinely skewed key (documents.lang: "
+        "'en' holds ~3-4x the average language's rows): the probe flags "
+        "only 'en' as hot (hot_multiplier=1.5), salts it against a "
+        "broadcast replica of just that dim row, and the other languages "
+        "join plain — BOTH branches execute and union. Result equals the "
+        "unsalted join exactly. Blanket salting would replicate the "
+        "whole dim n_salts x."
     ),
 )
 def skew_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_spark.operators import skew
 
-    li = _t(spark, sf_dir, "lineitem")
-    dim = li.select("l_returnflag").distinct()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dim = docs.select("lang").distinct()
     joined = skew.adaptive_skew_join(
-        li, dim, "l_returnflag", min_hot_rows=100
+        docs, dim, "lang", hot_multiplier=1.5, min_hot_rows=50
     )
-    return joined.groupBy(F.col("l_returnflag").alias("k")).agg(
-        _ssum("l_extendedprice", 2).alias("revenue"),
+    return joined.groupBy(F.col("lang").alias("k")).agg(
+        F.sum("n_chars").alias("chars"),
         F.count("*").alias("n"),
     )
 

@@ -134,3 +134,95 @@ def test_postings_skip_empty_documents(spark):
     )
     p = postings(docs, "doc_id", "text").collect()
     assert {(r.doc_id, r.token) for r in p} == {(1, "hello"), (1, "world")}
+
+
+# --- round-5 self-review regressions ----------------------------------------
+
+
+def test_adaptive_skew_join_survives_hot_null_group(spark):
+    """A NULL-key group heavy enough to qualify as hot must not poison the
+    cold branch's isin() filter (NOT IN (NULL, ...) is NULL, not TRUE)."""
+    from lakehouse_spark.operators.skew import adaptive_skew_join
+
+    rows = [(i, None, 1.0) for i in range(400)]            # hot NULL group
+    rows += [(400 + i, f"k{i % 10}", 2.0) for i in range(100)]  # cold keys
+    fact = spark.createDataFrame(rows, "id long, k string, x double")
+    dim = spark.createDataFrame(
+        [(f"k{j}", f"D{j}") for j in range(10)], "k string, label string"
+    )
+    for how in ("inner", "left"):
+        got = adaptive_skew_join(
+            fact, dim, "k", hot_multiplier=2.0, min_hot_rows=50, how=how
+        )
+        want = fact.join(dim, "k", how)
+        assert sorted((r.id, r.label) for r in got.collect()) == sorted(
+            (r.id, r.label) for r in want.collect()
+        ), how
+
+
+def test_zorder_compact_keeps_null_key_rows(spark, tmp_path):
+    from lakehouse_spark.mutation.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "z"), key="id", stats_cols=("xa",))
+    rows = [(i, i % 20, i % 7) for i in range(200)]
+    rows += [(1000, None, 3), (1001, 5, None), (1002, None, None)]
+    store.init(spark.createDataFrame(rows, "id long, xa long, xb long"))
+    store.compact(zorder_by=("xa", "xb"), bits=4, n_segments=4)
+    got = sorted(r.id for r in store.read().collect())
+    assert got == sorted([r[0] for r in rows])  # nothing lost
+    assert store.n_segments() == 4
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    from lakehouse_spark.mutation.store import TableStore
+
+    s = TableStore(spark, str(tmp_path / "m"), key="id")
+    s.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        s.merge(dup)
+    assert s.read().count() == 1  # store untouched
+
+
+def test_predicate_read_evolved_column_fully_pruned(spark, tmp_path):
+    """When pruning removes every segment carrying an evolved column, the
+    read must fall back (not throw) and still equal read().filter(...)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.mutation.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "ev"), key="id", stats_cols=("extra",))
+    store.init(spark.createDataFrame([(1,)], "id long"))
+    store.append(spark.createDataFrame([(2, 7)], "id long, extra long"))
+    out = store.read(predicate={"extra": (200, 300)})  # prunes the only extra-bearing seg
+    assert out.count() == 0
+    assert sorted(out.columns) == ["extra", "id"]
+
+
+def test_mview_old_key_format_triggers_full_rebuild(spark, tmp_path):
+    """A view persisted without the current key-format marker must be fully
+    rebuilt on refresh, not incrementally merged (old and new keys would
+    never match and every group would double)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.mutation.mview import MaterializedAgg
+    from lakehouse_spark.mutation.store import TableStore
+
+    base = TableStore(spark, str(tmp_path / "b"), key="id")
+    base.init(spark.createDataFrame(
+        [(1, "g1", 1.0), (2, "g2", 2.0)], "id long, grp string, amount double"))
+    mv = MaterializedAgg(spark, str(tmp_path / "v"), base, ["grp"], ("amount",))
+    mv.refresh()
+    # simulate a pre-round-5 view: rewrite the view with legacy-format keys
+    # and WITHOUT the format marker
+    legacy = mv.view.read().withColumn(
+        "_group_key", F.concat_ws("\x1f", "grp")
+    )
+    mv.view.overwrite(legacy, meta={MaterializedAgg.META_KEY: base.current_version()})
+    base.append(spark.createDataFrame([(3, "g1", 10.0)], base.read().schema))
+    mv.refresh()
+    got = {r.grp: (r.n, float(r.sum_amount)) for r in mv.read().collect()}
+    assert got == {"g1": (2, 11.0), "g2": (1, 2.0)}  # no doubled groups
+    assert mv.view.version_meta()[MaterializedAgg.FORMAT_KEY] == MaterializedAgg.FORMAT

@@ -461,9 +461,12 @@ def test_cross_corpus_minhash_is_banded_equi_join(spark):
 
 
 def test_adaptive_skew_join_hot_path_broadcasts(spark):
-    """The hot branch of skew_adaptive_join must be a BroadcastHashJoin on
-    (key, salt) — if the salted replica ever stops broadcasting, the hot
-    keys shuffle again and the mitigation is a no-op."""
+    """skew_adaptive_join must actually ENGAGE the split on the catalog
+    data: the hot branch is a BroadcastHashJoin on (key, salt), the cold
+    branch joins separately, and the two union — a Union missing from the
+    plan means the probe degenerated to the plain-join fallback and the
+    test would be pinning nothing."""
     plan = _plan(spark, "skew_adaptive_join")
     assert "BroadcastHashJoin" in plan
+    assert "Union" in plan  # both branches built → probe found hot keys
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
