@@ -16,8 +16,11 @@ copied). The Spark-native shape:
 - **marker sessionization** (ST8): Spark's `session_window` is gap-based —
   wrong semantics; the streaming fold uses `applyInPandasWithState` keyed by
   session_id, emitting open turns on every update and closing on markers.
-- **watermark** (ST6): the reference's single-writer log needs none; under
-  parallel ingest we add `withWatermark` so state for dead sessions ages out.
+- **state bounds** (ST6): the reference's single-writer log needs none;
+  here windowed aggregations bound state via `withWatermark` (closed
+  windows evict), and the marker fold bounds its buffer via a
+  processing-time timeout (the buffer flushes; a per-session turn counter
+  survives so numbering stays stable).
 """
 
 from __future__ import annotations
@@ -121,8 +124,13 @@ def with_keepalive(
     import time
 
     now = time.monotonic()
+    # First observation initializes the silence clock — monotonic() is
+    # seconds since an arbitrary epoch, so comparing against a default 0.0
+    # would fire a spurious heartbeat on the very first empty batch.
+    if "t" not in last_seen_ts:
+        last_seen_ts["t"] = now
     if batch.isEmpty():
-        if now - last_seen_ts.get("t", 0.0) >= interval_s:
+        if now - last_seen_ts["t"] >= interval_s:
             last_seen_ts["t"] = now
             return True
         return False
@@ -170,7 +178,14 @@ def cancel_execution(
     with open(path, "w") as f:
         f.write(json.dumps(tombstone) + "\n")
     if query is not None:
-        query.stop()
+        # Drain available input (including the tombstone just written)
+        # BEFORE stopping — a bare stop() would halt after the in-flight
+        # micro-batch, which listed its files before the tombstone existed,
+        # leaving the open turn frozen in state until some later restart.
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return path
 
 
@@ -179,14 +194,20 @@ def stream_turn_stats(
     ts_col: str = "ts",
     session_col: str = "session_id",
     marker: str = "prompt:submit",
-    watermark: str = "10 minutes",
 ) -> DataFrame:
     """ST6/ST8-lite: streaming per-(session, turn) aggregates where turn ids
     are carried by the events (assigned at ingest by the batch W1 pass or by
     the producer). Full marker-state sessionization lives in
-    :func:`stream_trace_turns`."""
+    :func:`stream_trace_turns`.
+
+    Runs in update/complete mode; state holds one row per distinct
+    (session, turn) key FOREVER — a watermark can't evict it because the
+    grouping has no event-time column (an earlier version carried an inert
+    withWatermark here that suggested otherwise). For bounded state on a
+    long-running stream use :func:`stream_trace_turns` (timeout-flushed) or
+    :func:`stream_windowed_counts` (watermark-closed windows)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        events
         .groupBy(session_col, "turn_id")
         .agg(
             F.count("*").alias("n_events"),
@@ -297,8 +318,13 @@ def stream_trace_turns(
       CLOSED are emitted (renumbered by the emitted offset), the trailing
       still-open turn goes back into the buffer.
     - on processing-time timeout (``timeout_ms`` of silence), the open turn
-      is emitted with status 'active' and state clears — the streaming
-      analog of the batch fold's unclosed-turn-at-EOF behavior (ST6).
+      is emitted with status 'active' and the event BUFFER clears — the
+      streaming analog of the batch fold's unclosed-turn-at-EOF behavior
+      (ST6). The per-session emitted-turn counter stays in state so a
+      session that resumes after the timeout continues numbering where it
+      left off instead of reissuing turn_id 1 (which would collide in any
+      sink keyed by (session_id, turn_id)); late events of a flushed turn
+      start a NEW turn rather than mutating the emitted one.
 
     Input must be TRACE_EVENT-shaped (ts STRING, data STRUCT,
     encounter_seq LONG — the producer's append order).
@@ -345,10 +371,21 @@ def stream_trace_turns(
 
         if state.hasTimedOut:
             pending = json.loads(buffer)
-            state.remove()
             if pending:
                 turns = _fold_session(pd.DataFrame(pending, columns=cols))
                 turns["turn_id"] = turns["turn_id"] + emitted
+                emitted += len(turns)
+            else:
+                turns = None
+            # Keep the (tiny) emitted counter instead of state.remove():
+            # dropping it would restart a later-resuming session's turn
+            # numbering at 1, colliding with already-emitted
+            # (session_id, turn_id) keys downstream. The event BUFFER — the
+            # part that grows — is cleared; what stays is one counter row
+            # per session, the price of stable turn identity.
+            state.update((emitted, "[]"))
+            state.setTimeoutDuration(timeout_ms)
+            if turns is not None:
                 yield turns  # trailing turn surfaces as 'active'
             return
 
@@ -449,16 +486,21 @@ def exactly_once_upsert_sink(store, app_id: str = "stream_upsert"):
     return sink
 
 
-def mark_unread_sink(sessions_store, subscribed_sessions):
+def mark_unread_sink(sessions_store, subscribed_sessions, app_id: str = "mark_unread"):
     """ST5 ← routers/messages.py:249-271: conditional side-effect on batch
     completion — a session receiving new messages is flipped to unread ONLY
     if nobody is actively subscribed to it and it was previously read.
 
     Returns a foreachBatch callback closing over the sessions TableStore and
     a live set of subscribed session ids (the registry the SSE layer owns).
-    The flip is a keyed upsert — Delta form: conditional MERGE."""
+    The flip is a keyed upsert — Delta form: conditional MERGE — stamped
+    with the (app_id, batch_id) txn watermark so a foreachBatch REPLAY
+    after a crash cannot re-flip sessions the user read in between (the
+    same idempotence discipline as the exactly_once_* sinks)."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= sessions_store.last_txn_version(app_id):
+            return  # replayed batch — flips already committed
         touched = batch.select("session_id").distinct()
         base = sessions_store.read()
         subscribed = list(subscribed_sessions) or ["__none__"]
@@ -466,9 +508,12 @@ def mark_unread_sink(sessions_store, subscribed_sessions):
             base.join(touched, "session_id", "left_semi")
             .filter(~F.col("is_unread") & ~F.col("session_id").isin(subscribed))
             .withColumn("is_unread", F.lit(True))
-        )
-        if not to_mark.isEmpty():
-            sessions_store.upsert(to_mark)
+        ).persist()  # computed once, feeds both the gate and the upsert
+        try:
+            if to_mark.count():
+                sessions_store.upsert(to_mark, txn=(app_id, batch_id))
+        finally:
+            to_mark.unpersist()
 
     return sink
 
@@ -503,8 +548,6 @@ def dedup_ingest_sink(
     against the same index (the sig_store append is the LAST step), so the
     replay decides identically.
     """
-    from pyspark.sql import functions as F
-
     from lakehouse_spark.operators import dedup
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -657,6 +700,9 @@ def stream_trending_terms(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
             ).alias("term"),
         )
+        # split() on a blank doc yields [''] — drop it, matching the batch
+        # face (text_top_words filters word != '')
+        .filter(F.col("term") != "")
         .groupBy(F.window(ts_col, window), "term")
         .agg(F.count("*").alias("n"))
         .select(

@@ -145,3 +145,68 @@ def test_streamed_turns_materialize_to_batch_metrics(spark, tmp_path):
     }
     assert live_metrics == batch_metrics
     assert live_metrics["s1"]["total_tools"] == 1
+
+
+def test_timeout_flush_preserves_turn_numbering(spark, tmp_path):
+    """A session flushed by the processing-time timeout must CONTINUE turn
+    numbering when it resumes — state.remove() used to reset the counter,
+    reissuing turn_id 1 and colliding in any (session, turn)-keyed sink."""
+    import json
+    import time
+
+    from lakehouse_spark.schemas import TRACE_EVENT
+    from lakehouse_spark.sources import jsonl as jl
+    from lakehouse_spark.streaming import live
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+
+    def write(name, rows):
+        (events_dir / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def ev(seq, event, **data):
+        base = {"prompt": None, "tool_name": None, "tool_input": None,
+                "parallel_group_id": None, "delta": None, "result": None}
+        base.update(data)
+        return {"session_id": "s1", "ts": "2026-01-01T00:00:00+00:00",
+                "lvl": "INFO", "event": event, "data": base,
+                "encounter_seq": seq}
+
+    write("a.jsonl", [ev(1, "prompt:submit", prompt="first")])  # open turn
+
+    stream = jl.read_jsonl_stream(spark, str(events_dir), TRACE_EVENT)
+    q = (
+        live.stream_trace_turns(stream, timeout_ms=1)  # flush ASAP
+        .writeStream.format("memory")
+        .queryName("timeout_numbering")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+        # wait for the timeout flush of turn 1
+        rows = []
+        while not rows and time.monotonic() < deadline:
+            q.processAllAvailable()
+            time.sleep(0.3)
+            rows = spark.sql("SELECT * FROM timeout_numbering").collect()
+        assert [r.turn_id for r in rows] == [1]
+
+        # session resumes AFTER the flush: a second prompt + session end
+        write("b.jsonl", [
+            ev(2, "prompt:submit", prompt="second"),
+            ev(3, "session:end"),
+        ])
+        while len(rows) < 2 and time.monotonic() < deadline:
+            q.processAllAvailable()
+            time.sleep(0.3)
+            rows = spark.sql("SELECT * FROM timeout_numbering").collect()
+        by_turn = {r.turn_id: r for r in rows}
+        assert sorted(by_turn) == [1, 2], f"turn ids: {sorted(by_turn)}"
+        assert by_turn[2].user_message == "second"
+        assert by_turn[2].status == "completed"
+    finally:
+        q.stop()
