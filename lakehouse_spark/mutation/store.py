@@ -242,6 +242,15 @@ class TableStore:
             except ConcurrentWriteError:
                 if attempt == 1 or not self._recover_slot(nxt):
                     raise
+        # Stats recorded by _write_segment during THIS attempt must not
+        # outlive it: if the attempt aborts and another writer later claims
+        # the same version slot and rewrites the same _segNNNNNN dir with
+        # different data, a leftover pending entry would override the
+        # correct stats at that writer's commit — and stale min/max makes
+        # read(predicate=) silently skip segments that DO contain matching
+        # rows. Snapshot the pending keys so the cleanup paths below can
+        # discard exactly what this attempt added.
+        pending_before = set(self._pending_stats)
         try:
             prev_txn, prev_stats = {}, {}
             if cur is not None:
@@ -261,6 +270,10 @@ class TableStore:
                 st = self._pending_stats.pop(s, prev_stats.get(s))
                 if st:
                     stats[s] = st
+            # A written-but-unreferenced segment's stats are equally stale
+            # the moment this commit lands — drop any unclaimed additions.
+            for s in set(self._pending_stats) - pending_before:
+                del self._pending_stats[s]
             tmp = self._manifest_path(nxt) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
@@ -279,6 +292,11 @@ class TableStore:
         except BaseException:
             # Release the claim: the slot must not stay wedged after a failed
             # segment write. Readers were never exposed (pointer unmoved).
+            # Stats from this attempt's segment writes go too — the segment
+            # dirs it wrote are orphans another claimant may legitimately
+            # rewrite with different data.
+            for s in set(self._pending_stats) - pending_before:
+                del self._pending_stats[s]
             try:
                 os.unlink(self._manifest_path(nxt))
             except FileNotFoundError:
@@ -389,6 +407,130 @@ class TableStore:
             )
         return out
 
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Delta-style change data feed, computed on demand: every row-level
+        change committed in versions ``from_version..to_version`` (both
+        inclusive; ``to_version`` defaults to the head). Output = the table
+        columns plus ``_change_type`` ('insert' / 'delete' /
+        'update_preimage' / 'update_postimage') and ``_commit_version``.
+
+        Cost shape per version step, chosen from the manifests alone:
+
+        - **append commits** (every prior segment reused) are O(new rows):
+          the added segments ARE the inserts — read just them, no join, no
+          old-data scan. A 100 TB table ingesting via appends gets its
+          change feed for free.
+        - **rewrite commits** (upsert / merge / delete / restore /
+          overwrite) pay one keyed full-outer diff of the two adjacent
+          snapshots — a single shuffle join on the key, the same O(table)
+          the rewrite itself paid. Row identity is null-safe on the key;
+          changed-ness compares a canonical JSON fingerprint of each side's
+          full row, so schema-evolved columns count as changes.
+        - **no-op rewrites** (compact / OPTIMIZE / a restore to an
+          identical state) emit nothing — layout changes are not data
+          changes, exactly like Delta's CDF.
+
+        Relationship to :meth:`diff`: diff compares exactly TWO versions
+        with multiset except-both-ways semantics (no per-commit
+        attribution, duplicates surface as count changes); changes walks
+        every commit in the range and attributes each row-level change to
+        its commit with update pre/post images — Delta's
+        ``table_changes(...)`` contract. The rewrite-diff path assumes the
+        store's keyed contract (one row per key per snapshot); duplicate
+        keys introduced by raw appends are fine on the append path but
+        would fan out a rewrite diff.
+
+        Raises FileNotFoundError if a needed manifest was vacuumed: the
+        feed needs version v-1 to describe v (Delta has the same
+        retention-window constraint on CDF reads)."""
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        to_version = head if to_version is None else to_version
+        if not 0 <= from_version <= to_version <= head:
+            raise ValueError(
+                f"invalid change range [{from_version}, {to_version}] "
+                f"(head is {head})"
+            )
+
+        def _fp(df: DataFrame):
+            # Canonical row fingerprint: sorted-column JSON → xxhash64.
+            # to_json drops null fields, so a column going null reads the
+            # same as the column not existing — exactly the union-read
+            # semantics of schema evolution (missing column ≡ null).
+            return F.xxhash64(
+                F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
+            )
+
+        pieces: list[DataFrame] = []
+        for v in range(from_version, to_version + 1):
+            tag = F.lit(v).alias("_commit_version")
+            cur_segs = self._segments(v)
+            prev_segs = self._segments(v - 1) if v > 0 else []
+            if set(prev_segs) <= set(cur_segs):
+                added = [s for s in cur_segs if s not in set(prev_segs)]
+                if not added:
+                    continue  # pointer-only commit (e.g. restore to self)
+                inserts = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.root, s) for s in added]
+                )
+                pieces.append(
+                    inserts.select(
+                        "*", F.lit("insert").alias("_change_type"), tag
+                    )
+                )
+                continue
+            prev, cur = self.read(v - 1), self.read(v)
+            p = prev.select(
+                F.col(self.key).alias("__k"),
+                _fp(prev).alias("__fp_pre"),
+                F.struct(*prev.columns).alias("__pre"),
+            )
+            c = cur.select(
+                F.col(self.key).alias("__k"),
+                _fp(cur).alias("__fp_post"),
+                F.struct(*cur.columns).alias("__post"),
+            )
+            d = p.join(c, p["__k"].eqNullSafe(c["__k"]), "full_outer")
+            changed = d.filter(
+                F.col("__fp_pre").isNull()
+                | F.col("__fp_post").isNull()
+                | (F.col("__fp_pre") != F.col("__fp_post"))
+            )
+            for side, when_other, ctype in (
+                ("__pre", "__fp_post", "delete"),
+                ("__post", "__fp_pre", "insert"),
+            ):
+                pieces.append(
+                    changed.filter(F.col(when_other).isNull())
+                    .select(f"{side}.*")
+                    .select("*", F.lit(ctype).alias("_change_type"), tag)
+                )
+            both = changed.filter(
+                F.col("__fp_pre").isNotNull() & F.col("__fp_post").isNotNull()
+            )
+            for side, ctype in (
+                ("__pre", "update_preimage"),
+                ("__post", "update_postimage"),
+            ):
+                pieces.append(
+                    both.select(f"{side}.*")
+                    .select("*", F.lit(ctype).alias("_change_type"), tag)
+                )
+        if not pieces:
+            empty = self.read(to_version).limit(0)
+            return empty.select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(to_version).alias("_commit_version"),
+            ).limit(0)
+        out = pieces[0]
+        for pc in pieces[1:]:
+            out = out.unionByName(pc, allowMissingColumns=True)
+        return out
+
     def exists(self) -> bool:
         return self.current_version() is not None
 
@@ -449,9 +591,9 @@ class TableStore:
 
     def _rewrite(
         self, df: DataFrame, txn: tuple[str, int] | None = None
-    ) -> None:
+    ) -> int:
         """Full compaction commit: one segment holding ``df``."""
-        self._transact(lambda v: [self._write_segment(df, v)], txn=txn)
+        return self._transact(lambda v: [self._write_segment(df, v)], txn=txn)
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: roll the table back to ``version`` by
@@ -502,6 +644,7 @@ class TableStore:
         delete_cond: str | None = None,
         insert: bool = True,
         txn: tuple[str, int] | None = None,
+        extra_cols: str = "error",
     ) -> None:
         """Conditional MERGE keyed by ``self.key`` — the full Delta shape
         :meth:`upsert` is the unconditional special case of::
@@ -518,11 +661,31 @@ class TableStore:
         (default: every source column except the key). Unmatched target
         rows always survive; unmatched source rows insert when ``insert``.
 
+        Source columns the target schema lacks are an error by default —
+        Delta's MERGE rejects unknown columns rather than silently
+        discarding their data. ``extra_cols`` picks the policy:
+        ``"error"`` (default) raises; ``"evolve"`` widens the target
+        schema Delta-autoMerge-style (existing rows read null for the new
+        columns, matched updates and inserts carry them); ``"ignore"``
+        explicitly discards them.
+
         Cost shape: one left-outer join of the table against the (usually
         small) source on the key plus one full-rewrite commit — the same
         O(table) a Delta MERGE without deletion vectors pays."""
+        if extra_cols not in ("error", "ignore", "evolve"):
+            raise ValueError(
+                f"extra_cols must be 'error', 'evolve' or 'ignore', got {extra_cols!r}"
+            )
+        # NULL keys never satisfy the equi-join, so they cannot fan a
+        # matched target row out — exclude them from the duplicate check
+        # (two null-key source rows are legal; with insert=True each
+        # simply inserts, the standard MERGE outcome for unmatched rows).
         dup = (
-            source.groupBy(self.key).count().filter(F.col("count") > 1).limit(1)
+            source.filter(F.col(self.key).isNotNull())
+            .groupBy(self.key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
         )
         if dup.count():
             k = dup.collect()[0][self.key]
@@ -537,6 +700,28 @@ class TableStore:
                 self.init(source, txn=txn)
             return
         base = self.read()
+        unknown = [c for c in source.columns if c not in base.columns]
+        if unknown and extra_cols == "error":
+            raise ValueError(
+                f"merge source has columns {unknown} absent from the "
+                "target schema; their data would be silently dropped on "
+                "both the UPDATE and INSERT paths. Pass "
+                "extra_cols='evolve' to widen the target schema, or "
+                "extra_cols='ignore' to discard them explicitly"
+            )
+        if unknown and extra_cols == "evolve":
+            # Schema evolution: widen the target with the new columns
+            # (null for every existing row) BEFORE the join, so the
+            # ordinary update/insert machinery below carries them — the
+            # same additive semantics as Delta's
+            # spark.databricks.delta.schema.autoMerge.
+            base = base.select(
+                "*",
+                *[
+                    F.lit(None).cast(source.schema[c].dataType).alias(c)
+                    for c in unknown
+                ],
+            )
         cols = base.columns
         upd = [
             c
@@ -629,7 +814,7 @@ class TableStore:
         zorder_by: tuple[str, str] | None = None,
         bits: int = 8,
         n_segments: int = 8,
-    ) -> None:
+    ) -> int:
         """OPTIMIZE analog: fold all live segments into one (append-heavy
         tables accumulate small segments; run this on a cadence).
 
@@ -645,8 +830,7 @@ class TableStore:
         snapshot from a persisted cache, not n_segments recomputes of
         upstream lineage."""
         if zorder_by is None:
-            self._rewrite(self.read())
-            return
+            return self._rewrite(self.read())
         from lakehouse_spark.operators.layout import zorder_key
 
         a, b = zorder_by
@@ -680,7 +864,7 @@ class TableStore:
                     segs.append(self._write_segment(band, v, part=i))
                 return segs
 
-            self._transact(_bands, meta={"zorder_by": list(zorder_by)})
+            return self._transact(_bands, meta={"zorder_by": list(zorder_by)})
         finally:
             keyed.unpersist()
 

@@ -37,6 +37,8 @@ ordinals) restored relationally afterwards.
 from __future__ import annotations
 
 
+import threading
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -346,8 +348,9 @@ def aggregate_trace(
     one-pathological-session-among-thousands case. The probe costs one
     extra count job over ``events``; callers that already know their
     session-size distribution pass an explicit True/False to skip it.
-    The chosen path is recorded on ``aggregate_trace.last_auto_split``
-    (None when the caller decided) for tests and observability.
+    The chosen path is retrievable via :func:`last_auto_split` (None when
+    the caller decided) — per-thread, so two pipelines folding
+    concurrently in one process each observe their own decision.
 
     ``split_by_turn=True`` is the GIANT-SESSION skew mitigation: one
     pathological session (e.g. 100k events) otherwise lands on a single
@@ -369,9 +372,9 @@ def aggregate_trace(
     Use it when session sizes are unbounded."""
     if split_by_turn is None:
         split_by_turn = _max_session_events(events) > skew_threshold
-        aggregate_trace.last_auto_split = split_by_turn
+        _AUTO_SPLIT_TELEMETRY.value = split_by_turn
     else:
-        aggregate_trace.last_auto_split = None
+        _AUTO_SPLIT_TELEMETRY.value = None
     if not split_by_turn:
         return events.groupBy("session_id").applyInPandas(
             _fold_session, schema=TRACE_TURN
@@ -435,7 +438,18 @@ def aggregate_trace(
     )
 
 
-aggregate_trace.last_auto_split = None
+# Telemetry for the auto-split probe. THREAD-LOCAL: two pipelines folding
+# concurrently in one process (threads driving independent jobs is normal
+# Spark usage) must not observe each other's decision.
+_AUTO_SPLIT_TELEMETRY = threading.local()
+
+
+def last_auto_split() -> bool | None:
+    """The skew-path decision of the CURRENT THREAD's most recent
+    :func:`aggregate_trace` call: True/False when the auto-probe decided,
+    None when the caller passed an explicit ``split_by_turn`` (or no call
+    has happened on this thread yet)."""
+    return getattr(_AUTO_SPLIT_TELEMETRY, "value", None)
 
 
 # --- A3: per-session tool metrics ----------------------------------------------

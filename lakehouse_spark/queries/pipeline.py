@@ -881,6 +881,68 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_dsir_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS raw_cnt,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+      FROM tok GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_tot,
+             CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_tot,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(CAST(floor(
+                 (ln((tgt_cnt + 1) / (tgt_tot + v))
+                  - ln((raw_cnt + 1) / (raw_tot + v))) * 1000000 + 0.5)
+               AS BIGINT)) / 1000000.0, 4) AS dsir_logweight
+    FROM tok JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc=(
+        "DSIR importance weights (Xie et al. 2023, Data Selection via "
+        "Importance Resampling): per-doc log importance = sum over tokens "
+        "of log p_target(w) - log p_raw(w), with the target distribution "
+        "learned from the lang='en' slice and add-one smoothing over the "
+        "shared vocab. Rank by weight + Gumbel noise to resample a "
+        "target-like corpus from raw data. Vocab is Zipf-bounded so it "
+        "broadcasts (the corpus never reshuffles to score); per-token log "
+        "terms snap to a 1e-6 grid via floor(x+0.5) and sum as int64 so "
+        "the weight is order- and engine-independent."
+    ),
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+        (F.col("lang") == "en").cast("long").alias("is_tgt"),
+    )
+    vocab = tok.groupBy("w").agg(
+        F.count("*").alias("raw_cnt"), F.sum("is_tgt").alias("tgt_cnt")
+    )
+    raw_tot, tgt_tot, v = vocab.agg(
+        F.sum("raw_cnt"), F.sum("tgt_cnt"), F.count("*")
+    ).collect()[0]
+    scored = tok.drop("is_tgt").join(F.broadcast(vocab), "w")
+    term = F.log(
+        (F.col("tgt_cnt") + 1) / F.lit(float(tgt_tot) + float(v))
+    ) - F.log((F.col("raw_cnt") + 1) / F.lit(float(raw_tot) + float(v)))
+    grid = F.floor(term * 1_000_000 + F.lit(0.5)).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum(grid) / 1_000_000.0, 4).alias("dsir_logweight"),
+    )
+
+
+@_q(
     "curation_weighted_sample",
     """
     WITH scored AS (

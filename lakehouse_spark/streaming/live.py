@@ -20,7 +20,9 @@ copied). The Spark-native shape:
   here windowed aggregations bound state via `withWatermark` (closed
   windows evict), and the marker fold bounds its buffer via a
   processing-time timeout (the buffer flushes; a per-session turn counter
-  survives so numbering stays stable).
+  survives the flush so numbering stays stable, and is itself evicted
+  after a much longer retention horizon so state tracks ACTIVE sessions,
+  not every session ever seen).
 """
 
 from __future__ import annotations
@@ -302,6 +304,7 @@ def stream_session_gap_stats(
 def stream_trace_turns(
     events: DataFrame,
     timeout_ms: int = 60_000,
+    retention_ms: int | None = None,
 ) -> DataFrame:
     """ST8: marker-based sessionization over a LIVE event stream — the
     streaming twin of :func:`lakehouse_spark.operators.sessionize.
@@ -325,6 +328,14 @@ def stream_trace_turns(
       left off instead of reissuing turn_id 1 (which would collide in any
       sink keyed by (session_id, turn_id)); late events of a flushed turn
       start a NEW turn rather than mutating the emitted one.
+    - the counter row itself is NOT kept forever: once a session has been
+      fully idle (empty buffer) for ``retention_ms`` of processing time
+      (default ``max(100 * timeout_ms, 1 hour)``), state.remove() drops it,
+      so total state is bounded by ACTIVE session cardinality, not by every
+      session that ever appeared. A session silent longer than the
+      retention horizon that then resumes restarts at turn_id 1 — the
+      accepted price; pick retention_ms longer than any plausible
+      resume gap for sinks keyed by (session_id, turn_id).
 
     Input must be TRACE_EVENT-shaped (ts STRING, data STRUCT,
     encounter_seq LONG — the producer's append order).
@@ -343,10 +354,17 @@ def stream_trace_turns(
     from lakehouse_spark.operators.sessionize import _fold_session
     from lakehouse_spark.schemas import TRACE_TURN
 
+    if retention_ms is None:
+        retention_ms = max(100 * timeout_ms, 3_600_000)
+
     state_schema = StructType(
         [
             StructField("emitted", LongType()),
             StructField("buffer", StringType()),  # JSON list of open-turn events
+            # Processing-time ms when the session last went fully idle
+            # (buffer emptied by a timeout flush); 0 = currently active.
+            # Drives the retention horizon above.
+            StructField("idle_since", LongType()),
         ]
     )
     cols = ["session_id", "ts", "lvl", "event", "data", "encounter_seq"]
@@ -367,9 +385,12 @@ def stream_trace_turns(
 
     def fold(key, pdf_iter, state: GroupState):
         (session_id,) = key
-        emitted, buffer = state.get if state.exists else (0, "[]")
+        emitted, buffer, idle_since = (
+            state.get if state.exists else (0, "[]", 0)
+        )
 
         if state.hasTimedOut:
+            now = state.getCurrentProcessingTimeMs()
             pending = json.loads(buffer)
             if pending:
                 turns = _fold_session(pd.DataFrame(pending, columns=cols))
@@ -381,9 +402,15 @@ def stream_trace_turns(
             # dropping it would restart a later-resuming session's turn
             # numbering at 1, colliding with already-emitted
             # (session_id, turn_id) keys downstream. The event BUFFER — the
-            # part that grows — is cleared; what stays is one counter row
-            # per session, the price of stable turn identity.
-            state.update((emitted, "[]"))
+            # part that grows — is cleared. The counter row is kept only
+            # through the retention horizon: after retention_ms of full
+            # idleness the row is removed, so state doesn't accrete one row
+            # per session-ever on a long-running stream.
+            idle_since = idle_since or now
+            if not pending and now - idle_since >= retention_ms:
+                state.remove()
+                return
+            state.update((emitted, "[]", idle_since))
             state.setTimeoutDuration(timeout_ms)
             if turns is not None:
                 yield turns  # trailing turn surfaces as 'active'
@@ -433,7 +460,8 @@ def stream_trace_turns(
             out = closed
 
         out["turn_id"] = out["turn_id"] + emitted
-        state.update((emitted + len(out), json.dumps(pending)))
+        # Data arrived: the session is active again — reset the idle clock.
+        state.update((emitted + len(out), json.dumps(pending), 0))
         state.setTimeoutDuration(timeout_ms)
         if len(out):
             yield out

@@ -106,6 +106,30 @@ def test_merge_txn_idempotence(spark, tmp_path):
     assert _rows(s)[1] == ("A", 11.0, "t1")
 
 
+def test_merge_schema_evolution(spark, tmp_path):
+    """extra_cols='evolve' widens the target: existing rows read null for
+    the new column, the matched update and the insert both carry it, and
+    subsequent merges see the evolved schema as ordinary columns."""
+    s = _store(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "A1", 11.0, "u", "tag1"), (9, "z", 90.0, "new", "tag9")],
+        "id long, v string, amt double, note string, label string",
+    )
+    s.merge(src, extra_cols="evolve")
+    got = {r.id: (r.v, r.amt, r.note, r.label) for r in s.read().collect()}
+    assert got[1] == ("A1", 11.0, "u", "tag1")   # update carries new col
+    assert got[9] == ("z", 90.0, "new", "tag9")  # insert carries new col
+    assert got[2] == ("b", 20.0, "keep", None)   # untouched row: null
+    # evolved column is now a first-class target column
+    s.merge(
+        spark.createDataFrame(
+            [(2, "tag2")], "id long, label string"
+        ),
+        update_cols=["label"],
+    )
+    assert {r.id: r.label for r in s.read().collect()}[2] == "tag2"
+
+
 def test_merge_property_vs_reference_model(spark, tmp_path):
     """Randomized MERGE against a python reference model: for random
     base/source key-value sets and every condition combination, the store

@@ -187,10 +187,13 @@ def test_timeout_flush_preserves_turn_numbering(spark, tmp_path):
     )
     try:
         deadline = time.monotonic() + 90
-        # wait for the timeout flush of turn 1
+        # wait for the timeout flush of turn 1. Poll, do NOT
+        # processAllAvailable(): with a 1 ms processing-time timeout the
+        # state re-arms every batch, so the engine never quiesces and
+        # processAllAvailable can block forever (it hangs on the pre-fix
+        # code too — verified) — the micro-batches run on their own.
         rows = []
         while not rows and time.monotonic() < deadline:
-            q.processAllAvailable()
             time.sleep(0.3)
             rows = spark.sql("SELECT * FROM timeout_numbering").collect()
         assert [r.turn_id for r in rows] == [1]
@@ -201,7 +204,6 @@ def test_timeout_flush_preserves_turn_numbering(spark, tmp_path):
             ev(3, "session:end"),
         ])
         while len(rows) < 2 and time.monotonic() < deadline:
-            q.processAllAvailable()
             time.sleep(0.3)
             rows = spark.sql("SELECT * FROM timeout_numbering").collect()
         by_turn = {r.turn_id: r for r in rows}

@@ -393,12 +393,30 @@ def test_auto_skew_split_engages_without_caller_flag(spark):
             key=lambda t: (t["session_id"], t["turn_id"]),
         )
 
+    from lakehouse_spark.operators.sessionize import last_auto_split
+
     auto = snap(aggregate_trace(df))  # no caller flag
-    assert aggregate_trace.last_auto_split is True
+    assert last_auto_split() is True
     forced = snap(aggregate_trace(df, split_by_turn=False))
-    assert aggregate_trace.last_auto_split is None  # caller decided
+    assert last_auto_split() is None  # caller decided
     assert auto == forced
 
     # threshold is configurable: raise it and the probe keeps the plain path
     aggregate_trace(df, skew_threshold=1_000_000).count()
-    assert aggregate_trace.last_auto_split is False
+    assert last_auto_split() is False
+
+    # telemetry is PER-THREAD: another thread's probe decision must not
+    # leak into (or out of) this one
+    import threading
+
+    seen = {}
+
+    def other():
+        seen["before"] = last_auto_split()  # fresh thread → None
+        aggregate_trace(df, skew_threshold=1_000_000).count()
+        seen["after"] = last_auto_split()
+
+    t = threading.Thread(target=other)
+    t.start(); t.join()
+    assert seen == {"before": None, "after": False}
+    assert last_auto_split() is False  # unchanged by the other thread
