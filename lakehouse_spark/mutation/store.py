@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 _POINTER = "_CURRENT"
 _MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
 _SEG_RE = re.compile(r"^_seg(\d{6})(?:_\d+)?$")  # optional multi-part suffix
+_CDC_RE = re.compile(r"^_cdc(\d{6})$")  # materialized change files per version
 
 
 def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
@@ -93,10 +94,20 @@ class TableStore:
         key: str,
         orphan_grace_sec: float = 300.0,
         stats_cols: tuple[str, ...] = (),
+        write_cdf: bool = False,
     ):
         self.spark = spark
         self.root = root
         self.key = key
+        # Delta's delta.enableChangeDataFeed analog: when True, every
+        # REWRITE commit materializes its row-level changes to a
+        # ``_cdc<nnnnnn>`` parquet dir right after the pointer swap (append
+        # commits never need one — their added segments ARE the change
+        # file). Stored changes make :meth:`changes` O(changes-read) for
+        # rewrites and are what the streaming source
+        # (sources/table_source.py) consumes, since a stream worker cannot
+        # run the snapshot diff itself.
+        self.write_cdf = write_cdf
         # Columns whose per-segment min/max ride in the manifest (Delta's
         # add-file stats): read(predicate=...) skips whole segments whose
         # range can't match BEFORE Spark lists a single data file. Declare
@@ -288,6 +299,11 @@ class TableStore:
                 )
             os.replace(tmp, self._manifest_path(nxt))
             self._swap_pointer(nxt)
+            if self.write_cdf:
+                # Post-pointer, so the commit is already durable; an error
+                # here leaves a repairable gap (materialize_cdf(v) is
+                # idempotent), never a broken table.
+                self.materialize_cdf(nxt)
             return nxt
         except BaseException:
             # Release the claim: the slot must not stay wedged after a failed
@@ -325,6 +341,14 @@ class TableStore:
                     os.unlink(os.path.join(self.root, name))
             elif (m := _SEG_RE.match(name)) and name not in live:
                 if int(m.group(1)) <= cur:
+                    shutil.rmtree(
+                        os.path.join(self.root, name), ignore_errors=True
+                    )
+            elif m := _CDC_RE.match(name):
+                # A change file lives exactly as long as its version: a
+                # stream positioned before the retention window can't
+                # resume anyway (its manifests are gone).
+                if int(m.group(1)) <= cur and int(m.group(1)) not in keep_versions:
                     shutil.rmtree(
                         os.path.join(self.root, name), ignore_errors=True
                     )
@@ -407,6 +431,112 @@ class TableStore:
             )
         return out
 
+    def _cdc_path(self, v: int) -> str:
+        return os.path.join(self.root, f"_cdc{v:06d}")
+
+    def commit_kind(self, v: int) -> tuple[str, list[str]]:
+        """Classify commit ``v`` from the manifests alone (no data read):
+        ``("append", added_segments)`` when every prior segment is reused,
+        ``("noop", [])`` for pointer-only commits (restore to an identical
+        state), ``("rewrite", [])`` otherwise (upsert / merge / delete /
+        overwrite / compact)."""
+        cur_segs = self._segments(v)
+        prev_segs = set(self._segments(v - 1)) if v > 0 else set()
+        if prev_segs <= set(cur_segs):
+            added = [s for s in cur_segs if s not in prev_segs]
+            return ("append", added) if added else ("noop", [])
+        return ("rewrite", [])
+
+    def has_cdf(self, v: int) -> bool:
+        """True when commit ``v``'s changes are readable without a snapshot
+        diff: append/noop commits always are; rewrite commits once their
+        ``_cdc`` dir is materialized."""
+        return self.commit_kind(v)[0] != "rewrite" or os.path.isdir(
+            self._cdc_path(v)
+        )
+
+    def materialize_cdf(self, v: int) -> bool:
+        """Compute and store commit ``v``'s change file (idempotent; no-op
+        for append/noop commits, which need none). Returns True when a
+        ``_cdc`` dir exists after the call. Write is atomic (tmp dir +
+        rename), so a concurrent reader never sees a partial change file.
+
+        Requires manifest ``v-1`` (not yet vacuumed) on first
+        materialization — the same retention constraint Delta places on
+        CDF reads; once stored, the change file itself survives until
+        :meth:`vacuum` drops version ``v``."""
+        if self.commit_kind(v)[0] != "rewrite":
+            return False
+        dst = self._cdc_path(v)
+        if os.path.isdir(dst):
+            return True
+        tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}"
+        self._changes_one(v).write.mode("overwrite").parquet(tmp)
+        try:
+            os.replace(tmp, dst)  # atomic publish; loser of a race cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(dst):
+                raise
+        return True
+
+    def _changes_one(self, v: int) -> DataFrame:
+        """Row-level changes of the single commit ``v`` — the keyed
+        full-outer snapshot diff (see :meth:`changes` for semantics)."""
+
+        def _fp(df: DataFrame):
+            # Canonical row fingerprint: sorted-column JSON → xxhash64.
+            # to_json drops null fields, so a column going null reads the
+            # same as the column not existing — exactly the union-read
+            # semantics of schema evolution (missing column ≡ null).
+            return F.xxhash64(
+                F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
+            )
+
+        tag = F.lit(v).alias("_commit_version")
+        prev, cur = self.read(v - 1), self.read(v)
+        p = prev.select(
+            F.col(self.key).alias("__k"),
+            _fp(prev).alias("__fp_pre"),
+            F.struct(*prev.columns).alias("__pre"),
+        )
+        c = cur.select(
+            F.col(self.key).alias("__k"),
+            _fp(cur).alias("__fp_post"),
+            F.struct(*cur.columns).alias("__post"),
+        )
+        d = p.join(c, p["__k"].eqNullSafe(c["__k"]), "full_outer")
+        changed = d.filter(
+            F.col("__fp_pre").isNull()
+            | F.col("__fp_post").isNull()
+            | (F.col("__fp_pre") != F.col("__fp_post"))
+        )
+        pieces = []
+        for side, when_other, ctype in (
+            ("__pre", "__fp_post", "delete"),
+            ("__post", "__fp_pre", "insert"),
+        ):
+            pieces.append(
+                changed.filter(F.col(when_other).isNull())
+                .select(f"{side}.*")
+                .select("*", F.lit(ctype).alias("_change_type"), tag)
+            )
+        both = changed.filter(
+            F.col("__fp_pre").isNotNull() & F.col("__fp_post").isNotNull()
+        )
+        for side, ctype in (
+            ("__pre", "update_preimage"),
+            ("__post", "update_postimage"),
+        ):
+            pieces.append(
+                both.select(f"{side}.*")
+                .select("*", F.lit(ctype).alias("_change_type"), tag)
+            )
+        out = pieces[0]
+        for pc in pieces[1:]:
+            out = out.unionByName(pc, allowMissingColumns=True)
+        return out
+
     def changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -444,7 +574,10 @@ class TableStore:
 
         Raises FileNotFoundError if a needed manifest was vacuumed: the
         feed needs version v-1 to describe v (Delta has the same
-        retention-window constraint on CDF reads)."""
+        retention-window constraint on CDF reads) — unless the commit's
+        change file was materialized (``write_cdf=True`` or
+        :meth:`materialize_cdf`), in which case the stored file is read
+        directly."""
         head = self.current_version()
         if head is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
@@ -455,24 +588,13 @@ class TableStore:
                 f"(head is {head})"
             )
 
-        def _fp(df: DataFrame):
-            # Canonical row fingerprint: sorted-column JSON → xxhash64.
-            # to_json drops null fields, so a column going null reads the
-            # same as the column not existing — exactly the union-read
-            # semantics of schema evolution (missing column ≡ null).
-            return F.xxhash64(
-                F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
-            )
-
         pieces: list[DataFrame] = []
         for v in range(from_version, to_version + 1):
             tag = F.lit(v).alias("_commit_version")
-            cur_segs = self._segments(v)
-            prev_segs = self._segments(v - 1) if v > 0 else []
-            if set(prev_segs) <= set(cur_segs):
-                added = [s for s in cur_segs if s not in set(prev_segs)]
-                if not added:
-                    continue  # pointer-only commit (e.g. restore to self)
+            kind, added = self.commit_kind(v)
+            if kind == "noop":
+                continue  # pointer-only commit (e.g. restore to self)
+            if kind == "append":
                 inserts = self.spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.root, s) for s in added]
                 )
@@ -482,43 +604,12 @@ class TableStore:
                     )
                 )
                 continue
-            prev, cur = self.read(v - 1), self.read(v)
-            p = prev.select(
-                F.col(self.key).alias("__k"),
-                _fp(prev).alias("__fp_pre"),
-                F.struct(*prev.columns).alias("__pre"),
-            )
-            c = cur.select(
-                F.col(self.key).alias("__k"),
-                _fp(cur).alias("__fp_post"),
-                F.struct(*cur.columns).alias("__post"),
-            )
-            d = p.join(c, p["__k"].eqNullSafe(c["__k"]), "full_outer")
-            changed = d.filter(
-                F.col("__fp_pre").isNull()
-                | F.col("__fp_post").isNull()
-                | (F.col("__fp_pre") != F.col("__fp_post"))
-            )
-            for side, when_other, ctype in (
-                ("__pre", "__fp_post", "delete"),
-                ("__post", "__fp_pre", "insert"),
-            ):
-                pieces.append(
-                    changed.filter(F.col(when_other).isNull())
-                    .select(f"{side}.*")
-                    .select("*", F.lit(ctype).alias("_change_type"), tag)
-                )
-            both = changed.filter(
-                F.col("__fp_pre").isNotNull() & F.col("__fp_post").isNotNull()
-            )
-            for side, ctype in (
-                ("__pre", "update_preimage"),
-                ("__post", "update_postimage"),
-            ):
-                pieces.append(
-                    both.select(f"{side}.*")
-                    .select("*", F.lit(ctype).alias("_change_type"), tag)
-                )
+            if os.path.isdir(self._cdc_path(v)):
+                # Stored change file: O(changes) read, no snapshot diff —
+                # and usable even after manifest v-1 was vacuumed.
+                pieces.append(self.spark.read.parquet(self._cdc_path(v)))
+                continue
+            pieces.append(self._changes_one(v))
         if not pieces:
             empty = self.read(to_version).limit(0)
             return empty.select(

@@ -29,6 +29,9 @@ _DEFAULTS: dict[str, str] = {
     # Arrow transfer for pandas UDFs / applyInPandas / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Python data sources (sources/table_source.py) prune segments from
+    # pushed-down filters; off by default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Deterministic timestamp semantics (matches DuckDB oracle).
     "spark.sql.session.timeZone": "UTC",
     # Broadcast joins for dimension tables (region/nation/customer-sized).

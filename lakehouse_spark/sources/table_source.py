@@ -1,0 +1,588 @@
+"""Spark Python Data Source (Spark 4 `pyspark.sql.datasource` API) over
+:class:`~lakehouse_spark.mutation.store.TableStore` tables — the
+integration seam that makes the store a first-class `format(...)`:
+
+- **batch**: ``spark.read.format("lakehouse").load(root)`` — snapshot
+  reads with time travel (``option("version", n)``), manifest-stats
+  segment pruning AND parquet row-group pruning via ``pushFilters``
+  (Spark 4.1's Python data-source filter pushdown), Arrow-batch transfer
+  (never row-at-a-time Python).
+- **batch change feed**: ``.option("changes", "true")`` — the
+  ``table_changes(...)`` surface: ``startingVersion``/``endingVersion``
+  options, rows tagged ``_change_type`` / ``_commit_version``.
+- **streaming**: ``spark.readStream.format("lakehouse")`` — tails the
+  commit log with *versions as offsets*, so Structured Streaming's
+  offset log gives exactly-once replay across restarts for free.
+  Append commits stream their added segments as inserts (O(new rows),
+  no old-data scan); rewrite commits stream their materialized change
+  file (``TableStore(write_cdf=True)`` / ``materialize_cdf``) — a
+  stream worker cannot run the snapshot diff itself, so an
+  unmaterialized rewrite raises with the repair instruction instead of
+  silently dropping changes.
+- **write**: ``df.write.format("lakehouse").mode("append"|"overwrite")``
+  — executors write parquet into a shared staging dir (Arrow batches in,
+  parquet out, per-file min/max harvested from the parquet FOOTERS —
+  free), and the driver-side ``commit()`` publishes them through the
+  store's optimistic-concurrency manifest commit. An aborted job leaves
+  only an unreferenced staging dir; readers never see a partial write.
+
+Scale notes: the per-partition unit is one parquet *file*, so
+parallelism matches the layout exactly as Delta's log-driven scans do;
+all file IO is pyarrow.dataset (vectorized, row-group pruned). The
+JVM-native path (``TableStore.read`` → ``spark.read.parquet``) remains
+the hot path for pure snapshot scans — this source exists for the
+format/stream/filter-pushdown integration, and its Arrow batches keep
+the Python leg columnar.
+
+Reference parity: the reference daemon streams session mutations over
+SSE (amplifierd/amplifierd/routers/stream.py) and replays history from
+its JSONL logs (amplifier_library/sessions/manager.py) — read, not
+copied; here the same "tail the committed log" capability is expressed
+as a Structured Streaming source with checkpointable offsets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_CDF_COLS = ("_change_type", "_commit_version")
+
+
+# -- driver-side manifest access (no SparkSession: DataSource methods run in
+# -- plain Python on the driver, and must stay picklable) ---------------------
+
+
+def _pointer(root: str) -> int:
+    path = os.path.join(root, "_CURRENT")
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no lakehouse table at {root!r} (missing _CURRENT pointer)"
+        ) from None
+
+
+def _manifest(root: str, v: int) -> dict:
+    with open(os.path.join(root, f"_manifest_{v:06d}.json")) as f:
+        return json.load(f)
+
+
+def _segment_files(root: str, seg: str) -> list[str]:
+    d = os.path.join(root, seg)
+    return sorted(
+        os.path.join(d, n)
+        for n in os.listdir(d)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+
+
+def _cdc_dir(root: str, v: int) -> str:
+    return os.path.join(root, f"_cdc{v:06d}")
+
+
+def _commit_kind(root: str, v: int) -> tuple[str, list[str]]:
+    cur = _manifest(root, v)["segments"]
+    prev = set(_manifest(root, v - 1)["segments"]) if v > 0 else set()
+    if prev <= set(cur):
+        added = [s for s in cur if s not in prev]
+        return ("append", added) if added else ("noop", [])
+    return ("rewrite", [])
+
+
+def _unified_arrow_schema(files: list[str]):
+    """Union of the files' parquet schemas, first-seen column order — the
+    same additive semantics as ``mergeSchema`` (missing column ≡ null)."""
+    import pyarrow.parquet as pq
+
+    fields: list = []
+    seen: set[str] = set()
+    for f in files:
+        for fld in pq.read_schema(f):
+            if fld.name not in seen:
+                seen.add(fld.name)
+                fields.append(fld)
+    import pyarrow as pa
+
+    return pa.schema(fields)
+
+
+def _one_file_per_schema(root: str, segments: list[str]) -> list[str]:
+    """One representative file per segment — enough for schema union, since
+    a segment is written in one Spark job and is schema-homogeneous."""
+    out = []
+    for s in segments:
+        fs = _segment_files(root, s)
+        if fs:
+            out.append(fs[0])
+    return out
+
+
+@dataclass
+class _ScanPart(InputPartition):
+    """One parquet file; ``ctype`` non-None tags a change-feed read
+    ('insert' for append-segment files, 'cdc' for stored change files
+    that already carry the CDF columns)."""
+
+    files: tuple[str, ...]
+    ctype: str | None = None
+    commit_version: int | None = None
+
+
+def _arrow_filter(ranges: dict, null_checked: tuple[str, ...]):
+    """pyarrow dataset expression from pushed-down per-column ranges —
+    drives row-group/page pruning inside the scan."""
+    import pyarrow.dataset as ds
+
+    expr = None
+    for col, (lo, hi) in ranges.items():
+        for bound, cmp in ((lo, "__ge__"), (hi, "__le__")):
+            if bound is not None:
+                term = getattr(ds.field(col), cmp)(bound)
+                expr = term if expr is None else expr & term
+    for col in null_checked:
+        term = ds.field(col).is_valid()
+        expr = term if expr is None else expr & term
+    return expr
+
+
+def _read_files(
+    part: _ScanPart,
+    spark_schema: StructType,
+    ranges: dict | None = None,
+    null_checked: tuple[str, ...] = (),
+):
+    """Yield Arrow RecordBatches for one partition, conformed to the read
+    schema (column order + missing-column nulls), with CDF tagging."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if not part.files:
+        return
+    target = to_arrow_schema(spark_schema)
+    if part.ctype == "insert":
+        data_schema = pa.schema(
+            [f for f in target if f.name not in _CDF_COLS]
+        )
+    else:
+        data_schema = target
+    file_schema = _unified_arrow_schema(list(part.files))
+    # Read with the files' own types, project/conform after: parquet
+    # footers may carry e.g. int32 where the table schema says int64.
+    dataset = ds.dataset(list(part.files), schema=file_schema, format="parquet")
+    flt = _arrow_filter(ranges, null_checked) if (ranges or null_checked) else None
+    for batch in dataset.to_batches(filter=flt):
+        cols = []
+        for fld in data_schema:
+            if batch.schema.get_field_index(fld.name) >= 0:
+                arr = batch.column(fld.name)
+                if arr.type != fld.type:
+                    arr = arr.cast(fld.type)
+            else:
+                arr = pa.nulls(batch.num_rows, fld.type)
+            cols.append(arr)
+        if part.ctype == "insert":
+            cols.append(
+                pa.array(["insert"] * batch.num_rows, pa.string())
+            )
+            cols.append(
+                pa.array([part.commit_version] * batch.num_rows, pa.int64())
+            )
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+
+class LakehouseDataSource(DataSource):
+    """``format("lakehouse")``. Options:
+
+    - ``path`` — table root (required).
+    - ``version`` — batch time travel to this committed version.
+    - ``changes`` — "true": batch reads return the change feed
+      (``startingVersion`` default 0, ``endingVersion`` default head)
+      and streams return full CDF rows; unset: batch reads snapshot,
+      streams tail inserts only (append-only tables).
+    - ``startingVersion`` — stream/changes start: first version whose
+      changes are included (default 0; "latest" = only commits after
+      stream start).
+    - ``maxVersionsPerBatch`` — stream rate limit (default 10 commits
+      per micro-batch).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("format('lakehouse') requires .load(<table root>)")
+        return root
+
+    def _changes_mode(self) -> bool:
+        return str(self.options.get("changes", "")).lower() in ("true", "1", "yes")
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        root = self._root()
+        v = int(self.options.get("version", _pointer(root)))
+        segs = _manifest(root, v)["segments"]
+        arrow = _unified_arrow_schema(_one_file_per_schema(root, segs))
+        spark_schema = from_arrow_schema(arrow)
+        if self._changes_mode():
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            spark_schema = StructType(
+                list(spark_schema.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return spark_schema
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if self._changes_mode():
+            return ChangesBatchReader(self._root(), self.options, schema)
+        return SnapshotReader(self._root(), self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return ChangesStreamReader(
+            self._root(), self.options, schema, cdf=self._changes_mode()
+        )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return LakehouseWriter(self._root(), overwrite)
+
+
+class SnapshotReader(DataSourceReader):
+    """Snapshot scan of one version: manifest-stats segment pruning from
+    pushed filters, then one partition per parquet file with the residual
+    pyarrow filter applied inside the scan. All pushed filters are also
+    RETURNED to Spark (pruning here is conservative, Spark's re-check
+    keeps results exact — the same contract as parquet row-group stats)."""
+
+    def __init__(self, root: str, options, schema: StructType):
+        self.root = root
+        self.schema = schema
+        self.version = int(options.get("version", _pointer(root)))
+        self.ranges: dict[str, tuple] = {}
+        self.null_checked: tuple[str, ...] = ()
+
+    def pushFilters(self, filters: list[Filter]):
+        names = set(self.schema.fieldNames())
+
+        def _narrow(col, lo=None, hi=None):
+            cur_lo, cur_hi = self.ranges.get(col, (None, None))
+            if lo is not None:
+                cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+            if hi is not None:
+                cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+            self.ranges[col] = (cur_lo, cur_hi)
+
+        nulls = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[-1] if attr else None
+            if col not in names or (attr and len(attr) > 1):
+                continue  # nested / unknown column: Spark-side only
+            if isinstance(f, EqualTo) and f.value is not None:
+                _narrow(col, lo=f.value, hi=f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                _narrow(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                _narrow(col, hi=f.value)
+            elif isinstance(f, In) and f.value and None not in f.value:
+                try:
+                    _narrow(col, lo=min(f.value), hi=max(f.value))
+                except TypeError:
+                    pass
+            elif isinstance(f, IsNotNull):
+                nulls.append(col)
+        self.null_checked = tuple(nulls)
+        # Pruning here is range-conservative (stats overlap ≠ row match),
+        # so EVERY filter goes back to Spark for exact re-application.
+        return filters
+
+    def _surviving_segments(self) -> list[str]:
+        m = _manifest(self.root, self.version)
+        segs, stats = m["segments"], m.get("stats", {})
+        if not self.ranges:
+            return segs
+        # Local import keeps driver/executor import graphs decoupled.
+        from lakehouse_spark.mutation.store import _segment_may_match
+
+        return [
+            s for s in segs if _segment_may_match(stats.get(s), self.ranges)
+        ]
+
+    def partitions(self):
+        return [
+            _ScanPart(files=(f,))
+            for s in self._surviving_segments()
+            for f in _segment_files(self.root, s)
+        ] or [_ScanPart(files=())]
+
+    def read(self, partition: _ScanPart):
+        yield from _read_files(
+            partition, self.schema, self.ranges, self.null_checked
+        )
+
+
+def _change_parts(root: str, v: int, cdf: bool) -> list[_ScanPart]:
+    """Partitions for one commit's changes. Raises on an unmaterialized
+    rewrite — silently skipping it would corrupt every downstream sink."""
+    kind, added = _commit_kind(root, v)
+    if kind == "noop":
+        return []
+    if kind == "append":
+        return [
+            _ScanPart(files=(f,), ctype="insert", commit_version=v)
+            for s in added
+            for f in _segment_files(root, s)
+        ]
+    cdc = _cdc_dir(root, v)
+    if not os.path.isdir(cdc):
+        raise ValueError(
+            f"version {v} of {root} is a rewrite commit without a "
+            "materialized change file; create the table with "
+            "TableStore(write_cdf=True) or run materialize_cdf"
+            f"({v}) before reading changes through this source"
+        )
+    if not cdf:
+        raise ValueError(
+            f"version {v} of {root} is a rewrite commit; an insert-only "
+            "stream cannot represent updates/deletes — restart the read "
+            "with .option('changes', 'true')"
+        )
+    return [
+        _ScanPart(files=(f,), ctype="cdc", commit_version=v)
+        for f in _segment_files(root, f"_cdc{v:06d}")
+    ]
+
+
+class ChangesBatchReader(DataSourceReader):
+    """Batch `table_changes(start, end)`: one partition per change file."""
+
+    def __init__(self, root: str, options, schema: StructType):
+        self.root = root
+        self.schema = schema
+        self.start = int(options.get("startingversion", 0))
+        self.end = int(options.get("endingversion", _pointer(root)))
+        if not 0 <= self.start <= self.end <= _pointer(root):
+            raise ValueError(
+                f"invalid change range [{self.start}, {self.end}] "
+                f"(head is {_pointer(root)})"
+            )
+
+    def partitions(self):
+        return [
+            p
+            for v in range(self.start, self.end + 1)
+            for p in _change_parts(self.root, v, cdf=True)
+        ] or [_ScanPart(files=())]
+
+    def read(self, partition: _ScanPart):
+        yield from _read_files(partition, self.schema)
+
+
+class ChangesStreamReader(DataSourceStreamReader):
+    """Tail the commit log. Offset = ``{"version": last fully processed
+    commit}``; a micro-batch (start, end] covers whole commits, so replay
+    from the checkpointed offset is exact — the store's immutable
+    segments/change files make every batch deterministic."""
+
+    def __init__(self, root: str, options, schema: StructType, cdf: bool):
+        self.root = root
+        self.schema = schema
+        self.cdf = cdf
+        self.max_versions = int(options.get("maxversionsperbatch", 10))
+        start = str(options.get("startingversion", "0"))
+        if start == "latest":
+            self._initial = _pointer(root)
+        else:
+            self._initial = int(start) - 1
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        # Rate limit by commit count (steady-state): a busy table drains in
+        # bounded micro-batches instead of one giant batch. The FIRST call
+        # after (re)start must return the head unlimited: Spark restores
+        # the committed offset from the checkpoint but never tells this
+        # reader (setLatestSeenOffset is not forwarded to Python sources),
+        # so a rate-limited first answer could lie BELOW the restored
+        # offset — and the engine would then walk offsets backwards,
+        # replaying already-committed versions into the sink.
+        head = _pointer(self.root)
+        last = getattr(self, "_last", None)
+        self._last = head if last is None else min(head, last + self.max_versions)
+        return {"version": self._last}
+
+    def partitions(self, start: dict, end: dict):
+        # The steady-state limiter can also learn real progress here.
+        self._last = max(getattr(self, "_last", end["version"]), end["version"])
+        return [
+            p
+            for v in range(start["version"] + 1, end["version"] + 1)
+            for p in _change_parts(self.root, v, self.cdf)
+        ] or [_ScanPart(files=())]
+
+    def read(self, partition: _ScanPart):
+        yield from _read_files(partition, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to ack
+
+    def stop(self) -> None:
+        pass
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    name: str
+    stats: dict
+
+
+class LakehouseWriter(DataSourceArrowWriter):
+    """Executor tasks stream Arrow batches into parquet files under a
+    shared staging dir; the driver-side ``commit`` renames it into a
+    segment and publishes a manifest through the store's
+    optimistic-concurrency commit (claim slot → finalize → pointer swap).
+    Per-file min/max for int/float/string columns is aggregated from the
+    parquet footers the tasks already wrote — stats cost zero extra IO."""
+
+    def __init__(self, root: str, overwrite: bool):
+        self.root = root
+        self.overwrite = overwrite
+        self.staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        path = os.path.join(self.staging, name)
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _WroteFile(name="", stats={})
+        meta = pq.ParquetFile(path).metadata
+        stats: dict = {}
+        arrow_schema = pq.read_schema(path)
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                st = col.statistics
+                field_name = col.path_in_schema
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or "." in field_name  # nested leaves: skip
+                ):
+                    continue
+                typ = arrow_schema.field(field_name).type
+                import pyarrow.types as pt
+
+                if not (
+                    pt.is_integer(typ) or pt.is_floating(typ) or pt.is_string(typ)
+                ):
+                    continue  # keep manifest stats JSON-exact
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode("utf-8", "replace"), mx.decode(
+                        "utf-8", "replace"
+                    )
+                cur = stats.get(field_name)
+                if cur is None:
+                    stats[field_name] = [mn, mx]
+                else:
+                    stats[field_name] = [min(cur[0], mn), max(cur[1], mx)]
+        return _WroteFile(name=name, stats=stats)
+
+    def _merged_stats(self, messages) -> dict:
+        merged: dict = {}
+        names = set()
+        for m in messages:
+            if m is None or not m.name:
+                continue
+            names.add(m.name)
+            for c, (mn, mx) in m.stats.items():
+                cur = merged.get(c)
+                merged[c] = (
+                    [mn, mx]
+                    if cur is None
+                    else [min(cur[0], mn), max(cur[1], mx)]
+                )
+        # A column some files lack has unknown range in those files: its
+        # min/max would lie about the nulls — drop it unless every file
+        # reported it. (Null rows can't match a range predicate anyway,
+        # but a file written from an evolved schema could mix.)
+        per_file_cols = [set(m.stats) for m in messages if m is not None and m.name]
+        if per_file_cols:
+            common = set.intersection(*per_file_cols)
+            merged = {c: v for c, v in merged.items() if c in common}
+        return merged
+
+    def commit(self, messages) -> None:
+        from lakehouse_spark.mutation.store import TableStore
+
+        kept = [m for m in messages if m is not None and m.name]
+        # Drop empty tasks' zero-row placeholders; an all-empty write
+        # still commits (an empty overwrite truncates, like Spark's own
+        # parquet sink).
+        store = TableStore(spark=None, root=self.root, key="")
+
+        def _segments(v: int) -> list[str]:
+            # Base the append on v-1, the version this transaction actually
+            # claimed against — not a pre-read head a racing writer may
+            # have advanced past (that would silently drop their segments).
+            seg = f"_seg{v:06d}"
+            dst = os.path.join(self.root, seg)
+            if os.path.isdir(dst):
+                # Debris of a writer that died after renaming but before
+                # finalizing this slot's manifest; we own the claim now.
+                shutil.rmtree(dst)
+            os.replace(self.staging, dst)
+            stats = self._merged_stats(kept)
+            if stats:
+                store._pending_stats[seg] = stats
+            if self.overwrite or v == 0:
+                return [seg]
+            return _manifest(self.root, v - 1)["segments"] + [seg]
+
+        store._transact(_segments)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)

@@ -1,0 +1,260 @@
+"""Spark Python Data Source over TableStore (sources/table_source.py):
+batch snapshot + time travel + filter pushdown, batch change feed,
+streaming change feed with versions-as-offsets (exactly-once across
+restart), and the Arrow writer's optimistic-concurrency commit."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from lakehouse_spark.mutation.store import TableStore
+from lakehouse_spark.sources.table_source import (
+    LakehouseDataSource,
+    SnapshotReader,
+    _ScanPart,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(LakehouseDataSource)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = TableStore(
+        spark, str(tmp_path / "t"), key="id", stats_cols=("x",), write_cdf=True
+    )
+    s.init(
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "b", 7)], "id long, v string, x long"
+        )
+    )  # v0
+    s.append(
+        spark.createDataFrame([(3, "c", 100)], "id long, v string, x long")
+    )  # v1
+    s.upsert(
+        spark.createDataFrame(
+            [(2, "B", 8), (4, "d", 50)], "id long, v string, x long"
+        )
+    )  # v2 (rewrite, cdc materialized)
+    return s
+
+
+def _rows(df):
+    return sorted((r.id, r.v, r.x) for r in df.collect())
+
+
+def test_batch_snapshot_matches_store_read(spark, store):
+    df = spark.read.format("lakehouse").load(store.root)
+    assert _rows(df) == _rows(store.read())
+    assert df.schema == store.read().schema
+
+
+def test_batch_time_travel(spark, store):
+    v0 = spark.read.format("lakehouse").option("version", "0").load(store.root)
+    assert _rows(v0) == _rows(store.read(0))
+
+
+def test_batch_filter_parity_and_schema_evolution(spark, store):
+    # evolved append: new column appears, old segments read it as null
+    store.append(
+        spark.createDataFrame(
+            [(5, "e", 1, "tagged")], "id long, v string, x long, note string"
+        )
+    )
+    df = spark.read.format("lakehouse").load(store.root)
+    assert "note" in df.columns
+    got = sorted((r.id, r.note) for r in df.collect())
+    assert got == [(1, None), (2, None), (3, None), (4, None), (5, "tagged")]
+    # filters agree with the JVM-path read regardless of pruning
+    assert _rows(df.filter("x >= 50")) == _rows(store.read().filter("x >= 50"))
+    assert df.filter("x > 1000").count() == 0
+
+
+def test_pushdown_prunes_segments_from_manifest_stats(spark, store):
+    """Unit-level: pushFilters narrows to a range that excludes segments by
+    their manifest min/max, so partitions() lists fewer files."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    # two appended segments with DISJOINT x ranges on top of the compacted
+    # base (x in [5, 100]) — a selective range filter must drop segments
+    store.append(
+        spark.createDataFrame([(10, "lo", 200)], "id long, v string, x long")
+    )
+    store.append(
+        spark.createDataFrame([(11, "hi", 300)], "id long, v string, x long")
+    )
+    schema = spark.read.format("lakehouse").load(store.root).schema
+    r_all = SnapshotReader(store.root, {}, schema)
+    r_all.version = store.current_version()
+    n_all = len([p for p in r_all.partitions() if p.files])
+
+    r = SnapshotReader(store.root, {}, schema)
+    r.version = store.current_version()
+    leftover = list(r.pushFilters([GreaterThanOrEqual(("x",), 250)]))
+    assert len(leftover) == 1  # every filter handed back for exact re-check
+    n_pruned = len([p for p in r.partitions() if p.files])
+    assert 0 < n_pruned < n_all
+    # and the end-to-end filtered read stays exact
+    df = spark.read.format("lakehouse").load(store.root)
+    assert sorted(r.id for r in df.filter("x >= 250").collect()) == [11]
+
+
+def test_batch_changes_matches_store_changes(spark, store):
+    ch = spark.read.format("lakehouse").option("changes", "true").load(store.root)
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in store.changes(0).collect()
+    )
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in ch.collect()
+    )
+    assert got == want
+    # sub-range via options
+    sub = (
+        spark.read.format("lakehouse")
+        .option("changes", "true")
+        .option("startingVersion", "2")
+        .option("endingVersion", "2")
+        .load(store.root)
+    )
+    assert sorted(r["_change_type"] for r in sub.collect()) == [
+        "insert",
+        "update_postimage",
+        "update_preimage",
+    ]
+
+
+def test_changes_requires_materialized_rewrite(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "nc"), key="id")  # write_cdf=False
+    s.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    s.upsert(spark.createDataFrame([(1, "A")], "id long, v string"))
+    ch = spark.read.format("lakehouse").option("changes", "true").load(s.root)
+    with pytest.raises(Exception, match="materialize_cdf|rewrite commit"):
+        ch.collect()
+    # repair path: materialize, then a fresh read works
+    assert s.materialize_cdf(1)
+    ch = spark.read.format("lakehouse").option("changes", "true").load(s.root)
+    got = sorted(r["_change_type"] for r in ch.collect())
+    assert got == ["insert", "update_postimage", "update_preimage"]
+
+
+def _drain(spark, root, ckpt, out, expected, changes=True):
+    reader = spark.readStream.format("lakehouse")
+    if changes:
+        reader = reader.option("changes", "true")
+    q = (
+        reader.option("maxVersionsPerBatch", "1")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = time.monotonic() + 90
+    n = -1
+    try:
+        while n < expected and time.monotonic() < deadline:
+            time.sleep(0.5)
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.read.parquet(out)
+
+
+def test_stream_cdf_exactly_once_across_restart(spark, store, tmp_path):
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _drain(spark, store.root, ckpt, out, expected=6)
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in store.changes(0).collect()
+    )
+    assert (
+        sorted((r["_commit_version"], r["_change_type"], r["id"]) for r in got.collect())
+        == want
+    )
+    # new commits while the stream is down; restart resumes, no replay
+    store.append(spark.createDataFrame([(9, "z", 1)], "id long, v string, x long"))
+    store.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    got2 = _drain(spark, store.root, ckpt, out, expected=8)
+    assert (
+        sorted((r["_commit_version"], r["_change_type"], r["id"]) for r in got2.collect())
+        == sorted(
+            (r["_commit_version"], r["_change_type"], r["id"])
+            for r in store.changes(0).collect()
+        )
+    )
+
+
+def test_insert_only_stream_rejects_rewrites(spark, store, tmp_path):
+    ckpt, out = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("lakehouse")
+        .load(store.root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="insert-only|changes"):
+            q.awaitTermination(60)
+            raise AssertionError("stream over a rewritten table must fail")
+    finally:
+        q.stop()
+
+
+def test_writer_append_overwrite_and_stats(spark, store):
+    root = store.root
+    spark.createDataFrame(
+        [(7, "g", 3)], "id long, v string, x long"
+    ).write.format("lakehouse").mode("append").save(root)
+    assert 7 in {r.id for r in store.read().collect()}
+    v = store.current_version()
+    m = json.load(open(os.path.join(root, f"_manifest_{v:06d}.json")))
+    seg = f"_seg{v:06d}"
+    assert seg in m["segments"]
+    assert m["stats"][seg]["x"] == [3, 3]  # footer-harvested, no extra scan
+    assert m["stats"][seg]["id"] == [7, 7]
+    # prior segments' stats carried forward
+    assert any(s != seg and "x" in st for s, st in m["stats"].items())
+
+    spark.createDataFrame(
+        [(100, "w", 0)], "id long, v string, x long"
+    ).write.format("lakehouse").mode("overwrite").save(root)
+    assert [r.id for r in store.read().collect()] == [100]
+    # the store API keeps working on a writer-produced version
+    store.append(spark.createDataFrame([(101, "y", 2)], "id long, v string, x long"))
+    assert sorted(r.id for r in store.read().collect()) == [100, 101]
+
+
+def test_writer_creates_new_table(spark, tmp_path):
+    root = str(tmp_path / "fresh")
+    spark.range(3).selectExpr("id", "id * 2 as y").write.format(
+        "lakehouse"
+    ).mode("append").save(root)
+    got = spark.read.format("lakehouse").load(root)
+    assert sorted((r.id, r.y) for r in got.collect()) == [(0, 0), (1, 2), (2, 4)]
+    assert os.path.exists(os.path.join(root, "_CURRENT"))
+
+
+def test_vacuum_drops_old_change_files(spark, store):
+    assert os.path.isdir(store._cdc_path(2))
+    for i in range(3):
+        store.append(
+            spark.createDataFrame([(50 + i, "f", 1)], "id long, v string, x long")
+        )
+    store.vacuum(keep_last=2)
+    assert not os.path.isdir(store._cdc_path(2))
