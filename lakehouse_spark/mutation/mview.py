@@ -118,14 +118,37 @@ class MaterializedAgg:
             )
             return v_base
 
-        sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-        delta = (
-            self.base.diff(v_have, v_base)
-            .groupBy(*self.group_cols)
-            .agg(*self._aggs(sign))
-        )
+        # Delta source preference: the change feed (stored _cdc files +
+        # append segments) is O(changes-read) for EVERY commit kind; diff's
+        # rewrite path is two exceptAll passes over the full snapshots —
+        # O(table), the thing incremental maintenance exists to avoid. Use
+        # changes() whenever every commit in the range can serve it
+        # (append commits always can; rewrites once materialized — base
+        # tables feeding views should run with write_cdf=True).
+        try:
+            use_cdf = all(
+                self.base.has_cdf(v) for v in range(v_have + 1, v_base + 1)
+            )
+        except FileNotFoundError:  # a classifying manifest was vacuumed
+            use_cdf = False
+        if use_cdf:
+            sign = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            feed = self.base.changes(v_have + 1, v_base).drop(
+                "_commit_version"
+            )
+            delta = feed.groupBy(*self.group_cols).agg(*self._aggs(sign))
+        else:
+            sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+            delta = (
+                self.base.diff(v_have, v_base)
+                .groupBy(*self.group_cols)
+                .agg(*self._aggs(sign))
+            )
         d = self._with_key(delta).select(
             "_group_key",
             *[F.col(c).alias(f"__d_{c}") for c in self.group_cols],

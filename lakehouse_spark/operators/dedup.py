@@ -878,3 +878,80 @@ def minhash_cross_corpus(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("existing_id", "incoming_id", "jaccard")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    tau: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster the corpus, then
+    drop near-duplicates WITHIN each cluster, so the pairwise cosine
+    comparison never crosses cluster boundaries and total pair cost is
+    Σ|cluster|² instead of n².
+
+    Deterministic engine-agnostic variant: cluster "centroids" are the
+    ``n_clusters`` corpus vectors with the smallest md5(id) (the repo's
+    reproducible-sampling convention) rather than k-means means, each
+    vector assigns to its max-cosine centroid (rounded to 6dp,
+    centroid-id-asc ties), and within a cluster the SMALLEST id of a
+    near-dup pair survives (the paper keeps a per-group representative
+    chosen by distance-to-centroid; keep-smallest-id is the same greedy
+    policy made reproducible across engines and re-runs).
+
+    Returns every input row as (``id_col``, cluster_id, kept) — apply
+    ``filter("kept")`` for the surviving corpus.
+
+    Scale shape: the seed relation is tiny and broadcast, so assignment
+    is scan-speed (argmax over n_clusters broadcast rows via map-side
+    max_by partial aggregation — the corpus never shuffles to assign);
+    the within-cluster self-join shuffles on cluster_id once. At real
+    corpus scale raise ``n_clusters`` ~√n (the paper uses 11k clusters
+    for LAION-scale corpora) — per-cluster pair cost falls quadratically
+    with cluster count while assignment stays one broadcast argmax."""
+    from lakehouse_spark.operators.similarity import cosine
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seeds = (
+        e.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(n_clusters)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "id",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos"),
+    )
+    # argmax by (cos desc, cid asc): max_by over a (cos, -cid) struct —
+    # the ordering key is unique per (id, cid), so ties cannot introduce
+    # nondeterminism. Narrow rows + map-side partial max: the only
+    # shuffled relation is (id, cos, cid), never the vectors.
+    assigned = scored.groupBy("id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cos"), (-F.col("cid")).alias("nid"))
+        ).alias("cluster_id")
+    )
+    clustered = e.join(assigned, "id")
+    pairs = embedding_near_duplicates(
+        clustered, "id", "v", block_col="cluster_id", min_cosine=-2.0
+    )
+    dropped = (
+        pairs.withColumn("cos", F.round("cosine", 6))
+        .filter(F.col("cos") >= tau)
+        .select(F.col("b_id").alias("id"))  # a_id < b_id: smallest wins
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("kept", F.lit(False)), "id", "left"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            F.coalesce("kept", F.lit(True)).alias("kept"),
+        )
+    )

@@ -980,3 +980,51 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
+
+
+@_q(
+    "dedup_semdedup",
+    """
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8
+    ),
+    assigned AS (
+      SELECT id, cid AS cluster_id FROM (
+        SELECT e.id, s.cid,
+               row_number() OVER (PARTITION BY e.id ORDER BY
+                 round(list_dot_product(e.v, s.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(s.cv, s.cv))), 6) DESC,
+                 s.cid) AS rn
+        FROM e CROSS JOIN seeds s) t WHERE rn = 1
+    ),
+    cl AS (SELECT a.id, a.cluster_id, e.v FROM assigned a JOIN e ON a.id = e.id),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id AND a.id < b.id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    )
+    SELECT id AS vec_id, cluster_id,
+           (id NOT IN (SELECT id FROM dropped)) AS kept
+    FROM assigned
+    """,
+    doc=(
+        "SemDeDup (Abbas et al. 2023): semantic dedup over embeddings — "
+        "cluster, then drop near-duplicates only WITHIN clusters, so "
+        "pairwise cost is sum(|cluster|^2), never n^2. Deterministic "
+        "variant: seeds = smallest-md5(id) vectors, assignment = broadcast "
+        "max-cosine argmax (map-side max_by, the corpus never shuffles to "
+        "assign), keep-smallest-id within a near-dup pair. At real scale "
+        "n_clusters grows ~sqrt(n) (SemDeDup uses 11k clusters for LAION) "
+        "and the per-cluster pair cost falls quadratically."
+    ),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dedup.semdedup(emb, "vec_id", "embedding", n_clusters=8, tau=0.3)

@@ -79,6 +79,14 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # format("lakehouse") everywhere an engine session exists
+        # (idempotent; re-registration overwrites with the same class).
+        from lakehouse_spark.sources.table_source import LakehouseDataSource
+
+        spark.dataSource.register(LakehouseDataSource)
+    except Exception:  # noqa: BLE001 — a session without the DS still works
+        pass
     return spark
 
 

@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -183,7 +184,11 @@ def _read_files(
     if not part.files:
         return
     target = to_arrow_schema(spark_schema)
-    if part.ctype == "insert":
+    # Append-segment files carry no CDF columns; tag them on the way out —
+    # but only when the read schema wants them (an insert-only stream's
+    # schema is the bare table schema).
+    tag_cdf = part.ctype == "insert" and "_change_type" in target.names
+    if tag_cdf:
         data_schema = pa.schema(
             [f for f in target if f.name not in _CDF_COLS]
         )
@@ -204,7 +209,7 @@ def _read_files(
             else:
                 arr = pa.nulls(batch.num_rows, fld.type)
             cols.append(arr)
-        if part.ctype == "insert":
+        if tag_cdf:
             cols.append(
                 pa.array(["insert"] * batch.num_rows, pa.string())
             )
@@ -275,6 +280,23 @@ class LakehouseDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return LakehouseWriter(self._root(), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        app_id = self.options.get("txnappid")
+        if not app_id:
+            raise ValueError(
+                "writeStream.format('lakehouse') requires "
+                ".option('txnAppId', <stable query id>): the exactly-once "
+                "batch watermark is per-app, and an implicit shared "
+                "default would let two queries silently skip each "
+                "other's batches"
+            )
+        if overwrite:
+            raise ValueError(
+                "streaming writes append; complete/overwrite output mode "
+                "is not supported (use foreachBatch + TableStore.overwrite)"
+            )
+        return LakehouseStreamWriter(self._root(), app_id)
 
 
 class SnapshotReader(DataSourceReader):
@@ -467,13 +489,86 @@ class _WroteFile(WriterCommitMessage):
     stats: dict
 
 
+def _write_task_file(iterator, staging: str) -> _WroteFile:
+    """One executor task: stream Arrow batches into a parquet file in the
+    shared staging dir, harvesting per-column min/max for int/float/string
+    columns from the footer statistics the write already produced — stats
+    cost zero extra IO."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    path = os.path.join(staging, name)
+    writer = None
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return _WroteFile(name="", stats={})
+    meta = pq.ParquetFile(path).metadata
+    stats: dict = {}
+    arrow_schema = pq.read_schema(path)
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            st = col.statistics
+            field_name = col.path_in_schema
+            if (
+                st is None
+                or not st.has_min_max
+                or "." in field_name  # nested leaves: skip
+            ):
+                continue
+            typ = arrow_schema.field(field_name).type
+            if not (
+                pt.is_integer(typ) or pt.is_floating(typ) or pt.is_string(typ)
+            ):
+                continue  # keep manifest stats JSON-exact
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode(
+                    "utf-8", "replace"
+                )
+            cur = stats.get(field_name)
+            if cur is None:
+                stats[field_name] = [mn, mx]
+            else:
+                stats[field_name] = [min(cur[0], mn), max(cur[1], mx)]
+    return _WroteFile(name=name, stats=stats)
+
+
+def _merged_stats(messages) -> dict:
+    merged: dict = {}
+    for m in messages:
+        if m is None or not m.name:
+            continue
+        for c, (mn, mx) in m.stats.items():
+            cur = merged.get(c)
+            merged[c] = (
+                [mn, mx] if cur is None else [min(cur[0], mn), max(cur[1], mx)]
+            )
+    # A column some files lack has unknown range in those files: its
+    # min/max would lie about the nulls — drop it unless every file
+    # reported it. (Null rows can't match a range predicate anyway,
+    # but a file written from an evolved schema could mix.)
+    per_file_cols = [set(m.stats) for m in messages if m is not None and m.name]
+    if per_file_cols:
+        common = set.intersection(*per_file_cols)
+        merged = {c: v for c, v in merged.items() if c in common}
+    return merged
+
+
 class LakehouseWriter(DataSourceArrowWriter):
     """Executor tasks stream Arrow batches into parquet files under a
     shared staging dir; the driver-side ``commit`` renames it into a
     segment and publishes a manifest through the store's
-    optimistic-concurrency commit (claim slot → finalize → pointer swap).
-    Per-file min/max for int/float/string columns is aggregated from the
-    parquet footers the tasks already wrote — stats cost zero extra IO."""
+    optimistic-concurrency commit (claim slot → finalize → pointer swap)."""
 
     def __init__(self, root: str, overwrite: bool):
         self.root = root
@@ -482,78 +577,7 @@ class LakehouseWriter(DataSourceArrowWriter):
         os.makedirs(self.staging, exist_ok=True)
 
     def write(self, iterator):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        path = os.path.join(self.staging, name)
-        writer = None
-        try:
-            for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(path, batch.schema)
-                writer.write_table(pa.Table.from_batches([batch]))
-        finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return _WroteFile(name="", stats={})
-        meta = pq.ParquetFile(path).metadata
-        stats: dict = {}
-        arrow_schema = pq.read_schema(path)
-        for rg in range(meta.num_row_groups):
-            for ci in range(meta.num_columns):
-                col = meta.row_group(rg).column(ci)
-                st = col.statistics
-                field_name = col.path_in_schema
-                if (
-                    st is None
-                    or not st.has_min_max
-                    or "." in field_name  # nested leaves: skip
-                ):
-                    continue
-                typ = arrow_schema.field(field_name).type
-                import pyarrow.types as pt
-
-                if not (
-                    pt.is_integer(typ) or pt.is_floating(typ) or pt.is_string(typ)
-                ):
-                    continue  # keep manifest stats JSON-exact
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn, mx = mn.decode("utf-8", "replace"), mx.decode(
-                        "utf-8", "replace"
-                    )
-                cur = stats.get(field_name)
-                if cur is None:
-                    stats[field_name] = [mn, mx]
-                else:
-                    stats[field_name] = [min(cur[0], mn), max(cur[1], mx)]
-        return _WroteFile(name=name, stats=stats)
-
-    def _merged_stats(self, messages) -> dict:
-        merged: dict = {}
-        names = set()
-        for m in messages:
-            if m is None or not m.name:
-                continue
-            names.add(m.name)
-            for c, (mn, mx) in m.stats.items():
-                cur = merged.get(c)
-                merged[c] = (
-                    [mn, mx]
-                    if cur is None
-                    else [min(cur[0], mn), max(cur[1], mx)]
-                )
-        # A column some files lack has unknown range in those files: its
-        # min/max would lie about the nulls — drop it unless every file
-        # reported it. (Null rows can't match a range predicate anyway,
-        # but a file written from an evolved schema could mix.)
-        per_file_cols = [set(m.stats) for m in messages if m is not None and m.name]
-        if per_file_cols:
-            common = set.intersection(*per_file_cols)
-            merged = {c: v for c, v in merged.items() if c in common}
-        return merged
+        return _write_task_file(iterator, self.staging)
 
     def commit(self, messages) -> None:
         from lakehouse_spark.mutation.store import TableStore
@@ -575,7 +599,7 @@ class LakehouseWriter(DataSourceArrowWriter):
                 # finalizing this slot's manifest; we own the claim now.
                 shutil.rmtree(dst)
             os.replace(self.staging, dst)
-            stats = self._merged_stats(kept)
+            stats = _merged_stats(kept)
             if stats:
                 store._pending_stats[seg] = stats
             if self.overwrite or v == 0:
@@ -586,3 +610,108 @@ class LakehouseWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class LakehouseStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("lakehouse")``: exactly-once append sink.
+
+    Each micro-batch commits through the store's manifest transaction
+    carrying ``txn=(txnAppId, batchId)`` — the Delta SetTransaction
+    idempotence protocol the store already implements. A replayed batch
+    (failure between sink commit and engine checkpoint commit) sees its
+    batchId at-or-below the recorded watermark and is skipped wholesale,
+    so rows land exactly once no matter how many times the engine
+    re-delivers. The ``txnAppId`` option is REQUIRED: the watermark is
+    per-app, and letting two different queries share an accidental
+    default would silently drop one query's batches.
+
+    Tasks write parquet into a staging dir named DETERMINISTICALLY from
+    the app id — the engine constructs separate writer instances for the
+    write tasks and for the commit runner (streamWriter() is called more
+    than once), so an instance-random staging path would strand the task
+    files where commit can't see them. File names are uuid-fresh per
+    task delivery, so replayed/aborted deliveries never collide; commit
+    moves only the files named in this batch's messages, and a crashed
+    delivery's orphans are swept opportunistically at the next commit."""
+
+    def __init__(self, root: str, app_id: str):
+        self.root = root
+        self.app_id = app_id
+        safe = "".join(c if c.isalnum() else "_" for c in app_id)
+        self.staging = os.path.join(root, f"_staging_stream_{safe}")
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator):
+        return _write_task_file(iterator, self.staging)
+
+    def commit(self, messages, batchId: int) -> None:
+        from lakehouse_spark.mutation.store import TableStore
+
+        kept = [m for m in messages if m is not None and m.name]
+        store = TableStore(spark=None, root=self.root, key="")
+        if (
+            store.current_version() is not None
+            and store.last_txn_version(self.app_id) >= batchId
+        ):
+            # Replayed batch already durable: drop this delivery's files.
+            for m in kept:
+                try:
+                    os.unlink(os.path.join(self.staging, m.name))
+                except FileNotFoundError:
+                    pass
+            return
+        if not kept:
+            # Empty batch: still advance the watermark so a replay of this
+            # batchId stays a no-op even if re-delivered non-empty... it
+            # can't be (batch content is deterministic from the offset
+            # log), but the commit also keeps the version history 1:1 with
+            # batches, which the txn carry-forward makes cheap. Skip the
+            # segment, commit manifest-only.
+            def _noseg(v: int) -> list[str]:
+                return (
+                    _manifest(self.root, v - 1)["segments"] if v > 0 else []
+                )
+
+            store._transact(_noseg, txn=(self.app_id, batchId))
+            return
+
+        def _segments(v: int) -> list[str]:
+            seg = f"_seg{v:06d}"
+            dst = os.path.join(self.root, seg)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # dead writer's debris; we own the claim
+            os.makedirs(dst)
+            for m in kept:
+                os.replace(
+                    os.path.join(self.staging, m.name),
+                    os.path.join(dst, m.name),
+                )
+            stats = _merged_stats(kept)
+            if stats:
+                store._pending_stats[seg] = stats
+            prev = _manifest(self.root, v - 1)["segments"] if v > 0 else []
+            return prev + [seg]
+
+        store._transact(_segments, txn=(self.app_id, batchId))
+        # Sweep abandoned task files (a retried task that died before its
+        # abort ran). Batches are sequential, so anything still in staging
+        # after this batch committed and older than the grace window
+        # belongs to no live delivery.
+        import time as _time
+
+        cutoff = _time.time() - 3600
+        try:
+            for n in os.listdir(self.staging):
+                p = os.path.join(self.staging, n)
+                if os.path.isfile(p) and os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.name:
+                try:
+                    os.unlink(os.path.join(self.staging, m.name))
+                except FileNotFoundError:
+                    pass

@@ -441,3 +441,34 @@ def test_aqe_coalesces_small_shuffle(spark):
     assert read["numPartitions"] < int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_incremental_refresh_from_stored_cdc(spark, tmp_path):
+    """A write_cdf base serves rewrite commits from stored change files:
+    refresh over an upsert+delete range must equal the recompute exactly,
+    and must have taken the changes() path (assert every version in the
+    range is CDC-servable)."""
+    store = TableStore(
+        spark, str(tmp_path / "cdcbase"), key="id", write_cdf=True
+    )
+    store.init(
+        spark.createDataFrame(
+            [(1, "a", 10.5), (2, "a", 2.25), (3, "b", 1.0)],
+            "id long, grp string, amount double",
+        )
+    )
+    mv = _mk(spark, tmp_path, store)
+    mv.refresh()
+    store.upsert(
+        spark.createDataFrame(
+            [(2, "b", 4.0), (9, "c", 7.0)], "id long, grp string, amount double"
+        )
+    )
+    store.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    assert all(
+        store.has_cdf(v)
+        for v in range(mv.base_version_reflected() + 1, store.current_version() + 1)
+    ), "rewrites must be CDC-servable with write_cdf=True"
+    mv.refresh()
+    assert _got(mv) == _expected(store)
+    assert mv.base_version_reflected() == store.current_version()

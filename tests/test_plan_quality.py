@@ -223,7 +223,10 @@ def test_no_cartesian_product_anywhere_in_catalog(spark):
     the broadcast side is the query set, never the corpus."""
     from lakehouse_spark.operators.dedup import release_caches
 
-    allowed_bnlj = {"sim_topk_bruteforce", "search_hybrid_rrf"}
+    # dedup_semdedup joins the corpus against a BROADCAST n_clusters-row
+    # seed relation (the assignment argmax) — same tiny-broadcast-side
+    # justification.
+    allowed_bnlj = {"sim_topk_bruteforce", "search_hybrid_rrf", "dedup_semdedup"}
     offenders = []
     for name in CATALOG:
         plan = _plan(spark, name)

@@ -602,3 +602,39 @@ def test_adaptive_skew_join_equals_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="inner/left"):
         adaptive_skew_join(fact, dim, "k", how="right")
+
+
+def test_semdedup_policy_and_invariants(spark):
+    """SemDeDup on constructed vectors: near-identical vectors land in one
+    cluster and only the smallest id survives; orthogonal vectors all
+    survive. Output covers every input id exactly once, and the kept set
+    is exactly {id : no smaller-id near-dup in the same cluster}."""
+    import math
+
+    from lakehouse_spark.operators.dedup import semdedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.0)),        # group A
+        (1, unit(0.001)),      # ~dup of 0
+        (2, unit(0.002)),      # ~dup of 0 and 1
+        (10, unit(math.pi / 2)),   # group B, orthogonal to A
+        (11, unit(math.pi / 2 + 0.001)),  # ~dup of 10
+        (20, [0.0, 0.0, 1.0, 0.0]),  # loner
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, "vec_id", "embedding", n_clusters=3, tau=0.999).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1, 2, 10, 11, 20]
+    kept = {r.vec_id for r in out if r.kept}
+    cluster = {r.vec_id: r.cluster_id for r in out}
+    # groups that share a cluster collapse to their smallest id
+    if cluster[0] == cluster[1] == cluster[2]:
+        assert {0, 1, 2} & kept == {0}
+    if cluster[10] == cluster[11]:
+        assert {10, 11} & kept == {10}
+    assert 20 in kept  # loner always survives
+    # deterministic across runs
+    again = semdedup(df, "vec_id", "embedding", n_clusters=3, tau=0.999).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
