@@ -50,6 +50,7 @@ _POINTER = "_CURRENT"
 _MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
 _SEG_RE = re.compile(r"^_seg(\d{6})(?:_\d+)?$")  # optional multi-part suffix
 _CDC_RE = re.compile(r"^_cdc(\d{6})$")  # materialized change files per version
+_DV_RE = re.compile(r"^_dv(\d{6})$")  # deletion vectors (deleted-row files)
 
 
 def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
@@ -115,6 +116,10 @@ class TableStore:
         # cost one column-pruned scan of each NEW segment at commit time.
         self.stats_cols = tuple(stats_cols)
         self._pending_stats: dict[str, dict] = {}
+        # Deletion vector staged by delete_keys(mode="dv") for the commit
+        # in flight: {dv_name: [segments it applies to]}. Consumed by
+        # _transact; cleared on abort like _pending_stats.
+        self._pending_dv: dict[str, list[str]] = {}
         # A zero-length claim file older than this is treated as the debris
         # of a writer that died between claim and finalize, and is stolen.
         # Must comfortably exceed the longest segment write a live writer
@@ -231,6 +236,7 @@ class TableStore:
         make_segments,
         meta: dict | None = None,
         txn: tuple[str, int] | None = None,
+        dv_override: dict[str, list[str]] | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -262,13 +268,15 @@ class TableStore:
         # rows. Snapshot the pending keys so the cleanup paths below can
         # discard exactly what this attempt added.
         pending_before = set(self._pending_stats)
+        dv_pending_before = set(self._pending_dv)
         try:
-            prev_txn, prev_stats = {}, {}
+            prev_txn, prev_stats, prev_dv = {}, {}, {}
             if cur is not None:
                 with open(self._manifest_path(cur)) as f:
                     prev = json.load(f)
                 prev_txn = prev.get("txn", {})
                 prev_stats = prev.get("stats", {})
+                prev_dv = prev.get("dv", {})
             new_txn = dict(prev_txn)
             if txn is not None:
                 app, ver = txn
@@ -285,6 +293,21 @@ class TableStore:
             # the moment this commit lands — drop any unclaimed additions.
             for s in set(self._pending_stats) - pending_before:
                 del self._pending_stats[s]
+            # Deletion vectors: carried forward by default — a dv masks
+            # ONLY the exact segment names in its applies_to list, so a
+            # rewrite that drops those segments makes the dv inert and the
+            # housekeeping below removes it from the manifest. Restore
+            # passes dv_override to pin the restored version's dv set.
+            if dv_override is not None:
+                dv = dict(dv_override)
+            else:
+                dv = dict(prev_dv)
+                for name in set(self._pending_dv) - dv_pending_before:
+                    dv[name] = self._pending_dv.pop(name)
+            live = set(segments)
+            dv = {
+                n: ap for n, ap in dv.items() if any(s in live for s in ap)
+            }
             tmp = self._manifest_path(nxt) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
@@ -293,6 +316,13 @@ class TableStore:
                         "meta": meta or {},
                         "txn": new_txn,
                         "stats": stats,
+                        "dv": dv,
+                        # Advertised so external readers (the Python data
+                        # source) can apply deletion vectors without being
+                        # told the key column out of band. Writers that
+                        # don't know the key (the format-writer commit
+                        # path) carry the previous manifest's forward.
+                        "key": self.key or (prev.get("key", "") if cur is not None else ""),
                     },
                     f,
                     default=str,  # dates/decimals degrade to strings
@@ -313,6 +343,8 @@ class TableStore:
             # rewrite with different data.
             for s in set(self._pending_stats) - pending_before:
                 del self._pending_stats[s]
+            for n in set(self._pending_dv) - dv_pending_before:
+                del self._pending_dv[n]
             try:
                 os.unlink(self._manifest_path(nxt))
             except FileNotFoundError:
@@ -334,6 +366,10 @@ class TableStore:
             if os.path.exists(self._manifest_path(v))
         ]
         live = {s for v in keep_versions for s in self._segments(v)}
+        live_dv = set()
+        for kv in keep_versions:
+            with open(self._manifest_path(kv)) as f:
+                live_dv |= set(json.load(f).get("dv", {}))
         for name in os.listdir(self.root):
             if m := _MANIFEST_RE.match(name):
                 v = int(m.group(1))
@@ -352,8 +388,67 @@ class TableStore:
                     shutil.rmtree(
                         os.path.join(self.root, name), ignore_errors=True
                     )
+            elif m := _DV_RE.match(name):
+                # A deletion vector outlives its own version: it stays as
+                # long as ANY retained manifest references it.
+                if int(m.group(1)) <= cur and name not in live_dv:
+                    shutil.rmtree(
+                        os.path.join(self.root, name), ignore_errors=True
+                    )
 
     # -- reads ----------------------------------------------------------------
+
+    def _dv_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _read_segments(
+        self, segments: list[str], dv: dict[str, list[str]]
+    ) -> DataFrame:
+        """Union the segments, applying deletion vectors with merge-on-read
+        semantics: a dv's deleted keys mask ONLY the segments in its
+        applies_to list, so rows re-inserted after the delete (they live in
+        newer segments no dv covers) survive. Segments are grouped by the
+        set of dvs covering them — one broadcast anti-join per group, and
+        the group count is bounded by the dv count (compaction folds dvs
+        away, resetting it)."""
+        # mergeSchema: segments may carry evolved schemas (append with new
+        # columns — see append's schema note); without it Spark takes ONE
+        # segment's footer as the table schema and silently drops columns
+        # the other segments added. Union semantics: missing columns read
+        # as null, matching Delta's additive schema evolution.
+        live_dv = {
+            n: set(ap) & set(segments)
+            for n, ap in dv.items()
+            if set(ap) & set(segments)
+        }
+        if not live_dv:
+            paths = [os.path.join(self.root, s) for s in segments]
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for s in segments:
+            key = tuple(sorted(n for n, ap in live_dv.items() if s in ap))
+            groups.setdefault(key, []).append(s)
+        parts = []
+        for names, segs in groups.items():
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, s) for s in segs]
+            )
+            if names:
+                keys = (
+                    self.spark.read.parquet(
+                        *[self._dv_path(n) for n in names]
+                    )
+                    .select(self.key)
+                    .distinct()
+                )
+                # Deletes are small between compactions: broadcast the
+                # keys so the anti-join never shuffles the data side.
+                df = df.join(F.broadcast(keys), self.key, "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def read(
         self,
@@ -372,11 +467,13 @@ class TableStore:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        segments = self._segments(v)
+        with open(self._manifest_path(v)) as f:
+            manifest = json.load(f)
+        segments = manifest["segments"]
+        dv = manifest.get("dv", {})
         cond = None
         if predicate:
-            with open(self._manifest_path(v)) as f:
-                stats = json.load(f).get("stats", {})
+            stats = manifest.get("stats", {})
             segments = [
                 s for s in segments if _segment_may_match(stats.get(s), predicate)
             ]
@@ -389,13 +486,7 @@ class TableStore:
             if not segments:
                 empty = self.read(v)  # schema from the unpruned version
                 return empty.limit(0) if cond is None else empty.filter(cond).limit(0)
-        paths = [os.path.join(self.root, s) for s in segments]
-        # mergeSchema: segments may carry evolved schemas (append with new
-        # columns — see append's schema note); without it Spark takes ONE
-        # segment's footer as the table schema and silently drops columns
-        # the other segments added. Union semantics: missing columns read
-        # as null, matching Delta's additive schema evolution.
-        out = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        out = self._read_segments(segments, dv)
         if cond is None:
             return out
         if any(c not in out.columns for c in predicate):
@@ -436,14 +527,29 @@ class TableStore:
 
     def commit_kind(self, v: int) -> tuple[str, list[str]]:
         """Classify commit ``v`` from the manifests alone (no data read):
-        ``("append", added_segments)`` when every prior segment is reused,
+        ``("append", added_segments)`` when every prior segment is reused
+        and deletion vectors are unchanged, ``("delete_dv", new_dv_names)``
+        for a merge-on-read delete (segments untouched, dv added),
         ``("noop", [])`` for pointer-only commits (restore to an identical
         state), ``("rewrite", [])`` otherwise (upsert / merge / delete /
-        overwrite / compact)."""
-        cur_segs = self._segments(v)
-        prev_segs = set(self._segments(v - 1)) if v > 0 else set()
+        overwrite / compact / mixed)."""
+        with open(self._manifest_path(v)) as f:
+            mv = json.load(f)
+        cur_segs, cur_dv = mv["segments"], mv.get("dv", {})
+        if v > 0:
+            with open(self._manifest_path(v - 1)) as f:
+                mp = json.load(f)
+            prev_segs, prev_dv = set(mp["segments"]), mp.get("dv", {})
+        else:
+            prev_segs, prev_dv = set(), {}
         if prev_segs <= set(cur_segs):
             added = [s for s in cur_segs if s not in prev_segs]
+            new_dv = [n for n in cur_dv if n not in prev_dv]
+            lost_dv = [n for n in prev_dv if n not in cur_dv]
+            if new_dv and not added and not lost_dv:
+                return ("delete_dv", new_dv)
+            if new_dv or lost_dv:
+                return ("rewrite", [])  # mixed / dv removal: snapshot diff
             return ("append", added) if added else ("noop", [])
         return ("rewrite", [])
 
@@ -594,6 +700,15 @@ class TableStore:
             kind, added = self.commit_kind(v)
             if kind == "noop":
                 continue  # pointer-only commit (e.g. restore to self)
+            if kind == "delete_dv":
+                # The dv file IS the delete pre-image set — O(deleted) read.
+                rows = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[self._dv_path(n) for n in added]
+                )
+                pieces.append(
+                    rows.select("*", F.lit("delete").alias("_change_type"), tag)
+                )
+                continue
             if kind == "append":
                 inserts = self.spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.root, s) for s in added]
@@ -693,9 +808,14 @@ class TableStore:
         and the restore itself is an auditable commit with provenance
         meta), nothing is rewritten, and concurrent-writer safety is the
         ordinary claim protocol. Fails if ``version`` was vacuumed."""
-        segs = self._segments(version)  # raises if vacuumed
+        with open(self._manifest_path(version)) as f:  # raises if vacuumed
+            m = json.load(f)
         return self._transact(
-            lambda v: segs, meta={"restored_from": version}
+            lambda v: m["segments"],
+            meta={"restored_from": version},
+            # Pin the restored version's deletion vectors too: carrying the
+            # head's dvs would keep masking rows the restored state had.
+            dv_override=m.get("dv", {}),
         )
 
     def overwrite(
@@ -866,13 +986,48 @@ class TableStore:
             out = kept.unionByName(ins)
         self._rewrite(out, txn=txn)
 
-    def delete_keys(self, keys: DataFrame) -> int:
+    def delete_keys(self, keys: DataFrame, mode: str = "rewrite") -> int:
         """J4 target: delete all rows whose key appears in ``keys`` (feed
-        with plans.closure.cascade_delete_targets for recursive deletes)."""
+        with plans.closure.cascade_delete_targets for recursive deletes).
+
+        ``mode="rewrite"`` (default) compacts the survivors into one
+        segment — O(table) write, zero read-time cost after.
+
+        ``mode="dv"`` is the merge-on-read path (Delta deletion vectors):
+        the commit WRITES only the deleted rows (their full pre-images, so
+        the change feed reads them back for free) into a ``_dv`` file
+        scoped to the segments live at delete time; the table's segments
+        are untouched. Reads anti-join the (broadcast-small) deleted keys
+        against exactly those segments — keys re-inserted later land in
+        newer segments no dv covers and correctly resurrect. Cost shape:
+        delete writes O(deleted rows) instead of rewriting 100 TB; reads
+        pay one broadcast anti-join per outstanding dv until
+        :meth:`compact` folds them away. Run compaction on a cadence,
+        exactly like Delta's OPTIMIZE after DML on deletion-vector
+        tables."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
         base = self.read()
-        out = base.join(keys.select(self.key).distinct(), self.key, "left_anti")
-        removed = base.count() - out.count()
-        self._rewrite(out)
+        keyset = keys.select(self.key).distinct()
+        if mode == "rewrite":
+            out = base.join(keyset, self.key, "left_anti")
+            removed = base.count() - out.count()
+            self._rewrite(out)
+            return removed
+        deleted = base.join(F.broadcast(keyset), self.key, "left_semi")
+        removed = deleted.count()
+        if removed == 0:
+            return 0
+        def _keep(v: int) -> list[str]:
+            # applies_to resolved INSIDE the claimed transaction (v-1 is
+            # immutable once v is claimed), like append's segment list.
+            segs = self._segments(v - 1)
+            name = f"_dv{v:06d}"
+            deleted.write.mode("overwrite").parquet(self._dv_path(name))
+            self._pending_dv[name] = segs
+            return segs
+
+        self._transact(_keep)
         return removed
 
     def delete_last_per_group(self, group: str, order_col: str) -> None:
@@ -988,8 +1143,18 @@ class TableStore:
         (upsert/delete/compact) fall back to the two-sided exceptAll, which
         is what a Delta CDF reader must do without a change log either."""
         v_to = self.current_version() if v_to is None else v_to
-        old_segs, new_segs = self._segments(v_from), self._segments(v_to)
-        if set(old_segs) <= set(new_segs):
+        with open(self._manifest_path(v_from)) as f:
+            m_from = json.load(f)
+        with open(self._manifest_path(v_to)) as f:
+            m_to = json.load(f)
+        old_segs, new_segs = m_from["segments"], m_to["segments"]
+        # The append fast path also requires UNCHANGED deletion vectors: a
+        # dv commit reuses every segment but removes rows, which the
+        # added-segments read would miss entirely.
+        if (
+            set(old_segs) <= set(new_segs)
+            and m_from.get("dv", {}) == m_to.get("dv", {})
+        ):
             added = [s for s in new_segs if s not in set(old_segs)]
             if not added:
                 return self.read(v_from).limit(0).withColumn(

@@ -105,10 +105,21 @@ def _cdc_dir(root: str, v: int) -> str:
 
 
 def _commit_kind(root: str, v: int) -> tuple[str, list[str]]:
-    cur = _manifest(root, v)["segments"]
-    prev = set(_manifest(root, v - 1)["segments"]) if v > 0 else set()
+    mv = _manifest(root, v)
+    cur, cur_dv = mv["segments"], mv.get("dv", {})
+    if v > 0:
+        mp = _manifest(root, v - 1)
+        prev, prev_dv = set(mp["segments"]), mp.get("dv", {})
+    else:
+        prev, prev_dv = set(), {}
     if prev <= set(cur):
         added = [s for s in cur if s not in prev]
+        new_dv = [n for n in cur_dv if n not in prev_dv]
+        lost_dv = [n for n in prev_dv if n not in cur_dv]
+        if new_dv and not added and not lost_dv:
+            return ("delete_dv", new_dv)
+        if new_dv or lost_dv:
+            return ("rewrite", [])
         return ("append", added) if added else ("noop", [])
     return ("rewrite", [])
 
@@ -144,12 +155,16 @@ def _one_file_per_schema(root: str, segments: list[str]) -> list[str]:
 @dataclass
 class _ScanPart(InputPartition):
     """One parquet file; ``ctype`` non-None tags a change-feed read
-    ('insert' for append-segment files, 'cdc' for stored change files
-    that already carry the CDF columns)."""
+    ('insert' for append-segment files, 'dv_delete' for deletion-vector
+    pre-image files read as deletes, 'cdc' for stored change files that
+    already carry the CDF columns). ``dv_files``/``dv_key`` carry the
+    deletion vectors masking this file's segment (merge-on-read)."""
 
     files: tuple[str, ...]
     ctype: str | None = None
     commit_version: int | None = None
+    dv_files: tuple[str, ...] = ()
+    dv_key: str | None = None
 
 
 def _arrow_filter(ranges: dict, null_checked: tuple[str, ...]):
@@ -181,25 +196,50 @@ def _read_files(
     import pyarrow.dataset as ds
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    import pyarrow.compute as pc
+
     if not part.files:
         return
     target = to_arrow_schema(spark_schema)
-    # Append-segment files carry no CDF columns; tag them on the way out —
+    # Segment/dv files carry no CDF columns; tag them on the way out —
     # but only when the read schema wants them (an insert-only stream's
     # schema is the bare table schema).
-    tag_cdf = part.ctype == "insert" and "_change_type" in target.names
+    tag_cdf = part.ctype in ("insert", "dv_delete") and (
+        "_change_type" in target.names
+    )
     if tag_cdf:
         data_schema = pa.schema(
             [f for f in target if f.name not in _CDF_COLS]
         )
     else:
         data_schema = target
+    # Merge-on-read: load this segment's deletion-vector keys once per
+    # partition (dvs are broadcast-small by contract) and mask matching
+    # rows. NULL keys never match — is_in(null)=false — matching the
+    # store's anti-join semantics.
+    deleted_keys = None
+    if part.dv_files and part.dv_key:
+        import pyarrow.dataset as dsm
+
+        deleted_keys = (
+            dsm.dataset(list(part.dv_files), format="parquet")
+            .to_table(columns=[part.dv_key])
+            .column(part.dv_key)
+            .combine_chunks()
+        )
     file_schema = _unified_arrow_schema(list(part.files))
     # Read with the files' own types, project/conform after: parquet
     # footers may carry e.g. int32 where the table schema says int64.
     dataset = ds.dataset(list(part.files), schema=file_schema, format="parquet")
     flt = _arrow_filter(ranges, null_checked) if (ranges or null_checked) else None
     for batch in dataset.to_batches(filter=flt):
+        if deleted_keys is not None and batch.num_rows:
+            keep = pc.invert(
+                pc.is_in(batch.column(part.dv_key), value_set=deleted_keys)
+            )
+            batch = batch.filter(pc.fill_null(keep, True))
+            if not batch.num_rows:
+                continue
         cols = []
         for fld in data_schema:
             if batch.schema.get_field_index(fld.name) >= 0:
@@ -210,9 +250,8 @@ def _read_files(
                 arr = pa.nulls(batch.num_rows, fld.type)
             cols.append(arr)
         if tag_cdf:
-            cols.append(
-                pa.array(["insert"] * batch.num_rows, pa.string())
-            )
+            ctype = "delete" if part.ctype == "dv_delete" else "insert"
+            cols.append(pa.array([ctype] * batch.num_rows, pa.string()))
             cols.append(
                 pa.array([part.commit_version] * batch.num_rows, pa.int64())
             )
@@ -361,8 +400,29 @@ class SnapshotReader(DataSourceReader):
         ]
 
     def partitions(self):
+        m = _manifest(self.root, self.version)
+        dv, key = m.get("dv", {}), m.get("key")
+        if dv and not key:
+            raise ValueError(
+                f"{self.root} has deletion vectors but its manifest "
+                "predates the advertised key column; rewrite (compact) the "
+                "table once to upgrade"
+            )
+
+        def _dv_for(seg: str) -> tuple[str, ...]:
+            return tuple(
+                f
+                for n, ap in sorted(dv.items())
+                if seg in ap
+                for f in _segment_files(self.root, n)
+            )
+
         return [
-            _ScanPart(files=(f,))
+            _ScanPart(
+                files=(f,),
+                dv_files=_dv_for(s),
+                dv_key=key if _dv_for(s) else None,
+            )
             for s in self._surviving_segments()
             for f in _segment_files(self.root, s)
         ] or [_ScanPart(files=())]
@@ -384,6 +444,19 @@ def _change_parts(root: str, v: int, cdf: bool) -> list[_ScanPart]:
             _ScanPart(files=(f,), ctype="insert", commit_version=v)
             for s in added
             for f in _segment_files(root, s)
+        ]
+    if kind == "delete_dv":
+        if not cdf:
+            raise ValueError(
+                f"version {v} of {root} is a deletion-vector commit; an "
+                "insert-only stream cannot represent deletes — restart "
+                "the read with .option('changes', 'true')"
+            )
+        # The dv files ARE the delete pre-images — O(deleted) read.
+        return [
+            _ScanPart(files=(f,), ctype="dv_delete", commit_version=v)
+            for n in added
+            for f in _segment_files(root, n)
         ]
     cdc = _cdc_dir(root, v)
     if not os.path.isdir(cdc):
