@@ -16,9 +16,17 @@ add-file transaction log:
 Cost model (the part that matters at 100 TB):
 - **append is O(new rows)** — write one segment, write a manifest that
   reuses every existing segment. The reference's open(...,'a') cost shape.
-- upsert / delete / delete-last rewrite into one compacted segment —
-  O(table), the same as Delta without merge-on-read; call sites that only
-  ever append never pay it.
+- **upsert / merge / delete are O(affected files)** when the key is in
+  ``stats_cols`` and the layout clusters it (``compact(range_by=key)``):
+  segments whose key range provably contains no source key are reused by
+  reference — Delta's stats-targeted file-skipping DML. Unclustered
+  layouts degrade to the classic O(table) single-segment rewrite;
+  ``delete_keys(mode="dv")`` is the O(deleted-rows) merge-on-read path.
+- ``overwrite_where`` (Delta replaceWhere) swaps just the segments the
+  predicate can touch — the idempotent-backfill primitive.
+- every read-then-rewrite commit carries snapshot-conflict detection: a
+  commit landing between the rewrite's read and its claim raises
+  :class:`ConcurrentWriteError` instead of being silently clobbered.
 - old versions remain readable (time travel) until :meth:`vacuum`.
 - **concurrent writers are safe**: each commit claims its version slot with
   a filesystem put-if-absent before writing anything; a racing writer gets
@@ -76,6 +84,20 @@ def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
         except TypeError:
             continue  # incomparable (e.g. JSON-degraded type): keep segment
     return True
+
+
+def _predicate_expr(predicate: dict):
+    """The exact Catalyst filter a stats predicate stands for: AND of
+    per-column range terms (scalar = equality, (lo, hi) = closed range,
+    None bound = unbounded). Returns None for an empty predicate."""
+    cond = None
+    for c, bounds in predicate.items():
+        lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
+        for b, op in ((lo, "__ge__"), (hi, "__le__")):
+            if b is not None:
+                term = getattr(F.col(c), op)(F.lit(b))
+                cond = term if cond is None else (cond & term)
+    return cond
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -237,6 +259,7 @@ class TableStore:
         meta: dict | None = None,
         txn: tuple[str, int] | None = None,
         dv_override: dict[str, list[str]] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -249,7 +272,17 @@ class TableStore:
         protocol as Delta's SetTransaction actions): an exactly-once sink's
         high-water mark survives interleaved upserts/deletes/compactions and
         other apps' commits, because the head manifest always holds the max
-        committed txn version per app."""
+        committed txn version per app.
+
+        ``base_version`` is snapshot-conflict detection for read-then-rewrite
+        commits (upsert / merge / delete / replaceWhere): those paths read
+        the table at some version and write a result derived from it, so a
+        commit that landed BETWEEN their read and their claim would be
+        silently clobbered by the rewrite. Passing the version the rewrite
+        read makes the commit claim exactly ``base_version + 1`` or raise
+        :class:`ConcurrentWriteError` — Delta's ConcurrentAppendException
+        contract: re-read and retry the whole mutation. Appends don't need
+        it (they resolve prior segments INSIDE the claimed transaction)."""
         for attempt in range(2):
             cur = self.current_version()
             nxt = 0 if cur is None else cur + 1
@@ -259,6 +292,20 @@ class TableStore:
             except ConcurrentWriteError:
                 if attempt == 1 or not self._recover_slot(nxt):
                     raise
+        if base_version is not None and nxt != base_version + 1:
+            # The table advanced past the snapshot this rewrite was derived
+            # from; committing would erase the interleaved writer's commit.
+            # Release the claim (readers never saw it) and make the caller
+            # re-read + retry.
+            try:
+                os.unlink(self._manifest_path(nxt))
+            except FileNotFoundError:
+                pass
+            raise ConcurrentWriteError(
+                f"table {self.root} advanced to version {nxt - 1} after "
+                f"this rewrite read version {base_version}; re-read and "
+                "retry the mutation"
+            )
         # Stats recorded by _write_segment during THIS attempt must not
         # outlive it: if the attempt aborts and another writer later claims
         # the same version slot and rewrites the same _segNNNNNN dir with
@@ -477,12 +524,7 @@ class TableStore:
             segments = [
                 s for s in segments if _segment_may_match(stats.get(s), predicate)
             ]
-            for c, bounds in predicate.items():
-                lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
-                for b, op in ((lo, "__ge__"), (hi, "__le__")):
-                    if b is not None:
-                        term = getattr(F.col(c), op)(F.lit(b))
-                        cond = term if cond is None else (cond & term)
+            cond = _predicate_expr(predicate)
             if not segments:
                 empty = self.read(v)  # schema from the unpruned version
                 return empty.limit(0) if cond is None else empty.filter(cond).limit(0)
@@ -497,6 +539,85 @@ class TableStore:
             # (correctness beats skipping in this rare case).
             return self.read(v).filter(cond)
         return out.filter(cond)
+
+    # -- targeted DML: rewrite only the files the keys can live in -----------
+
+    # Above this many distinct source keys, skip targeting: collecting the
+    # key set to the driver would cost more than it saves, and a source that
+    # large usually touches most files anyway. Delta's file-skipping DML has
+    # the same shape (join the source against add-file stats; degrade to a
+    # full rewrite when everything matches).
+    max_targeted_keys = 200_000
+
+    def _source_key_list(self, source: DataFrame) -> list | None:
+        """Distinct non-null source keys, sorted, or None when the source is
+        too large to target (caller falls back to the full rewrite). NULL
+        keys never match the equi-join, so they can't identify a segment to
+        rewrite — they ride along as inserts regardless."""
+        rows = (
+            source.select(self.key)
+            .filter(F.col(self.key).isNotNull())
+            .distinct()
+            .limit(self.max_targeted_keys + 1)
+            .collect()
+        )
+        if len(rows) > self.max_targeted_keys:
+            return None
+        return sorted(r[0] for r in rows)
+
+    def _split_by_key_overlap(
+        self, manifest: dict, keys: list
+    ) -> tuple[list[str], list[str]]:
+        """Partition the manifest's segments into (touched, untouched):
+        a segment is untouched only when its key min/max PROVABLY contains
+        none of the source keys — then no source row can match a row in it,
+        so the DML result leaves it byte-identical and the commit reuses it
+        by reference. Segments without key stats (or with incomparable
+        degraded types) are conservatively touched. Effective exactly when
+        the layout clusters the key (compact(range_by=key) / z-order /
+        naturally-ordered ingest keys) — the same precondition as Delta's
+        stats-based file-skipping DML."""
+        import bisect
+
+        stats = manifest.get("stats", {})
+        touched: list[str] = []
+        untouched: list[str] = []
+        for s in manifest["segments"]:
+            st = (stats.get(s) or {}).get(self.key)
+            hit = True
+            if st is not None and st[0] is not None and st[1] is not None:
+                try:
+                    i = bisect.bisect_left(keys, st[0])
+                    hit = i < len(keys) and keys[i] <= st[1]
+                except TypeError:  # degraded/incomparable stat types
+                    hit = True
+            (touched if hit else untouched).append(s)
+        return touched, untouched
+
+    def _aligned_base(
+        self, manifest: dict, touched: list[str]
+    ) -> DataFrame:
+        """Read the touched segments (deletion vectors applied) aligned to
+        the FULL table schema, so targeted DML behaves byte-identically to
+        the full-table form even when schema-evolved columns live only in
+        untouched segments."""
+        dv = manifest.get("dv", {})
+        full = self._read_segments(manifest["segments"], dv)
+        if set(touched) == set(manifest["segments"]):
+            return full
+        if not touched:
+            return full.limit(0)
+        base = self._read_segments(touched, dv)
+        missing = [c for c in full.columns if c not in base.columns]
+        if missing:
+            base = base.select(
+                "*",
+                *[
+                    F.lit(None).cast(full.schema[c].dataType).alias(c)
+                    for c in missing
+                ],
+            )
+        return base.select(*full.columns)
 
     def history(self) -> list[dict]:
         """Commit log, newest first: every retained version with its
@@ -796,10 +917,17 @@ class TableStore:
             return int(json.load(f).get("txn", {}).get(app_id, -1))
 
     def _rewrite(
-        self, df: DataFrame, txn: tuple[str, int] | None = None
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Full compaction commit: one segment holding ``df``."""
-        return self._transact(lambda v: [self._write_segment(df, v)], txn=txn)
+        return self._transact(
+            lambda v: [self._write_segment(df, v)],
+            txn=txn,
+            base_version=base_version,
+        )
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: roll the table back to ``version`` by
@@ -831,20 +959,100 @@ class TableStore:
         their data."""
         self._transact(lambda v: [self._write_segment(df, v)], meta, txn)
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicate: dict,
+        meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Delta's ``replaceWhere`` / dynamic-partition-overwrite: atomically
+        replace exactly the rows matching ``predicate`` (same dict form as
+        :meth:`read` — scalar equality or ``(lo, hi)`` ranges over
+        stats-tracked columns) with ``df``. The idempotent-backfill
+        primitive: re-running a day's pipeline swaps that day's rows in one
+        commit, whatever state the previous run left.
+
+        Every row of ``df`` must itself satisfy the predicate — writing
+        outside the replaced region raises ValueError before anything
+        commits, exactly Delta's "data would be written outside of
+        replaceWhere" check.
+
+        Cost shape: **O(affected segments)** — segments whose stats can't
+        overlap the predicate are reused by reference; only overlapping
+        segments are read, filtered to their surviving (non-matching) rows,
+        and rewritten together with ``df``. On a layout banded by the
+        predicate column (compact(range_by=...) / z-order), a daily backfill
+        touches one band, not the table. Returns the new version."""
+        cond = _predicate_expr(predicate)
+        if cond is None:
+            raise ValueError(
+                "empty predicate would replace the whole table; call "
+                "overwrite() for that"
+            )
+        bad = df.filter(~F.coalesce(cond, F.lit(False))).limit(1)
+        if bad.count():
+            raise ValueError(
+                f"replacement rows fall outside the predicate {predicate!r} "
+                "(Delta's replaceWhere rejects this too) — fix the source "
+                "or widen the predicate"
+            )
+        v0 = self.current_version()
+        if v0 is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        with open(self._manifest_path(v0)) as f:
+            manifest = json.load(f)
+        stats = manifest.get("stats", {})
+        touched = [
+            s
+            for s in manifest["segments"]
+            if _segment_may_match(stats.get(s), predicate)
+        ]
+        untouched = [s for s in manifest["segments"] if s not in set(touched)]
+        base = self._aligned_base(manifest, touched)
+        # Survivors = rows NOT matching (a null-valued predicate column
+        # means "doesn't match" and therefore survives).
+        survivors = base.filter(~F.coalesce(cond, F.lit(False)))
+        out = survivors.unionByName(df.select(*base.columns))
+        return self._transact(
+            lambda v: untouched + [self._write_segment(out, v)],
+            meta,
+            txn,
+            base_version=v0,
+        )
+
     def upsert(
         self, rows: DataFrame, txn: tuple[str, int] | None = None
     ) -> None:
         """SC5: whole-row upsert keyed by ``self.key`` — the atomic
         tmp+rename document replace. Delta form: MERGE WHEN MATCHED UPDATE
         WHEN NOT MATCHED INSERT. ``txn`` stamps an exactly-once watermark
-        (see :meth:`last_txn_version`)."""
+        (see :meth:`last_txn_version`).
+
+        Cost shape: **O(affected files), not O(table)** when the key is in
+        ``stats_cols`` and the layout clusters it — segments whose key range
+        provably contains no source key are reused by reference; only the
+        overlapping files are read, merged, and rewritten (Delta's
+        file-skipping MERGE). Unclustered layouts or >200k source keys
+        degrade gracefully to the full rewrite."""
         if not self.exists():
             self.init(rows, txn=txn)
             return
-        base = self.read()
+        v0 = self.current_version()
+        with open(self._manifest_path(v0)) as f:
+            manifest = json.load(f)
+        keys = self._source_key_list(rows)
+        if keys is None:
+            touched, untouched = manifest["segments"], []
+        else:
+            touched, untouched = self._split_by_key_overlap(manifest, keys)
+        base = self._aligned_base(manifest, touched)
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
-        self._rewrite(
-            survivors.unionByName(rows.select(*base.columns)), txn=txn
+        out = survivors.unionByName(rows.select(*base.columns))
+        self._transact(
+            lambda v: untouched + [self._write_segment(out, v)],
+            txn=txn,
+            base_version=v0,
         )
 
     def merge(
@@ -880,9 +1088,12 @@ class TableStore:
         columns, matched updates and inserts carry them); ``"ignore"``
         explicitly discards them.
 
-        Cost shape: one left-outer join of the table against the (usually
-        small) source on the key plus one full-rewrite commit — the same
-        O(table) a Delta MERGE without deletion vectors pays."""
+        Cost shape: one left-outer join against the (usually small) source
+        plus a rewrite of **only the segments whose key stats can contain a
+        source key** (untouched segments are reused by reference) — Delta's
+        file-skipping MERGE. On a key-clustered layout that's O(affected
+        files); without key stats or with >200k source keys it degrades to
+        the classic O(table) rewrite."""
         if extra_cols not in ("error", "ignore", "evolve"):
             raise ValueError(
                 f"extra_cols must be 'error', 'evolve' or 'ignore', got {extra_cols!r}"
@@ -910,7 +1121,20 @@ class TableStore:
             if insert:
                 self.init(source, txn=txn)
             return
-        base = self.read()
+        # Targeted rewrite (see upsert): only segments whose key stats can
+        # contain a source key are read and rewritten; the rest are reused
+        # by reference. The aligned base carries the FULL table schema, so
+        # the unknown-column check and clause evaluation below are
+        # byte-identical to the untargeted form.
+        v0 = self.current_version()
+        with open(self._manifest_path(v0)) as f:
+            manifest = json.load(f)
+        tkeys = self._source_key_list(source)
+        if tkeys is None:
+            touched, untouched = manifest["segments"], []
+        else:
+            touched, untouched = self._split_by_key_overlap(manifest, tkeys)
+        base = self._aligned_base(manifest, touched)
         unknown = [c for c in source.columns if c not in base.columns]
         if unknown and extra_cols == "error":
             raise ValueError(
@@ -984,7 +1208,11 @@ class TableStore:
                     ]
                 )
             out = kept.unionByName(ins)
-        self._rewrite(out, txn=txn)
+        self._transact(
+            lambda v: untouched + [self._write_segment(out, v)],
+            txn=txn,
+            base_version=v0,
+        )
 
     def delete_keys(self, keys: DataFrame, mode: str = "rewrite") -> int:
         """J4 target: delete all rows whose key appears in ``keys`` (feed
@@ -1007,12 +1235,29 @@ class TableStore:
         tables."""
         if mode not in ("rewrite", "dv"):
             raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
-        base = self.read()
+        v0 = self.current_version()
+        if v0 is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        with open(self._manifest_path(v0)) as f:
+            manifest = json.load(f)
         keyset = keys.select(self.key).distinct()
+        # Deleted rows can only live in segments whose key stats overlap the
+        # key set — read (and in rewrite mode, rewrite) just those.
+        klist = self._source_key_list(keyset)
+        if klist is None:
+            touched, untouched = manifest["segments"], []
+        else:
+            touched, untouched = self._split_by_key_overlap(manifest, klist)
+        if not touched:
+            return 0  # provably nothing to delete; no commit needed
+        base = self._aligned_base(manifest, touched)
         if mode == "rewrite":
             out = base.join(keyset, self.key, "left_anti")
             removed = base.count() - out.count()
-            self._rewrite(out)
+            self._transact(
+                lambda v: untouched + [self._write_segment(out, v)],
+                base_version=v0,
+            )
             return removed
         deleted = base.join(F.broadcast(keyset), self.key, "left_semi")
         removed = deleted.count()
@@ -1027,32 +1272,37 @@ class TableStore:
             self._pending_dv[name] = segs
             return segs
 
-        self._transact(_keep)
+        # base_version pins the dv's pre-images to the segment list they
+        # were computed from — a commit landing between the read above and
+        # the claim would make applies_to describe the wrong snapshot.
+        self._transact(_keep, base_version=v0)
         return removed
 
     def delete_last_per_group(self, group: str, order_col: str) -> None:
         """O9 ← manager.py:293-325: drop the newest row per group (the
         reference's delete-last-transcript-line, as a versioned rewrite)."""
-        base = self.read()
+        v0 = self.current_version()
+        base = self.read(v0)
         w = Window.partitionBy(group).orderBy(F.desc(order_col))
         out = (
             base.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") > 1)
             .drop("__rn")
         )
-        self._rewrite(out)
+        self._rewrite(out, base_version=v0)
 
     def retention_sweep(
         self, ended_col: str, created_col: str, cutoff
     ) -> int:
         """F2 cleanup ← manager.py:472-498: delete rows with
         coalesce(ended, created) < cutoff; returns removed count (A7)."""
-        base = self.read()
+        v0 = self.current_version()
+        base = self.read(v0)
         keep = base.filter(
             ~(F.coalesce(F.col(ended_col), F.col(created_col)) < F.lit(cutoff))
         )
         removed = base.count() - keep.count()
-        self._rewrite(keep)
+        self._rewrite(keep, base_version=v0)
         return removed
 
     def compact(
@@ -1060,6 +1310,7 @@ class TableStore:
         zorder_by: tuple[str, str] | None = None,
         bits: int = 8,
         n_segments: int = 8,
+        range_by: str | None = None,
     ) -> int:
         """OPTIMIZE analog: fold all live segments into one (append-heavy
         tables accumulate small segments; run this on a cadence).
@@ -1074,19 +1325,56 @@ class TableStore:
         parquet row-group pruning the z-sort already buys. One full
         rewrite, same as Delta's OPTIMIZE; the banded writes read the keyed
         snapshot from a persisted cache, not n_segments recomputes of
-        upstream lineage."""
-        if zorder_by is None:
-            return self._rewrite(self.read())
-        from lakehouse_spark.operators.layout import zorder_key
+        upstream lineage.
 
-        a, b = zorder_by
-        base = self.read()
-        keyed = base.withColumn("__z", zorder_key(base, a, b, bits)).persist()
+        ``range_by=col`` is single-column range clustering (any orderable
+        type, strings included): rows land in ``n_segments`` contiguous
+        bands of the column's value space, cut at sampled quantiles. This
+        is the layout that makes the targeted-DML and
+        :meth:`overwrite_where` paths O(affected files): after
+        ``compact(range_by=key)``, a merge/upsert/delete whose source keys
+        fall in one band rewrites one band."""
+        if zorder_by is not None and range_by is not None:
+            raise ValueError("pass zorder_by or range_by, not both")
+        v0 = self.current_version()
+        if zorder_by is None and range_by is None:
+            return self._rewrite(self.read(v0), base_version=v0)
+        base = self.read(v0)
+        if range_by is not None:
+            keyed = base.withColumn("__z", F.col(range_by)).persist()
+        else:
+            from lakehouse_spark.operators.layout import zorder_key
+
+            a, b = zorder_by
+            keyed = base.withColumn(
+                "__z", zorder_key(base, a, b, bits)
+            ).persist()
         try:
             n = max(1, n_segments)
-            qs = keyed.approxQuantile(
-                "__z", [i / n for i in range(1, n)], 0.001
-            )
+            if range_by is not None:
+                # Generic-type cut points from a bounded sample (
+                # approxQuantile is numeric-only; a sorted ~100k-row sample
+                # gives band edges for strings/dates too — edges shape
+                # layout, never results, so sampling error only skews band
+                # sizes).
+                total = keyed.count()
+                frac = min(1.0, 100_000 / max(total, 1))
+                sample = sorted(
+                    r[0]
+                    for r in keyed.select("__z")
+                    .dropna()
+                    .sample(fraction=frac, seed=7)
+                    .collect()
+                )
+                qs = (
+                    [sample[len(sample) * i // n] for i in range(1, n)]
+                    if sample
+                    else []
+                )
+            else:
+                qs = keyed.approxQuantile(
+                    "__z", [i / n for i in range(1, n)], 0.001
+                )
             bounds = sorted(set(qs))
             edges = [None, *bounds, None]  # half-open bands, ends unbounded
 
@@ -1110,7 +1398,12 @@ class TableStore:
                     segs.append(self._write_segment(band, v, part=i))
                 return segs
 
-            return self._transact(_bands, meta={"zorder_by": list(zorder_by)})
+            meta = (
+                {"range_by": range_by}
+                if range_by is not None
+                else {"zorder_by": list(zorder_by)}
+            )
+            return self._transact(_bands, meta=meta, base_version=v0)
         finally:
             keyed.unpersist()
 
