@@ -1407,17 +1407,28 @@ class TableStore:
         finally:
             keyed.unpersist()
 
-    def maybe_compact(self, max_segments: int = 16) -> bool:
+    def maybe_compact(
+        self,
+        max_segments: int = 16,
+        zorder_by: tuple[str, str] | None = None,
+        range_by: str | None = None,
+        n_segments: int = 8,
+    ) -> bool:
         """Small-file policy: compact only when the live version holds more
         than ``max_segments`` segments. Call it after appends (streaming
         sinks, ingest loops) — amortized cost stays O(table/max_segments)
         per rewrite while reads never degrade past ``max_segments`` file
-        groups. Returns True when a compaction ran. A concurrent writer
-        winning the race simply surfaces ConcurrentWriteError like any
-        other commit — the caller's next maybe_compact retries."""
+        groups. ``zorder_by`` / ``range_by`` forward to :meth:`compact`, so
+        an ingest loop can keep the table key-clustered (and targeted DML
+        cheap) with the same call. Returns True when a compaction ran. A
+        concurrent writer winning the race simply surfaces
+        ConcurrentWriteError like any other commit — the caller's next
+        maybe_compact retries."""
         if self.n_segments() <= max_segments:
             return False
-        self.compact()
+        self.compact(
+            zorder_by=zorder_by, range_by=range_by, n_segments=n_segments
+        )
         return True
 
     def n_segments(self) -> int:

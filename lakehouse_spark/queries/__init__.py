@@ -31,6 +31,7 @@ from lakehouse_spark.queries._core import CATALOG, QuerySpec
 # Importing the domain modules registers their entries into CATALOG.
 from lakehouse_spark.queries import (  # noqa: E402,F401  (import-for-effect)
     aggregates_sorts,
+    behavior,
     dedup_sim,
     pipeline,
     scalars_filters,
