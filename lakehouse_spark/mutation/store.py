@@ -86,6 +86,71 @@ def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
     return True
 
 
+def _harvest_dir_stats(path: str, cols: tuple[str, ...]) -> dict:
+    """Per-column ``[min, max]`` for the parquet files under ``path``,
+    read from the footer statistics the write already produced — **zero
+    data IO**, no Spark job. Bounds may be conservative (parquet truncates
+    long string stats to a valid lower/upper bound), which is exactly what
+    the overlap test needs. Restricted to int/float/string columns so the
+    manifest's JSON round-trip stays exact; a column that any file lacks
+    stats for (all-null, unsupported type, evolved schema) is omitted and
+    pruning conservatively keeps the segment."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    want = set(cols)
+    per_file: list[dict] = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, fn)
+        meta = pq.ParquetFile(fp).metadata
+        schema = pq.read_schema(fp)
+        stats: dict = {}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in want or "." in name:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                typ = schema.field(name).type
+                if not (
+                    pt.is_integer(typ)
+                    or pt.is_floating(typ)
+                    or pt.is_string(typ)
+                ):
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                    mx = mx.decode("utf-8", "replace")
+                cur = stats.get(name)
+                stats[name] = (
+                    [mn, mx]
+                    if cur is None
+                    else [min(cur[0], mn), max(cur[1], mx)]
+                )
+        if meta.num_rows:
+            per_file.append(stats)
+    if not per_file:
+        return {}
+    common = set.intersection(*[set(s) for s in per_file])
+    merged: dict = {}
+    for s in per_file:
+        for c in common:
+            mn, mx = s[c]
+            cur = merged.get(c)
+            merged[c] = (
+                [mn, mx]
+                if cur is None
+                else [min(cur[0], mn), max(cur[1], mx)]
+            )
+    return merged
+
+
 def _predicate_expr(predicate: dict):
     """The exact Catalyst filter a stats predicate stands for: AND of
     per-column range terms (scalar = equality, (lo, hi) = closed range,
@@ -173,20 +238,12 @@ class TableStore:
         path = os.path.join(self.root, seg)
         df.write.mode("overwrite").parquet(path)
         if self.stats_cols:
-            # Stats from the WRITTEN files (one column-pruned scan of the
-            # new segment only — parquet footers make min/max near-free),
-            # so they describe exactly what readers will see.
-            written = self.spark.read.parquet(path)
-            cols = [c for c in self.stats_cols if c in written.columns]
-            if cols:
-                aggs = []
-                for c in cols:
-                    aggs.append(F.min(c).alias(f"__mn_{c}"))
-                    aggs.append(F.max(c).alias(f"__mx_{c}"))
-                row = written.agg(*aggs).collect()[0]
-                self._pending_stats[seg] = {
-                    c: [row[f"__mn_{c}"], row[f"__mx_{c}"]] for c in cols
-                }
+            # Stats from the WRITTEN files' parquet footers — no second
+            # Spark job, no data re-read; the bounds describe exactly what
+            # readers will see (conservative where parquet truncates).
+            stats = _harvest_dir_stats(path, self.stats_cols)
+            if stats:
+                self._pending_stats[seg] = stats
         return seg
 
     def _claim(self, v: int) -> None:

@@ -237,3 +237,36 @@ def test_compact_range_by_string_column(spark, tmp_path):
         spark.createDataFrame([("k0001",)], "k string")
     ) == 1
     assert len([s for s in _segments_of_head(store) if s in before]) == 3
+
+
+def test_streaming_cdc_apply_is_targeted_per_batch(spark, tmp_path):
+    """The exactly-once upsert sink (CDC-apply shape) inherits targeting:
+    on a key-clustered store, each micro-batch whose keys fall in one band
+    rewrites one band and reuses the rest by reference."""
+    from lakehouse_spark.streaming import live
+
+    store = TableStore(
+        spark, str(tmp_path / "dim"), key="id", stats_cols=("id",)
+    )
+    store.init(
+        spark.range(400).select(
+            "id", F.concat(F.lit("v"), F.col("id")).alias("val")
+        )
+    )
+    store.compact(range_by="id", n_segments=4)
+    banded = set(_segments_of_head(store))
+    sink = live.exactly_once_upsert_sink(store)
+    # batch 0: keys in band 0; batch 1: keys in band 3
+    sink(spark.createDataFrame([(3, "b0"), (7, "b0")], "id long, val string"), 0)
+    after0 = _segments_of_head(store)
+    assert len([s for s in after0 if s in banded]) == 3
+    sink(spark.createDataFrame([(390, "b1")], "id long, val string"), 1)
+    after1 = _segments_of_head(store)
+    assert len([s for s in after1 if s in after0]) == 3
+    # replay of batch 1 is a no-op (idempotence preserved alongside targeting)
+    v = store.current_version()
+    sink(spark.createDataFrame([(390, "AGAIN")], "id long, val string"), 1)
+    assert store.current_version() == v
+    got = {r.id: r.val for r in store.read().collect()}
+    assert got[3] == "b0" and got[390] == "b1" and got[5] == "v5"
+    assert len(got) == 400
