@@ -183,6 +183,7 @@ class TableStore:
         orphan_grace_sec: float = 300.0,
         stats_cols: tuple[str, ...] = (),
         write_cdf: bool = False,
+        bloom_cols: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.root = root
@@ -202,6 +203,14 @@ class TableStore:
         # the columns queries range-filter on (numeric or string); stats
         # cost one column-pruned scan of each NEW segment at commit time.
         self.stats_cols = tuple(stats_cols)
+        # Columns that get a per-segment Bloom sidecar at write time
+        # (mutation/bloom.py): equality lookups and targeted DML can then
+        # prove a key is ABSENT from a segment even when the layout is
+        # unclustered and min/max stats span everything (UUID-style keys).
+        # Costs one distributed hash pass per new segment; probing is
+        # sidecar-file IO only. Readers need no declaration — they
+        # discover sidecars by existence.
+        self.bloom_cols = tuple(bloom_cols)
         self._pending_stats: dict[str, dict] = {}
         # Deletion vector staged by delete_keys(mode="dv") for the commit
         # in flight: {dv_name: [segments it applies to]}. Consumed by
@@ -244,6 +253,10 @@ class TableStore:
             stats = _harvest_dir_stats(path, self.stats_cols)
             if stats:
                 self._pending_stats[seg] = stats
+        if self.bloom_cols:
+            from lakehouse_spark.mutation.bloom import build_segment_blooms
+
+            build_segment_blooms(self.spark, path, list(self.bloom_cols))
         return seg
 
     def _claim(self, v: int) -> None:
@@ -564,7 +577,10 @@ class TableStore:
         unbounded): segments whose manifest min/max can't overlap are
         skipped before Spark ever lists their files — Delta-style data
         skipping at manifest scale, on top of parquet's own row-group
-        pruning within the surviving segments. The exact filter is still
+        pruning within the surviving segments. Equality predicates also
+        probe per-segment Bloom sidecars when present (``bloom_cols``),
+        which prunes point lookups even on unclustered layouts where every
+        segment's min/max overlaps. The exact filter is still
         applied to the surviving rows, so
         ``read(predicate=p)`` ≡ ``read().filter(p)`` always; segments
         without stats (or columns not tracked) are conservatively kept."""
@@ -581,6 +597,22 @@ class TableStore:
             segments = [
                 s for s in segments if _segment_may_match(stats.get(s), predicate)
             ]
+            # Equality terms additionally probe bloom sidecars — effective
+            # exactly where min/max is not (unclustered high-cardinality
+            # keys). Range terms can't use a bloom.
+            from lakehouse_spark.mutation.bloom import hash_values
+
+            for c, bounds in predicate.items():
+                if isinstance(bounds, tuple):
+                    continue
+                hv = hash_values([bounds])
+                if hv is None:
+                    continue
+                segments = [
+                    s
+                    for s in segments
+                    if not self._bloom_rules_out(s, c, hv)
+                ]
             cond = _predicate_expr(predicate)
             if not segments:
                 empty = self.read(v)  # schema from the unpruned version
@@ -622,6 +654,20 @@ class TableStore:
             return None
         return sorted(r[0] for r in rows)
 
+    def _bloom_rules_out(self, seg: str, col: str, hashes) -> bool:
+        """True when the segment's bloom sidecar PROVES none of the hashed
+        values is present (no sidecar / non-probeable values → False: the
+        segment stays). A bloom False is definitive — no false negatives —
+        so ruling a segment out can never change results."""
+        if hashes is None or hashes.size == 0:
+            return False
+        from lakehouse_spark.mutation.bloom import load_bloom, might_contain_any
+
+        bloom = load_bloom(os.path.join(self.root, seg), col)
+        if bloom is None:
+            return False
+        return not might_contain_any(bloom, hashes)
+
     def _split_by_key_overlap(
         self, manifest: dict, keys: list
     ) -> tuple[list[str], list[str]]:
@@ -633,10 +679,17 @@ class TableStore:
         degraded types) are conservatively touched. Effective exactly when
         the layout clusters the key (compact(range_by=key) / z-order /
         naturally-ordered ingest keys) — the same precondition as Delta's
-        stats-based file-skipping DML."""
+        stats-based file-skipping DML. Bloom sidecars (``bloom_cols``)
+        extend the proof to UNCLUSTERED layouts: even when a segment's key
+        range covers a source key, its bloom can still prove the exact
+        keys absent."""
         import bisect
 
+        from lakehouse_spark.mutation.bloom import hash_values
+
         stats = manifest.get("stats", {})
+        unset = object()
+        hashes = unset  # hashed lazily, once, on the first bloom probe
         touched: list[str] = []
         untouched: list[str] = []
         for s in manifest["segments"]:
@@ -648,6 +701,11 @@ class TableStore:
                     hit = i < len(keys) and keys[i] <= st[1]
                 except TypeError:  # degraded/incomparable stat types
                     hit = True
+            if hit:
+                if hashes is unset:
+                    hashes = hash_values(keys)
+                if self._bloom_rules_out(s, self.key, hashes):
+                    hit = False
             (touched if hit else untouched).append(s)
         return touched, untouched
 
