@@ -21,7 +21,9 @@ Cost model (the part that matters at 100 TB):
   segments whose key range provably contains no source key are reused by
   reference — Delta's stats-targeted file-skipping DML. Unclustered
   layouts degrade to the classic O(table) single-segment rewrite;
-  ``delete_keys(mode="dv")`` is the O(deleted-rows) merge-on-read path.
+  ``delete_keys/upsert/merge(mode="dv")`` are the merge-on-read paths —
+  O(changed rows) written, ZERO segments rewritten: old images are masked
+  by a deletion vector, new images land in one new segment.
 - ``overwrite_where`` (Delta replaceWhere) swaps just the segments the
   predicate can touch — the idempotent-backfill primitive.
 - every read-then-rewrite commit carries snapshot-conflict detection: a
@@ -1137,19 +1139,35 @@ class TableStore:
         )
 
     def upsert(
-        self, rows: DataFrame, txn: tuple[str, int] | None = None
+        self,
+        rows: DataFrame,
+        txn: tuple[str, int] | None = None,
+        mode: str = "rewrite",
     ) -> None:
         """SC5: whole-row upsert keyed by ``self.key`` — the atomic
         tmp+rename document replace. Delta form: MERGE WHEN MATCHED UPDATE
         WHEN NOT MATCHED INSERT. ``txn`` stamps an exactly-once watermark
         (see :meth:`last_txn_version`).
 
-        Cost shape: **O(affected files), not O(table)** when the key is in
-        ``stats_cols`` and the layout clusters it — segments whose key range
-        provably contains no source key are reused by reference; only the
-        overlapping files are read, merged, and rewritten (Delta's
-        file-skipping MERGE). Unclustered layouts or >200k source keys
-        degrade gracefully to the full rewrite."""
+        ``mode="rewrite"`` (default) cost shape: **O(affected files), not
+        O(table)** when the key is in ``stats_cols`` and the layout
+        clusters it — segments whose key range provably contains no source
+        key are reused by reference; only the overlapping files are read,
+        merged, and rewritten (Delta's file-skipping MERGE). Unclustered
+        layouts or >200k source keys degrade gracefully to the full
+        rewrite.
+
+        ``mode="dv"`` is **merge-on-read MERGE** (Delta's deletion-vector
+        DML): NO segment is rewritten at all — the commit writes the
+        source rows as one new segment and a deletion vector masking the
+        OLD images of the matched keys in exactly the segments they could
+        live in. Cost: O(matched pre-images + source rows) written,
+        whatever the table size; reads pay one extra broadcast anti-join
+        per outstanding dv until :meth:`compact`/:meth:`maybe_compact`
+        folds them (run on a cadence, like Delta's OPTIMIZE after DV
+        DML)."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
         if not self.exists():
             self.init(rows, txn=txn)
             return
@@ -1162,6 +1180,33 @@ class TableStore:
         else:
             touched, untouched = self._split_by_key_overlap(manifest, keys)
         base = self._aligned_base(manifest, touched)
+        if mode == "dv":
+            new_rows = rows.select(*base.columns)
+            # Pre-images of the keys being replaced: they fund the change
+            # feed's delete/update records AND define the read-time mask.
+            matched = base.join(
+                F.broadcast(new_rows.select(self.key).distinct()),
+                self.key,
+                "left_semi",
+            )
+            has_matches = bool(touched) and matched.limit(1).count() > 0
+
+            def _mor(v: int) -> list[str]:
+                segs = self._segments(v - 1)
+                new_seg = self._write_segment(new_rows, v)
+                if has_matches:
+                    name = f"_dv{v:06d}"
+                    matched.write.mode("overwrite").parquet(
+                        self._dv_path(name)
+                    )
+                    # Scoped to the touched segments only: the mask never
+                    # has to be tested against files the keys provably
+                    # aren't in — fewer read-time anti-join groups.
+                    self._pending_dv[name] = list(touched)
+                return segs + [new_seg]
+
+            self._transact(_mor, txn=txn, base_version=v0)
+            return
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
         out = survivors.unionByName(rows.select(*base.columns))
         self._transact(
@@ -1179,6 +1224,7 @@ class TableStore:
         insert: bool = True,
         txn: tuple[str, int] | None = None,
         extra_cols: str = "error",
+        mode: str = "rewrite",
     ) -> None:
         """Conditional MERGE keyed by ``self.key`` — the full Delta shape
         :meth:`upsert` is the unconditional special case of::
@@ -1208,11 +1254,20 @@ class TableStore:
         source key** (untouched segments are reused by reference) — Delta's
         file-skipping MERGE. On a key-clustered layout that's O(affected
         files); without key stats or with >200k source keys it degrades to
-        the classic O(table) rewrite."""
+        the classic O(table) rewrite.
+
+        ``mode="dv"`` is merge-on-read MERGE (see :meth:`upsert`): NO
+        segment is rewritten — deleted and updated rows' OLD images are
+        masked by a deletion vector scoped to the segments they can live
+        in, and one new segment carries the update post-images plus the
+        inserts. Matched rows that neither clause touches stay in their
+        original segments unmasked. O(changed + inserted rows) written."""
         if extra_cols not in ("error", "ignore", "evolve"):
             raise ValueError(
                 f"extra_cols must be 'error', 'evolve' or 'ignore', got {extra_cols!r}"
             )
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
         # NULL keys never satisfy the equi-join, so they cannot fan a
         # matched target row out — exclude them from the duplicate check
         # (two null-key source rows are legal; with insert=True each
@@ -1291,15 +1346,7 @@ class TableStore:
         updated = matched & ~deleted
         if update_cond is not None:
             updated = updated & F.coalesce(F.expr(update_cond), F.lit(False))
-        kept = joined.filter(~deleted).select(
-            *[
-                F.when(updated, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                if c in upd
-                else F.col(f"t.{c}").alias(c)
-                for c in cols
-            ]
-        )
-        out = kept
+        ins = None
         if insert:
             new_rows = s.join(
                 t.select(F.col(f"t.{self.key}")),
@@ -1322,7 +1369,47 @@ class TableStore:
                         for c in cols
                     ]
                 )
-            out = kept.unionByName(ins)
+        if mode == "dv":
+            # Merge-on-read: old images of deleted/updated rows are masked
+            # (their pre-images fund the dv file), update post-images and
+            # inserts land in one new segment, and every matched-but-
+            # untouched row stays in its original segment unmasked.
+            pre = joined.filter(deleted | updated).select(
+                *[F.col(f"t.{c}").alias(c) for c in cols]
+            )
+            post = joined.filter(updated).select(
+                *[
+                    F.when(updated, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    if c in upd
+                    else F.col(f"t.{c}").alias(c)
+                    for c in cols
+                ]
+            )
+            new_seg_rows = post if ins is None else post.unionByName(ins)
+            has_masks = bool(touched) and pre.limit(1).count() > 0
+
+            def _mor(v: int) -> list[str]:
+                segs = self._segments(v - 1)
+                new_seg = self._write_segment(new_seg_rows, v)
+                if has_masks:
+                    name = f"_dv{v:06d}"
+                    pre.write.mode("overwrite").parquet(self._dv_path(name))
+                    self._pending_dv[name] = list(touched)
+                return segs + [new_seg]
+
+            self._transact(_mor, txn=txn, base_version=v0)
+            return
+        kept = joined.filter(~deleted).select(
+            *[
+                F.when(updated, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                if c in upd
+                else F.col(f"t.{c}").alias(c)
+                for c in cols
+            ]
+        )
+        out = kept if ins is None else kept.unionByName(ins)
         self._transact(
             lambda v: untouched + [self._write_segment(out, v)],
             txn=txn,

@@ -270,3 +270,84 @@ def test_streaming_cdc_apply_is_targeted_per_batch(spark, tmp_path):
     got = {r.id: r.val for r in store.read().collect()}
     assert got[3] == "b0" and got[390] == "b1" and got[5] == "v5"
     assert len(got) == 400
+
+
+def test_mor_upsert_rewrites_nothing(spark, tmp_path):
+    """mode='dv' upsert: every prior segment reused, one new segment for
+    the source rows, one dv masking the replaced keys' old images."""
+    mor = _mk_banded(spark, str(tmp_path / "a"))
+    ref = _mk_banded(spark, str(tmp_path / "b"))
+    src = spark.createDataFrame(
+        [(150, "UPD", -1.0), (7, "UPD2", -2.0), (9999, "NEW", 9.0)],
+        "id long, val string, x double",
+    )
+    before = set(_segments_of_head(mor))
+    mor.upsert(src, mode="dv")
+    ref.upsert(src)  # classic targeted rewrite as the semantics oracle
+    assert _rows(mor.read()) == _rows(ref.read())
+    after = _segments_of_head(mor)
+    assert set(before) <= set(after)  # nothing rewritten
+    assert len(after) == len(before) + 1
+    # repeated mor upsert of the SAME key: newest image wins
+    mor.upsert(
+        spark.createDataFrame([(150, "UPD_AGAIN", 0.0)], "id long, val string, x double"),
+        mode="dv",
+    )
+    assert mor.read().filter(F.col("id") == 150).first().val == "UPD_AGAIN"
+    assert mor.read().count() == 401
+    # compact folds the dvs away; results identical
+    want = _rows(mor.read())
+    mor.compact()
+    assert _rows(mor.read()) == want
+    with open(mor._manifest_path(mor.current_version())) as f:
+        assert json.load(f)["dv"] == {}
+
+
+def test_mor_merge_parity_with_rewrite_merge(spark, tmp_path):
+    mor = _mk_banded(spark, str(tmp_path / "a"))
+    ref = _mk_banded(spark, str(tmp_path / "b"))
+    src = spark.createDataFrame(
+        [
+            (210, "upd", 1.0),   # matches update_cond -> update val only
+            (215, "del", 0.0),   # matches delete_cond -> delete
+            (220, "skip", 0.0),  # matches neither -> untouched
+            (777, "ins", 7.0),   # unmatched -> insert
+        ],
+        "id long, val string, x double",
+    )
+    kw = dict(
+        update_cols=["val"],
+        update_cond="s.val = 'upd'",
+        delete_cond="s.val = 'del'",
+    )
+    before = set(_segments_of_head(mor))
+    mor.merge(src, mode="dv", **kw)
+    ref.merge(src, **kw)
+    assert _rows(mor.read()) == _rows(ref.read())
+    got = {r.id: (r.val, r.x) for r in mor.read().collect()}
+    assert got[210] == ("upd", 210.0)
+    assert 215 not in got
+    assert got[220] == ("v220", 220.0)  # untouched matched row, unmasked
+    assert got[777] == ("ins", 7.0)
+    assert set(before) <= set(_segments_of_head(mor))  # zero rewrites
+
+
+def test_mor_merge_change_feed_still_correct(spark, tmp_path):
+    store = _mk_banded(spark, str(tmp_path / "t"))
+    v0 = store.current_version()
+    store.merge(
+        spark.createDataFrame(
+            [(5, "changed", 5.5), (9998, "new", 1.0)],
+            "id long, val string, x double",
+        ),
+        mode="dv",
+    )
+    ch = store.changes(v0 + 1).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {r.id for r in by_type["insert"]} == {9998}
+    assert {r.id for r in by_type["update_preimage"]} == {5}
+    assert by_type["update_preimage"][0].val == "v5"
+    assert {r.id for r in by_type["update_postimage"]} == {5}
+    assert by_type["update_postimage"][0].val == "changed"
