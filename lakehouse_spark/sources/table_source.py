@@ -351,6 +351,10 @@ class SnapshotReader(DataSourceReader):
         self.version = int(options.get("version", _pointer(root)))
         self.ranges: dict[str, tuple] = {}
         self.null_checked: tuple[str, ...] = ()
+        # Exact value sets from EqualTo/In filters: probed against the
+        # segments' Bloom sidecars (mutation/bloom.py), which can prove a
+        # point lookup absent even where min/max ranges span everything.
+        self.eq_values: dict[str, list] = {}
 
     def pushFilters(self, filters: list[Filter]):
         names = set(self.schema.fieldNames())
@@ -371,6 +375,7 @@ class SnapshotReader(DataSourceReader):
                 continue  # nested / unknown column: Spark-side only
             if isinstance(f, EqualTo) and f.value is not None:
                 _narrow(col, lo=f.value, hi=f.value)
+                self.eq_values.setdefault(col, []).append([f.value])
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 _narrow(col, lo=f.value)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
@@ -380,6 +385,7 @@ class SnapshotReader(DataSourceReader):
                     _narrow(col, lo=min(f.value), hi=max(f.value))
                 except TypeError:
                     pass
+                self.eq_values.setdefault(col, []).append(list(f.value))
             elif isinstance(f, IsNotNull):
                 nulls.append(col)
         self.null_checked = tuple(nulls)
@@ -395,9 +401,32 @@ class SnapshotReader(DataSourceReader):
         # Local import keeps driver/executor import graphs decoupled.
         from lakehouse_spark.mutation.store import _segment_may_match
 
-        return [
+        segs = [
             s for s in segs if _segment_may_match(stats.get(s), self.ranges)
         ]
+        if self.eq_values:
+            from lakehouse_spark.mutation.bloom import (
+                hash_values,
+                load_bloom,
+                might_contain_any,
+            )
+
+            for col, value_sets in self.eq_values.items():
+                for values in value_sets:
+                    hashes = hash_values(values)
+                    if hashes is None:
+                        continue  # non-probeable types: keep everything
+
+                    def _keeps(seg: str) -> bool:
+                        bloom = load_bloom(os.path.join(self.root, seg), col)
+                        # For an In(...) set, ALL values absent -> the
+                        # conjunctive filter can't match in this segment.
+                        return bloom is None or might_contain_any(
+                            bloom, hashes
+                        )
+
+                    segs = [s for s in segs if _keeps(s)]
+        return segs
 
     def partitions(self):
         m = _manifest(self.root, self.version)
