@@ -146,6 +146,7 @@ def cancel_execution(
     ts: str,
     encounter_seq: int,
     query=None,
+    drain_timeout_sec: float = 60.0,
 ) -> str:
     """ST7 ← routers/messages.py:272-278 + session_stream_manager.py:169-179:
     cancel an in-flight execution. The reference cancels the asyncio task and
@@ -180,12 +181,31 @@ def cancel_execution(
     with open(path, "w") as f:
         f.write(json.dumps(tombstone) + "\n")
     if query is not None:
-        # Drain available input (including the tombstone just written)
-        # BEFORE stopping — a bare stop() would halt after the in-flight
-        # micro-batch, which listed its files before the tombstone existed,
-        # leaving the open turn frozen in state until some later restart.
+        # Drain the tombstone BEFORE stopping — a bare stop() would halt
+        # after the in-flight micro-batch, which listed its files before
+        # the tombstone existed, leaving the open turn frozen in state
+        # until some later restart. Do NOT use processAllAvailable() here:
+        # a stateful query with armed processing-time timeouts runs
+        # no-data "state cleanup" micro-batches continuously under the
+        # default trigger, so the engine never quiesces and
+        # processAllAvailable blocks forever. Instead wait (bounded) for a
+        # LATER batch that consumed input — the tombstone is the only new
+        # data in the cancel protocol, so that batch is the flush.
+        import time as _time
+
         try:
-            query.processAllAvailable()
+            p0 = query.lastProgress
+            seen_batch = -1 if p0 is None else p0["batchId"]
+            deadline = _time.monotonic() + drain_timeout_sec
+            while _time.monotonic() < deadline:
+                p = query.lastProgress
+                if (
+                    p is not None
+                    and p["batchId"] > seen_batch
+                    and p["numInputRows"] > 0
+                ):
+                    break
+                _time.sleep(0.2)
         finally:
             query.stop()
     return path
