@@ -60,7 +60,10 @@ _POINTER = "_CURRENT"
 _MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
 _SEG_RE = re.compile(r"^_seg(\d{6})(?:_\d+)?$")  # optional multi-part suffix
 _CDC_RE = re.compile(r"^_cdc(\d{6})$")  # materialized change files per version
-_DV_RE = re.compile(r"^_dv(\d{6})$")  # deletion vectors (deleted-row files)
+# Deletion vectors (deleted-row files). The optional part suffix is used by
+# clone(), which renames carried dvs into the clone's version-0 namespace so
+# the clone's own future _dv<version> names can never collide with them.
+_DV_RE = re.compile(r"^_dv(\d{6})(?:_\d+)?$")
 
 
 def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
@@ -173,6 +176,13 @@ class ConcurrentWriteError(RuntimeError):
     Delta's ConcurrentAppendException)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write produced rows that fail a table CHECK constraint (or
+    ``add_constraint`` found existing rows that do). The commit was aborted
+    before the pointer moved, so readers never saw the violating data —
+    Delta's InvariantViolationException contract."""
+
+
 class TableStore:
     """Versioned keyed Parquet table: segment data, manifest versions,
     atomic pointer commits."""
@@ -247,6 +257,7 @@ class TableStore:
     def _write_segment(self, df: DataFrame, v: int, part: int | None = None) -> str:
         seg = f"_seg{v:06d}" if part is None else f"_seg{v:06d}_{part:02d}"
         path = os.path.join(self.root, seg)
+        self._enforce_constraints(df)
         df.write.mode("overwrite").parquet(path)
         if self.stats_cols:
             # Stats from the WRITTEN files' parquet footers — no second
@@ -260,6 +271,210 @@ class TableStore:
 
             build_segment_blooms(self.spark, path, list(self.bloom_cols))
         return seg
+
+    # -- CHECK constraints ---------------------------------------------------
+
+    @staticmethod
+    def _violation_cond(exprs: dict[str, str]):
+        """Rows failing ANY constraint. SQL CHECK semantics: NULL passes —
+        a row violates only when the expression evaluates to FALSE."""
+        cond = None
+        for e in exprs.values():
+            term = ~F.coalesce(F.expr(e), F.lit(True))
+            cond = term if cond is None else (cond | term)
+        return cond
+
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints ``{name: sql_expr}`` at HEAD."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("constraints", {})
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Every segment this store writes — new rows, merge post-images,
+        compaction rewrites alike — is checked against the HEAD manifest's
+        constraints before any data lands. Cost: one extra filter+limit(1)
+        job per written segment, only when constraints exist; rewrites of
+        already-valid data re-verify by design (the cheap, unskippable
+        invariant). Raises before the parquet write, so the enclosing
+        transaction aborts with the pointer unmoved."""
+        cons = self.constraints()
+        if not cons:
+            return
+        bad = df.filter(self._violation_cond(cons)).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"write to {self.root} violates CHECK constraint(s) "
+                f"{sorted(cons)}; first offending row: {bad[0].asDict()}"
+            )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr). Validates the LIVE
+        table (deletion vectors applied) first — existing violations reject
+        the constraint, exactly Delta's contract — then commits a
+        metadata-only version carrying it, so every later write (append,
+        upsert, merge, overwrite, compaction) enforces it. Conflict-safe:
+        the commit claims base+1 or raises ConcurrentWriteError."""
+        if not self.exists():
+            raise ValueError(f"no table at {self.root}")
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        cur = self.current_version()
+        bad = self.read().filter(self._violation_cond({name: expr})).limit(
+            1
+        ).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows violate {name!r} ({expr}); first offender: "
+                f"{bad[0].asDict()}"
+            )
+        return self._transact(
+            lambda v: self._segments(v - 1),
+            constraints_override={**cons, name: expr},
+            base_version=cur,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT: metadata-only commit without it."""
+        cons = self.constraints()
+        if name not in cons:
+            raise KeyError(f"no constraint {name!r} on {self.root}")
+        cons = {k: v for k, v in cons.items() if k != name}
+        return self._transact(
+            lambda v: self._segments(v - 1),
+            constraints_override=cons,
+            base_version=self.current_version(),
+        )
+
+    # -- clone / detail ------------------------------------------------------
+
+    @staticmethod
+    def _link_tree(src: str, dst: str, deep: bool) -> None:
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            tgt = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(tgt, exist_ok=True)
+            for fn in filenames:
+                s, d = os.path.join(dirpath, fn), os.path.join(tgt, fn)
+                if deep:
+                    shutil.copy2(s, d)
+                else:
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)  # cross-device: degrade to copy
+
+    def clone(
+        self,
+        dst_root: str,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "TableStore":
+        """CLONE (Delta's CREATE TABLE ... [SHALLOW|DEEP] CLONE): an
+        independent table born from one source version. Shallow clones
+        hardlink the immutable segment files — O(files) metadata ops and
+        zero data copy on one filesystem (cross-device silently degrades
+        to copies), the local-FS analog of Delta's by-reference shallow
+        clone. Deep copies the bytes. The clone starts at version 0
+        carrying the source version's segments, per-segment stats, Bloom
+        sidecars (they live inside the linked segment dirs), live deletion
+        vectors, key, and CHECK constraints; ``meta`` records the
+        provenance. Writes, compaction, and vacuum on either side never
+        disturb the other: segments are immutable, and hardlink refcounts
+        keep shared files alive until BOTH tables drop them."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        dst = TableStore(
+            self.spark,
+            dst_root,
+            key=self.key or m.get("key", ""),
+            stats_cols=self.stats_cols,
+            write_cdf=self.write_cdf,
+            bloom_cols=self.bloom_cols,
+        )
+        if dst.exists():
+            raise ValueError(f"clone target {dst_root} is already a table")
+        live_dv = m.get("dv", {})
+        # Everything carried is RENAMED into the clone's version-0
+        # namespace: source segment names embed SOURCE version numbers
+        # (_seg000005), and the clone starts at version 0 — its own later
+        # commits would claim those very names and overwrite the linked
+        # dirs (clobbering the clone's v0 while the source keeps its own
+        # hardlinks — a silently wrong clone). _seg000000_<i> /
+        # _dv000000_<i> parse as v0 artifacts for vacuum and can never be
+        # re-claimed: _write_segment only emits names for versions >= 1 on
+        # a table that already has a version 0.
+        seg_map = {
+            s: ("_seg000000" if i == 0 else f"_seg000000_{i}")
+            for i, s in enumerate(m["segments"])
+        }
+        dv_map = {n: f"_dv000000_{j}" for j, n in enumerate(live_dv)}
+        for src_name, dst_name in {**seg_map, **dv_map}.items():
+            self._link_tree(
+                os.path.join(self.root, src_name),
+                os.path.join(dst_root, dst_name),
+                deep,
+            )
+
+        def _segments(_v: int) -> list[str]:
+            # Seed carried state INSIDE the transaction so _transact's
+            # abort-cleanup snapshot (taken at txn start) doesn't classify
+            # it as leftovers from a previous attempt.
+            for s, st in m.get("stats", {}).items():
+                if s in seg_map:
+                    dst._pending_stats[seg_map[s]] = st
+            for n, ap in live_dv.items():
+                dst._pending_dv[dv_map[n]] = [
+                    seg_map[s] for s in ap if s in seg_map
+                ]
+            return [seg_map[s] for s in m["segments"]]
+
+        dst._transact(
+            _segments,
+            meta={"cloned_from": self.root, "source_version": v},
+            constraints_override=m.get("constraints", {}),
+        )
+        return dst
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one dict summarizing the table at HEAD —
+        version, segment/deletion-vector counts, on-disk bytes of live
+        segments, stats/bloom coverage, constraints, and key column."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        size = 0
+        n_files = 0
+        for s in m["segments"]:
+            for dirpath, _d, files in os.walk(os.path.join(self.root, s)):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n_files += 1
+                    size += os.path.getsize(os.path.join(dirpath, fn))
+        stats = m.get("stats", {})
+        return {
+            "location": self.root,
+            "version": v,
+            "key": m.get("key", ""),
+            "num_segments": len(m["segments"]),
+            "num_data_files": n_files,
+            "size_bytes": size,
+            "num_deletion_vectors": len(m.get("dv", {})),
+            "constraints": dict(m.get("constraints", {})),
+            "stats_columns": sorted(
+                {c for st in stats.values() for c in st}
+            ),
+            "segments_with_stats": sum(1 for s in m["segments"] if s in stats),
+            "meta": m.get("meta", {}),
+        }
 
     def _claim(self, v: int) -> None:
         """Claim version ``v`` with an O_EXCL create of its manifest file —
@@ -332,6 +547,7 @@ class TableStore:
         txn: tuple[str, int] | None = None,
         dv_override: dict[str, list[str]] | None = None,
         base_version: int | None = None,
+        constraints_override: dict[str, str] | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -389,13 +605,14 @@ class TableStore:
         pending_before = set(self._pending_stats)
         dv_pending_before = set(self._pending_dv)
         try:
-            prev_txn, prev_stats, prev_dv = {}, {}, {}
+            prev_txn, prev_stats, prev_dv, prev_cons = {}, {}, {}, {}
             if cur is not None:
                 with open(self._manifest_path(cur)) as f:
                     prev = json.load(f)
                 prev_txn = prev.get("txn", {})
                 prev_stats = prev.get("stats", {})
                 prev_dv = prev.get("dv", {})
+                prev_cons = prev.get("constraints", {})
             new_txn = dict(prev_txn)
             if txn is not None:
                 app, ver = txn
@@ -436,6 +653,14 @@ class TableStore:
                         "txn": new_txn,
                         "stats": stats,
                         "dv": dv,
+                        # CHECK constraints ride in every manifest (carried
+                        # forward like txn watermarks) so enforcement and
+                        # external readers need no out-of-band state.
+                        "constraints": (
+                            prev_cons
+                            if constraints_override is None
+                            else constraints_override
+                        ),
                         # Advertised so external readers (the Python data
                         # source) can apply deletion vectors without being
                         # told the key column out of band. Writers that

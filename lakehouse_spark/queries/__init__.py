@@ -34,6 +34,7 @@ from lakehouse_spark.queries import (  # noqa: E402,F401  (import-for-effect)
     behavior,
     dedup_sim,
     pipeline,
+    ranking,
     scalars_filters,
     sessions_graph,
     tpch,

@@ -165,3 +165,182 @@ def a13_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+@_q(
+    "a14_channel_attribution",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ), u AS (
+      SELECT user_id,
+             max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+             max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS purchase_cents
+      FROM ordered GROUP BY user_id
+    ), ft AS (
+      SELECT first_type AS channel,
+             CAST(count(*) AS BIGINT) AS first_users,
+             CAST(sum(purchase_cents) AS BIGINT) AS first_cents
+      FROM u GROUP BY 1
+    ), lt AS (
+      SELECT last_type AS channel,
+             CAST(count(*) AS BIGINT) AS last_users,
+             CAST(sum(purchase_cents) AS BIGINT) AS last_cents
+      FROM u GROUP BY 1
+    )
+    SELECT coalesce(ft.channel, lt.channel) AS channel,
+           coalesce(first_users, 0) AS first_users,
+           coalesce(first_cents, 0) AS first_cents,
+           coalesce(last_users, 0) AS last_users,
+           coalesce(last_cents, 0) AS last_cents
+    FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+    """,
+    doc=(
+        "First-touch vs last-touch channel attribution: each user's "
+        "lifetime purchase value (cent grid) credited to their first and "
+        "their last event type. Spark side is ONE shuffle — "
+        "groupBy(user_id) with min_by/max_by over a (ts, event_id) struct "
+        "(total order, so both touches are deterministic) plus the "
+        "conditional cent sum — then two channel-cardinality aggregates "
+        "and a tiny full outer join; no window over the fact table at "
+        "all, so nothing data-sized is globally sorted."
+    ),
+)
+def a14_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    u = ev.groupBy("user_id").agg(
+        F.min_by("event_type", ordkey).alias("first_type"),
+        F.max_by("event_type", ordkey).alias("last_type"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("purchase_cents"),
+    )
+    ft = u.groupBy(F.col("first_type").alias("channel")).agg(
+        F.count("*").alias("first_users"),
+        F.sum("purchase_cents").alias("first_cents"),
+    )
+    lt = u.groupBy(F.col("last_type").alias("channel")).agg(
+        F.count("*").alias("last_users"),
+        F.sum("purchase_cents").alias("last_cents"),
+    )
+    return (
+        ft.join(lt, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("first_users", F.lit(0)).alias("first_users"),
+            F.coalesce("first_cents", F.lit(0)).alias("first_cents"),
+            F.coalesce("last_users", F.lit(0)).alias("last_users"),
+            F.coalesce("last_cents", F.lit(0)).alias("last_cents"),
+        )
+    )
+
+
+@_q(
+    "a15_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+      FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type, p.n_transitions,
+           CAST(floor(1000000.0 * p.n_transitions / t.tot) AS BIGINT)
+             AS prob_ppm
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+    doc=(
+        "First-order Markov transition matrix over event types: "
+        "P(next | prev) on an integer ppm grid. The lag window partitions "
+        "by user_id (bounded per-user sequences — the sessionize-scale "
+        "argument), then everything downstream is type-vocabulary-sized: "
+        "the transition counts, the per-prev totals, and the broadcast "
+        "join between them. The |V|^2 output is what a next-event "
+        "predictor or anomaly scorer consumes."
+    ),
+)
+def a15_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("tot")
+    )
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.floor(1000000.0 * F.col("n_transitions") / F.col("tot"))
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+@_q(
+    "a16_event_paths",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      FROM events
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    doc=(
+        "Top-10 three-step behavior paths (event-type trigrams per user "
+        "timeline). One window pass (two lags share the SAME window spec, "
+        "so Catalyst evaluates them in a single sort per user partition), "
+        "then a |V|^3-bounded aggregate and a TakeOrdered top-k with a "
+        "path tie-break — the funnel-discovery shape."
+    ),
+)
+def a16_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from lakehouse_spark.operators import sorts
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    ).agg(F.count("*").alias("n"))
+    return sorts.top_n(paths, [F.desc("n"), F.asc("path")], 10).select(
+        "path", "n"
+    )

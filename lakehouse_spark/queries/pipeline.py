@@ -899,10 +899,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(CAST(floor(
+           sum(CAST(floor(
                  (ln((tgt_cnt + 1) / (tgt_tot + v))
                   - ln((raw_cnt + 1) / (raw_tot + v))) * 1000000 + 0.5)
-               AS BIGINT)) / 1000000.0, 4) AS dsir_logweight
+               AS BIGINT)) / 1000000.0 AS dsir_logweight
     FROM tok JOIN vocab USING (w) CROSS JOIN tot
     GROUP BY doc_id
     """,
@@ -936,9 +936,14 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tgt_cnt") + 1) / F.lit(float(tgt_tot) + float(v))
     ) - F.log((F.col("raw_cnt") + 1) / F.lit(float(raw_tot) + float(v)))
     grid = F.floor(term * 1_000_000 + F.lit(0.5)).cast("long")
+    # No round() on top of the grid: the ppm sum is already exact int64,
+    # and round(x, 4) is an engine-dependent trap when the quotient's
+    # shortest decimal repr lands on a half (Spark HALF_UPs the repr,
+    # DuckDB rounds the true double — they disagree at e.g. -0.16065).
+    # sum/1e6 is one correctly-rounded division, identical on both.
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.sum(grid) / 1_000_000.0, 4).alias("dsir_logweight"),
+        (F.sum(grid) / 1_000_000.0).alias("dsir_logweight"),
     )
 
 

@@ -1057,3 +1057,59 @@ def w8_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("long").alias("n_converting"),
         F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
     )
+
+
+@_q(
+    "graph_hop_distance",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id AS src,
+             lead(user_id) OVER (PARTITION BY CAST(ts AS DATE)
+                                 ORDER BY ts, event_id) AS dst
+      FROM events
+    ), und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM seq WHERE dst IS NOT NULL AND src <> dst
+        UNION ALL
+        SELECT dst, src FROM seq WHERE dst IS NOT NULL AND src <> dst)
+    ), walk(node, d) AS (
+      SELECT (SELECT min(user_id) FROM events), 0
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN und e ON e.src = w.node WHERE w.d < 15
+    )
+    SELECT node AS user_id, CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+    doc=(
+        "Single-source shortest hop distance (BFS layers, depth cap 15) "
+        "from the minimum user id over the undirected user-adjacency "
+        "graph. Spark side reuses plans/closure.descendants: each round is "
+        "one broadcast(frontier) equi join + visited anti-join with a "
+        "localCheckpoint lineage cut, so a round costs O(frontier-adjacent "
+        "edges) and the loop is O(diameter) rounds — never an all-pairs or "
+        "driver-side graph. The oracle is the equivalent bounded "
+        "recursive CTE with min(d) per node."
+    ),
+)
+def graph_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_spark.plans.closure import descendants
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    und = seq.select("src", "dst").unionByName(
+        seq.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seed_id = ev.agg(F.min("user_id")).collect()[0][0]
+    seeds = spark.createDataFrame([(seed_id,)], "dst BIGINT")
+    reached = descendants(
+        und, seeds, parent_col="src", child_col="dst", max_depth=15
+    )
+    return reached.select(
+        F.col("dst").alias("user_id"), F.col("depth").cast("long").alias("dist")
+    )

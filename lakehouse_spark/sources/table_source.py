@@ -666,6 +666,51 @@ def _merged_stats(messages) -> dict:
     return merged
 
 
+def _enforce_staged_constraints(store, paths: list[str]) -> None:
+    """CHECK-constraint gate for the format-writer commit paths: the staged
+    parquet (exactly this commit's task files) is re-read and validated
+    before the manifest transaction, mirroring what
+    TableStore._write_segment does for store-native writes.
+
+    The Python Data Source commit runner executes in a plain Python worker
+    with NO SparkSession (see the driver-side manifest helpers above), so
+    the check evaluates the constraint expressions with DuckDB over the
+    staged files. That bounds the supported expressions to the ANSI subset
+    both engines parse (comparisons, arithmetic, IS NULL, IN, string
+    functions — what CHECK constraints are in practice); an expression
+    DuckDB cannot evaluate fails CLOSED with a pointer to the store-native
+    write paths, never committing unverified data. NULL results pass (SQL
+    CHECK semantics), matching the Spark-side enforcement exactly."""
+    cons = store.constraints()
+    if not cons or not paths:
+        return
+    import duckdb
+
+    from lakehouse_spark.mutation.store import ConstraintViolationError
+
+    files = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+    con = duckdb.connect()
+    for name, expr in cons.items():
+        try:
+            bad = con.execute(
+                f"SELECT count(*) FROM read_parquet([{files}]) "
+                f"WHERE NOT coalesce(({expr}), TRUE)"
+            ).fetchone()[0]
+        except duckdb.Error as e:
+            raise RuntimeError(
+                f"cannot verify CHECK constraint {name!r} ({expr}) on the "
+                f"format('lakehouse') write path ({e}); this path evaluates "
+                "constraints with DuckDB — keep expressions in the ANSI "
+                "subset, or write through TableStore.append/upsert/merge "
+                "which enforce natively in Spark"
+            ) from e
+        if bad:
+            raise ConstraintViolationError(
+                f"write to {store.root} violates CHECK constraint "
+                f"{name!r} ({expr}): {bad} offending row(s) in this commit"
+            )
+
+
 class LakehouseWriter(DataSourceArrowWriter):
     """Executor tasks stream Arrow batches into parquet files under a
     shared staging dir; the driver-side ``commit`` renames it into a
@@ -689,6 +734,9 @@ class LakehouseWriter(DataSourceArrowWriter):
         # still commits (an empty overwrite truncates, like Spark's own
         # parquet sink).
         store = TableStore(spark=None, root=self.root, key="")
+        _enforce_staged_constraints(
+            store, [os.path.join(self.staging, m.name) for m in kept]
+        )
 
         def _segments(v: int) -> list[str]:
             # Base the append on v-1, the version this transaction actually
@@ -776,6 +824,10 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
 
             store._transact(_noseg, txn=(self.app_id, batchId))
             return
+
+        _enforce_staged_constraints(
+            store, [os.path.join(self.staging, m.name) for m in kept]
+        )
 
         def _segments(v: int) -> list[str]:
             seg = f"_seg{v:06d}"
