@@ -183,6 +183,15 @@ class ConstraintViolationError(ValueError):
     Delta's InvariantViolationException contract."""
 
 
+class SchemaMismatchError(TypeError):
+    """An append carried a column whose type conflicts with the table's
+    schema. Committing it would not corrupt that one write — it would brick
+    EVERY subsequent read of the whole table (parquet schema merge fails at
+    scan planning). Delta rejects this at write time (schema enforcement);
+    so does this store. Adding NEW columns is fine (additive evolution);
+    changing a column's type needs an explicit ``overwrite``."""
+
+
 class TableStore:
     """Versioned keyed Parquet table: segment data, manifest versions,
     atomic pointer commits."""
@@ -300,7 +309,15 @@ class TableStore:
         already-valid data re-verify by design (the cheap, unskippable
         invariant). Raises before the parquet write, so the enclosing
         transaction aborts with the pointer unmoved."""
-        cons = self.constraints()
+        cons = dict(self.constraints())
+        # Generated columns enforce as implicit constraints: a provided
+        # value must agree with its formula (NULL-safe equality). Frames
+        # that lack the column entirely are exempt — set_generated already
+        # proved those rows read back consistent (they surface as nulls
+        # under mergeSchema, and declaration-time validation covered that).
+        for col, expr in self.generated_columns().items():
+            if col in df.columns:
+                cons[f"generated:{col}"] = f"{col} <=> ({expr})"
         if not cons:
             return
         bad = df.filter(self._violation_cond(cons)).limit(1).collect()
@@ -336,6 +353,68 @@ class TableStore:
             constraints_override={**cons, name: expr},
             base_version=cur,
         )
+
+    # -- generated columns ---------------------------------------------------
+
+    def generated_columns(self) -> dict[str, str]:
+        """The table's generated columns ``{col: sql_expr}`` at HEAD."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("generated", {})
+
+    def set_generated(self, col: str, expr: str) -> int:
+        """Declare ``col`` GENERATED ALWAYS AS (expr) — Delta's generated
+        columns. Appends/overwrites that omit the column get it computed;
+        writes that DO provide it (including merge/upsert post-images) are
+        validated to satisfy ``col <=> (expr)`` by the same enforcement
+        pass as CHECK constraints, so a caller can never commit a value
+        that disagrees with the formula. Existing rows are validated
+        first, like add_constraint. Declare the column in ``stats_cols``
+        too and derived-value predicates prune segments — the Delta
+        generated-column partition-pruning story at manifest scale."""
+        if not self.exists():
+            raise ValueError(f"no table at {self.root}")
+        gen = self.generated_columns()
+        if col in gen:
+            raise ValueError(f"column {col!r} is already generated")
+        cur = self.current_version()
+        check = f"{col} <=> ({expr})"
+        bad = self.read().filter(
+            self._violation_cond({col: check})
+        ).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows violate GENERATED {col} AS ({expr}); "
+                f"first offender: {bad[0].asDict()}"
+            )
+        return self._transact(
+            lambda v: self._segments(v - 1),
+            generated_override={**gen, col: expr},
+            base_version=cur,
+        )
+
+    def drop_generated(self, col: str) -> int:
+        """Remove the generated-column declaration (the data stays)."""
+        gen = self.generated_columns()
+        if col not in gen:
+            raise KeyError(f"no generated column {col!r} on {self.root}")
+        gen = {k: v for k, v in gen.items() if k != col}
+        return self._transact(
+            lambda v: self._segments(v - 1),
+            generated_override=gen,
+            base_version=self.current_version(),
+        )
+
+    def _apply_generated(self, rows: DataFrame) -> DataFrame:
+        """Fill in any declared generated column the input omits. Columns
+        the caller provided are left as-is — the enforcement pass will
+        reject them if they disagree with the formula."""
+        for col, expr in self.generated_columns().items():
+            if col not in rows.columns:
+                rows = rows.withColumn(col, F.expr(expr))
+        return rows
 
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE DROP CONSTRAINT: metadata-only commit without it."""
@@ -548,6 +627,7 @@ class TableStore:
         dv_override: dict[str, list[str]] | None = None,
         base_version: int | None = None,
         constraints_override: dict[str, str] | None = None,
+        generated_override: dict[str, str] | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -605,7 +685,8 @@ class TableStore:
         pending_before = set(self._pending_stats)
         dv_pending_before = set(self._pending_dv)
         try:
-            prev_txn, prev_stats, prev_dv, prev_cons = {}, {}, {}, {}
+            prev_txn, prev_stats, prev_dv = {}, {}, {}
+            prev_cons, prev_gen = {}, {}
             if cur is not None:
                 with open(self._manifest_path(cur)) as f:
                     prev = json.load(f)
@@ -613,6 +694,7 @@ class TableStore:
                 prev_stats = prev.get("stats", {})
                 prev_dv = prev.get("dv", {})
                 prev_cons = prev.get("constraints", {})
+                prev_gen = prev.get("generated", {})
             new_txn = dict(prev_txn)
             if txn is not None:
                 app, ver = txn
@@ -660,6 +742,11 @@ class TableStore:
                             prev_cons
                             if constraints_override is None
                             else constraints_override
+                        ),
+                        "generated": (
+                            prev_gen
+                            if generated_override is None
+                            else generated_override
                         ),
                         # Advertised so external readers (the Python data
                         # source) can apply deletion vectors without being
@@ -1229,6 +1316,8 @@ class TableStore:
         if not self.exists():
             self.init(rows, meta, txn)
             return
+        rows = self._apply_generated(rows)
+        self._reject_schema_conflicts(rows)
         # Prior segments are resolved INSIDE the claimed transaction: once
         # v is claimed, v-1 is immutable (no other writer can advance it).
         self._transact(
@@ -1236,6 +1325,29 @@ class TableStore:
             meta,
             txn,
         )
+
+    def _reject_schema_conflicts(self, rows: DataFrame) -> None:
+        """Schema enforcement (Delta's write-time contract): an appended
+        column whose TYPE differs from the table's poisons the shared
+        parquet schema merge — every later read of every row would fail at
+        scan planning, far from the write that caused it. Reject at the
+        write instead. New columns pass (additive evolution: old segments
+        read them as null); missing columns pass (the new segment reads
+        nulls for them); only same-name/different-type conflicts raise."""
+        target = {f.name: f.dataType for f in self.read().schema}
+        conflicts = [
+            (f.name, str(target[f.name]), str(f.dataType))
+            for f in rows.schema
+            if f.name in target and target[f.name] != f.dataType
+        ]
+        if conflicts:
+            detail = "; ".join(
+                f"{n}: table={t} vs append={a}" for n, t, a in conflicts
+            )
+            raise SchemaMismatchError(
+                f"append to {self.root} changes column type(s) [{detail}]; "
+                "cast the input, or overwrite() to redefine the schema"
+            )
 
     def version_meta(self, version: int | None = None) -> dict:
         """The ``meta`` dict committed with a version (empty for versions
@@ -1299,6 +1411,7 @@ class TableStore:
         primitive for derived tables (materialized views) that must record
         provenance — e.g. which base version they reflect — atomically with
         their data."""
+        df = self._apply_generated(df)
         self._transact(lambda v: [self._write_segment(df, v)], meta, txn)
 
     def overwrite_where(
@@ -1326,6 +1439,7 @@ class TableStore:
         and rewritten together with ``df``. On a layout banded by the
         predicate column (compact(range_by=...) / z-order), a daily backfill
         touches one band, not the table. Returns the new version."""
+        df = self._apply_generated(df)
         cond = _predicate_expr(predicate)
         if cond is None:
             raise ValueError(
@@ -1396,6 +1510,7 @@ class TableStore:
         if not self.exists():
             self.init(rows, txn=txn)
             return
+        rows = self._apply_generated(rows)
         v0 = self.current_version()
         with open(self._manifest_path(v0)) as f:
             manifest = json.load(f)
@@ -1493,6 +1608,10 @@ class TableStore:
             )
         if mode not in ("rewrite", "dv"):
             raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
+        # Generated columns the source omits are computed up front so
+        # INSERTs carry them; an UPDATE whose clause leaves a generated
+        # column stale is caught by the write-time enforcement instead.
+        source = self._apply_generated(source)
         # NULL keys never satisfy the equi-join, so they cannot fan a
         # matched target row out — exclude them from the duplicate check
         # (two null-key source rows are legal; with insert=True each

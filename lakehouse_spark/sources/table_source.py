@@ -666,6 +666,46 @@ def _merged_stats(messages) -> dict:
     return merged
 
 
+def _reject_staged_schema_conflicts(root: str, paths: list[str]) -> None:
+    """Write-time schema enforcement for the format-writer commit paths
+    (mirrors TableStore._reject_schema_conflicts, but over parquet footers
+    since the commit runner has no SparkSession): a staged column whose
+    Arrow type conflicts with any live segment's would brick every later
+    read at schema-merge time, so the commit is rejected instead. One
+    footer per live segment + one per staged file — metadata reads only.
+    New columns pass (additive evolution), missing columns pass."""
+    import pyarrow.parquet as pq
+
+    try:
+        v = _pointer(root)
+    except FileNotFoundError:
+        return  # first commit defines the schema
+    if not paths:
+        return
+    target: dict[str, object] = {}
+    for seg in _manifest(root, v)["segments"]:
+        files = _segment_files(root, seg)
+        if files:
+            # One footer per segment: a segment's files share a schema.
+            for f in pq.read_schema(files[0]):
+                target.setdefault(f.name, f.type)
+    conflicts = []
+    for p in paths:
+        for f in pq.read_schema(p):
+            if f.name in target and target[f.name] != f.type:
+                conflicts.append(
+                    f"{f.name}: table={target[f.name]} vs write={f.type}"
+                )
+    if conflicts:
+        from lakehouse_spark.mutation.store import SchemaMismatchError
+
+        raise SchemaMismatchError(
+            f"write to {root} changes column type(s) "
+            f"[{'; '.join(sorted(set(conflicts)))}]; cast the input, or "
+            "overwrite to redefine the schema"
+        )
+
+
 def _enforce_staged_constraints(store, paths: list[str]) -> None:
     """CHECK-constraint gate for the format-writer commit paths: the staged
     parquet (exactly this commit's task files) is re-read and validated
@@ -681,12 +721,33 @@ def _enforce_staged_constraints(store, paths: list[str]) -> None:
     DuckDB cannot evaluate fails CLOSED with a pointer to the store-native
     write paths, never committing unverified data. NULL results pass (SQL
     CHECK semantics), matching the Spark-side enforcement exactly."""
-    cons = store.constraints()
-    if not cons or not paths:
+    cons = dict(store.constraints())
+    gen = store.generated_columns()
+    if (not cons and not gen) or not paths:
         return
     import duckdb
+    import pyarrow.parquet as pq
 
     from lakehouse_spark.mutation.store import ConstraintViolationError
+
+    if gen:
+        # Generated columns can't be COMPUTED here (no Spark); the staged
+        # files must carry them, and the values must match the formula —
+        # checked below as implicit constraints.
+        staged_cols = {
+            f.name for p in paths for f in pq.read_schema(p)
+        }
+        missing = sorted(set(gen) - staged_cols)
+        if missing:
+            raise RuntimeError(
+                f"table {store.root} declares generated column(s) "
+                f"{missing} that this format('lakehouse') write omits; the "
+                "commit runner cannot compute them — include the columns "
+                "(with formula-consistent values), or write through "
+                "TableStore.append which computes them"
+            )
+        for col, expr in gen.items():
+            cons[f"generated:{col}"] = f"{col} IS NOT DISTINCT FROM ({expr})"
 
     files = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
     con = duckdb.connect()
@@ -734,9 +795,12 @@ class LakehouseWriter(DataSourceArrowWriter):
         # still commits (an empty overwrite truncates, like Spark's own
         # parquet sink).
         store = TableStore(spark=None, root=self.root, key="")
-        _enforce_staged_constraints(
-            store, [os.path.join(self.staging, m.name) for m in kept]
-        )
+        staged = [os.path.join(self.staging, m.name) for m in kept]
+        if not self.overwrite:
+            # Overwrite legitimately redefines the schema (Delta's
+            # overwriteSchema); appends must not poison the merge.
+            _reject_staged_schema_conflicts(self.root, staged)
+        _enforce_staged_constraints(store, staged)
 
         def _segments(v: int) -> list[str]:
             # Base the append on v-1, the version this transaction actually
@@ -825,9 +889,9 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             store._transact(_noseg, txn=(self.app_id, batchId))
             return
 
-        _enforce_staged_constraints(
-            store, [os.path.join(self.staging, m.name) for m in kept]
-        )
+        staged = [os.path.join(self.staging, m.name) for m in kept]
+        _reject_staged_schema_conflicts(self.root, staged)
+        _enforce_staged_constraints(store, staged)
 
         def _segments(v: int) -> list[str]:
             seg = f"_seg{v:06d}"
