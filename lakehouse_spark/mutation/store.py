@@ -735,6 +735,11 @@ class TableStore:
                         "txn": new_txn,
                         "stats": stats,
                         "dv": dv,
+                        # Wall-clock commit time, the substrate for
+                        # TIMESTAMP AS OF time travel. Informational only —
+                        # version_at() monotonizes before resolving, so
+                        # clock skew between writers can't reorder history.
+                        "committed_at": time.time(),
                         # CHECK constraints ride in every manifest (carried
                         # forward like txn watermarks) so enforcement and
                         # external readers need no out-of-band state.
@@ -885,6 +890,7 @@ class TableStore:
         self,
         version: int | None = None,
         predicate: dict | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Read a version. ``predicate`` maps stats-tracked columns to a
         scalar (equality) or ``(lo, hi)`` range (either bound None =
@@ -897,7 +903,16 @@ class TableStore:
         segment's min/max overlaps. The exact filter is still
         applied to the surviving rows, so
         ``read(predicate=p)`` ≡ ``read().filter(p)`` always; segments
-        without stats (or columns not tracked) are conservatively kept."""
+        without stats (or columns not tracked) are conservatively kept.
+
+        ``as_of`` (epoch seconds, datetime, or ISO-8601 string) is
+        ``TIMESTAMP AS OF``: the snapshot is the latest version committed
+        at or before that instant (see :meth:`version_at`). Mutually
+        exclusive with ``version``."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version= or as_of=, not both")
+            version = self.version_at(as_of)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
@@ -1068,9 +1083,72 @@ class TableStore:
                     "n_segments": len(m["segments"]),
                     "meta": m.get("meta", {}),
                     "txn": m.get("txn", {}),
+                    "committed_at": m.get("committed_at"),
                 }
             )
         return out
+
+    # -- timestamp time travel ----------------------------------------------
+
+    def commit_timestamp(self, v: int) -> float:
+        """Epoch seconds commit ``v`` landed. Reads the manifest's recorded
+        ``committed_at``; manifests from before the field existed fall back
+        to the file's mtime (exactly Delta's pre-ICT behavior, where
+        TIMESTAMP AS OF resolved against commit-file modification times)."""
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        ts = m.get("committed_at")
+        return float(ts) if ts is not None else os.stat(self._manifest_path(v)).st_mtime
+
+    @staticmethod
+    def _to_epoch(ts) -> float:
+        """Accept epoch float/int, datetime, or ISO-8601 string."""
+        if isinstance(ts, (int, float)):
+            return float(ts)
+        if isinstance(ts, str):
+            try:
+                return float(ts)  # numeric string (data-source option)
+            except ValueError:
+                pass
+            from datetime import datetime
+
+            return datetime.fromisoformat(ts).timestamp()
+        return ts.timestamp()  # datetime / date-like
+
+    def version_at(self, ts) -> int:
+        """Latest retained version committed at or before ``ts`` — the
+        resolution step behind ``TIMESTAMP AS OF``. Raw commit times are
+        first made strictly increasing in version order (a commit whose
+        clock reads EARLIER than its predecessor's is bumped to
+        predecessor + 1ms, Delta's monotonization rule), so writer clock
+        skew can never make time travel observe version n+1 while denying
+        version n. Raises ValueError for a ``ts`` before the earliest
+        retained commit (nothing to read there — Delta's
+        ``timestampEarlierThanTableCreation``)."""
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        want = self._to_epoch(ts)
+        eff_prev = None
+        eff_first = None
+        best = None
+        for v in range(0, head + 1):
+            try:
+                raw = self.commit_timestamp(v)
+            except FileNotFoundError:  # vacuumed
+                continue
+            eff = raw if eff_prev is None else max(raw, eff_prev + 0.001)
+            eff_prev = eff
+            if eff_first is None:
+                eff_first = eff
+            if eff <= want:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts!r} precedes the earliest retained commit "
+                f"of {self.root}; earliest is {eff_first}"
+            )
+        return best
 
     def _cdc_path(self, v: int) -> str:
         return os.path.join(self.root, f"_cdc{v:06d}")
@@ -1383,13 +1461,19 @@ class TableStore:
             base_version=base_version,
         )
 
-    def restore(self, version: int) -> int:
+    def restore(self, version: int | None = None, as_of=None) -> int:
         """Delta-style RESTORE: roll the table back to ``version`` by
         committing a NEW version that references the old version's
         segments — history is preserved (the bad commits stay inspectable
         and the restore itself is an auditable commit with provenance
         meta), nothing is rewritten, and concurrent-writer safety is the
-        ordinary claim protocol. Fails if ``version`` was vacuumed."""
+        ordinary claim protocol. Fails if ``version`` was vacuumed.
+        ``as_of`` restores to the snapshot live at that instant
+        (``RESTORE TABLE ... TO TIMESTAMP AS OF``)."""
+        if (version is None) == (as_of is None):
+            raise ValueError("pass exactly one of version= or as_of=")
+        if as_of is not None:
+            version = self.version_at(as_of)
         with open(self._manifest_path(version)) as f:  # raises if vacuumed
             m = json.load(f)
         return self._transact(

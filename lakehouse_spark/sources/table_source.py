@@ -91,6 +91,24 @@ def _manifest(root: str, v: int) -> dict:
         return json.load(f)
 
 
+def _resolve_version(root: str, options) -> int:
+    """Snapshot selection for batch reads: explicit ``version`` wins, else
+    ``timestampAsOf`` (epoch seconds or ISO-8601 — Delta's TIMESTAMP AS OF,
+    resolved through TableStore.version_at's monotonized commit times),
+    else the current pointer."""
+    v = options.get("version")
+    if v is not None:
+        if options.get("timestampasof") is not None:
+            raise ValueError("pass option version OR timestampAsOf, not both")
+        return int(v)
+    ts = options.get("timestampasof")
+    if ts is not None:
+        from lakehouse_spark.mutation.store import TableStore
+
+        return TableStore(spark=None, root=root, key="").version_at(ts)
+    return _pointer(root)
+
+
 def _segment_files(root: str, seg: str) -> list[str]:
     d = os.path.join(root, seg)
     return sorted(
@@ -263,6 +281,9 @@ class LakehouseDataSource(DataSource):
 
     - ``path`` — table root (required).
     - ``version`` — batch time travel to this committed version.
+    - ``timestampAsOf`` — batch time travel to the snapshot live at this
+      instant (epoch seconds or ISO-8601; mutually exclusive with
+      ``version``).
     - ``changes`` — "true": batch reads return the change feed
       (``startingVersion`` default 0, ``endingVersion`` default head)
       and streams return full CDF rows; unset: batch reads snapshot,
@@ -291,7 +312,7 @@ class LakehouseDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         root = self._root()
-        v = int(self.options.get("version", _pointer(root)))
+        v = _resolve_version(root, self.options)
         segs = _manifest(root, v)["segments"]
         arrow = _unified_arrow_schema(_one_file_per_schema(root, segs))
         spark_schema = from_arrow_schema(arrow)
@@ -348,7 +369,7 @@ class SnapshotReader(DataSourceReader):
     def __init__(self, root: str, options, schema: StructType):
         self.root = root
         self.schema = schema
-        self.version = int(options.get("version", _pointer(root)))
+        self.version = _resolve_version(root, options)
         self.ranges: dict[str, tuple] = {}
         self.null_checked: tuple[str, ...] = ()
         # Exact value sets from EqualTo/In filters: probed against the

@@ -1,0 +1,118 @@
+"""TIMESTAMP AS OF time travel: version_at resolves an instant to the
+latest commit at-or-before it over MONOTONIZED commit times (writer clock
+skew can't reorder history), read(as_of=)/restore(as_of=) ride on it, and
+the Python data source exposes the same via option("timestampAsOf", ...).
+Mirrors Delta's timestamp resolution rules (pre-table-creation errors,
+post-head timestamps resolve to head)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from lakehouse_spark.mutation.store import TableStore
+
+
+def _set_committed_at(root: str, v: int, ts: float) -> None:
+    path = os.path.join(root, f"_manifest_{v:06d}.json")
+    with open(path) as f:
+        m = json.load(f)
+    m["committed_at"] = ts
+    with open(path, "w") as f:
+        json.dump(m, f)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "t"), key="id")
+    s.init(spark.createDataFrame([(1, "v0")], "id long, tag string"))
+    s.append(spark.createDataFrame([(2, "v1")], "id long, tag string"))
+    s.append(spark.createDataFrame([(3, "v2")], "id long, tag string"))
+    # Deterministic commit times: 1000.0, 2000.0, 3000.0 epoch seconds.
+    for v, ts in enumerate((1000.0, 2000.0, 3000.0)):
+        _set_committed_at(s.root, v, ts)
+    return s
+
+
+def test_version_at_boundaries(store):
+    assert store.version_at(1000.0) == 0  # exact commit instant included
+    assert store.version_at(1999.9) == 0
+    assert store.version_at(2000.0) == 1
+    assert store.version_at(10_000.0) == 2  # after head → head
+    with pytest.raises(ValueError, match="precedes the earliest"):
+        store.version_at(999.9)
+
+
+def test_read_as_of_and_formats(store):
+    assert store.read(as_of=2500.0).count() == 2
+    # ISO-8601 string resolves through fromisoformat.
+    iso = datetime.fromtimestamp(2500.0, tz=timezone.utc).isoformat()
+    assert store.read(as_of=iso).count() == 2
+    # datetime object.
+    dt = datetime.fromtimestamp(1500.0, tz=timezone.utc)
+    assert {r.tag for r in store.read(as_of=dt).collect()} == {"v0"}
+    with pytest.raises(ValueError, match="not both"):
+        store.read(version=1, as_of=2500.0)
+
+
+def test_clock_skew_monotonized(store):
+    # v1's writer clock reads BEFORE v0's commit: its effective time is
+    # bumped to eff(v0)+1ms, so no instant observes v1 while denying v0.
+    _set_committed_at(store.root, 1, 500.0)
+    assert store.version_at(1000.0) == 0
+    assert store.version_at(1000.002) == 1
+    assert store.version_at(3000.0) == 2
+
+
+def test_restore_as_of(spark, store):
+    v = store.restore(as_of=1500.0)
+    assert v == 3
+    assert {r.tag for r in store.read().collect()} == {"v0"}
+    assert store.version_meta(v) == {"restored_from": 0}
+    with pytest.raises(ValueError, match="exactly one"):
+        store.restore()
+
+
+def test_history_carries_committed_at(store):
+    hist = store.history()
+    assert [h["committed_at"] for h in hist] == [3000.0, 2000.0, 1000.0]
+
+
+def test_pre_committed_at_manifests_fall_back_to_mtime(store):
+    # Strip the field from v0 (a manifest written before it existed) and
+    # pin the file mtime: commit_timestamp must use the mtime.
+    path = os.path.join(store.root, "_manifest_000000.json")
+    with open(path) as f:
+        m = json.load(f)
+    del m["committed_at"]
+    with open(path, "w") as f:
+        json.dump(m, f)
+    os.utime(path, (1234.0, 1234.0))
+    assert store.commit_timestamp(0) == 1234.0
+
+
+def test_datasource_timestamp_as_of(spark, store):
+    df = (
+        spark.read.format("lakehouse")
+        .option("timestampAsOf", "2500.0")
+        .load(store.root)
+    )
+    assert df.count() == 2
+    iso = datetime.fromtimestamp(1500.0, tz=timezone.utc).isoformat()
+    df = (
+        spark.read.format("lakehouse")
+        .option("timestampAsOf", iso)
+        .load(store.root)
+    )
+    assert [r.tag for r in df.collect()] == ["v0"]
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("lakehouse")
+            .option("timestampAsOf", "2500.0")
+            .option("version", "1")
+            .load(store.root)
+            .count()
+        )
