@@ -267,18 +267,30 @@ class TableStore:
         seg = f"_seg{v:06d}" if part is None else f"_seg{v:06d}_{part:02d}"
         path = os.path.join(self.root, seg)
         self._enforce_constraints(df)
+        # Single logical→physical choke point: every write path funnels
+        # here, so files always store PHYSICAL names regardless of which
+        # renames are live (no-op when none are). Idempotent on frames
+        # that are already physical (internal rewrite paths).
+        df = self._to_physical(df)
+        inv = {log: phy for phy, log in self.renames().items()}
         df.write.mode("overwrite").parquet(path)
         if self.stats_cols:
             # Stats from the WRITTEN files' parquet footers — no second
             # Spark job, no data re-read; the bounds describe exactly what
             # readers will see (conservative where parquet truncates).
-            stats = _harvest_dir_stats(path, self.stats_cols)
+            # stats_cols is user config in LOGICAL names; footers (and the
+            # stats manifest) are physical.
+            stats = _harvest_dir_stats(
+                path, tuple(inv.get(c, c) for c in self.stats_cols)
+            )
             if stats:
                 self._pending_stats[seg] = stats
         if self.bloom_cols:
             from lakehouse_spark.mutation.bloom import build_segment_blooms
 
-            build_segment_blooms(self.spark, path, list(self.bloom_cols))
+            build_segment_blooms(
+                self.spark, path, [inv.get(c, c) for c in self.bloom_cols]
+            )
         return seg
 
     # -- CHECK constraints ---------------------------------------------------
@@ -416,6 +428,193 @@ class TableStore:
                 rows = rows.withColumn(col, F.expr(expr))
         return rows
 
+    # -- column mapping: metadata-only RENAME / DROP COLUMN ------------------
+
+    def renames(self) -> dict[str, str]:
+        """Active column renames ``{physical_name: logical_name}`` at HEAD.
+        Physical names are the column names actually stored in parquet
+        (immutable once written); logical names are what every public read
+        and write surface speaks. Empty for tables that never renamed."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("renames", {})
+
+    def dropped_columns(self) -> list[str]:
+        """Physical names dropped from the logical schema at HEAD. The
+        bytes stay in old segments (invisible to every read) until a
+        rewrite (compact / DML) purges them — Delta's DROP COLUMN +
+        REORG PURGE split."""
+        v = self.current_version()
+        if v is None:
+            return []
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("dropped", [])
+
+    def _guard_col_mutation(self, logical: str) -> None:
+        """Shared preconditions for rename/drop: the key column and any
+        column a CHECK constraint or generated-column formula references
+        are immovable (Delta blocks exactly these), because their
+        expressions/joins are written against the name."""
+        key = self.key or self._manifest_key()
+        if logical == key:
+            raise ValueError(
+                f"cannot rename/drop the key column {logical!r}: deletion "
+                "vectors, MERGE, and upsert join on it by name"
+            )
+        pat = re.compile(rf"\b{re.escape(logical)}\b")
+        for name, expr in self.constraints().items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"column {logical!r} is referenced by CHECK constraint "
+                    f"{name!r} ({expr}); drop the constraint first"
+                )
+        for col, expr in self.generated_columns().items():
+            if col == logical or pat.search(expr):
+                raise ValueError(
+                    f"column {logical!r} is a generated column or referenced "
+                    f"by generated column {col!r} ({expr}); drop the "
+                    "generation rule first"
+                )
+
+    def _manifest_key(self) -> str:
+        v = self.current_version()
+        if v is None:
+            return ""
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("key", "")
+
+    def _logical_columns(self) -> list[str]:
+        """Current logical schema's column names (physical schema with
+        drops removed and renames applied)."""
+        renames, dropped = self.renames(), set(self.dropped_columns())
+        phys = self._read_segments_schema_cols()
+        return [renames.get(c, c) for c in phys if c not in dropped]
+
+    def _read_segments_schema_cols(self) -> list[str]:
+        v = self.current_version()
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        return self._read_segments(m["segments"], m.get("dv", {})).columns
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN, metadata-only — Delta's column
+        mapping: no data file is touched (at 100 TB a rename that rewrote
+        the table would be an outage), the manifest records
+        ``physical → logical`` and every read/write surface translates at
+        the boundary. Blocked for the key column and columns referenced by
+        CHECK constraints or generated-column formulas (Delta's rule).
+        ``new`` must not collide with any live logical OR physical name —
+        physical names are forever (old segments carry them), so reusing
+        one would make mergeSchema conflate two different columns."""
+        if not self.exists():
+            raise FileNotFoundError(f"no table at {self.root}")
+        self._guard_col_mutation(old)
+        logical = self._logical_columns()
+        if old not in logical:
+            raise KeyError(f"no column {old!r} (have {logical})")
+        if new in logical:
+            raise ValueError(f"column {new!r} already exists")
+        renames, dropped = self.renames(), self.dropped_columns()
+        phys_live = set(self._read_segments_schema_cols()) | set(dropped)
+        inv = {log: phy for phy, log in renames.items()}
+        phys_of_old = inv.get(old, old)
+        if new in phys_live and new != phys_of_old:
+            raise ValueError(
+                f"{new!r} is the physical storage name of another column; "
+                "pick a different name (physical names are immutable)"
+            )
+        renames = dict(renames)
+        if new == phys_of_old:  # renaming back to the stored name
+            renames.pop(phys_of_old, None)
+        else:
+            renames[phys_of_old] = new
+        return self._transact(
+            lambda v: self._segments(v - 1),
+            meta={"rename_column": [old, new]},
+            base_version=self.current_version(),
+            columns_override=(renames, dropped),
+        )
+
+    def drop_column(self, col: str) -> int:
+        """ALTER TABLE DROP COLUMN, metadata-only: the column vanishes from
+        the logical schema instantly; the stored bytes die lazily as
+        rewrites purge them (any compact / DML rewrite writes the logical
+        schema, so purging is free where it matters). The name stays
+        reserved — re-adding it would resurrect old segments' bytes via
+        schema merge."""
+        if not self.exists():
+            raise FileNotFoundError(f"no table at {self.root}")
+        self._guard_col_mutation(col)
+        logical = self._logical_columns()
+        if col not in logical:
+            raise KeyError(f"no column {col!r} (have {logical})")
+        renames, dropped = dict(self.renames()), list(self.dropped_columns())
+        inv = {log: phy for phy, log in renames.items()}
+        phys = inv.get(col, col)
+        renames.pop(phys, None)
+        dropped.append(phys)
+        return self._transact(
+            lambda v: self._segments(v - 1),
+            meta={"drop_column": col},
+            base_version=self.current_version(),
+            columns_override=(renames, dropped),
+        )
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Translate a LOGICAL frame (public input) to PHYSICAL storage
+        names. Idempotent on already-physical frames. Rejects columns that
+        collide with reserved physical names (a renamed column's storage
+        name, or a dropped column's name) — writing them would conflate
+        distinct columns at schema-merge time."""
+        renames, dropped = self.renames(), self.dropped_columns()
+        if not renames and not dropped:
+            return df
+        inv = {log: phy for phy, log in renames.items()}
+        cols = []
+        for c in df.columns:
+            if c in dropped:
+                raise ValueError(
+                    f"column {c!r} was dropped from {self.root}; the name "
+                    "is reserved (old segments still store those bytes) — "
+                    "use a new name"
+                )
+            if c in renames and renames[c] != c and c not in inv:
+                raise ValueError(
+                    f"column {c!r} is the physical storage name of renamed "
+                    f"column {renames[c]!r}; write it as {renames[c]!r}"
+                )
+            cols.append(F.col(c).alias(inv.get(c, c)))
+        return df.select(cols)
+
+    @staticmethod
+    def _to_logical_static(
+        df: DataFrame, renames: dict[str, str], dropped: list[str]
+    ) -> DataFrame:
+        if not renames and not dropped:
+            return df
+        cols = [
+            F.col(c).alias(renames.get(c, c))
+            for c in df.columns
+            if c not in dropped
+        ]
+        return df.select(cols)
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        """Translate a PHYSICAL frame to the HEAD logical schema."""
+        return self._to_logical_static(df, self.renames(), self.dropped_columns())
+
+    def _pred_to_physical(self, predicate: dict | None) -> dict | None:
+        """Map a logical predicate's column names to physical (stats,
+        bloom sidecars, and stored files are all keyed physically)."""
+        if not predicate:
+            return predicate
+        inv = {log: phy for phy, log in self.renames().items()}
+        if not inv:
+            return predicate
+        return {inv.get(c, c): b for c, b in predicate.items()}
+
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE DROP CONSTRAINT: metadata-only commit without it."""
         cons = self.constraints()
@@ -460,8 +659,8 @@ class TableStore:
         clone. Deep copies the bytes. The clone starts at version 0
         carrying the source version's segments, per-segment stats, Bloom
         sidecars (they live inside the linked segment dirs), live deletion
-        vectors, key, and CHECK constraints; ``meta`` records the
-        provenance. Writes, compaction, and vacuum on either side never
+        vectors, key, CHECK constraints, generated columns, and column
+        mapping (renames/drops); ``meta`` records the provenance. Writes, compaction, and vacuum on either side never
         disturb the other: segments are immutable, and hardlink refcounts
         keep shared files alive until BOTH tables drop them."""
         v = self.current_version() if version is None else version
@@ -518,6 +717,8 @@ class TableStore:
             _segments,
             meta={"cloned_from": self.root, "source_version": v},
             constraints_override=m.get("constraints", {}),
+            generated_override=m.get("generated", {}),
+            columns_override=(m.get("renames", {}), m.get("dropped", [])),
         )
         return dst
 
@@ -552,6 +753,9 @@ class TableStore:
                 {c for st in stats.values() for c in st}
             ),
             "segments_with_stats": sum(1 for s in m["segments"] if s in stats),
+            "generated": dict(m.get("generated", {})),
+            "renames": dict(m.get("renames", {})),
+            "dropped": list(m.get("dropped", [])),
             "meta": m.get("meta", {}),
         }
 
@@ -628,6 +832,7 @@ class TableStore:
         base_version: int | None = None,
         constraints_override: dict[str, str] | None = None,
         generated_override: dict[str, str] | None = None,
+        columns_override: tuple[dict, list] | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -687,6 +892,7 @@ class TableStore:
         try:
             prev_txn, prev_stats, prev_dv = {}, {}, {}
             prev_cons, prev_gen = {}, {}
+            prev_renames, prev_dropped = {}, []
             if cur is not None:
                 with open(self._manifest_path(cur)) as f:
                     prev = json.load(f)
@@ -695,6 +901,8 @@ class TableStore:
                 prev_dv = prev.get("dv", {})
                 prev_cons = prev.get("constraints", {})
                 prev_gen = prev.get("generated", {})
+                prev_renames = prev.get("renames", {})
+                prev_dropped = prev.get("dropped", [])
             new_txn = dict(prev_txn)
             if txn is not None:
                 app, ver = txn
@@ -752,6 +960,19 @@ class TableStore:
                             prev_gen
                             if generated_override is None
                             else generated_override
+                        ),
+                        # Column mapping (RENAME/DROP COLUMN): carried
+                        # forward like constraints so every snapshot knows
+                        # its own physical→logical translation.
+                        "renames": (
+                            prev_renames
+                            if columns_override is None
+                            else columns_override[0]
+                        ),
+                        "dropped": (
+                            prev_dropped
+                            if columns_override is None
+                            else columns_override[1]
                         ),
                         # Advertised so external readers (the Python data
                         # source) can apply deletion vectors without being
@@ -920,6 +1141,18 @@ class TableStore:
             manifest = json.load(f)
         segments = manifest["segments"]
         dv = manifest.get("dv", {})
+        # Column mapping: the snapshot presents ITS OWN logical schema
+        # (names as of version v, like Delta column mapping); predicates
+        # arrive logical and translate to physical for stats, blooms, and
+        # the stored files.
+        renames = manifest.get("renames", {})
+        dropped = manifest.get("dropped", [])
+        inv = {log: phy for phy, log in renames.items()}
+        predicate = (
+            {inv.get(c, c): b for c, b in predicate.items()}
+            if predicate and inv
+            else predicate
+        )
         cond = None
         if predicate:
             stats = manifest.get("stats", {})
@@ -943,20 +1176,27 @@ class TableStore:
                     if not self._bloom_rules_out(s, c, hv)
                 ]
             cond = _predicate_expr(predicate)
-            if not segments:
-                empty = self.read(v)  # schema from the unpruned version
-                return empty.limit(0) if cond is None else empty.filter(cond).limit(0)
+
+        def _logical(df: DataFrame) -> DataFrame:
+            return self._to_logical_static(df, renames, dropped)
+
+        if predicate and not segments:
+            # Schema from the unpruned version.
+            empty = self._read_segments(manifest["segments"], dv)
+            out = empty if cond is None else empty.filter(cond)
+            return _logical(out.limit(0))
         out = self._read_segments(segments, dv)
         if cond is None:
-            return out
+            return _logical(out)
         if any(c not in out.columns for c in predicate):
             # Pruning removed every segment that carried a schema-evolved
             # predicate column; the survivors can't even resolve the
             # filter. Fall back to the unpruned read so
             # read(predicate=p) ≡ read().filter(p) holds exactly
             # (correctness beats skipping in this rare case).
-            return self.read(v).filter(cond)
-        return out.filter(cond)
+            full = self._read_segments(manifest["segments"], dv)
+            return _logical(full.filter(cond))
+        return _logical(out.filter(cond))
 
     # -- targeted DML: rewrite only the files the keys can live in -----------
 
@@ -1044,14 +1284,24 @@ class TableStore:
         """Read the touched segments (deletion vectors applied) aligned to
         the FULL table schema, so targeted DML behaves byte-identically to
         the full-table form even when schema-evolved columns live only in
-        untouched segments."""
+        untouched segments. Returned in LOGICAL column names (renames
+        applied, dropped columns gone): every DML path computes in logical
+        space and _write_segment translates back to physical on write —
+        which is also what physically purges dropped columns from any
+        segment a rewrite touches."""
+        renames = manifest.get("renames", {})
+        drop_cols = manifest.get("dropped", [])
+
+        def _logical(df: DataFrame) -> DataFrame:
+            return self._to_logical_static(df, renames, drop_cols)
+
         dv = manifest.get("dv", {})
-        full = self._read_segments(manifest["segments"], dv)
+        full = _logical(self._read_segments(manifest["segments"], dv))
         if set(touched) == set(manifest["segments"]):
             return full
         if not touched:
             return full.limit(0)
-        base = self._read_segments(touched, dv)
+        base = _logical(self._read_segments(touched, dv))
         missing = [c for c in full.columns if c not in base.columns]
         if missing:
             base = base.select(
@@ -1330,16 +1580,23 @@ class TableStore:
                 continue  # pointer-only commit (e.g. restore to self)
             if kind == "delete_dv":
                 # The dv file IS the delete pre-image set — O(deleted) read.
-                rows = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[self._dv_path(n) for n in added]
+                # _to_logical: stored files carry names as written
+                # (physical for segments; dv/cdc carry write-time names),
+                # the feed speaks the current logical schema.
+                rows = self._to_logical(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *[self._dv_path(n) for n in added]
+                    )
                 )
                 pieces.append(
                     rows.select("*", F.lit("delete").alias("_change_type"), tag)
                 )
                 continue
             if kind == "append":
-                inserts = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.root, s) for s in added]
+                inserts = self._to_logical(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.root, s) for s in added]
+                    )
                 )
                 pieces.append(
                     inserts.select(
@@ -1350,7 +1607,9 @@ class TableStore:
             if os.path.isdir(self._cdc_path(v)):
                 # Stored change file: O(changes) read, no snapshot diff —
                 # and usable even after manifest v-1 was vacuumed.
-                pieces.append(self.spark.read.parquet(self._cdc_path(v)))
+                pieces.append(
+                    self._to_logical(self.spark.read.parquet(self._cdc_path(v)))
+                )
                 continue
             pieces.append(self._changes_one(v))
         if not pieces:
@@ -1404,14 +1663,16 @@ class TableStore:
             txn,
         )
 
-    def _reject_schema_conflicts(self, rows: DataFrame) -> None:
-        """Schema enforcement (Delta's write-time contract): an appended
+    def _reject_schema_conflicts(self, rows: DataFrame, op: str = "append") -> None:
+        """Schema enforcement (Delta's write-time contract): a written
         column whose TYPE differs from the table's poisons the shared
         parquet schema merge — every later read of every row would fail at
         scan planning, far from the write that caused it. Reject at the
-        write instead. New columns pass (additive evolution: old segments
-        read them as null); missing columns pass (the new segment reads
-        nulls for them); only same-name/different-type conflicts raise."""
+        write instead (every DML path: append, upsert, merge,
+        overwrite_where). New columns pass (additive evolution: old
+        segments read them as null); missing columns pass (the new segment
+        reads nulls for them); only same-name/different-type conflicts
+        raise."""
         target = {f.name: f.dataType for f in self.read().schema}
         conflicts = [
             (f.name, str(target[f.name]), str(f.dataType))
@@ -1420,10 +1681,10 @@ class TableStore:
         ]
         if conflicts:
             detail = "; ".join(
-                f"{n}: table={t} vs append={a}" for n, t, a in conflicts
+                f"{n}: table={t} vs source={a}" for n, t, a in conflicts
             )
             raise SchemaMismatchError(
-                f"append to {self.root} changes column type(s) [{detail}]; "
+                f"{op} to {self.root} changes column type(s) [{detail}]; "
                 "cast the input, or overwrite() to redefine the schema"
             )
 
@@ -1524,6 +1785,7 @@ class TableStore:
         predicate column (compact(range_by=...) / z-order), a daily backfill
         touches one band, not the table. Returns the new version."""
         df = self._apply_generated(df)
+        self._reject_schema_conflicts(df, op="overwrite_where")
         cond = _predicate_expr(predicate)
         if cond is None:
             raise ValueError(
@@ -1543,10 +1805,14 @@ class TableStore:
         with open(self._manifest_path(v0)) as f:
             manifest = json.load(f)
         stats = manifest.get("stats", {})
+        # Stats are keyed by PHYSICAL column names; the predicate arrives
+        # logical. (The row-level cond below stays logical — the base read
+        # is logical too.)
+        phys_pred = self._pred_to_physical(predicate)
         touched = [
             s
             for s in manifest["segments"]
-            if _segment_may_match(stats.get(s), predicate)
+            if _segment_may_match(stats.get(s), phys_pred)
         ]
         untouched = [s for s in manifest["segments"] if s not in set(touched)]
         base = self._aligned_base(manifest, touched)
@@ -1595,6 +1861,7 @@ class TableStore:
             self.init(rows, txn=txn)
             return
         rows = self._apply_generated(rows)
+        self._reject_schema_conflicts(rows, op="upsert")
         v0 = self.current_version()
         with open(self._manifest_path(v0)) as f:
             manifest = json.load(f)
@@ -1719,6 +1986,7 @@ class TableStore:
             if insert:
                 self.init(source, txn=txn)
             return
+        self._reject_schema_conflicts(source, op="merge")
         # Targeted rewrite (see upsert): only segments whose key stats can
         # contain a source key are read and rewritten; the rest are reused
         # by reference. The aligned base carries the FULL table schema, so
@@ -2097,11 +2365,22 @@ class TableStore:
             # mergeSchema matches read(): appended segments may have
             # introduced new columns, and a single-footer view would
             # silently drop them from the CDF.
-            rows = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, s) for s in added]
+            rows = self._to_logical(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.root, s) for s in added]
+                )
             )
             return rows.withColumn("_change", F.lit("insert"))
-        old, new = self.read(v_from), self.read(v_to)
+        # Both sides in v_to's LOGICAL names (physical names are immutable,
+        # so mapping the old snapshot with the new map is exact) — a diff
+        # across a rename compares data, not column labels.
+        ren, drp = m_to.get("renames", {}), m_to.get("dropped", [])
+        old = self._to_logical_static(
+            self._read_segments(old_segs, m_from.get("dv", {})), ren, drp
+        )
+        new = self._to_logical_static(
+            self._read_segments(new_segs, m_to.get("dv", {})), ren, drp
+        )
         return (
             new.exceptAll(old).withColumn("_change", F.lit("insert"))
             .unionByName(

@@ -91,6 +91,35 @@ def _manifest(root: str, v: int) -> dict:
         return json.load(f)
 
 
+def _col_mapping(root: str, v: int) -> tuple[dict, list]:
+    """Column mapping at version ``v``: (renames physical→logical,
+    dropped physical names). Data files always store physical names; this
+    source presents the logical schema and translates at the batch level."""
+    m = _manifest(root, v)
+    return m.get("renames", {}), m.get("dropped", [])
+
+
+def _reject_column_mapped_write(root: str) -> None:
+    """The format-writer paths stage raw parquet task files and commit them
+    as segments verbatim — they cannot translate logical column names back
+    to physical storage names. A table with live renames/drops must be
+    written through TableStore (whose _write_segment translates), so fail
+    the commit with directions instead of poisoning the physical-name
+    invariant every reader relies on."""
+    try:
+        v = _pointer(root)
+    except FileNotFoundError:
+        return  # first commit: no mapping can exist
+    renames, dropped = _col_mapping(root, v)
+    if renames or dropped:
+        raise ValueError(
+            f"table {root} has active column renames/drops "
+            f"(renames={renames}, dropped={dropped}); "
+            "df.write.format('lakehouse') cannot translate staged files to "
+            "physical column names — write via TableStore.append/overwrite"
+        )
+
+
 def _resolve_version(root: str, options) -> int:
     """Snapshot selection for batch reads: explicit ``version`` wins, else
     ``timestampAsOf`` (epoch seconds or ISO-8601 — Delta's TIMESTAMP AS OF,
@@ -207,6 +236,7 @@ def _read_files(
     spark_schema: StructType,
     ranges: dict | None = None,
     null_checked: tuple[str, ...] = (),
+    col_map: dict | None = None,
 ):
     """Yield Arrow RecordBatches for one partition, conformed to the read
     schema (column order + missing-column nulls), with CDF tagging."""
@@ -260,8 +290,14 @@ def _read_files(
                 continue
         cols = []
         for fld in data_schema:
-            if batch.schema.get_field_index(fld.name) >= 0:
-                arr = batch.column(fld.name)
+            # col_map: logical → physical (column mapping). Segment files
+            # store physical names; stored cdc/dv files carry write-time
+            # names, so fall back to the logical name itself.
+            src = col_map.get(fld.name, fld.name) if col_map else fld.name
+            if batch.schema.get_field_index(src) < 0 and src != fld.name:
+                src = fld.name
+            if batch.schema.get_field_index(src) >= 0:
+                arr = batch.column(src)
                 if arr.type != fld.type:
                     arr = arr.cast(fld.type)
             else:
@@ -315,6 +351,18 @@ class LakehouseDataSource(DataSource):
         v = _resolve_version(root, self.options)
         segs = _manifest(root, v)["segments"]
         arrow = _unified_arrow_schema(_one_file_per_schema(root, segs))
+        # Present the LOGICAL schema: footers hold physical names.
+        renames, dropped = _col_mapping(root, v)
+        if renames or dropped:
+            import pyarrow as pa
+
+            arrow = pa.schema(
+                [
+                    f.with_name(renames.get(f.name, f.name))
+                    for f in arrow
+                    if f.name not in dropped
+                ]
+            )
         spark_schema = from_arrow_schema(arrow)
         if self._changes_mode():
             from pyspark.sql.types import LongType, StringType, StructField
@@ -370,6 +418,10 @@ class SnapshotReader(DataSourceReader):
         self.root = root
         self.schema = schema
         self.version = _resolve_version(root, options)
+        renames, _dropped = _col_mapping(root, self.version)
+        # logical → physical, for pushed filters (stats/blooms/files are
+        # physical) and for batch conform in _read_files.
+        self.col_map = {log: phy for phy, log in renames.items()}
         self.ranges: dict[str, tuple] = {}
         self.null_checked: tuple[str, ...] = ()
         # Exact value sets from EqualTo/In filters: probed against the
@@ -394,6 +446,9 @@ class SnapshotReader(DataSourceReader):
             col = attr[-1] if attr else None
             if col not in names or (attr and len(attr) > 1):
                 continue  # nested / unknown column: Spark-side only
+            # Filters arrive in logical names; everything below (manifest
+            # stats, bloom sidecars, the pyarrow scan filter) is physical.
+            col = self.col_map.get(col, col)
             if isinstance(f, EqualTo) and f.value is not None:
                 _narrow(col, lo=f.value, hi=f.value)
                 self.eq_values.setdefault(col, []).append([f.value])
@@ -479,7 +534,8 @@ class SnapshotReader(DataSourceReader):
 
     def read(self, partition: _ScanPart):
         yield from _read_files(
-            partition, self.schema, self.ranges, self.null_checked
+            partition, self.schema, self.ranges, self.null_checked,
+            col_map=self.col_map,
         )
 
 
@@ -534,6 +590,8 @@ class ChangesBatchReader(DataSourceReader):
     def __init__(self, root: str, options, schema: StructType):
         self.root = root
         self.schema = schema
+        renames, _d = _col_mapping(root, _pointer(root))
+        self.col_map = {log: phy for phy, log in renames.items()}
         self.start = int(options.get("startingversion", 0))
         self.end = int(options.get("endingversion", _pointer(root)))
         if not 0 <= self.start <= self.end <= _pointer(root):
@@ -550,7 +608,7 @@ class ChangesBatchReader(DataSourceReader):
         ] or [_ScanPart(files=())]
 
     def read(self, partition: _ScanPart):
-        yield from _read_files(partition, self.schema)
+        yield from _read_files(partition, self.schema, col_map=self.col_map)
 
 
 class ChangesStreamReader(DataSourceStreamReader):
@@ -562,6 +620,15 @@ class ChangesStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, options, schema: StructType, cdf: bool):
         self.root = root
         self.schema = schema
+        # Mapping pinned at stream start: the query's schema (logical names
+        # as of now) is fixed for the stream's life, and physical names are
+        # immutable — so this translation stays correct even if the table
+        # is renamed again mid-stream.
+        try:
+            renames, _d = _col_mapping(root, _pointer(root))
+        except FileNotFoundError:
+            renames = {}  # stream may start before the table's first commit
+        self.col_map = {log: phy for phy, log in renames.items()}
         self.cdf = cdf
         self.max_versions = int(options.get("maxversionsperbatch", 10))
         start = str(options.get("startingversion", "0"))
@@ -597,7 +664,9 @@ class ChangesStreamReader(DataSourceStreamReader):
         ] or [_ScanPart(files=())]
 
     def read(self, partition: _ScanPart):
-        yield from _read_files(partition, self.schema)
+        yield from _read_files(
+            partition, self.schema, col_map=getattr(self, "col_map", None)
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to ack
@@ -816,6 +885,7 @@ class LakehouseWriter(DataSourceArrowWriter):
         # still commits (an empty overwrite truncates, like Spark's own
         # parquet sink).
         store = TableStore(spark=None, root=self.root, key="")
+        _reject_column_mapped_write(self.root)
         staged = [os.path.join(self.staging, m.name) for m in kept]
         if not self.overwrite:
             # Overwrite legitimately redefines the schema (Delta's
@@ -910,6 +980,7 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             store._transact(_noseg, txn=(self.app_id, batchId))
             return
 
+        _reject_column_mapped_write(self.root)
         staged = [os.path.join(self.staging, m.name) for m in kept]
         _reject_staged_schema_conflicts(self.root, staged)
         _enforce_staged_constraints(store, staged)

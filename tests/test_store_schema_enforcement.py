@@ -55,3 +55,38 @@ def test_format_writer_append_rejects_conflict(spark, store):
     )
     ok.write.format("lakehouse").mode("append").save(store.root)
     assert store.read().count() == 2
+
+
+def test_upsert_rejects_type_conflict_both_modes(spark, store):
+    # int source into a long table: mergeSchema can't reconcile INT32 vs
+    # INT64 footers, so letting this land would brick every later read.
+    bad = spark.createDataFrame([(1, 99)], "id long, x int")
+    for mode in ("rewrite", "dv"):
+        with pytest.raises(SchemaMismatchError, match="upsert"):
+            store.upsert(bad, mode=mode)
+    assert store.current_version() == 0
+    assert store.read().count() == 1
+
+
+def test_merge_rejects_type_conflict(spark, store):
+    bad = spark.createDataFrame([(1, "s")], "id long, x string")
+    with pytest.raises(SchemaMismatchError, match="merge"):
+        store.merge(bad)
+    assert store.current_version() == 0
+
+
+def test_merge_evolve_still_adds_new_columns(spark, store):
+    src = spark.createDataFrame([(1, 11, "n")], "id long, x long, note string")
+    store.merge(src, extra_cols="evolve")
+    row = store.read().collect()[0]
+    assert (row.x, row.note) == (11, "n")
+
+
+def test_overwrite_where_rejects_type_conflict(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "ow"), key="id", stats_cols=("id",))
+    s.init(spark.createDataFrame([(1, 10), (5, 50)], "id long, x long"))
+    bad = spark.createDataFrame([(1, 99)], "id long, x int")
+    with pytest.raises(SchemaMismatchError, match="overwrite_where"):
+        s.overwrite_where(bad, {"id": (None, 3)})
+    assert s.current_version() == 0
+    assert {r.x for r in s.read().collect()} == {10, 50}
