@@ -205,6 +205,8 @@ class TableStore:
         stats_cols: tuple[str, ...] = (),
         write_cdf: bool = False,
         bloom_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+        max_partitions_per_commit: int = 64,
     ):
         self.spark = spark
         self.root = root
@@ -232,6 +234,22 @@ class TableStore:
         # sidecar-file IO only. Readers need no declaration — they
         # discover sidecars by existence.
         self.bloom_cols = tuple(bloom_cols)
+        # Delta's partitionBy: every commit splits its rows into one
+        # segment per live (partition-column-tuple) value, so a partition
+        # predicate prunes EXACTLY at the manifest (min==max per segment —
+        # the existing stats machinery — plus the recorded value itself),
+        # replaceWhere on a partition swaps just that partition's segments,
+        # and compaction never merges across partition boundaries. The
+        # partition columns STAY in the data files (constant columns are
+        # ~free under parquet RLE), so every read path — including targeted
+        # DML and the Python data source — is unchanged. Set at table
+        # creation only; recorded in every manifest. Use for
+        # low-cardinality columns (ingest date, source, tenant): each
+        # commit may touch at most ``max_partitions_per_commit`` distinct
+        # values (Delta's small-file guidance, enforced).
+        self.partition_by = tuple(partition_by)
+        self.max_partitions_per_commit = max_partitions_per_commit
+        self._pending_parts: dict[str, dict] = {}
         self._pending_stats: dict[str, dict] = {}
         # Deletion vector staged by delete_keys(mode="dv") for the commit
         # in flight: {dv_name: [segments it applies to]}. Consumed by
@@ -274,14 +292,19 @@ class TableStore:
         df = self._to_physical(df)
         inv = {log: phy for phy, log in self.renames().items()}
         df.write.mode("overwrite").parquet(path)
-        if self.stats_cols:
+        # Partition columns always get footer stats too: a partitioned
+        # segment holds one value, so min==max makes every stats-driven
+        # path (read predicates, targeted DML, the data source's pushed
+        # filters) prune partitions exactly with zero new machinery.
+        stat_cols = tuple(dict.fromkeys(self.stats_cols + self.partition_cols()))
+        if stat_cols:
             # Stats from the WRITTEN files' parquet footers — no second
             # Spark job, no data re-read; the bounds describe exactly what
             # readers will see (conservative where parquet truncates).
             # stats_cols is user config in LOGICAL names; footers (and the
             # stats manifest) are physical.
             stats = _harvest_dir_stats(
-                path, tuple(inv.get(c, c) for c in self.stats_cols)
+                path, tuple(inv.get(c, c) for c in stat_cols)
             )
             if stats:
                 self._pending_stats[seg] = stats
@@ -292,6 +315,124 @@ class TableStore:
                 self.spark, path, [inv.get(c, c) for c in self.bloom_cols]
             )
         return seg
+
+    # -- partitioning (Delta's partitionBy) -----------------------------------
+
+    def partition_cols(self) -> tuple[str, ...]:
+        """The table's partition columns — the committed manifest's record
+        wins over the constructor (so a second instance opened without the
+        arg still partitions correctly); a conflicting constructor value is
+        an error, not a silent re-partition."""
+        v = self.current_version()
+        if v is None:
+            return self.partition_by
+        with open(self._manifest_path(v)) as f:
+            committed = tuple(json.load(f).get("partition_by", []))
+        if self.partition_by and committed != self.partition_by:
+            raise ValueError(
+                f"table {self.root} is partitioned by {list(committed)}, "
+                f"constructor said {list(self.partition_by)}; partitioning "
+                "is fixed at table creation"
+            )
+        return committed
+
+    def _write_partitioned(self, df: DataFrame, v: int) -> list[str]:
+        """Write ``df`` as one segment per live partition-value tuple
+        (single unsuffixed segment when the table isn't partitioned).
+        Records each segment's exact partition values for manifest-level
+        pruning and partition-wise compaction. Cost: one distinct() over
+        the partition columns plus one filtered write per value tuple, off
+        a persisted input — bounded by ``max_partitions_per_commit``, the
+        same 'commits touch few partitions' contract Delta's layout
+        assumes."""
+        pcols = self.partition_cols()
+        if not pcols:
+            return [self._write_segment(df, v)]
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write to {self.root} is missing partition column(s) "
+                f"{missing}; partitioned tables require them on every row"
+            )
+        cap = self.max_partitions_per_commit
+        cached = df.persist()  # distinct + per-value filters share one compute
+        try:
+            combos = cached.select(*pcols).distinct().limit(cap + 1).collect()
+            if len(combos) > cap:
+                raise ValueError(
+                    f"commit touches more than {cap} distinct partition "
+                    f"values of {list(pcols)}; partition by a lower-"
+                    "cardinality column or raise max_partitions_per_commit"
+                )
+            if not combos:
+                # Empty write: on the FIRST commit, one empty segment holds
+                # the schema; afterwards, adding a value-less segment would
+                # only burden every partition-pruned read and DML (no
+                # partition entry → conservatively kept/touched forever).
+                if self.current_version() is None:
+                    return [self._write_segment(cached, v)]
+                return []
+            combos = sorted(
+                (tuple(r[c] for c in pcols) for r in combos),
+                key=lambda t: json.dumps(t, default=str),
+            )
+            segs = []
+            for i, combo in enumerate(combos):
+                cond = None
+                for c, val in zip(pcols, combo):
+                    term = F.col(c).eqNullSafe(F.lit(val))
+                    cond = term if cond is None else (cond & term)
+                seg = self._write_segment(
+                    cached.filter(cond), v, part=i if len(combos) > 1 else None
+                )
+                self._pending_parts[seg] = dict(zip(pcols, combo))
+                segs.append(seg)
+            return segs
+        finally:
+            cached.unpersist()
+
+    def partitions(self) -> list[dict]:
+        """SHOW PARTITIONS: the live partition-value tuples with their
+        segment counts, straight from the HEAD manifest — no data IO."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        out: dict[str, dict] = {}
+        for s in m["segments"]:
+            p = m.get("partitions", {}).get(s)
+            if p is None:
+                continue
+            k = json.dumps(p, sort_keys=True, default=str)
+            e = out.setdefault(k, {"values": p, "num_segments": 0})
+            e["num_segments"] += 1
+        return sorted(out.values(), key=lambda e: json.dumps(e["values"], default=str))
+
+    @staticmethod
+    def _partition_may_match(part: dict | None, predicate: dict) -> bool:
+        """Exact manifest-value pruning for partitioned segments: a segment
+        holds exactly one partition-value tuple, so an equality or range
+        term on a partition column either matches it or provably doesn't.
+        Segments without recorded values (pre-partitioning history) are
+        kept — pruning must never change results."""
+        if not part:
+            return True
+        for col, bounds in predicate.items():
+            if col not in part:
+                continue
+            val = part[col]
+            if val is None:
+                continue  # null partition values are never pruned
+            lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
+            try:
+                if lo is not None and val < lo:
+                    return False
+                if hi is not None and val > hi:
+                    return False
+            except TypeError:
+                continue  # JSON-degraded type: keep the segment
+        return True
 
     # -- CHECK constraints ---------------------------------------------------
 
@@ -462,6 +603,11 @@ class TableStore:
             raise ValueError(
                 f"cannot rename/drop the key column {logical!r}: deletion "
                 "vectors, MERGE, and upsert join on it by name"
+            )
+        if logical in self.partition_cols():
+            raise ValueError(
+                f"cannot rename/drop partition column {logical!r}: the "
+                "manifest's per-segment partition values are keyed on it"
             )
         pat = re.compile(rf"\b{re.escape(logical)}\b")
         for name, expr in self.constraints().items():
@@ -700,6 +846,11 @@ class TableStore:
                 deep,
             )
 
+        # partition_by rides through _transact's creation path (a fresh
+        # table records the instance's value), so the clone partitions
+        # exactly like its source from version 0 on.
+        dst.partition_by = tuple(m.get("partition_by", []))
+
         def _segments(_v: int) -> list[str]:
             # Seed carried state INSIDE the transaction so _transact's
             # abort-cleanup snapshot (taken at txn start) doesn't classify
@@ -707,6 +858,9 @@ class TableStore:
             for s, st in m.get("stats", {}).items():
                 if s in seg_map:
                     dst._pending_stats[seg_map[s]] = st
+            for s, p in m.get("partitions", {}).items():
+                if s in seg_map:
+                    dst._pending_parts[seg_map[s]] = p
             for n, ap in live_dv.items():
                 dst._pending_dv[dv_map[n]] = [
                     seg_map[s] for s in ap if s in seg_map
@@ -756,6 +910,13 @@ class TableStore:
             "generated": dict(m.get("generated", {})),
             "renames": dict(m.get("renames", {})),
             "dropped": list(m.get("dropped", [])),
+            "partition_by": list(m.get("partition_by", [])),
+            "num_partitions": len(
+                {
+                    json.dumps(p, sort_keys=True, default=str)
+                    for p in m.get("partitions", {}).values()
+                }
+            ),
             "meta": m.get("meta", {}),
         }
 
@@ -889,10 +1050,13 @@ class TableStore:
         # discard exactly what this attempt added.
         pending_before = set(self._pending_stats)
         dv_pending_before = set(self._pending_dv)
+        parts_pending_before = set(self._pending_parts)
         try:
             prev_txn, prev_stats, prev_dv = {}, {}, {}
             prev_cons, prev_gen = {}, {}
             prev_renames, prev_dropped = {}, []
+            prev_parts: dict = {}
+            prev_pby: list = list(self.partition_by)
             if cur is not None:
                 with open(self._manifest_path(cur)) as f:
                     prev = json.load(f)
@@ -903,6 +1067,8 @@ class TableStore:
                 prev_gen = prev.get("generated", {})
                 prev_renames = prev.get("renames", {})
                 prev_dropped = prev.get("dropped", [])
+                prev_parts = prev.get("partitions", {})
+                prev_pby = prev.get("partition_by", [])
             new_txn = dict(prev_txn)
             if txn is not None:
                 app, ver = txn
@@ -919,6 +1085,14 @@ class TableStore:
             # the moment this commit lands — drop any unclaimed additions.
             for s in set(self._pending_stats) - pending_before:
                 del self._pending_stats[s]
+            # Per-segment partition values: same lifecycle as stats.
+            parts = {}
+            for s in segments:
+                p = self._pending_parts.pop(s, prev_parts.get(s))
+                if p is not None:
+                    parts[s] = p
+            for s in set(self._pending_parts) - parts_pending_before:
+                del self._pending_parts[s]
             # Deletion vectors: carried forward by default — a dv masks
             # ONLY the exact segment names in its applies_to list, so a
             # rewrite that drops those segments makes the dv inert and the
@@ -974,6 +1148,11 @@ class TableStore:
                             if columns_override is None
                             else columns_override[1]
                         ),
+                        # Partitioning: the column list is fixed at table
+                        # creation and carried verbatim; per-segment values
+                        # follow the stats lifecycle above.
+                        "partition_by": prev_pby,
+                        "partitions": parts,
                         # Advertised so external readers (the Python data
                         # source) can apply deletion vectors without being
                         # told the key column out of band. Writers that
@@ -1002,6 +1181,8 @@ class TableStore:
                 del self._pending_stats[s]
             for n in set(self._pending_dv) - dv_pending_before:
                 del self._pending_dv[n]
+            for s in set(self._pending_parts) - parts_pending_before:
+                del self._pending_parts[s]
             try:
                 os.unlink(self._manifest_path(nxt))
             except FileNotFoundError:
@@ -1156,8 +1337,12 @@ class TableStore:
         cond = None
         if predicate:
             stats = manifest.get("stats", {})
+            parts = manifest.get("partitions", {})
             segments = [
-                s for s in segments if _segment_may_match(stats.get(s), predicate)
+                s
+                for s in segments
+                if _segment_may_match(stats.get(s), predicate)
+                and self._partition_may_match(parts.get(s), predicate)
             ]
             # Equality terms additionally probe bloom sidecars — effective
             # exactly where min/max is not (unclustered high-cardinality
@@ -1635,7 +1820,7 @@ class TableStore:
         meta: dict | None = None,
         txn: tuple[str, int] | None = None,
     ) -> None:
-        self._transact(lambda v: [self._write_segment(df, v)], meta, txn)
+        self._transact(lambda v: self._write_partitioned(df, v), meta, txn)
 
     def append(
         self,
@@ -1658,7 +1843,7 @@ class TableStore:
         # Prior segments are resolved INSIDE the claimed transaction: once
         # v is claimed, v-1 is immutable (no other writer can advance it).
         self._transact(
-            lambda v: self._segments(v - 1) + [self._write_segment(rows, v)],
+            lambda v: self._segments(v - 1) + self._write_partitioned(rows, v),
             meta,
             txn,
         )
@@ -1717,7 +1902,7 @@ class TableStore:
     ) -> int:
         """Full compaction commit: one segment holding ``df``."""
         return self._transact(
-            lambda v: [self._write_segment(df, v)],
+            lambda v: self._write_partitioned(df, v),
             txn=txn,
             base_version=base_version,
         )
@@ -1757,7 +1942,7 @@ class TableStore:
         provenance — e.g. which base version they reflect — atomically with
         their data."""
         df = self._apply_generated(df)
-        self._transact(lambda v: [self._write_segment(df, v)], meta, txn)
+        self._transact(lambda v: self._write_partitioned(df, v), meta, txn)
 
     def overwrite_where(
         self,
@@ -1821,7 +2006,7 @@ class TableStore:
         survivors = base.filter(~F.coalesce(cond, F.lit(False)))
         out = survivors.unionByName(df.select(*base.columns))
         return self._transact(
-            lambda v: untouched + [self._write_segment(out, v)],
+            lambda v: untouched + self._write_partitioned(out, v),
             meta,
             txn,
             base_version=v0,
@@ -1884,7 +2069,7 @@ class TableStore:
 
             def _mor(v: int) -> list[str]:
                 segs = self._segments(v - 1)
-                new_seg = self._write_segment(new_rows, v)
+                new_segs = self._write_partitioned(new_rows, v)
                 if has_matches:
                     name = f"_dv{v:06d}"
                     matched.write.mode("overwrite").parquet(
@@ -1894,14 +2079,14 @@ class TableStore:
                     # has to be tested against files the keys provably
                     # aren't in — fewer read-time anti-join groups.
                     self._pending_dv[name] = list(touched)
-                return segs + [new_seg]
+                return segs + new_segs
 
             self._transact(_mor, txn=txn, base_version=v0)
             return
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
         out = survivors.unionByName(rows.select(*base.columns))
         self._transact(
-            lambda v: untouched + [self._write_segment(out, v)],
+            lambda v: untouched + self._write_partitioned(out, v),
             txn=txn,
             base_version=v0,
         )
@@ -2088,12 +2273,12 @@ class TableStore:
 
             def _mor(v: int) -> list[str]:
                 segs = self._segments(v - 1)
-                new_seg = self._write_segment(new_seg_rows, v)
+                new_segs = self._write_partitioned(new_seg_rows, v)
                 if has_masks:
                     name = f"_dv{v:06d}"
                     pre.write.mode("overwrite").parquet(self._dv_path(name))
                     self._pending_dv[name] = list(touched)
-                return segs + [new_seg]
+                return segs + new_segs
 
             self._transact(_mor, txn=txn, base_version=v0)
             return
@@ -2107,7 +2292,7 @@ class TableStore:
         )
         out = kept if ins is None else kept.unionByName(ins)
         self._transact(
-            lambda v: untouched + [self._write_segment(out, v)],
+            lambda v: untouched + self._write_partitioned(out, v),
             txn=txn,
             base_version=v0,
         )
@@ -2153,7 +2338,7 @@ class TableStore:
             out = base.join(keyset, self.key, "left_anti")
             removed = base.count() - out.count()
             self._transact(
-                lambda v: untouched + [self._write_segment(out, v)],
+                lambda v: untouched + self._write_partitioned(out, v),
                 base_version=v0,
             )
             return removed
@@ -2235,6 +2420,15 @@ class TableStore:
         if zorder_by is not None and range_by is not None:
             raise ValueError("pass zorder_by or range_by, not both")
         v0 = self.current_version()
+        pcols = self.partition_cols()
+        if pcols and (zorder_by is not None or range_by is not None):
+            raise ValueError(
+                "zorder_by/range_by compaction is not supported on a "
+                f"partitioned table (partition_by={list(pcols)}); plain "
+                "compact() folds each partition's segments separately"
+            )
+        if pcols:
+            return self._compact_partitions(v0)
         if zorder_by is None and range_by is None:
             return self._rewrite(self.read(v0), base_version=v0)
         base = self.read(v0)
@@ -2304,6 +2498,51 @@ class TableStore:
             return self._transact(_bands, meta=meta, base_version=v0)
         finally:
             keyed.unpersist()
+
+    def _compact_partitions(self, v0: int) -> int:
+        """Partition-wise OPTIMIZE: fold each partition's segments into one,
+        reading only that partition's files (never a cross-partition
+        shuffle — at 100 TB a partition is the unit of maintenance, like
+        Delta's OPTIMIZE WHERE). Deletion vectors are applied during the
+        fold and retired. Single-segment partitions with no outstanding dv
+        are reused by reference — a no-op partition costs zero IO."""
+        with open(self._manifest_path(v0)) as f:
+            m = json.load(f)
+        parts, dv = m.get("partitions", {}), m.get("dv", {})
+        masked = {s for ap in dv.values() for s in ap}
+        groups: dict[str, tuple[dict, list[str]]] = {}
+        loose: list[str] = []  # segments without recorded values
+        for s in m["segments"]:
+            p = parts.get(s)
+            if p is None:
+                loose.append(s)
+                continue
+            k = json.dumps(p, sort_keys=True, default=str)
+            groups.setdefault(k, (p, []))[1].append(s)
+
+        def _fold(v: int) -> list[str]:
+            segs: list[str] = []
+            i = 0
+            for k in sorted(groups):
+                pvals, group = groups[k]
+                if len(group) == 1 and group[0] not in masked:
+                    # Already optimal: carry the segment (and its stats /
+                    # partition values, via the _transact carry-forward).
+                    segs.append(group[0])
+                    continue
+                df_g = self._to_logical(self._read_segments(group, dv))
+                seg = self._write_segment(df_g, v, part=i)
+                self._pending_parts[seg] = pvals
+                segs.append(seg)
+                i += 1
+            if loose:
+                df_l = self._to_logical(self._read_segments(loose, dv))
+                segs.append(self._write_segment(df_l, v, part=i))
+            return segs
+
+        return self._transact(
+            _fold, meta={"compacted_partitions": len(groups)}, base_version=v0
+        )
 
     def maybe_compact(
         self,

@@ -101,15 +101,15 @@ def _col_mapping(root: str, v: int) -> tuple[dict, list]:
 
 def _reject_column_mapped_write(root: str) -> None:
     """The format-writer paths stage raw parquet task files and commit them
-    as segments verbatim — they cannot translate logical column names back
-    to physical storage names. A table with live renames/drops must be
-    written through TableStore (whose _write_segment translates), so fail
-    the commit with directions instead of poisoning the physical-name
-    invariant every reader relies on."""
+    as segments verbatim — they can neither translate logical column names
+    back to physical storage names nor split rows into per-partition
+    segments. A table with live renames/drops or partitioning must be
+    written through TableStore, so fail the commit with directions instead
+    of poisoning the invariants every reader relies on."""
     try:
         v = _pointer(root)
     except FileNotFoundError:
-        return  # first commit: no mapping can exist
+        return  # first commit: no mapping/partitioning can exist
     renames, dropped = _col_mapping(root, v)
     if renames or dropped:
         raise ValueError(
@@ -117,6 +117,17 @@ def _reject_column_mapped_write(root: str) -> None:
             f"(renames={renames}, dropped={dropped}); "
             "df.write.format('lakehouse') cannot translate staged files to "
             "physical column names — write via TableStore.append/overwrite"
+        )
+    pby = _manifest(root, v).get("partition_by", [])
+    if pby:
+        # Same verbatim-commit limitation: staged task files can't be
+        # split into one segment per partition value, and an unsplit
+        # segment would break partition-exact pruning and partition-wise
+        # compaction for the whole table.
+        raise ValueError(
+            f"table {root} is partitioned by {pby}; "
+            "df.write.format('lakehouse') cannot split staged files by "
+            "partition value — write via TableStore.append/overwrite"
         )
 
 

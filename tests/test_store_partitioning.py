@@ -1,0 +1,270 @@
+"""Partitioned tables (Delta's partitionBy): every commit splits into one
+segment per live partition-value tuple, so partition predicates prune
+exactly at the manifest, replaceWhere swaps whole partitions, compaction
+never merges across partitions, and DML behaves byte-identically to the
+unpartitioned form. Partition columns stay in the data files (constant
+columns are ~free under parquet RLE), so every read path is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_spark.mutation.store import TableStore
+
+
+def _mk(spark, tmp_path, **kw):
+    store = TableStore(
+        spark,
+        str(tmp_path / "t"),
+        key="id",
+        partition_by=("day",),
+        stats_cols=("id",),
+        **kw,
+    )
+    rows = [(i, f"d{i % 3}", i * 10) for i in range(60)]
+    store.init(spark.createDataFrame(rows, "id long, day string, x long"))
+    return store
+
+
+def _manifest(store):
+    with open(
+        os.path.join(store.root, f"_manifest_{store.current_version():06d}.json")
+    ) as f:
+        return json.load(f)
+
+
+def test_init_splits_one_segment_per_value(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    m = _manifest(store)
+    assert len(m["segments"]) == 3
+    assert m["partition_by"] == ["day"]
+    vals = sorted(p["day"] for p in m["partitions"].values())
+    assert vals == ["d0", "d1", "d2"]
+    # every segment's rows carry exactly its recorded value
+    for s, p in m["partitions"].items():
+        got = (
+            spark.read.parquet(os.path.join(store.root, s))
+            .select("day")
+            .distinct()
+            .collect()
+        )
+        assert [r.day for r in got] == [p["day"]]
+
+
+def test_partition_predicate_prunes_exactly(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    full_files = len(store.read().inputFiles())
+    one = store.read(predicate={"day": "d1"})
+    assert len(one.inputFiles()) < full_files
+    assert sorted(r.id for r in one.collect()) == [
+        i for i in range(60) if i % 3 == 1
+    ]
+    # a value no partition holds reads zero files' worth of rows
+    none = store.read(predicate={"day": "nope"})
+    assert none.count() == 0
+
+
+def test_append_splits_and_prunes_through_manifest(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    store.append(
+        spark.createDataFrame([(100, "d9", 1), (101, "d9", 2)], "id long, day string, x long")
+    )
+    m = _manifest(store)
+    assert len(m["segments"]) == 4
+    got = store.read(predicate={"day": "d9"})
+    assert sorted(r.id for r in got.collect()) == [100, 101]
+    # the new partition's read opens only its own segment's files
+    assert len(got.inputFiles()) < len(store.read().inputFiles())
+
+
+def test_missing_partition_column_rejected(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="missing partition column"):
+        store.append(spark.createDataFrame([(7, 70)], "id long, x long"))
+
+
+def test_partition_cardinality_cap(spark, tmp_path):
+    store = TableStore(
+        spark,
+        str(tmp_path / "cap"),
+        key="id",
+        partition_by=("p",),
+        max_partitions_per_commit=4,
+    )
+    wide = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(5)], "id long, p string"
+    )
+    with pytest.raises(ValueError, match="more than 4 distinct partition"):
+        store.init(wide)
+
+
+def test_second_instance_partitions_from_manifest(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    other = TableStore(spark, store.root, key="id")  # no partition_by arg
+    assert other.partition_cols() == ("day",)
+    other.append(
+        spark.createDataFrame([(200, "d0", 0), (201, "d7", 0)], "id long, day string, x long")
+    )
+    m = _manifest(store)
+    assert len(m["segments"]) == 5  # split into d0 + d7 segments
+    conflicting = TableStore(
+        spark, store.root, key="id", partition_by=("x",)
+    )
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        conflicting.partition_cols()
+
+
+def test_overwrite_where_swaps_only_the_partition(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    before = {
+        s for s in _manifest(store)["segments"]
+        if _manifest(store)["partitions"][s]["day"] != "d1"
+    }
+    repl = spark.createDataFrame(
+        [(1000 + i, "d1", 0) for i in range(5)], "id long, day string, x long"
+    )
+    store.overwrite_where(repl, {"day": "d1"})
+    m = _manifest(store)
+    # untouched partitions' segments are reused by reference
+    assert before <= set(m["segments"])
+    assert sorted(r.id for r in store.read(predicate={"day": "d1"}).collect()) == [
+        1000, 1001, 1002, 1003, 1004
+    ]
+    assert store.read().count() == 40 + 5
+
+
+def test_upsert_and_delete_parity_with_unpartitioned(spark, tmp_path):
+    part = _mk(spark, tmp_path)
+    flat = TableStore(spark, str(tmp_path / "flat"), key="id", stats_cols=("id",))
+    rows = [(i, f"d{i % 3}", i * 10) for i in range(60)]
+    flat.init(spark.createDataFrame(rows, "id long, day string, x long"))
+    up = spark.createDataFrame(
+        [(3, "d0", -1), (999, "d2", -2)], "id long, day string, x long"
+    )
+    for st in (part, flat):
+        st.upsert(up)
+        st.delete_keys(spark.createDataFrame([(6,)], "id long"))
+    a = sorted(map(tuple, part.read().collect()))
+    b = sorted(map(tuple, flat.read().collect()))
+    assert a == b
+    # the partitioned upsert's new rows landed split per partition value
+    m = _manifest(part)
+    days = [p["day"] for p in m["partitions"].values()]
+    assert days.count("d0") >= 1 and days.count("d2") >= 1
+
+
+def test_dv_upsert_splits_new_segment_per_partition(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    up = spark.createDataFrame(
+        [(0, "d0", -1), (1, "d1", -2)], "id long, day string, x long"
+    )
+    store.upsert(up, mode="dv")
+    got = {r.id: r.x for r in store.read().filter(F.col("id") < 2).collect()}
+    assert got == {0: -1, 1: -2}
+    assert store.read().count() == 60
+
+
+def test_compact_folds_within_partitions_only(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    for k in range(2):  # 2 more appends × 3 partitions = 9 segments
+        store.append(
+            spark.createDataFrame(
+                [(300 + 10 * k + j, f"d{j}", 0) for j in range(3)],
+                "id long, day string, x long",
+            )
+        )
+    assert len(_manifest(store)["segments"]) == 9
+    before = store.read().orderBy("id").collect()
+    store.compact()
+    m = _manifest(store)
+    assert len(m["segments"]) == 3  # one per partition
+    vals = sorted(p["day"] for p in m["partitions"].values())
+    assert vals == ["d0", "d1", "d2"]
+    assert store.read().orderBy("id").collect() == before
+    # zorder/range clustering is partition-incompatible and says so
+    with pytest.raises(ValueError, match="not supported on a partitioned"):
+        store.compact(range_by="id")
+
+
+def test_compact_reuses_single_segment_partitions(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    store.append(
+        spark.createDataFrame([(500, "d0", 0)], "id long, day string, x long")
+    )
+    segs_before = set(_manifest(store)["segments"])
+    store.compact()
+    m = _manifest(store)
+    # d1 and d2 were already one segment each: carried by reference
+    assert len(segs_before & set(m["segments"])) == 2
+    assert len(m["segments"]) == 3
+
+
+def test_format_writer_rejects_partitioned_table(spark, tmp_path):
+    from lakehouse_spark.sources.table_source import LakehouseDataSource
+
+    spark.dataSource.register(LakehouseDataSource)
+    store = _mk(spark, tmp_path)
+    df = spark.createDataFrame([(600, "d0", 0)], "id long, day string, x long")
+    with pytest.raises(Exception, match="partitioned by"):
+        df.write.format("lakehouse").mode("append").save(store.root)
+    # reads through the data source still work and prune via stats
+    ds = spark.read.format("lakehouse").load(store.root)
+    assert ds.filter(F.col("day") == "d2").count() == 20
+
+
+def test_rename_partition_column_blocked(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition column"):
+        store.rename_column("day", "dt")
+    with pytest.raises(ValueError, match="partition column"):
+        store.drop_column("day")
+
+
+def test_clone_carries_partitioning(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    clone = store.clone(str(tmp_path / "c"))
+    assert clone.partition_cols() == ("day",)
+    m = _manifest(clone)
+    assert len(m["partitions"]) == 3
+    clone.append(
+        spark.createDataFrame([(700, "d5", 0)], "id long, day string, x long")
+    )
+    assert [p["values"]["day"] for p in clone.partitions()] == [
+        "d0", "d1", "d2", "d5"
+    ]
+
+
+def test_partitions_listing_and_detail(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    listing = store.partitions()
+    assert [p["values"] for p in listing] == [
+        {"day": "d0"}, {"day": "d1"}, {"day": "d2"}
+    ]
+    assert all(p["num_segments"] == 1 for p in listing)
+    d = store.detail()
+    assert d["partition_by"] == ["day"]
+    assert d["num_partitions"] == 3
+
+
+def test_null_partition_value_roundtrips(spark, tmp_path):
+    store = TableStore(
+        spark, str(tmp_path / "n"), key="id", partition_by=("day",)
+    )
+    store.init(
+        spark.createDataFrame(
+            [(1, "d0", 1), (2, None, 2)], "id long, day string, x long"
+        )
+    )
+    m = _manifest(store)
+    assert len(m["segments"]) == 2
+    assert store.read().count() == 2
+    # null partitions are never pruned away
+    assert store.read(predicate={"day": "d0"}).count() >= 1
+    assert sorted(
+        r.id for r in store.read().filter(F.col("day").isNull()).collect()
+    ) == [2]
