@@ -2017,6 +2017,7 @@ class TableStore:
         rows: DataFrame,
         txn: tuple[str, int] | None = None,
         mode: str = "rewrite",
+        base_version: int | None = None,
     ) -> None:
         """SC5: whole-row upsert keyed by ``self.key`` — the atomic
         tmp+rename document replace. Delta form: MERGE WHEN MATCHED UPDATE
@@ -2047,7 +2048,11 @@ class TableStore:
             return
         rows = self._apply_generated(rows)
         self._reject_schema_conflicts(rows, op="upsert")
-        v0 = self.current_version()
+        # base_version lets a caller whose SOURCE was derived from a pinned
+        # snapshot (update(): post-images computed from read(v0)) extend the
+        # snapshot-conflict check back to that read — a commit landing after
+        # the derivation raises instead of silently losing it.
+        v0 = self.current_version() if base_version is None else base_version
         with open(self._manifest_path(v0)) as f:
             manifest = json.load(f)
         keys = self._source_key_list(rows)
@@ -2090,6 +2095,73 @@ class TableStore:
             txn=txn,
             base_version=v0,
         )
+
+    def update(
+        self,
+        set: dict[str, str],
+        where: str | None = None,
+        predicate: dict | None = None,
+        mode: str = "rewrite",
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Delta's ``UPDATE target SET <col> = <expr> [WHERE ...]``.
+
+        ``set`` maps column names to SQL expressions evaluated per matched
+        row (``{"x": "x + 1", "status": "'done'"}``). ``where`` is a SQL
+        boolean over the row; ``predicate`` is the :meth:`read` dict form of
+        (part of) the same condition and is what buys file skipping — a
+        predicate over stats/partition/bloom-tracked columns means only the
+        segments that can hold matches are even read, and the key-targeted
+        rewrite underneath touches only the files the matched keys live in.
+        ``mode="dv"`` is merge-on-read UPDATE: zero rewrites, old images
+        masked by a deletion vector, post-images in one new segment.
+
+        Generated columns are recomputed from the updated values (Delta's
+        UPDATE contract); setting one directly, or the key, is an error.
+        Returns the number of updated rows. Concurrency: derived from a
+        pinned snapshot and committed with snapshot-conflict detection —
+        an interleaved commit raises :exc:`ConcurrentWriteError`."""
+        v0 = self.current_version()
+        if v0 is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        key = self.key or self._manifest_key()
+        gen = self.generated_columns()
+        cols = self.read(v0).columns
+        for c in set:
+            if c == key:
+                raise ValueError(
+                    f"cannot UPDATE the key column {key!r}; delete + insert "
+                    "to change a row's identity"
+                )
+            if c in gen:
+                raise ValueError(
+                    f"column {c!r} is generated ({gen[c]}); update its "
+                    "source columns and the formula recomputes it"
+                )
+            if c not in cols:
+                raise KeyError(f"no column {c!r} (have {cols})")
+        matched = self.read(v0, predicate=predicate)
+        if where is not None:
+            matched = matched.filter(F.expr(where))
+        # SET expressions are cast to the column's existing type (Delta's
+        # store-assignment rule): UPDATE changes values, never the schema.
+        types = {f.name: f.dataType for f in matched.schema}
+        post = matched.select(
+            *[
+                F.expr(set[c]).cast(types[c]).alias(c) if c in set else F.col(c)
+                for c in matched.columns
+            ]
+        )
+        if gen:  # recompute from the post-update values
+            post = post.drop(*[c for c in gen if c in post.columns])
+        post = post.persist()
+        try:
+            n = post.count()
+            if n:
+                self.upsert(post, txn=txn, mode=mode, base_version=v0)
+            return n
+        finally:
+            post.unpersist()
 
     def merge(
         self,
