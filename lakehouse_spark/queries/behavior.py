@@ -344,3 +344,286 @@ def a16_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorts.top_n(paths, [F.desc("n"), F.asc("path")], 10).select(
         "path", "n"
     )
+
+
+@_q(
+    "ts_ewma_halflife",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, n_events,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t
+      FROM daily
+    ), pre AS (
+      SELECT day, n_events, t,
+             sum(n_events * pow(2.0, t)) OVER (
+               ORDER BY t ROWS UNBOUNDED PRECEDING) AS s
+      FROM idx
+    )
+    SELECT day,
+           CAST(n_events AS BIGINT) AS n_events,
+           round((s / pow(2.0, t)) / (2.0 - pow(0.5, t)), 4) AS ewma,
+           round(n_events / ((s / pow(2.0, t)) / (2.0 - pow(0.5, t))), 4)
+             AS ratio
+    FROM pre
+    """,
+    doc=(
+        "EWMA anomaly baseline over the daily event volume, decay 0.5/day "
+        "(one-day half-life). The recursive EWMA is re-expressed as a "
+        "closed-form prefix sum — sum(x_k * 2^k)/2^t, normalized by "
+        "(2 - 2^-t) — so it is ONE running-sum window over the "
+        "day-cardinality relation (365 rows/year however big the fact "
+        "table is; the only data-sized work is the groupBy(day) count "
+        "with map-side partials). Powers of two are exact in binary64 and "
+        "the ordered prefix sum adds in the same sequence on both "
+        "engines, so the 'floating-point' EWMA is still hash-stable "
+        "cross-engine. ratio = today / yesterday's-baseline is the "
+        "anomaly score a monitor would threshold."
+    ),
+)
+def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    w_idx = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "n_events",
+        (F.row_number().over(w_idx).cast("long") - 1).alias("t"),
+    )
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = idx.withColumn(
+        "s",
+        F.sum(F.col("n_events") * F.pow(F.lit(2.0), F.col("t"))).over(w_run),
+    )
+    ewma = (F.col("s") / F.pow(F.lit(2.0), F.col("t"))) / (
+        F.lit(2.0) - F.pow(F.lit(0.5), F.col("t"))
+    )
+    return pre.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(ewma, 4).alias("ewma"),
+        F.round(F.col("n_events") / ewma, 4).alias("ratio"),
+    )
+
+
+@_q(
+    "a17_item_affinity_topk",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), totals AS (
+      SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT pa AS item, pb AS partner, co FROM pairs
+      UNION ALL
+      SELECT pb AS item, pa AS partner, co FROM pairs
+    ), scored AS (
+      SELECT s.item, s.partner, s.co,
+             s.co / sqrt(ti.n * tp.n) AS cosine,
+             row_number() OVER (
+               PARTITION BY s.item
+               ORDER BY s.co / sqrt(ti.n * tp.n) DESC, s.partner
+             ) AS rk
+      FROM sym s
+      JOIN totals ti ON ti.l_partkey = s.item
+      JOIN totals tp ON tp.l_partkey = s.partner
+    )
+    SELECT item, partner, CAST(co AS BIGINT) AS co,
+           round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= 3
+    """,
+    doc=(
+        "Item-item collaborative filtering: top-3 most-affine parts per "
+        "part by co-purchase cosine (co / sqrt(n_a * n_b)) over order "
+        "baskets. Shape: the pair space is the orderkey-keyed self-join "
+        "with a<b canonical orientation — per-order fan-out is "
+        "C(basket,2), bounded by basket size, never by catalog or order "
+        "count; totals broadcast back onto the pair relation; the rank is "
+        "windowed per item over the already-aggregated pairs. IEEE sqrt "
+        "and division are correctly rounded on both engines, so ranking "
+        "on the raw double is cross-engine stable (partner id breaks "
+        "exact ties)."
+    ),
+)
+def a17_item_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    totals = basket.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("co"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("partner"), "co"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("partner"), "co"
+        )
+    )
+    ti = totals.select(F.col("l_partkey").alias("item"), F.col("n").alias("ni"))
+    tp = totals.select(
+        F.col("l_partkey").alias("partner"), F.col("n").alias("np")
+    )
+    cosine = F.col("co") / F.sqrt(F.col("ni") * F.col("np"))
+    w = Window.partitionBy("item").orderBy(
+        cosine.desc(), F.col("partner").asc()
+    )
+    return (
+        sym.join(F.broadcast(ti), "item")
+        .join(F.broadcast(tp), "partner")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "item",
+            "partner",
+            F.col("co").cast("long").alias("co"),
+            F.round(cosine, 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@_q(
+    "a18_survival_retention",
+    """
+    WITH life AS (
+      SELECT user_id,
+             date_diff('microsecond', min(ts), max(ts)) // 86400000000
+               AS lifetime_days
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT * FROM (VALUES (0), (7), (14), (21), (28)) v(t_days)
+    )
+    SELECT h.t_days,
+           CAST(count(*) FILTER (WHERE l.lifetime_days >= h.t_days)
+                AS BIGINT) AS n_surviving,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) FILTER (WHERE l.lifetime_days >= h.t_days)
+                      AS DOUBLE) / count(*), 4) AS survival
+    FROM horizon h CROSS JOIN life l
+    GROUP BY h.t_days
+    """,
+    doc=(
+        "Survival / retention curve: the fraction of users still active "
+        "at horizon t (lifetime = exact integer days between first and "
+        "last event, microsecond math — no calendar-boundary ambiguity "
+        "between engines). ONE per-user shuffle produces the "
+        "user-cardinality lifetime relation; the horizon grid is a "
+        "5-literal array exploded onto it (narrow, no join operator), so "
+        "the curve costs O(users x horizons) work, not extra passes over "
+        "events."
+    ),
+)
+def a18_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        (
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            )
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("lifetime_days")
+    )
+    # Literal horizon grid via explode — a narrow 5x fan-out of the
+    # user-cardinality relation, no join operator at all (a crossJoin
+    # here would plan as BroadcastNestedLoopJoin).
+    horizons = F.array(*[F.lit(t) for t in (0, 7, 14, 21, 28)])
+    surv = F.count(F.when(F.col("lifetime_days") >= F.col("t_days"), 1))
+    return (
+        life.select("lifetime_days", F.explode(horizons).alias("t_days"))
+        .groupBy("t_days")
+        .agg(
+            surv.cast("long").alias("n_surviving"),
+            F.count("*").cast("long").alias("n_users"),
+            F.round(surv.cast("double") / F.count("*"), 4).alias("survival"),
+        )
+    )
+
+
+@_q(
+    "agg_benford",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), expected AS (
+      SELECT digit, CAST(p AS DOUBLE) AS p_benford FROM (VALUES
+        (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757)) v(digit, p)
+    )
+    SELECT e.digit,
+           CAST(count(d.digit) AS BIGINT) AS n,
+           round(CAST(count(d.digit) AS DOUBLE)
+                 / (SELECT count(*) FROM digits), 4) AS share,
+           e.p_benford,
+           round(abs(CAST(count(d.digit) AS DOUBLE)
+                     / (SELECT count(*) FROM digits) - e.p_benford), 4)
+             AS abs_dev
+    FROM expected e LEFT JOIN digits d ON d.digit = e.digit
+    GROUP BY e.digit, e.p_benford
+    """,
+    doc=(
+        "Benford's-law audit of order totals: observed first-significant-"
+        "digit distribution vs the log10(1+1/d) expectation (pinned as "
+        "shared literals, so no cross-engine log wobble). The digit "
+        "extraction is pure string math on the integer part — "
+        "scan-speed, no UDF; one 9-group aggregation. The fraud-"
+        "analytics shape: a ledger whose digit shares drift from the "
+        "Benford column is the audit flag."
+    ),
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    total = digits.count()
+    expected = orders.sparkSession.createDataFrame(
+        [
+            (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+            (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+            (9, 0.045757),
+        ],
+        "digit int, p_benford double",
+    )
+    # Aggregate FIRST (map-side partials onto <=9 groups), then join the
+    # two digit-cardinality relations — the fact table is scanned once and
+    # never joined row-level.
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_raw"))
+    n = F.coalesce(F.col("n_raw"), F.lit(0)).cast("long")
+    share = n.cast("double") / F.lit(total)
+    return (
+        expected.join(counts, "digit", "left")
+        .select(
+            "digit",
+            n.alias("n"),
+            F.round(share, 4).alias("share"),
+            "p_benford",
+            F.round(F.abs(share - F.col("p_benford")), 4).alias("abs_dev"),
+        )
+    )

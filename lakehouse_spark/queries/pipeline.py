@@ -1414,3 +1414,85 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bigram_nll"
         ),
     )
+
+
+@_q(
+    "text_collocations_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), bi AS (
+      SELECT p[1] AS w1, p[2] AS w2 FROM (
+        SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM toks WHERE len(l) >= 2)
+      WHERE p[1] <> '' AND p[2] <> ''
+    ), uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(l) AS w FROM toks) WHERE w <> '' GROUP BY w
+    ), bc AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+    ), n AS (SELECT count(*) AS n_tok FROM (
+        SELECT unnest(l) AS w FROM toks) WHERE w <> '')
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           round(ln(CAST(c12 AS DOUBLE) * n.n_tok / (u1.c * u2.c)), 6)
+             AS pmi
+    FROM bc JOIN uni u1 ON u1.w = bc.w1
+            JOIN uni u2 ON u2.w = bc.w2
+            CROSS JOIN n
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc=(
+        "Collocation mining: top-20 adjacent-word bigrams by pointwise "
+        "mutual information, ln(c12 * N / (c1 * c2)), min support 5 — the "
+        "phrase-detection pass (new_york, machine_learning) a tokenizer "
+        "pipeline runs before vocabulary building. Shape: bigrams come "
+        "from zipping each doc's token array with its own tail (narrow, "
+        "no window over the corpus); one (w1,w2)-keyed shuffle for bigram "
+        "counts, one w-keyed shuffle for unigrams, unigram counts joined "
+        "back twice; support-filtered BEFORE the joins so only the "
+        "surviving bigram relation moves. TakeOrdered top-k, (w1,w2) "
+        "tie-breaks."
+    ),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("l"))
+    pairs = toks.filter(F.size("l") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, F.size("l") - 1),
+                F.slice(F.col("l"), F.lit(2), F.size("l") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2")).filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    words = toks.select(F.explode("l").alias("w")).filter(F.col("w") != "")
+    n_tok = words.count()
+    uni = words.groupBy("w").agg(F.count("*").alias("c"))
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double") * F.lit(n_tok)
+            / (F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    from lakehouse_spark.operators import sorts
+
+    scored = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                pmi.alias("pmi"))
+    )
+    return sorts.top_n(
+        scored, [F.desc("pmi"), F.asc("w1"), F.asc("w2")], 20
+    ).select("w1", "w2", "c12", "pmi")
