@@ -37,6 +37,7 @@ from lakehouse_spark.queries import (  # noqa: E402,F401  (import-for-effect)
     ranking,
     scalars_filters,
     sessions_graph,
+    stats_profile,
     tpch,
 )
 
