@@ -2493,14 +2493,16 @@ class TableStore:
             raise ValueError("pass zorder_by or range_by, not both")
         v0 = self.current_version()
         pcols = self.partition_cols()
-        if pcols and (zorder_by is not None or range_by is not None):
+        if pcols and zorder_by is not None:
             raise ValueError(
-                "zorder_by/range_by compaction is not supported on a "
-                f"partitioned table (partition_by={list(pcols)}); plain "
-                "compact() folds each partition's segments separately"
+                "zorder_by compaction is not supported on a partitioned "
+                f"table (partition_by={list(pcols)}); use "
+                "compact(range_by=...) to key-cluster within each partition"
             )
         if pcols:
-            return self._compact_partitions(v0)
+            return self._compact_partitions(
+                v0, range_by=range_by, n_segments=n_segments
+            )
         if zorder_by is None and range_by is None:
             return self._rewrite(self.read(v0), base_version=v0)
         base = self.read(v0)
@@ -2571,13 +2573,20 @@ class TableStore:
         finally:
             keyed.unpersist()
 
-    def _compact_partitions(self, v0: int) -> int:
-        """Partition-wise OPTIMIZE: fold each partition's segments into one,
-        reading only that partition's files (never a cross-partition
-        shuffle — at 100 TB a partition is the unit of maintenance, like
-        Delta's OPTIMIZE WHERE). Deletion vectors are applied during the
-        fold and retired. Single-segment partitions with no outstanding dv
-        are reused by reference — a no-op partition costs zero IO."""
+    def _compact_partitions(
+        self, v0: int, range_by: str | None = None, n_segments: int = 8
+    ) -> int:
+        """Partition-wise OPTIMIZE: fold each partition's segments, reading
+        only that partition's files (never a cross-partition shuffle — at
+        100 TB a partition is the unit of maintenance, like Delta's
+        OPTIMIZE WHERE). Deletion vectors are applied during the fold and
+        retired. Without ``range_by``, each partition folds to one segment
+        and single-segment partitions with no outstanding dv are reused by
+        reference (a no-op partition costs zero IO). With ``range_by``,
+        each partition is rewritten as up to ``n_segments`` contiguous
+        bands of that column cut at sampled in-partition quantiles — the
+        'partition by day, cluster by key' layout that keeps targeted DML
+        O(affected files) inside big partitions too."""
         with open(self._manifest_path(v0)) as f:
             m = json.load(f)
         parts, dv = m.get("partitions", {}), m.get("dv", {})
@@ -2592,29 +2601,82 @@ class TableStore:
             k = json.dumps(p, sort_keys=True, default=str)
             groups.setdefault(k, (p, []))[1].append(s)
 
+        def _band_edges(df: DataFrame) -> list:
+            """In-partition quantile cut points (generic orderable type,
+            bounded sample — the compact(range_by=) approach)."""
+            n = max(1, n_segments)
+            total = df.count()
+            frac = min(1.0, 100_000 / max(total, 1))
+            sample = sorted(
+                r[0]
+                for r in df.select(range_by)
+                .dropna()
+                .sample(fraction=frac, seed=7)
+                .collect()
+            )
+            qs = (
+                [sample[len(sample) * i // n] for i in range(1, n)]
+                if sample
+                else []
+            )
+            return [None, *sorted(set(qs)), None]
+
+        def _write_banded(df: DataFrame, v: int, i0: int, pvals) -> list[str]:
+            df = df.persist()
+            try:
+                segs = []
+                edges = _band_edges(df)
+                for j in range(len(edges) - 1):
+                    lo, hi = edges[j], edges[j + 1]
+                    band = df
+                    if lo is not None:
+                        band = band.filter(F.col(range_by) >= lo)
+                    if hi is not None:
+                        cond = F.col(range_by) < hi
+                        if lo is None:  # nulls ride in the first band
+                            cond = cond | F.col(range_by).isNull()
+                        band = band.filter(cond)
+                    band = band.sortWithinPartitions(range_by)
+                    seg = self._write_segment(band, v, part=i0 + j)
+                    if pvals is not None:
+                        self._pending_parts[seg] = pvals
+                    segs.append(seg)
+                return segs
+            finally:
+                df.unpersist()
+
         def _fold(v: int) -> list[str]:
             segs: list[str] = []
             i = 0
             for k in sorted(groups):
                 pvals, group = groups[k]
-                if len(group) == 1 and group[0] not in masked:
+                if range_by is None and len(group) == 1 and group[0] not in masked:
                     # Already optimal: carry the segment (and its stats /
                     # partition values, via the _transact carry-forward).
                     segs.append(group[0])
                     continue
                 df_g = self._to_logical(self._read_segments(group, dv))
-                seg = self._write_segment(df_g, v, part=i)
-                self._pending_parts[seg] = pvals
-                segs.append(seg)
-                i += 1
+                if range_by is None:
+                    seg = self._write_segment(df_g, v, part=i)
+                    self._pending_parts[seg] = pvals
+                    segs.append(seg)
+                    i += 1
+                else:
+                    new = _write_banded(df_g, v, i, pvals)
+                    segs += new
+                    i += len(new)
             if loose:
                 df_l = self._to_logical(self._read_segments(loose, dv))
-                segs.append(self._write_segment(df_l, v, part=i))
+                if range_by is None:
+                    segs.append(self._write_segment(df_l, v, part=i))
+                else:
+                    segs += _write_banded(df_l, v, i, None)
             return segs
 
-        return self._transact(
-            _fold, meta={"compacted_partitions": len(groups)}, base_version=v0
-        )
+        meta = {"compacted_partitions": len(groups)}
+        if range_by is not None:
+            meta["range_by"] = range_by
+        return self._transact(_fold, meta=meta, base_version=v0)
 
     def maybe_compact(
         self,

@@ -186,9 +186,43 @@ def test_compact_folds_within_partitions_only(spark, tmp_path):
     vals = sorted(p["day"] for p in m["partitions"].values())
     assert vals == ["d0", "d1", "d2"]
     assert store.read().orderBy("id").collect() == before
-    # zorder/range clustering is partition-incompatible and says so
+    # 2-D z-ordering is partition-incompatible and says so
     with pytest.raises(ValueError, match="not supported on a partitioned"):
-        store.compact(range_by="id")
+        store.compact(zorder_by=("id", "x"))
+
+
+def test_compact_range_by_clusters_within_partitions(spark, tmp_path):
+    store = TableStore(
+        spark,
+        str(tmp_path / "rb"),
+        key="id",
+        partition_by=("day",),
+        stats_cols=("id",),
+    )
+    rows = [(i, f"d{i % 2}", i) for i in range(400)]
+    store.init(spark.createDataFrame(rows, "id long, day string, x long"))
+    before = store.read().orderBy("id").collect()
+    store.compact(range_by="id", n_segments=4)
+    m = _manifest(store)
+    # up to 4 id-bands per partition, every band tagged with its partition
+    assert 4 < len(m["segments"]) <= 8
+    assert set(m["partitions"]) == set(m["segments"])
+    assert store.read().orderBy("id").collect() == before
+    # a (partition, id-range) predicate opens only that partition's band
+    got = store.read(predicate={"day": "d1", "id": (1, 9)})
+    assert sorted(r.id for r in got.collect()) == [1, 3, 5, 7, 9]
+    assert len(got.inputFiles()) < len(store.read().inputFiles()) / 4
+    # targeted DML on one key touches only the id-bands that can hold it
+    # (one per partition — ids interleave across partitions, so both
+    # partitions' first bands overlap key 1); the other bands are reused
+    # by reference.
+    segs_before = set(m["segments"])
+    store.upsert(
+        spark.createDataFrame([(1, "d1", -1)], "id long, day string, x long")
+    )
+    m2 = _manifest(store)
+    assert len(segs_before & set(m2["segments"])) == len(segs_before) - 2
+    assert store.read().filter(F.col("id") == 1).collect()[0].x == -1
 
 
 def test_compact_reuses_single_segment_partitions(spark, tmp_path):
