@@ -1858,11 +1858,15 @@ class TableStore:
         segments read them as null); missing columns pass (the new segment
         reads nulls for them); only same-name/different-type conflicts
         raise."""
-        target = {f.name: f.dataType for f in self.read().schema}
+        # simpleString drops nullability (recursively) on purpose: writing
+        # non-null arrays/structs into nullable ones is exactly what
+        # parquet's schema merge already reconciles — only TYPE conflicts
+        # poison the merge.
+        target = {f.name: f.dataType.simpleString() for f in self.read().schema}
         conflicts = [
-            (f.name, str(target[f.name]), str(f.dataType))
+            (f.name, target[f.name], f.dataType.simpleString())
             for f in rows.schema
-            if f.name in target and target[f.name] != f.dataType
+            if f.name in target and target[f.name] != f.dataType.simpleString()
         ]
         if conflicts:
             detail = "; ".join(

@@ -19,7 +19,7 @@ def store(spark, tmp_path):
 
 
 def test_type_conflict_rejected_table_stays_readable(spark, store):
-    with pytest.raises(SchemaMismatchError, match="x: table=LongType"):
+    with pytest.raises(SchemaMismatchError, match="x: table=bigint"):
         store.append(
             spark.createDataFrame([(2, "oops")], "id long, x string")
         )
