@@ -377,6 +377,58 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT within a blocking key: |A∩B| / |A|
+    and |A∩B| / |B| per candidate pair — the superset/quote detector
+    Jaccard misses (a paragraph fully contained in a much longer document
+    has tiny Jaccard but containment 1.0; Broder's resemblance-vs-
+    containment distinction). Same inverted-index shape as
+    :func:`ngram_jaccard_pairs` — work is O(shared shingles), never a
+    blockwise all-pairs array comparison. Pairs where NEITHER direction
+    reaches ``min_containment`` are dropped."""
+    base = _persist(
+        shingle_frame(df, id_col, text_col, n)
+        .join(
+            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")),
+            "id",
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+    ex = base.select("id", "blk", "sz", F.explode("sh").alias("g"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sz").alias("a_sz"),
+            F.col("b.sz").alias("b_sz"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter.select(
+        "a_id",
+        "b_id",
+        (F.col("inter") / F.col("a_sz")).alias("containment_a"),
+        (F.col("inter") / F.col("b_sz")).alias("containment_b"),
+    ).filter(
+        (F.col("containment_a") >= min_containment)
+        | (F.col("containment_b") >= min_containment)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -627,3 +627,62 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(share - F.col("p_benford")), 4).alias("abs_dev"),
         )
     )
+
+
+@_q(
+    "scd2_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from) IS NULL
+                THEN true ELSE false END AS is_current
+    FROM changes
+    """,
+    doc=(
+        "SCD type-2 interval construction from an event log: collapse "
+        "consecutive repeats of each user's event_type (change-point "
+        "detection via lag), then [valid_from, valid_to) intervals via "
+        "lead, open-ended current row flagged — the dimension-history "
+        "build an ingest pipeline runs before point-in-time joins. ONE "
+        "per-user window sort shared by both passes (the second window "
+        "orders a strict subset of the first's output); per-user timelines "
+        "bound the window, never the global log."
+    ),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -1028,3 +1028,56 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return dedup.semdedup(emb, "vec_id", "embedding", n_clusters=8, tau=0.3)
+
+
+@_q(
+    "dedup_containment",
+    """
+    WITH words AS (
+      SELECT doc_id AS id,
+             lang || '|' || source AS blk,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT id, blk,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT a_id, b_id, containment_a, containment_b FROM (
+      SELECT a.id AS a_id, b.id AS b_id,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+               AS containment_a,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh), 4)
+               AS containment_b
+      FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id) v
+    WHERE containment_a >= 0.5 OR containment_b >= 0.5
+    """,
+    doc=(
+        "Asymmetric n-gram containment (|A∩B|/|A| per direction) within "
+        "(lang, source) blocks: the superset/quotation detector — a short "
+        "doc fully embedded in a long one has near-zero Jaccard but "
+        "containment 1.0 (Broder's resemblance-vs-containment split). "
+        "Inverted-index shape: explode distinct shingles, equi self-join "
+        "on (block, shingle), count intersections — O(shared shingles), "
+        "never a blockwise all-pairs array comparison. No log2-length "
+        "bucket in the block key on purpose: containment's whole point is "
+        "cross-LENGTH pairs, and the (lang, source) cells bound the pair "
+        "space."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "lang", "source")
+    )
+    pairs = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", "blk", n=3, min_containment=0.0
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round("containment_a", 4).alias("containment_a"),
+        F.round("containment_b", 4).alias("containment_b"),
+    ).filter(
+        (F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5)
+    )
