@@ -1189,16 +1189,20 @@ class TableStore:
                 pass
             raise
 
-    def vacuum(self, keep_last: int = 2) -> None:
+    def vacuum(self, keep_last: int = 2, dry_run: bool = False) -> dict:
         """Drop manifests older than the newest ``keep_last`` versions and
         every segment no surviving manifest references. Files belonging to
         versions ABOVE the pointer are never touched: a zero-length file
         there is a concurrent writer's live claim (deleting it would break
         the put-if-absent mutual exclusion) and a finalized one is a commit
-        awaiting its pointer swap."""
+        awaiting its pointer swap.
+
+        ``dry_run=True`` (Delta's VACUUM DRY RUN) deletes nothing and
+        returns what a real run would reclaim. Both modes return
+        ``{"names": [...], "n_files": int, "bytes": int}``."""
         cur = self.current_version()
         if cur is None:
-            return
+            return {"names": [], "n_files": 0, "bytes": 0}
         keep_versions = [
             v for v in range(max(0, cur - keep_last + 1), cur + 1)
             if os.path.exists(self._manifest_path(v))
@@ -1208,31 +1212,50 @@ class TableStore:
         for kv in keep_versions:
             with open(self._manifest_path(kv)) as f:
                 live_dv |= set(json.load(f).get("dv", {}))
+        doomed: list[str] = []
         for name in os.listdir(self.root):
             if m := _MANIFEST_RE.match(name):
-                v = int(m.group(1))
-                if v <= cur and v not in keep_versions:
-                    os.unlink(os.path.join(self.root, name))
+                if int(m.group(1)) <= cur and int(m.group(1)) not in keep_versions:
+                    doomed.append(name)
             elif (m := _SEG_RE.match(name)) and name not in live:
                 if int(m.group(1)) <= cur:
-                    shutil.rmtree(
-                        os.path.join(self.root, name), ignore_errors=True
-                    )
+                    doomed.append(name)
             elif m := _CDC_RE.match(name):
                 # A change file lives exactly as long as its version: a
                 # stream positioned before the retention window can't
                 # resume anyway (its manifests are gone).
                 if int(m.group(1)) <= cur and int(m.group(1)) not in keep_versions:
-                    shutil.rmtree(
-                        os.path.join(self.root, name), ignore_errors=True
-                    )
+                    doomed.append(name)
             elif m := _DV_RE.match(name):
                 # A deletion vector outlives its own version: it stays as
                 # long as ANY retained manifest references it.
                 if int(m.group(1)) <= cur and name not in live_dv:
-                    shutil.rmtree(
-                        os.path.join(self.root, name), ignore_errors=True
-                    )
+                    doomed.append(name)
+        n_files = size = 0
+        for name in doomed:
+            p = os.path.join(self.root, name)
+            if os.path.isdir(p):
+                for dirpath, _d, files in os.walk(p):
+                    for fn in files:
+                        n_files += 1
+                        try:
+                            size += os.path.getsize(os.path.join(dirpath, fn))
+                        except OSError:
+                            pass
+            elif os.path.exists(p):
+                n_files += 1
+                size += os.path.getsize(p)
+        if not dry_run:
+            for name in doomed:
+                p = os.path.join(self.root, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+        return {"names": sorted(doomed), "n_files": n_files, "bytes": size}
 
     # -- reads ----------------------------------------------------------------
 

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 import pytest
@@ -680,3 +681,23 @@ def test_store_random_op_sequences_match_model(spark, tmp_path):
             if os.path.exists(store._manifest_path(cur - 1)):
                 prev = {r.k: r.v for r in store.read(version=cur - 1).collect()}
                 assert prev in history, f"seed={seed}: unknown past state"
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    from lakehouse_spark.mutation.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "vdr"), key="id")
+    store.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    store.overwrite(spark.createDataFrame([(3, "c")], "id long, v string"))
+    before = sorted(os.listdir(store.root))
+    plan = store.vacuum(keep_last=1, dry_run=True)
+    assert plan["n_files"] > 0 and plan["bytes"] > 0
+    assert any(n.startswith("_seg") for n in plan["names"])
+    assert sorted(os.listdir(store.root)) == before  # nothing deleted
+    done = store.vacuum(keep_last=1)
+    assert done["names"] == plan["names"]
+    assert done["n_files"] == plan["n_files"]
+    for n in done["names"]:
+        assert not os.path.exists(os.path.join(store.root, n))
+    assert store.read().count() == 1  # head intact

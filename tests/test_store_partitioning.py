@@ -302,3 +302,33 @@ def test_null_partition_value_roundtrips(spark, tmp_path):
     assert sorted(
         r.id for r in store.read().filter(F.col("day").isNull()).collect()
     ) == [2]
+
+
+def test_streaming_sink_splits_partitions_exactly_once(spark, tmp_path):
+    """Streaming ingestion into a partitioned table: each micro-batch's
+    rows split into per-partition segments, and the txn watermark keeps
+    a replayed batch from double-writing any partition."""
+    from lakehouse_spark.streaming import live
+
+    store = TableStore(
+        spark, str(tmp_path / "st"), key="id", partition_by=("day",)
+    )
+    sink = live.exactly_once_store_sink(store)
+    b0 = spark.createDataFrame(
+        [(1, "d0", 1), (2, "d1", 2)], "id long, day string, v long"
+    )
+    b1 = spark.createDataFrame([(3, "d1", 3)], "id long, day string, v long")
+    sink(b0, 0)
+    sink(b1, 1)
+    m = _manifest(store)
+    assert len(m["segments"]) == 3  # batch0 split in two + batch1
+    days = sorted(p["day"] for p in m["partitions"].values())
+    assert days == ["d0", "d1", "d1"]
+    v_before = store.current_version()
+    sink(b0, 0)  # replay → no-op
+    assert store.current_version() == v_before
+    assert store.read().count() == 3
+    # partition-wise compact folds d1's two segments, reuses d0's one
+    store.compact()
+    m2 = _manifest(store)
+    assert len(m2["segments"]) == 2
