@@ -1081,3 +1081,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         (F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5)
     )
+
+
+@_q(
+    "sim_knn_graph",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), sym AS (
+      SELECT a_id AS item, b_id AS nbr, cos FROM pairs
+      UNION ALL
+      SELECT b_id AS item, a_id AS nbr, cos FROM pairs
+    )
+    SELECT item, nbr, round(cos, 6) AS cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT item, nbr, cos,
+             row_number() OVER (PARTITION BY item ORDER BY cos DESC, nbr)
+               AS rk
+      FROM sym) v
+    WHERE rk <= 3
+    """,
+    doc=(
+        "k-nearest-neighbor graph over the embedding corpus (k=3, cosine, "
+        "within label blocks): the similarity-graph build behind SemDeDup "
+        "clustering, diversity sampling, and graph-based retrieval. "
+        "Rank-based rather than threshold-based (dedup_embedding_cosine's "
+        "complement): every vector gets neighbors however sparse its "
+        "region. Shape: block-keyed pair join with a<b orientation "
+        "(O(sum block^2) vector math, JVM-side), symmetrize, one windowed "
+        "top-k per item over the already-reduced pair relation. IEEE "
+        "sqrt/division make the double ordering engine-stable; nbr id "
+        "breaks exact ties. The unblocked production path is the ANN "
+        "operator family (IVF/PQ) — this is its exact in-block "
+        "counterpart."
+    ),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.zip_with(f"{side}.v", f"{side}.v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        (dot / (norm("a") * norm("b"))).alias("cos"),
+    )
+    sym = pairs.select(
+        F.col("a_id").alias("item"), F.col("b_id").alias("nbr"), "cos"
+    ).unionAll(
+        pairs.select(
+            F.col("b_id").alias("item"), F.col("a_id").alias("nbr"), "cos"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cos"), F.asc("nbr"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "item",
+            "nbr",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -332,3 +332,36 @@ def test_streaming_sink_splits_partitions_exactly_once(spark, tmp_path):
     store.compact()
     m2 = _manifest(store)
     assert len(m2["segments"]) == 2
+
+
+def test_generated_partition_column_composition(spark, tmp_path):
+    """Delta's generated partition columns: partition on a column a
+    formula derives (month from ts). Appends that omit the column get it
+    computed BEFORE the partition split, so files land in the right
+    partition with zero caller involvement."""
+    store = TableStore(
+        spark, str(tmp_path / "gp"), key="id", partition_by=("month",)
+    )
+    store.init(
+        spark.createDataFrame(
+            [(1, "2024-03-15", "2024-03")], "id long, d string, month string"
+        )
+    )
+    store.set_generated("month", "substring(d, 1, 7)")
+    store.append(
+        spark.createDataFrame(
+            [(2, "2024-03-20"), (3, "2024-04-01")], "id long, d string"
+        )
+    )
+    m = _manifest(store)
+    months = sorted(p["month"] for p in m["partitions"].values())
+    assert months == ["2024-03", "2024-03", "2024-04"]
+    got = store.read(predicate={"month": "2024-04"})
+    assert [r.id for r in got.collect()] == [3]
+    # a stale explicit value is rejected by generated-column enforcement
+    with pytest.raises(Exception, match="generated|month"):
+        store.append(
+            spark.createDataFrame(
+                [(4, "2024-05-09", "1999-01")], "id long, d string, month string"
+            )
+        )
