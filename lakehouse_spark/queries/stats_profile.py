@@ -638,3 +638,72 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(value - m), 0.5)"), 6
         ).alias("mad"),
     )
+
+
+@_q(
+    "agg_regression",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope_cents_per_day,
+           round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                 / n, 4) AS intercept_cents,
+           round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS r2
+    FROM s
+    """,
+    doc=(
+        "Per-group OLS trend (slope / intercept / R^2 of event value over "
+        "time) from exact scaled-int64 moment sums — the same "
+        "closed-form-moments trick as agg_correlation, because the native "
+        "regr_slope/corr aggregates accumulate doubles in "
+        "combine-order-dependent fashion and can flip last ulps between "
+        "runs and engines. x is days since a pinned epoch (small ints), y "
+        "is value cents; ONE map-side-partial shuffle to |event_type| "
+        "groups, arithmetic on the driver-sized aggregate."
+    ),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    y = F.round(F.col("value") * 100).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x.cast("long") * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round((sy - sx * slope) / nd, 4).alias("intercept_cents"),
+        F.round(
+            F.pow(nd * sxy - sx * sy, F.lit(2))
+            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
