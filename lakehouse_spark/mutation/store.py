@@ -431,7 +431,18 @@ class TableStore:
                 if hi is not None and val > hi:
                     return False
             except TypeError:
-                continue  # JSON-degraded type: keep the segment
+                # JSON degraded the stored value to a string (dates,
+                # timestamps — manifest json.dump(default=str)). ISO-8601
+                # strings order exactly like the values they encode, so
+                # comparing str() on both sides keeps date-partition
+                # pruning exact instead of silently keeping everything.
+                try:
+                    if lo is not None and str(val) < str(lo):
+                        return False
+                    if hi is not None and str(val) > str(hi):
+                        return False
+                except Exception:
+                    continue  # incomparable: keep the segment
         return True
 
     # -- CHECK constraints ---------------------------------------------------

@@ -365,3 +365,40 @@ def test_generated_partition_column_composition(spark, tmp_path):
                 [(4, "2024-05-09", "1999-01")], "id long, d string, month string"
             )
         )
+
+
+def test_date_partition_values_prune(spark, tmp_path):
+    """DATE partition columns: footer stats skip date types and the
+    manifest JSON stores the value as an ISO string, so pruning runs on
+    the ISO-string fallback — which orders exactly like the dates."""
+    from datetime import date
+
+    store = TableStore(
+        spark, str(tmp_path / "dp"), key="id", partition_by=("day",)
+    )
+    store.init(
+        spark.createDataFrame(
+            [
+                (1, date(2024, 3, 1)),
+                (2, date(2024, 3, 2)),
+                (3, date(2024, 3, 3)),
+            ],
+            "id long, day date",
+        )
+    )
+    m = _manifest(store)
+    assert len(m["segments"]) == 3
+    per_seg = {
+        s: set(
+            store.spark.read.parquet(os.path.join(store.root, s)).inputFiles()
+        )
+        for s in m["segments"]
+    }
+    one = store.read(predicate={"day": date(2024, 3, 2)})
+    assert [r.id for r in one.collect()] == [2]
+    opened = set(one.inputFiles())
+    # date equality pruned to exactly ONE segment's files
+    assert sum(1 for fs in per_seg.values() if fs & opened) == 1
+    rng = store.read(predicate={"day": (date(2024, 3, 2), None)})
+    assert sorted(r.id for r in rng.collect()) == [2, 3]
+    assert sum(1 for fs in per_seg.values() if fs & set(rng.inputFiles())) == 2
