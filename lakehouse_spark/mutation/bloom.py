@@ -81,10 +81,44 @@ def _set_bits(arr: np.ndarray, idx: np.ndarray) -> None:
     )
 
 
+#: Spark simpleString type → probe family. Only types whose Spark
+#: ``cast(x AS STRING)`` form equals the Python ``str(value)`` form of a
+#: same-family probe value participate — for anything else (double,
+#: decimal, timestamp…) the two canonical strings differ ("5.0" vs "5")
+#: and a bloom miss would be a FALSE negative, i.e. a silent wrong skip.
+_FAMILY_BY_SPARK_TYPE = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "string": "str",
+}
+
+
+def probe_family(values):
+    """"int" / "str" when every probe value is that one type, else None
+    (bool is not int here — Spark casts booleans to "true"/"false")."""
+    fam = None
+    for v in values:
+        if isinstance(v, bool):
+            return None
+        f = "int" if isinstance(v, int) else "str" if isinstance(v, str) else None
+        if f is None or (fam is not None and f != fam):
+            return None
+        fam = f
+    return fam
+
+
 def build_segment_blooms(spark, seg_path: str, cols: list[str]) -> None:
     """Build and write one bloom sidecar per column for the parquet files
     under ``seg_path``. One distributed pass: hashes computed JVM-side,
-    bits set per partition in numpy, arrays OR-merged on the driver."""
+    bits set per partition in numpy, arrays OR-merged on the driver.
+
+    Only integral/string columns get a sidecar: those are the types whose
+    writer canonical form (Spark ``cast AS STRING``) provably matches the
+    reader probe form (Python ``str``). The sidecar records the family so
+    the probe side can refuse a mismatched-type lookup instead of
+    wrongly pruning."""
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
@@ -103,7 +137,13 @@ def build_segment_blooms(spark, seg_path: str, cols: list[str]) -> None:
         return
     m = _bloom_size_bits(n_rows)
     df = spark.read.parquet(seg_path)
-    present = [c for c in cols if c in df.columns]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    family = {
+        c: _FAMILY_BY_SPARK_TYPE[types[c]]
+        for c in cols
+        if c in types and types[c] in _FAMILY_BY_SPARK_TYPE
+    }
+    present = list(family)
     if not present:
         return
     # Null keys hash to a -1 sentinel (dropped below) INSTEAD of a SQL
@@ -141,13 +181,24 @@ def build_segment_blooms(spark, seg_path: str, cols: list[str]) -> None:
         merged[c].tofile(os.path.join(seg_path, f"_bloom_{c}.bin"))
         with open(os.path.join(seg_path, f"_bloom_{c}.json"), "w") as f:
             json.dump(
-                {"format": BLOOM_FORMAT, "m": m, "k": K_HASHES, "n": n_rows},
+                {
+                    "format": BLOOM_FORMAT,
+                    "m": m,
+                    "k": K_HASHES,
+                    "n": n_rows,
+                    "vtype": family[c],
+                },
                 f,
             )
 
 
-def load_bloom(seg_path: str, col: str):
-    """(bits, m) or None when the segment has no bloom for ``col``."""
+def load_bloom(seg_path: str, col: str, family: str | None = None):
+    """(bits, m) or None when the segment has no usable bloom for ``col``.
+
+    ``family`` is the probe-value family ("int"/"str", from
+    :func:`probe_family`); a sidecar whose recorded ``vtype`` differs —
+    or a legacy sidecar with no recorded type — cannot prove absence for
+    that probe and reads as absent."""
     meta_path = os.path.join(seg_path, f"_bloom_{col}.json")
     bin_path = os.path.join(seg_path, f"_bloom_{col}.bin")
     try:
@@ -157,6 +208,8 @@ def load_bloom(seg_path: str, col: str):
         return None
     if meta.get("format") != BLOOM_FORMAT or meta.get("k") != K_HASHES:
         return None  # unknown future format: no pruning, never wrong
+    if meta.get("vtype") != family:
+        return None  # probe/written canonical forms may differ: no pruning
     bits = np.fromfile(bin_path, dtype=np.uint8)
     m = int(meta["m"])
     if bits.size != m // 8:

@@ -410,7 +410,66 @@ class TableStore:
         return sorted(out.values(), key=lambda e: json.dumps(e["values"], default=str))
 
     @staticmethod
-    def _partition_may_match(part: dict | None, predicate: dict) -> bool:
+    def _canon_temporal(x):
+        """A naive-comparable ``datetime`` for date/datetime/ISO-ish-string
+        inputs, else None. Normalizes the two spellings the same instant
+        arrives in — ``str(datetime)`` uses a space separator, ISO-8601
+        uses 'T' — so pruning never compares them as raw strings (' '<'T'
+        would wrongly prune)."""
+        import datetime as _dt
+
+        if isinstance(x, _dt.datetime):
+            return x
+        if isinstance(x, _dt.date):
+            return _dt.datetime(x.year, x.month, x.day)
+        if isinstance(x, str):
+            try:
+                return _dt.datetime.fromisoformat(x.replace(" ", "T"))
+            except ValueError:
+                return None
+        return None
+
+    @classmethod
+    def _part_lt(cls, a, b) -> bool:
+        """PROVABLY ``a < b`` for partition pruning; False whenever the
+        ordering is ambiguous (pruning must stay conservative).
+
+        The manifest stores date/timestamp partition values JSON-degraded
+        to ``str(value)`` (space separator) while probe bounds arrive as
+        ISO-'T' strings or date/datetime objects — raw string order
+        compares ``' ' < 'T'`` and would wrongly prune the matching
+        segment. Rules:
+
+        - both strings, both parse temporally → prune only when the raw
+          AND canonical orders agree (sound for degraded timestamps AND
+          for genuine string columns holding timestamp-like text);
+        - both strings, exactly one parses → ambiguous, keep;
+        - string vs native temporal (TypeError) → canonical order alone
+          (the probe type proves the column is temporal);
+        - natively comparable → plain ``<``."""
+        if isinstance(a, str) and isinstance(b, str):
+            ca, cb = cls._canon_temporal(a), cls._canon_temporal(b)
+            if ca is not None and cb is not None:
+                try:
+                    return ca < cb and a < b
+                except TypeError:
+                    return False  # aware vs naive: incomparable
+            if ca is not None or cb is not None:
+                return False  # temporal vs junk: proves nothing
+            return a < b
+        try:
+            return a < b
+        except TypeError:
+            ca, cb = cls._canon_temporal(a), cls._canon_temporal(b)
+            if ca is None or cb is None:
+                return False
+            try:
+                return ca < cb
+            except TypeError:
+                return False
+
+    @classmethod
+    def _partition_may_match(cls, part: dict | None, predicate: dict) -> bool:
         """Exact manifest-value pruning for partitioned segments: a segment
         holds exactly one partition-value tuple, so an equality or range
         term on a partition column either matches it or provably doesn't.
@@ -425,24 +484,10 @@ class TableStore:
             if val is None:
                 continue  # null partition values are never pruned
             lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
-            try:
-                if lo is not None and val < lo:
-                    return False
-                if hi is not None and val > hi:
-                    return False
-            except TypeError:
-                # JSON degraded the stored value to a string (dates,
-                # timestamps — manifest json.dump(default=str)). ISO-8601
-                # strings order exactly like the values they encode, so
-                # comparing str() on both sides keeps date-partition
-                # pruning exact instead of silently keeping everything.
-                try:
-                    if lo is not None and str(val) < str(lo):
-                        return False
-                    if hi is not None and str(val) > str(hi):
-                        return False
-                except Exception:
-                    continue  # incomparable: keep the segment
+            if lo is not None and cls._part_lt(val, lo):
+                return False
+            if hi is not None and cls._part_lt(hi, val):
+                return False
         return True
 
     # -- CHECK constraints ---------------------------------------------------
@@ -1381,18 +1426,19 @@ class TableStore:
             # Equality terms additionally probe bloom sidecars — effective
             # exactly where min/max is not (unclustered high-cardinality
             # keys). Range terms can't use a bloom.
-            from lakehouse_spark.mutation.bloom import hash_values
+            from lakehouse_spark.mutation.bloom import hash_values, probe_family
 
             for c, bounds in predicate.items():
                 if isinstance(bounds, tuple):
                     continue
+                fam = probe_family([bounds])
                 hv = hash_values([bounds])
                 if hv is None:
                     continue
                 segments = [
                     s
                     for s in segments
-                    if not self._bloom_rules_out(s, c, hv)
+                    if not self._bloom_rules_out(s, c, hv, fam)
                 ]
             cond = _predicate_expr(predicate)
 
@@ -1442,16 +1488,17 @@ class TableStore:
             return None
         return sorted(r[0] for r in rows)
 
-    def _bloom_rules_out(self, seg: str, col: str, hashes) -> bool:
+    def _bloom_rules_out(self, seg: str, col: str, hashes, family) -> bool:
         """True when the segment's bloom sidecar PROVES none of the hashed
-        values is present (no sidecar / non-probeable values → False: the
-        segment stays). A bloom False is definitive — no false negatives —
-        so ruling a segment out can never change results."""
+        values is present (no sidecar / non-probeable values / probe
+        ``family`` not matching the sidecar's recorded value type → False:
+        the segment stays). A bloom False is definitive — no false
+        negatives — so ruling a segment out can never change results."""
         if hashes is None or hashes.size == 0:
             return False
         from lakehouse_spark.mutation.bloom import load_bloom, might_contain_any
 
-        bloom = load_bloom(os.path.join(self.root, seg), col)
+        bloom = load_bloom(os.path.join(self.root, seg), col, family)
         if bloom is None:
             return False
         return not might_contain_any(bloom, hashes)
@@ -1473,11 +1520,12 @@ class TableStore:
         keys absent."""
         import bisect
 
-        from lakehouse_spark.mutation.bloom import hash_values
+        from lakehouse_spark.mutation.bloom import hash_values, probe_family
 
         stats = manifest.get("stats", {})
         unset = object()
         hashes = unset  # hashed lazily, once, on the first bloom probe
+        family = None
         touched: list[str] = []
         untouched: list[str] = []
         for s in manifest["segments"]:
@@ -1491,8 +1539,9 @@ class TableStore:
                     hit = True
             if hit:
                 if hashes is unset:
+                    family = probe_family(keys)
                     hashes = hash_values(keys)
-                if self._bloom_rules_out(s, self.key, hashes):
+                if self._bloom_rules_out(s, self.key, hashes, family):
                     hit = False
             (touched if hit else untouched).append(s)
         return touched, untouched
@@ -2032,10 +2081,17 @@ class TableStore:
         # logical. (The row-level cond below stays logical — the base read
         # is logical too.)
         phys_pred = self._pred_to_physical(predicate)
+        # Partition-value pruning joins footer stats in the touched-segment
+        # test: date/timestamp partition columns get no footer stats (only
+        # int/float/string are harvested), so without _partition_may_match
+        # a partition-predicate replaceWhere on a date-partitioned table
+        # rewrites every segment — correct but O(table), not O(affected).
+        parts = manifest.get("partitions", {})
         touched = [
             s
             for s in manifest["segments"]
             if _segment_may_match(stats.get(s), phys_pred)
+            and self._partition_may_match(parts.get(s), phys_pred)
         ]
         untouched = [s for s in manifest["segments"] if s not in set(touched)]
         base = self._aligned_base(manifest, touched)

@@ -496,16 +496,20 @@ class SnapshotReader(DataSourceReader):
                 hash_values,
                 load_bloom,
                 might_contain_any,
+                probe_family,
             )
 
             for col, value_sets in self.eq_values.items():
                 for values in value_sets:
+                    fam = probe_family(values)
                     hashes = hash_values(values)
                     if hashes is None:
                         continue  # non-probeable types: keep everything
 
                     def _keeps(seg: str) -> bool:
-                        bloom = load_bloom(os.path.join(self.root, seg), col)
+                        bloom = load_bloom(
+                            os.path.join(self.root, seg), col, fam
+                        )
                         # For an In(...) set, ALL values absent -> the
                         # conjunctive filter can't match in this segment.
                         return bloom is None or might_contain_any(
@@ -982,11 +986,18 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             # can't be (batch content is deterministic from the offset
             # log), but the commit also keeps the version history 1:1 with
             # batches, which the txn carry-forward makes cheap. Skip the
-            # segment, commit manifest-only.
+            # segment, commit manifest-only — UNLESS the table has no
+            # committed version yet: a zero-segment v0 manifest would make
+            # the table unreadable (no parquet paths → no schema) until the
+            # first data batch lands, blocking read() and even store-native
+            # append (which reads for schema enforcement). The watermark
+            # loses nothing by waiting: replaying an empty batch is a no-op
+            # with or without it.
+            if store.current_version() is None:
+                return
+
             def _noseg(v: int) -> list[str]:
-                return (
-                    _manifest(self.root, v - 1)["segments"] if v > 0 else []
-                )
+                return _manifest(self.root, v - 1)["segments"]
 
             store._transact(_noseg, txn=(self.app_id, batchId))
             return

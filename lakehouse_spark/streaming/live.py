@@ -177,6 +177,9 @@ def cancel_execution(
         "data": None,
         "encounter_seq": encounter_seq,
     }
+    from datetime import datetime, timezone
+
+    written_at = datetime.now(timezone.utc)
     path = os.path.join(events_dir, f"cancel-{uuid.uuid4().hex}.jsonl")
     with open(path, "w") as f:
         f.write(json.dumps(tombstone) + "\n")
@@ -188,21 +191,34 @@ def cancel_execution(
         # a stateful query with armed processing-time timeouts runs
         # no-data "state cleanup" micro-batches continuously under the
         # default trigger, so the engine never quiesces and
-        # processAllAvailable blocks forever. Instead wait (bounded) for a
-        # LATER batch that consumed input — the tombstone is the only new
-        # data in the cancel protocol, so that batch is the flush.
+        # processAllAvailable blocks forever. Instead wait (bounded) for an
+        # input-consuming batch whose TRIGGER STARTED after the tombstone
+        # file existed — "batchId advanced + had input" alone is not proof:
+        # that can be the in-flight batch that listed its files pre-write,
+        # and stopping on it would strand the tombstone unconsumed (the
+        # exact frozen-open-turn state this drain exists to prevent). A
+        # batch that starts after the write necessarily lists the file
+        # (same driver clock stamps both sides, so the comparison is
+        # skew-free).
         import time as _time
 
+        def _started_after(p) -> bool:
+            try:
+                ts = datetime.fromisoformat(
+                    p["timestamp"].replace("Z", "+00:00")
+                )
+            except (KeyError, ValueError):
+                return False
+            return ts > written_at
+
         try:
-            p0 = query.lastProgress
-            seen_batch = -1 if p0 is None else p0["batchId"]
             deadline = _time.monotonic() + drain_timeout_sec
             while _time.monotonic() < deadline:
                 p = query.lastProgress
                 if (
                     p is not None
-                    and p["batchId"] > seen_batch
                     and p["numInputRows"] > 0
+                    and _started_after(p)
                 ):
                     break
                 _time.sleep(0.2)
