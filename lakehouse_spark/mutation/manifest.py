@@ -1,0 +1,675 @@
+"""Manifest/transaction core of :class:`~lakehouse_spark.mutation.store.TableStore`.
+
+Split out of store.py (same mandate that split queries.py at 1,500 LoC):
+this module owns the version pointer, the segment manifests, the
+optimistic-concurrency transaction (`_transact`), footer-stats harvesting,
+vacuum, history, and time travel. Everything else (DML, reads, layout,
+metadata) builds on the commit primitive defined here. See store.py for
+the design overview and the Delta mapping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import threading
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+_MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
+_SEG_RE = re.compile(r"^_seg(\d{6})(?:_\d+)?$")  # optional multi-part suffix
+_CDC_RE = re.compile(r"^_cdc(\d{6})$")  # materialized change files per version
+# Deletion vectors (deleted-row files). The optional part suffix is used by
+# clone(), which renames carried dvs into the clone's version-0 namespace so
+# the clone's own future _dv<version> names can never collide with them.
+_DV_RE = re.compile(r"^_dv(\d{6})(?:_\d+)?$")
+
+
+def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
+    """Conservative overlap test of a segment's per-column [min, max]
+    against a predicate of scalars / (lo, hi) ranges. Missing stats (or an
+    all-null column, min==max==None) keep the segment — pruning must never
+    change results, only skip provably-impossible files."""
+    if not seg_stats:
+        return True
+    for col, bounds in predicate.items():
+        st = seg_stats.get(col)
+        if st is None:
+            continue
+        mn, mx = st
+        if mn is None or mx is None:
+            continue
+        lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            continue  # incomparable (e.g. JSON-degraded type): keep segment
+    return True
+
+
+def _harvest_dir_stats(path: str, cols: tuple[str, ...]) -> dict:
+    """Per-column ``[min, max]`` for the parquet files under ``path``,
+    read from the footer statistics the write already produced — **zero
+    data IO**, no Spark job. Bounds may be conservative (parquet truncates
+    long string stats to a valid lower/upper bound), which is exactly what
+    the overlap test needs. Restricted to int/float/string columns so the
+    manifest's JSON round-trip stays exact; a column that any file lacks
+    stats for (all-null, unsupported type, evolved schema) is omitted and
+    pruning conservatively keeps the segment."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    want = set(cols)
+    per_file: list[dict] = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, fn)
+        meta = pq.ParquetFile(fp).metadata
+        schema = pq.read_schema(fp)
+        stats: dict = {}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in want or "." in name:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                typ = schema.field(name).type
+                if not (
+                    pt.is_integer(typ)
+                    or pt.is_floating(typ)
+                    or pt.is_string(typ)
+                ):
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                    mx = mx.decode("utf-8", "replace")
+                cur = stats.get(name)
+                stats[name] = (
+                    [mn, mx]
+                    if cur is None
+                    else [min(cur[0], mn), max(cur[1], mx)]
+                )
+        if meta.num_rows:
+            per_file.append(stats)
+    if not per_file:
+        return {}
+    common = set.intersection(*[set(s) for s in per_file])
+    merged: dict = {}
+    for s in per_file:
+        for c in common:
+            mn, mx = s[c]
+            cur = merged.get(c)
+            merged[c] = (
+                [mn, mx]
+                if cur is None
+                else [min(cur[0], mn), max(cur[1], mx)]
+            )
+    return merged
+
+
+def _predicate_expr(predicate: dict):
+    """The exact Catalyst filter a stats predicate stands for: AND of
+    per-column range terms (scalar = equality, (lo, hi) = closed range,
+    None bound = unbounded). Returns None for an empty predicate."""
+    cond = None
+    for c, bounds in predicate.items():
+        lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
+        for b, op in ((lo, "__ge__"), (hi, "__le__")):
+            if b is not None:
+                term = getattr(F.col(c), op)(F.lit(b))
+                cond = term if cond is None else (cond & term)
+    return cond
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the next version first. The table is intact at
+    its current version; re-read and retry the mutation (the same contract as
+    Delta's ConcurrentAppendException)."""
+
+
+class ConstraintViolationError(ValueError):
+    """A write produced rows that fail a table CHECK constraint (or
+    ``add_constraint`` found existing rows that do). The commit was aborted
+    before the pointer moved, so readers never saw the violating data —
+    Delta's InvariantViolationException contract."""
+
+
+class SchemaMismatchError(TypeError):
+    """An append carried a column whose type conflicts with the table's
+    schema. Committing it would not corrupt that one write — it would brick
+    EVERY subsequent read of the whole table (parquet schema merge fails at
+    scan planning). Delta rejects this at write time (schema enforcement);
+    so does this store. Adding NEW columns is fine (additive evolution);
+    changing a column's type needs an explicit ``overwrite``."""
+
+
+
+
+class TxnMixin:
+    """Version bookkeeping, the claim/commit transaction, vacuum,
+    history, and timestamp time travel."""
+
+    # -- version bookkeeping -------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, _POINTER)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.root, f"_manifest_{v:06d}.json")
+
+    def _segments(self, v: int) -> list[str]:
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)["segments"]
+
+    def _write_segment(self, df: DataFrame, v: int, part: int | None = None) -> str:
+        seg = f"_seg{v:06d}" if part is None else f"_seg{v:06d}_{part:02d}"
+        path = os.path.join(self.root, seg)
+        self._enforce_constraints(df)
+        # Single logical→physical choke point: every write path funnels
+        # here, so files always store PHYSICAL names regardless of which
+        # renames are live (no-op when none are). Idempotent on frames
+        # that are already physical (internal rewrite paths).
+        df = self._to_physical(df)
+        inv = {log: phy for phy, log in self.renames().items()}
+        df.write.mode("overwrite").parquet(path)
+        # Partition columns always get footer stats too: a partitioned
+        # segment holds one value, so min==max makes every stats-driven
+        # path (read predicates, targeted DML, the data source's pushed
+        # filters) prune partitions exactly with zero new machinery.
+        stat_cols = tuple(dict.fromkeys(self.stats_cols + self.partition_cols()))
+        if stat_cols:
+            # Stats from the WRITTEN files' parquet footers — no second
+            # Spark job, no data re-read; the bounds describe exactly what
+            # readers will see (conservative where parquet truncates).
+            # stats_cols is user config in LOGICAL names; footers (and the
+            # stats manifest) are physical.
+            stats = _harvest_dir_stats(
+                path, tuple(inv.get(c, c) for c in stat_cols)
+            )
+            if stats:
+                self._pending_stats[seg] = stats
+        if self.bloom_cols:
+            from lakehouse_spark.mutation.bloom import build_segment_blooms
+
+            build_segment_blooms(
+                self.spark, path, [inv.get(c, c) for c in self.bloom_cols]
+            )
+        return seg
+
+
+    def _claim(self, v: int) -> None:
+        """Claim version ``v`` with an O_EXCL create of its manifest file —
+        filesystem put-if-absent, the same primitive Delta's transaction log
+        uses. Exactly one writer wins a slot; losers get
+        :class:`ConcurrentWriteError` with the table untouched."""
+        try:
+            fd = os.open(
+                self._manifest_path(v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {v} of {self.root} already claimed by another "
+                "writer; re-read and retry"
+            ) from None
+
+    def _swap_pointer(self, v: int) -> None:
+        """Atomic pointer write via a caller-unique tmp name: two writers
+        advancing to the SAME version (a committer racing a roll-forward
+        recoverer) must not share a tmp file, or one replace can observe the
+        other's already-renamed path."""
+        ptmp = (
+            f"{self._pointer_path()}.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+        os.replace(ptmp, self._pointer_path())
+
+    def _recover_slot(self, v: int) -> bool:
+        """Attempt recovery after a claim conflict at version ``v``. Returns
+        True when the world changed such that one retry may succeed:
+
+        - the conflicting manifest is FINALIZED (non-empty) but the pointer
+          still lags: a writer crashed between manifest finalize and pointer
+          swap. The commit is durable — roll the pointer forward (idempotent
+          if the original writer races us) and retry at the next slot.
+        - the conflicting file is a ZERO-LENGTH claim older than
+          ``orphan_grace_sec``: a writer died between claim and finalize
+          (kill -9). Steal it with an atomic rename — exactly one stealer
+          wins — and retry the same slot.
+
+        A fresh zero-length claim is a LIVE writer mid-commit: no recovery,
+        the caller's ConcurrentWriteError stands."""
+        path = self._manifest_path(v)
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return True  # aborting writer released the claim between checks
+        if st.st_size > 0:
+            cur = self.current_version()
+            if cur is None or cur < v:
+                self._swap_pointer(v)
+                return True
+            return False  # pointer already caught up; plain lost race
+        if time.time() - st.st_mtime < self.orphan_grace_sec:
+            return False  # live in-flight writer holds the claim
+        stale = f"{path}.orphan.{os.getpid()}.{threading.get_ident()}"
+        try:
+            os.rename(path, stale)  # put-if-absent in reverse: one winner
+        except FileNotFoundError:
+            return True
+        os.unlink(stale)
+        return True
+
+    def _transact(
+        self,
+        make_segments,
+        meta: dict | None = None,
+        txn: tuple[str, int] | None = None,
+        dv_override: dict[str, list[str]] | None = None,
+        base_version: int | None = None,
+        constraints_override: dict[str, str] | None = None,
+        generated_override: dict[str, str] | None = None,
+        columns_override: tuple[dict, list] | None = None,
+    ) -> int:
+        """Optimistic-concurrency commit: claim the next version slot FIRST
+        (so concurrent writers fail fast instead of overwriting each other's
+        segment/manifest files), then build segments, finalize the manifest,
+        and atomically swap the pointer. The pointer only ever advances to a
+        finalized manifest, so readers never observe a partial commit; an
+        aborted transaction releases its claim. ``meta`` rides in the
+        manifest; ``txn=(app_id, version)`` records an idempotence watermark
+        that is CARRIED FORWARD into every later commit's manifest (the same
+        protocol as Delta's SetTransaction actions): an exactly-once sink's
+        high-water mark survives interleaved upserts/deletes/compactions and
+        other apps' commits, because the head manifest always holds the max
+        committed txn version per app.
+
+        ``base_version`` is snapshot-conflict detection for read-then-rewrite
+        commits (upsert / merge / delete / replaceWhere): those paths read
+        the table at some version and write a result derived from it, so a
+        commit that landed BETWEEN their read and their claim would be
+        silently clobbered by the rewrite. Passing the version the rewrite
+        read makes the commit claim exactly ``base_version + 1`` or raise
+        :class:`ConcurrentWriteError` — Delta's ConcurrentAppendException
+        contract: re-read and retry the whole mutation. Appends don't need
+        it (they resolve prior segments INSIDE the claimed transaction)."""
+        for attempt in range(2):
+            cur = self.current_version()
+            nxt = 0 if cur is None else cur + 1
+            try:
+                self._claim(nxt)
+                break
+            except ConcurrentWriteError:
+                if attempt == 1 or not self._recover_slot(nxt):
+                    raise
+        if base_version is not None and nxt != base_version + 1:
+            # The table advanced past the snapshot this rewrite was derived
+            # from; committing would erase the interleaved writer's commit.
+            # Release the claim (readers never saw it) and make the caller
+            # re-read + retry.
+            try:
+                os.unlink(self._manifest_path(nxt))
+            except FileNotFoundError:
+                pass
+            raise ConcurrentWriteError(
+                f"table {self.root} advanced to version {nxt - 1} after "
+                f"this rewrite read version {base_version}; re-read and "
+                "retry the mutation"
+            )
+        # Stats recorded by _write_segment during THIS attempt must not
+        # outlive it: if the attempt aborts and another writer later claims
+        # the same version slot and rewrites the same _segNNNNNN dir with
+        # different data, a leftover pending entry would override the
+        # correct stats at that writer's commit — and stale min/max makes
+        # read(predicate=) silently skip segments that DO contain matching
+        # rows. Snapshot the pending keys so the cleanup paths below can
+        # discard exactly what this attempt added.
+        pending_before = set(self._pending_stats)
+        dv_pending_before = set(self._pending_dv)
+        parts_pending_before = set(self._pending_parts)
+        try:
+            prev_txn, prev_stats, prev_dv = {}, {}, {}
+            prev_cons, prev_gen = {}, {}
+            prev_renames, prev_dropped = {}, []
+            prev_parts: dict = {}
+            prev_pby: list = list(self.partition_by)
+            if cur is not None:
+                with open(self._manifest_path(cur)) as f:
+                    prev = json.load(f)
+                prev_txn = prev.get("txn", {})
+                prev_stats = prev.get("stats", {})
+                prev_dv = prev.get("dv", {})
+                prev_cons = prev.get("constraints", {})
+                prev_gen = prev.get("generated", {})
+                prev_renames = prev.get("renames", {})
+                prev_dropped = prev.get("dropped", [])
+                prev_parts = prev.get("partitions", {})
+                prev_pby = prev.get("partition_by", [])
+            new_txn = dict(prev_txn)
+            if txn is not None:
+                app, ver = txn
+                new_txn[app] = max(int(ver), int(new_txn.get(app, -1)))
+            segments = make_segments(nxt)
+            # Per-segment stats: fresh for new segments, carried forward
+            # for reused ones (the append case rewrites nothing).
+            stats = {}
+            for s in segments:
+                st = self._pending_stats.pop(s, prev_stats.get(s))
+                if st:
+                    stats[s] = st
+            # A written-but-unreferenced segment's stats are equally stale
+            # the moment this commit lands — drop any unclaimed additions.
+            for s in set(self._pending_stats) - pending_before:
+                del self._pending_stats[s]
+            # Per-segment partition values: same lifecycle as stats.
+            parts = {}
+            for s in segments:
+                p = self._pending_parts.pop(s, prev_parts.get(s))
+                if p is not None:
+                    parts[s] = p
+            for s in set(self._pending_parts) - parts_pending_before:
+                del self._pending_parts[s]
+            # Deletion vectors: carried forward by default — a dv masks
+            # ONLY the exact segment names in its applies_to list, so a
+            # rewrite that drops those segments makes the dv inert and the
+            # housekeeping below removes it from the manifest. Restore
+            # passes dv_override to pin the restored version's dv set.
+            if dv_override is not None:
+                dv = dict(dv_override)
+            else:
+                dv = dict(prev_dv)
+                for name in set(self._pending_dv) - dv_pending_before:
+                    dv[name] = self._pending_dv.pop(name)
+            live = set(segments)
+            dv = {
+                n: ap for n, ap in dv.items() if any(s in live for s in ap)
+            }
+            tmp = self._manifest_path(nxt) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "segments": segments,
+                        "meta": meta or {},
+                        "txn": new_txn,
+                        "stats": stats,
+                        "dv": dv,
+                        # Wall-clock commit time, the substrate for
+                        # TIMESTAMP AS OF time travel. Informational only —
+                        # version_at() monotonizes before resolving, so
+                        # clock skew between writers can't reorder history.
+                        "committed_at": time.time(),
+                        # CHECK constraints ride in every manifest (carried
+                        # forward like txn watermarks) so enforcement and
+                        # external readers need no out-of-band state.
+                        "constraints": (
+                            prev_cons
+                            if constraints_override is None
+                            else constraints_override
+                        ),
+                        "generated": (
+                            prev_gen
+                            if generated_override is None
+                            else generated_override
+                        ),
+                        # Column mapping (RENAME/DROP COLUMN): carried
+                        # forward like constraints so every snapshot knows
+                        # its own physical→logical translation.
+                        "renames": (
+                            prev_renames
+                            if columns_override is None
+                            else columns_override[0]
+                        ),
+                        "dropped": (
+                            prev_dropped
+                            if columns_override is None
+                            else columns_override[1]
+                        ),
+                        # Partitioning: the column list is fixed at table
+                        # creation and carried verbatim; per-segment values
+                        # follow the stats lifecycle above.
+                        "partition_by": prev_pby,
+                        "partitions": parts,
+                        # Advertised so external readers (the Python data
+                        # source) can apply deletion vectors without being
+                        # told the key column out of band. Writers that
+                        # don't know the key (the format-writer commit
+                        # path) carry the previous manifest's forward.
+                        "key": self.key or (prev.get("key", "") if cur is not None else ""),
+                    },
+                    f,
+                    default=str,  # dates/decimals degrade to strings
+                )
+            os.replace(tmp, self._manifest_path(nxt))
+            self._swap_pointer(nxt)
+            if self.write_cdf:
+                # Post-pointer, so the commit is already durable; an error
+                # here leaves a repairable gap (materialize_cdf(v) is
+                # idempotent), never a broken table.
+                self.materialize_cdf(nxt)
+            return nxt
+        except BaseException:
+            # Release the claim: the slot must not stay wedged after a failed
+            # segment write. Readers were never exposed (pointer unmoved).
+            # Stats from this attempt's segment writes go too — the segment
+            # dirs it wrote are orphans another claimant may legitimately
+            # rewrite with different data.
+            for s in set(self._pending_stats) - pending_before:
+                del self._pending_stats[s]
+            for n in set(self._pending_dv) - dv_pending_before:
+                del self._pending_dv[n]
+            for s in set(self._pending_parts) - parts_pending_before:
+                del self._pending_parts[s]
+            try:
+                os.unlink(self._manifest_path(nxt))
+            except FileNotFoundError:
+                pass
+            raise
+
+    def vacuum(self, keep_last: int = 2, dry_run: bool = False) -> dict:
+        """Drop manifests older than the newest ``keep_last`` versions and
+        every segment no surviving manifest references. Files belonging to
+        versions ABOVE the pointer are never touched: a zero-length file
+        there is a concurrent writer's live claim (deleting it would break
+        the put-if-absent mutual exclusion) and a finalized one is a commit
+        awaiting its pointer swap.
+
+        ``dry_run=True`` (Delta's VACUUM DRY RUN) deletes nothing and
+        returns what a real run would reclaim. Both modes return
+        ``{"names": [...], "n_files": int, "bytes": int}``."""
+        cur = self.current_version()
+        if cur is None:
+            return {"names": [], "n_files": 0, "bytes": 0}
+        keep_versions = [
+            v for v in range(max(0, cur - keep_last + 1), cur + 1)
+            if os.path.exists(self._manifest_path(v))
+        ]
+        live = {s for v in keep_versions for s in self._segments(v)}
+        live_dv = set()
+        for kv in keep_versions:
+            with open(self._manifest_path(kv)) as f:
+                live_dv |= set(json.load(f).get("dv", {}))
+        doomed: list[str] = []
+        for name in os.listdir(self.root):
+            if m := _MANIFEST_RE.match(name):
+                if int(m.group(1)) <= cur and int(m.group(1)) not in keep_versions:
+                    doomed.append(name)
+            elif (m := _SEG_RE.match(name)) and name not in live:
+                if int(m.group(1)) <= cur:
+                    doomed.append(name)
+            elif m := _CDC_RE.match(name):
+                # A change file lives exactly as long as its version: a
+                # stream positioned before the retention window can't
+                # resume anyway (its manifests are gone).
+                if int(m.group(1)) <= cur and int(m.group(1)) not in keep_versions:
+                    doomed.append(name)
+            elif m := _DV_RE.match(name):
+                # A deletion vector outlives its own version: it stays as
+                # long as ANY retained manifest references it.
+                if int(m.group(1)) <= cur and name not in live_dv:
+                    doomed.append(name)
+        n_files = size = 0
+        for name in doomed:
+            p = os.path.join(self.root, name)
+            if os.path.isdir(p):
+                for dirpath, _d, files in os.walk(p):
+                    for fn in files:
+                        n_files += 1
+                        try:
+                            size += os.path.getsize(os.path.join(dirpath, fn))
+                        except OSError:
+                            pass
+            elif os.path.exists(p):
+                n_files += 1
+                size += os.path.getsize(p)
+        if not dry_run:
+            for name in doomed:
+                p = os.path.join(self.root, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+        return {"names": sorted(doomed), "n_files": n_files, "bytes": size}
+
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first: every retained version with its
+        segment count, meta, and txn watermarks (the DESCRIBE HISTORY
+        surface; vacuumed versions are absent)."""
+        out = []
+        v = self.current_version()
+        if v is None:
+            return out
+        for i in range(v, -1, -1):
+            try:
+                with open(self._manifest_path(i)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:  # vacuumed
+                continue
+            out.append(
+                {
+                    "version": i,
+                    "n_segments": len(m["segments"]),
+                    "meta": m.get("meta", {}),
+                    "txn": m.get("txn", {}),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        return out
+
+    # -- timestamp time travel ----------------------------------------------
+
+    def commit_timestamp(self, v: int) -> float:
+        """Epoch seconds commit ``v`` landed. Reads the manifest's recorded
+        ``committed_at``; manifests from before the field existed fall back
+        to the file's mtime (exactly Delta's pre-ICT behavior, where
+        TIMESTAMP AS OF resolved against commit-file modification times)."""
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        ts = m.get("committed_at")
+        return float(ts) if ts is not None else os.stat(self._manifest_path(v)).st_mtime
+
+    @staticmethod
+    def _to_epoch(ts) -> float:
+        """Accept epoch float/int, datetime, or ISO-8601 string."""
+        if isinstance(ts, (int, float)):
+            return float(ts)
+        if isinstance(ts, str):
+            try:
+                return float(ts)  # numeric string (data-source option)
+            except ValueError:
+                pass
+            from datetime import datetime
+
+            return datetime.fromisoformat(ts).timestamp()
+        return ts.timestamp()  # datetime / date-like
+
+    def version_at(self, ts) -> int:
+        """Latest retained version committed at or before ``ts`` — the
+        resolution step behind ``TIMESTAMP AS OF``. Raw commit times are
+        first made strictly increasing in version order (a commit whose
+        clock reads EARLIER than its predecessor's is bumped to
+        predecessor + 1ms, Delta's monotonization rule), so writer clock
+        skew can never make time travel observe version n+1 while denying
+        version n. Raises ValueError for a ``ts`` before the earliest
+        retained commit (nothing to read there — Delta's
+        ``timestampEarlierThanTableCreation``)."""
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        want = self._to_epoch(ts)
+        eff_prev = None
+        eff_first = None
+        best = None
+        for v in range(0, head + 1):
+            try:
+                raw = self.commit_timestamp(v)
+            except FileNotFoundError:  # vacuumed
+                continue
+            eff = raw if eff_prev is None else max(raw, eff_prev + 0.001)
+            eff_prev = eff
+            if eff_first is None:
+                eff_first = eff
+            if eff <= want:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts!r} precedes the earliest retained commit "
+                f"of {self.root}; earliest is {eff_first}"
+            )
+        return best
+
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+
+    def version_meta(self, version: int | None = None) -> dict:
+        """The ``meta`` dict committed with a version (empty for versions
+        written before metadata existed, or when none was given)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("meta", {})
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Max txn version ever committed for ``app_id`` (-1 if none) — read
+        from the HEAD manifest, which carries every app's watermark forward
+        through all commit types (Delta's ``txnVersion`` lookup). Streaming
+        sinks compare their batch id against this to stay idempotent across
+        interleaved non-stream commits, other streams, and vacuum."""
+        v = self.current_version()
+        if v is None:
+            return -1
+        with open(self._manifest_path(v)) as f:
+            return int(json.load(f).get("txn", {}).get(app_id, -1))
+
+
+    def n_segments(self) -> int:
+        v = self.current_version()
+        return 0 if v is None else len(self._segments(v))
+

@@ -1,0 +1,434 @@
+"""Physical-layout plane of :class:`~lakehouse_spark.mutation.store.TableStore`:
+partitioned writes with exact manifest-value pruning, OPTIMIZE-style
+compaction (plain / range-clustered / Z-ordered), and the small-files
+heuristic. Split out of store.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class LayoutMixin:
+    """Partitioning and compaction."""
+
+    # -- partitioning (Delta's partitionBy) -----------------------------------
+
+    def partition_cols(self) -> tuple[str, ...]:
+        """The table's partition columns — the committed manifest's record
+        wins over the constructor (so a second instance opened without the
+        arg still partitions correctly); a conflicting constructor value is
+        an error, not a silent re-partition."""
+        v = self.current_version()
+        if v is None:
+            return self.partition_by
+        with open(self._manifest_path(v)) as f:
+            committed = tuple(json.load(f).get("partition_by", []))
+        if self.partition_by and committed != self.partition_by:
+            raise ValueError(
+                f"table {self.root} is partitioned by {list(committed)}, "
+                f"constructor said {list(self.partition_by)}; partitioning "
+                "is fixed at table creation"
+            )
+        return committed
+
+    def _write_partitioned(self, df: DataFrame, v: int) -> list[str]:
+        """Write ``df`` as one segment per live partition-value tuple
+        (single unsuffixed segment when the table isn't partitioned).
+        Records each segment's exact partition values for manifest-level
+        pruning and partition-wise compaction. Cost: one distinct() over
+        the partition columns plus one filtered write per value tuple, off
+        a persisted input — bounded by ``max_partitions_per_commit``, the
+        same 'commits touch few partitions' contract Delta's layout
+        assumes."""
+        pcols = self.partition_cols()
+        if not pcols:
+            return [self._write_segment(df, v)]
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write to {self.root} is missing partition column(s) "
+                f"{missing}; partitioned tables require them on every row"
+            )
+        cap = self.max_partitions_per_commit
+        cached = df.persist()  # distinct + per-value filters share one compute
+        try:
+            combos = cached.select(*pcols).distinct().limit(cap + 1).collect()
+            if len(combos) > cap:
+                raise ValueError(
+                    f"commit touches more than {cap} distinct partition "
+                    f"values of {list(pcols)}; partition by a lower-"
+                    "cardinality column or raise max_partitions_per_commit"
+                )
+            if not combos:
+                # Empty write: on the FIRST commit, one empty segment holds
+                # the schema; afterwards, adding a value-less segment would
+                # only burden every partition-pruned read and DML (no
+                # partition entry → conservatively kept/touched forever).
+                if self.current_version() is None:
+                    return [self._write_segment(cached, v)]
+                return []
+            combos = sorted(
+                (tuple(r[c] for c in pcols) for r in combos),
+                key=lambda t: json.dumps(t, default=str),
+            )
+            segs = []
+            for i, combo in enumerate(combos):
+                cond = None
+                for c, val in zip(pcols, combo):
+                    term = F.col(c).eqNullSafe(F.lit(val))
+                    cond = term if cond is None else (cond & term)
+                seg = self._write_segment(
+                    cached.filter(cond), v, part=i if len(combos) > 1 else None
+                )
+                self._pending_parts[seg] = dict(zip(pcols, combo))
+                segs.append(seg)
+            return segs
+        finally:
+            cached.unpersist()
+
+    def partitions(self) -> list[dict]:
+        """SHOW PARTITIONS: the live partition-value tuples with their
+        segment counts, straight from the HEAD manifest — no data IO."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        out: dict[str, dict] = {}
+        for s in m["segments"]:
+            p = m.get("partitions", {}).get(s)
+            if p is None:
+                continue
+            k = json.dumps(p, sort_keys=True, default=str)
+            e = out.setdefault(k, {"values": p, "num_segments": 0})
+            e["num_segments"] += 1
+        return sorted(out.values(), key=lambda e: json.dumps(e["values"], default=str))
+
+    @staticmethod
+    def _canon_temporal(x):
+        """A naive-comparable ``datetime`` for date/datetime/ISO-ish-string
+        inputs, else None. Normalizes the two spellings the same instant
+        arrives in — ``str(datetime)`` uses a space separator, ISO-8601
+        uses 'T' — so pruning never compares them as raw strings (' '<'T'
+        would wrongly prune)."""
+        import datetime as _dt
+
+        if isinstance(x, _dt.datetime):
+            return x
+        if isinstance(x, _dt.date):
+            return _dt.datetime(x.year, x.month, x.day)
+        if isinstance(x, str):
+            try:
+                return _dt.datetime.fromisoformat(x.replace(" ", "T"))
+            except ValueError:
+                return None
+        return None
+
+    @classmethod
+    def _part_lt(cls, a, b) -> bool:
+        """PROVABLY ``a < b`` for partition pruning; False whenever the
+        ordering is ambiguous (pruning must stay conservative).
+
+        The manifest stores date/timestamp partition values JSON-degraded
+        to ``str(value)`` (space separator) while probe bounds arrive as
+        ISO-'T' strings or date/datetime objects — raw string order
+        compares ``' ' < 'T'`` and would wrongly prune the matching
+        segment. Rules:
+
+        - both strings, both parse temporally → prune only when the raw
+          AND canonical orders agree (sound for degraded timestamps AND
+          for genuine string columns holding timestamp-like text);
+        - both strings, exactly one parses → ambiguous, keep;
+        - string vs native temporal (TypeError) → canonical order alone
+          (the probe type proves the column is temporal);
+        - natively comparable → plain ``<``."""
+        if isinstance(a, str) and isinstance(b, str):
+            ca, cb = cls._canon_temporal(a), cls._canon_temporal(b)
+            if ca is not None and cb is not None:
+                try:
+                    return ca < cb and a < b
+                except TypeError:
+                    return False  # aware vs naive: incomparable
+            if ca is not None or cb is not None:
+                return False  # temporal vs junk: proves nothing
+            return a < b
+        try:
+            return a < b
+        except TypeError:
+            ca, cb = cls._canon_temporal(a), cls._canon_temporal(b)
+            if ca is None or cb is None:
+                return False
+            try:
+                return ca < cb
+            except TypeError:
+                return False
+
+    @classmethod
+    def _partition_may_match(cls, part: dict | None, predicate: dict) -> bool:
+        """Exact manifest-value pruning for partitioned segments: a segment
+        holds exactly one partition-value tuple, so an equality or range
+        term on a partition column either matches it or provably doesn't.
+        Segments without recorded values (pre-partitioning history) are
+        kept — pruning must never change results."""
+        if not part:
+            return True
+        for col, bounds in predicate.items():
+            if col not in part:
+                continue
+            val = part[col]
+            if val is None:
+                continue  # null partition values are never pruned
+            lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
+            if lo is not None and cls._part_lt(val, lo):
+                return False
+            if hi is not None and cls._part_lt(hi, val):
+                return False
+        return True
+
+
+    def compact(
+        self,
+        zorder_by: tuple[str, str] | None = None,
+        bits: int = 8,
+        n_segments: int = 8,
+        range_by: str | None = None,
+    ) -> int:
+        """OPTIMIZE analog: fold all live segments into one (append-heavy
+        tables accumulate small segments; run this on a cadence).
+
+        ``zorder_by=(col_a, col_b)`` is OPTIMIZE ZORDER BY: rows are
+        Morton-clustered on the two columns (operators.layout) and written
+        as ``n_segments`` z-range-banded segments instead of one. Each
+        band covers a compact rectangle of the 2-D key space, so with the
+        same columns in ``stats_cols`` the manifest's per-segment min/max
+        lets ``read(predicate=...)`` skip most bands on a box predicate
+        over EITHER column — manifest-level data skipping on top of the
+        parquet row-group pruning the z-sort already buys. One full
+        rewrite, same as Delta's OPTIMIZE; the banded writes read the keyed
+        snapshot from a persisted cache, not n_segments recomputes of
+        upstream lineage.
+
+        ``range_by=col`` is single-column range clustering (any orderable
+        type, strings included): rows land in ``n_segments`` contiguous
+        bands of the column's value space, cut at sampled quantiles. This
+        is the layout that makes the targeted-DML and
+        :meth:`overwrite_where` paths O(affected files): after
+        ``compact(range_by=key)``, a merge/upsert/delete whose source keys
+        fall in one band rewrites one band."""
+        if zorder_by is not None and range_by is not None:
+            raise ValueError("pass zorder_by or range_by, not both")
+        v0 = self.current_version()
+        pcols = self.partition_cols()
+        if pcols and zorder_by is not None:
+            raise ValueError(
+                "zorder_by compaction is not supported on a partitioned "
+                f"table (partition_by={list(pcols)}); use "
+                "compact(range_by=...) to key-cluster within each partition"
+            )
+        if pcols:
+            return self._compact_partitions(
+                v0, range_by=range_by, n_segments=n_segments
+            )
+        if zorder_by is None and range_by is None:
+            return self._rewrite(self.read(v0), base_version=v0)
+        base = self.read(v0)
+        if range_by is not None:
+            keyed = base.withColumn("__z", F.col(range_by)).persist()
+        else:
+            from lakehouse_spark.operators.layout import zorder_key
+
+            a, b = zorder_by
+            keyed = base.withColumn(
+                "__z", zorder_key(base, a, b, bits)
+            ).persist()
+        try:
+            n = max(1, n_segments)
+            if range_by is not None:
+                # Generic-type cut points from a bounded sample (
+                # approxQuantile is numeric-only; a sorted ~100k-row sample
+                # gives band edges for strings/dates too — edges shape
+                # layout, never results, so sampling error only skews band
+                # sizes).
+                total = keyed.count()
+                frac = min(1.0, 100_000 / max(total, 1))
+                sample = sorted(
+                    r[0]
+                    for r in keyed.select("__z")
+                    .dropna()
+                    .sample(fraction=frac, seed=7)
+                    .collect()
+                )
+                qs = (
+                    [sample[len(sample) * i // n] for i in range(1, n)]
+                    if sample
+                    else []
+                )
+            else:
+                qs = keyed.approxQuantile(
+                    "__z", [i / n for i in range(1, n)], 0.001
+                )
+            bounds = sorted(set(qs))
+            edges = [None, *bounds, None]  # half-open bands, ends unbounded
+
+            def _bands(v: int) -> list[str]:
+                segs = []
+                for i in range(len(edges) - 1):
+                    lo, hi = edges[i], edges[i + 1]
+                    band = keyed
+                    if lo is not None:
+                        band = band.filter(F.col("__z") >= lo)
+                    if hi is not None:
+                        # NULL z (null zorder column) fails every range
+                        # filter — route null rows into the FIRST band so
+                        # the rewrite never loses them (Delta ZORDER keeps
+                        # null rows too).
+                        cond = F.col("__z") < hi
+                        if lo is None:
+                            cond = cond | F.col("__z").isNull()
+                        band = band.filter(cond)
+                    band = band.sortWithinPartitions("__z").drop("__z")
+                    segs.append(self._write_segment(band, v, part=i))
+                return segs
+
+            meta = (
+                {"range_by": range_by}
+                if range_by is not None
+                else {"zorder_by": list(zorder_by)}
+            )
+            return self._transact(_bands, meta=meta, base_version=v0)
+        finally:
+            keyed.unpersist()
+
+    def _compact_partitions(
+        self, v0: int, range_by: str | None = None, n_segments: int = 8
+    ) -> int:
+        """Partition-wise OPTIMIZE: fold each partition's segments, reading
+        only that partition's files (never a cross-partition shuffle — at
+        100 TB a partition is the unit of maintenance, like Delta's
+        OPTIMIZE WHERE). Deletion vectors are applied during the fold and
+        retired. Without ``range_by``, each partition folds to one segment
+        and single-segment partitions with no outstanding dv are reused by
+        reference (a no-op partition costs zero IO). With ``range_by``,
+        each partition is rewritten as up to ``n_segments`` contiguous
+        bands of that column cut at sampled in-partition quantiles — the
+        'partition by day, cluster by key' layout that keeps targeted DML
+        O(affected files) inside big partitions too."""
+        with open(self._manifest_path(v0)) as f:
+            m = json.load(f)
+        parts, dv = m.get("partitions", {}), m.get("dv", {})
+        masked = {s for ap in dv.values() for s in ap}
+        groups: dict[str, tuple[dict, list[str]]] = {}
+        loose: list[str] = []  # segments without recorded values
+        for s in m["segments"]:
+            p = parts.get(s)
+            if p is None:
+                loose.append(s)
+                continue
+            k = json.dumps(p, sort_keys=True, default=str)
+            groups.setdefault(k, (p, []))[1].append(s)
+
+        def _band_edges(df: DataFrame) -> list:
+            """In-partition quantile cut points (generic orderable type,
+            bounded sample — the compact(range_by=) approach)."""
+            n = max(1, n_segments)
+            total = df.count()
+            frac = min(1.0, 100_000 / max(total, 1))
+            sample = sorted(
+                r[0]
+                for r in df.select(range_by)
+                .dropna()
+                .sample(fraction=frac, seed=7)
+                .collect()
+            )
+            qs = (
+                [sample[len(sample) * i // n] for i in range(1, n)]
+                if sample
+                else []
+            )
+            return [None, *sorted(set(qs)), None]
+
+        def _write_banded(df: DataFrame, v: int, i0: int, pvals) -> list[str]:
+            df = df.persist()
+            try:
+                segs = []
+                edges = _band_edges(df)
+                for j in range(len(edges) - 1):
+                    lo, hi = edges[j], edges[j + 1]
+                    band = df
+                    if lo is not None:
+                        band = band.filter(F.col(range_by) >= lo)
+                    if hi is not None:
+                        cond = F.col(range_by) < hi
+                        if lo is None:  # nulls ride in the first band
+                            cond = cond | F.col(range_by).isNull()
+                        band = band.filter(cond)
+                    band = band.sortWithinPartitions(range_by)
+                    seg = self._write_segment(band, v, part=i0 + j)
+                    if pvals is not None:
+                        self._pending_parts[seg] = pvals
+                    segs.append(seg)
+                return segs
+            finally:
+                df.unpersist()
+
+        def _fold(v: int) -> list[str]:
+            segs: list[str] = []
+            i = 0
+            for k in sorted(groups):
+                pvals, group = groups[k]
+                if range_by is None and len(group) == 1 and group[0] not in masked:
+                    # Already optimal: carry the segment (and its stats /
+                    # partition values, via the _transact carry-forward).
+                    segs.append(group[0])
+                    continue
+                df_g = self._to_logical(self._read_segments(group, dv))
+                if range_by is None:
+                    seg = self._write_segment(df_g, v, part=i)
+                    self._pending_parts[seg] = pvals
+                    segs.append(seg)
+                    i += 1
+                else:
+                    new = _write_banded(df_g, v, i, pvals)
+                    segs += new
+                    i += len(new)
+            if loose:
+                df_l = self._to_logical(self._read_segments(loose, dv))
+                if range_by is None:
+                    segs.append(self._write_segment(df_l, v, part=i))
+                else:
+                    segs += _write_banded(df_l, v, i, None)
+            return segs
+
+        meta = {"compacted_partitions": len(groups)}
+        if range_by is not None:
+            meta["range_by"] = range_by
+        return self._transact(_fold, meta=meta, base_version=v0)
+
+    def maybe_compact(
+        self,
+        max_segments: int = 16,
+        zorder_by: tuple[str, str] | None = None,
+        range_by: str | None = None,
+        n_segments: int = 8,
+    ) -> bool:
+        """Small-file policy: compact only when the live version holds more
+        than ``max_segments`` segments. Call it after appends (streaming
+        sinks, ingest loops) — amortized cost stays O(table/max_segments)
+        per rewrite while reads never degrade past ``max_segments`` file
+        groups. ``zorder_by`` / ``range_by`` forward to :meth:`compact`, so
+        an ingest loop can keep the table key-clustered (and targeted DML
+        cheap) with the same call. Returns True when a compaction ran. A
+        concurrent writer winning the race simply surfaces
+        ConcurrentWriteError like any other commit — the caller's next
+        maybe_compact retries."""
+        if self.n_segments() <= max_segments:
+            return False
+        self.compact(
+            zorder_by=zorder_by, range_by=range_by, n_segments=n_segments
+        )
+        return True
+
