@@ -21,7 +21,15 @@ a code regression):
 * a fixed host-speed probe (pure-Python loop + single-threaded numpy
   matmul, constant work) runs before and after the suite. On the quiet
   reference machine it reads ~0.10s (python) / ~0.17s (numpy); a probe far
-  above that says the HOST was slow, not the code.
+  above that says the HOST was slow, not the code;
+* a PARALLEL probe (N concurrent matmuls) catches multi-core contention
+  the single-thread probes are blind to, and ``contended_queries`` lists
+  queries whose median ran >30% above their own min — the in-run
+  contention signature;
+* ``scaling`` measures the sf0.01 → bench-SF slope (10×), and
+  ``scaling_100x`` extends it with a synthesized ~10×-bench-SF third
+  point (plans/scale_synth key-shifted union), so time and shuffle
+  growth are MEASURED across 100×, not extrapolated from 10×.
 
 Each query is timed over a full execution (plan + shuffle + collect of the
 result rows — results are small aggregates, so collect cost is negligible and
@@ -78,15 +86,40 @@ def host_probe() -> dict[str, float]:
         for _ in range(10):
             b = b @ a / 512.0
 
-    return {"python_loop_sec": _min3(_py), "numpy_matmul_sec": _min3(_np)}
+    # Parallel probe: N concurrent copies of the same fixed matmul work
+    # (numpy releases the GIL inside BLAS, so the threads genuinely
+    # occupy N cores). On an idle host the wall time ≈ the single-thread
+    # reading; a co-scheduled multi-core job inflates it even when the
+    # single-thread probes read clean — exactly the blind spot that made
+    # BENCH_r06's official run ~25% slower than the same-code committed
+    # run with in-band single-thread probes. min over 3 reps = sustained
+    # contention; transient spikes surface in per-query min/median
+    # divergence instead.
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_par = min(16, os.cpu_count() or 4)
+
+    def _par() -> None:
+        with ThreadPoolExecutor(n_par) as ex:
+            list(ex.map(lambda _i: _np(), range(n_par)))
+
+    _par()  # thread-pool + per-core BLAS warm-up outside the timed region
+    return {
+        "python_loop_sec": _min3(_py),
+        "numpy_matmul_sec": _min3(_np),
+        "parallel_matmul_sec": _min3(_par),
+        "parallel_threads": n_par,
+    }
 
 
-def scaling_section(spark, suite, sf_big: str) -> dict:
-    """Per-query {t_001, t_01, time_ratio, shuffle_ratio}: one run at
-    sf0.01 and one at the bench SF, shuffle bytes/records from the
-    executed plan (plans/metrics). ``shuffle_ratio`` is bytes-based;
-    records ratio rides alongside. Ratios are single-shot (the medians
-    above are the timing artifact — this section is about SLOPE).
+def _scaling_pair(
+    spark, suite, d_small: str, d_big: str, tag_small: str, tag_big: str
+) -> dict:
+    """Per-query {t_<small>, t_<big>, time_ratio, shuffle_ratio} between
+    two dataset sizes: one single-shot run at each, shuffle bytes/records
+    from the executed plan (plans/metrics). ``shuffle_ratio`` is
+    bytes-based; records ratio rides alongside. Single-shot by design
+    (the medians above are the timing artifact — this is about SLOPE).
 
     Caveat: queries that localCheckpoint/cache their iterative core (e.g.
     dedup_cluster_components) report only the FINAL job's plan metrics —
@@ -96,18 +129,12 @@ def scaling_section(spark, suite, sf_big: str) -> dict:
     from lakehouse_spark.operators.dedup import release_caches
     from lakehouse_spark.plans.metrics import plan_metrics
 
-    sf_small = os.path.join(os.path.dirname(sf_big.rstrip("/")), "sf0.01")
-    if not os.path.isdir(sf_small) or os.path.realpath(
-        sf_small
-    ) == os.path.realpath(sf_big):
-        return {"skipped": f"no small-SF dir next to {sf_big}"}
-
     queries: dict[str, dict] = {}
     superlinear: list[str] = []
     for name, spec in suite.items():
         entry: dict = {}
         try:
-            for tag, d in (("001", sf_small), ("01", sf_big)):
+            for tag, d in ((tag_small, d_small), (tag_big, d_big)):
                 t0 = time.perf_counter()
                 df = spec.build(spark, d)
                 df.collect()
@@ -117,12 +144,32 @@ def scaling_section(spark, suite, sf_big: str) -> dict:
                 entry[f"shuffle_records_{tag}"] = m.get("shuffleRecordsWritten", 0)
                 release_caches()
             entry["time_ratio"] = (
-                round(entry["t_01"] / entry["t_001"], 2)
-                if entry["t_001"]
+                round(entry[f"t_{tag_big}"] / entry[f"t_{tag_small}"], 2)
+                if entry[f"t_{tag_small}"]
                 else None
             )
-            sb, bb = entry["shuffle_bytes_001"], entry["shuffle_bytes_01"]
-            sr, br = entry["shuffle_records_001"], entry["shuffle_records_01"]
+            # Single shots are contention-prone (a transient stall on one
+            # side fabricates a scary slope): a time ratio that reads
+            # super-linear gets ONE re-measure of each point, keeping the
+            # min — a real quadratic survives the retry, a GC/noise spike
+            # doesn't. Shuffle ratios need no such defense (deterministic).
+            if entry["time_ratio"] is not None and entry["time_ratio"] > 10:
+                for tag, d in ((tag_small, d_small), (tag_big, d_big)):
+                    t0 = time.perf_counter()
+                    spec.build(spark, d).collect()
+                    entry[f"t_{tag}"] = min(
+                        entry[f"t_{tag}"],
+                        round(time.perf_counter() - t0, 3),
+                    )
+                    release_caches()
+                entry["time_ratio"] = round(
+                    entry[f"t_{tag_big}"] / entry[f"t_{tag_small}"], 2
+                )
+                entry["time_ratio_remeasured"] = True
+            sb = entry[f"shuffle_bytes_{tag_small}"]
+            bb = entry[f"shuffle_bytes_{tag_big}"]
+            sr = entry[f"shuffle_records_{tag_small}"]
+            br = entry[f"shuffle_records_{tag_big}"]
             entry["shuffle_ratio"] = (
                 round(bb / sb, 2) if sb else (1.0 if bb == 0 else None)
             )
@@ -135,11 +182,45 @@ def scaling_section(spark, suite, sf_big: str) -> dict:
             entry["error"] = f"{type(ex).__name__}: {str(ex)[:200]}"
         queries[name] = entry
     return {
-        "sf_small": sf_small,
-        "sf_big": sf_big,
+        "sf_small": d_small,
+        "sf_big": d_big,
         "queries": queries,
         "superlinear_shuffle": superlinear,
     }
+
+
+def scaling_section(spark, suite, sf_big: str) -> dict:
+    """10× slope: sf0.01 → the bench SF (shape unchanged since round 4)."""
+    sf_small = os.path.join(os.path.dirname(sf_big.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf_small) or os.path.realpath(
+        sf_small
+    ) == os.path.realpath(sf_big):
+        return {"skipped": f"no small-SF dir next to {sf_big}"}
+    return _scaling_pair(spark, suite, sf_small, sf_big, "001", "01")
+
+
+def scaling_100x_section(spark, suite, sf_big: str) -> dict:
+    """100×-span third point: synthesize ~10× the bench SF as a union of
+    key-shifted copies (plans/scale_synth — join fan-out and near-dup
+    mass both grow exactly K×, so a super-linear reading indicts the
+    plan, not the data) and measure the bench-SF → 10×-bench-SF slope.
+    With the existing sf0.01 → sf0.1 pair this makes the measured curve
+    span 100×, where a quadratic term too small to show at 10× becomes
+    unmissable. Disable with BENCH_SCALE100=0."""
+    if os.environ.get("BENCH_SCALE100", "1") == "0":
+        return {"skipped": "BENCH_SCALE100=0"}
+    try:
+        from lakehouse_spark.plans.scale_synth import synthesize_scaled
+
+        t0 = time.perf_counter()
+        big_dir = synthesize_scaled(spark, sf_big, k=10)
+        synth_sec = round(time.perf_counter() - t0, 3)
+    except Exception as ex:  # noqa: BLE001 — synthesis must not kill bench
+        return {"error": f"{type(ex).__name__}: {str(ex)[:200]}"}
+    out = _scaling_pair(spark, suite, sf_big, big_dir, "01", "1ish")
+    out["synthesize_sec"] = synth_sec
+    out["k"] = 10
+    return out
 
 
 def main() -> None:
@@ -147,7 +228,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="lakehouse_spark_bench")
+    # Single-JVM local mode: driver memory IS all the memory. The default
+    # 1g survives sf0.1 but the synthesized ~sf1 third point OOMs its
+    # broadcasts and takes the whole context down — size for the largest
+    # dataset the bench touches (the box has 128 GiB).
+    spark = get_spark(
+        app_name="lakehouse_spark_bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "24g")
+        },
+    )
     suite = headline_queries()
 
     from lakehouse_spark.operators.dedup import release_caches
@@ -250,6 +340,20 @@ def main() -> None:
     # a query whose shuffle grows super-linearly (ratio >> 10 on 10x
     # data) has a pair-blowup or a broadcast that silently flipped.
     scaling = scaling_section(spark, suite, sf_dir)
+    # Third point: bench SF -> synthesized ~10x bench SF, extending the
+    # measured span to 100x so quadratic terms can't hide inside 10x.
+    scaling_100x = scaling_100x_section(spark, suite, sf_dir)
+
+    # Contention signature: a query whose median ran >30% above its own
+    # min within the SAME bench invocation was interfered with mid-run —
+    # the per-run complement of the parallel host probe's before/after
+    # readings (a slow parallel probe says the host was busy; a wide
+    # min/median gap says WHICH timings to distrust).
+    contended = sorted(
+        name
+        for name, d in detail.items()
+        if d["min"] and d["median"] / d["min"] > 1.3
+    )
 
     out = {
         "metric": "headline_suite_wall_sec",
@@ -265,6 +369,8 @@ def main() -> None:
         "pq_recall_at_5": pq_recall,
         "ivfpq_recall_at_5": ivfpq_recall,
         "scaling": scaling,
+        "scaling_100x": scaling_100x,
+        "contended_queries": contended,
         "sf": sf,
     }
     if errors:
@@ -299,12 +405,20 @@ def main() -> None:
             probe_before["numpy_matmul_sec"],
             probe_after["numpy_matmul_sec"],
         ],
+        # parallel probe (before, after) + in-run min/median divergence:
+        # together they say whether a slow number is the host's fault.
+        "parallel_probe_sec": [
+            probe_before.get("parallel_matmul_sec"),
+            probe_after.get("parallel_matmul_sec"),
+        ],
+        "contended_queries": contended,
         "recall_at_5": {
             "ivf": ivf_recall,
             "pq_rerank": pq_recall,
             "ivfpq": ivfpq_recall,
         },
         "superlinear_shuffle": scaling.get("superlinear_shuffle"),
+        "superlinear_shuffle_100x": scaling_100x.get("superlinear_shuffle"),
         "scaling_time_ratios": {
             n: e.get("time_ratio")
             for n, e in scaling.get("queries", {}).items()
@@ -314,7 +428,13 @@ def main() -> None:
     if errors:
         compact["errors"] = {k: v[:80] for k, v in errors.items()}
     # Degrade gracefully: shed the least essential keys until the line fits.
-    for drop in ("scaling_time_ratios", "superlinear_shuffle", "errors"):
+    for drop in (
+        "scaling_time_ratios",
+        "superlinear_shuffle_100x",
+        "superlinear_shuffle",
+        "contended_queries",
+        "errors",
+    ):
         if len(json.dumps(compact)) <= 1800:
             break
         compact.pop(drop, None)
