@@ -115,40 +115,17 @@ def visited_anti(frontier: DataFrame, visited: DataFrame, key: str) -> DataFrame
 # --- shingling (shared by MinHash / Jaccard) --------------------------------
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams of a text column as ARRAY<STRING>. Pure
-    Catalyst higher-order functions — no UDF, so shingling runs inside
-    codegen.
-
-    The split() is bound as a LAMBDA VARIABLE (``transform`` over a
-    one-element array) so the text splits once per row — naively inlining
-    the split expression into the per-gram lambda re-splits per gram,
-    which used to make this the documented slow form. Column-level
-    convenience; :func:`shingle_frame` remains the bulk path (its zip_with
-    fold additionally avoids per-gram slice allocations)."""
-    c = F.col(col) if isinstance(col, str) else col
-
-    def _grams(words: Column) -> Column:
-        count = F.size(words) - F.lit(n - 1)
-        grams = F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-        # sequence(0, k) runs DESCENDING when k < 0 — guard short/empty
-        # docs with an explicit empty array instead.
-        empty = F.array().cast("array<string>")
-        return F.when(count > 0, F.array_distinct(grams)).otherwise(empty)
-
-    return F.transform(F.array(F.split(F.trim(c), r"\s+")), _grams)[0]
-
-
 def shingle_frame(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, sh) projection of distinct word n-grams, two-step: the word
-    array is materialized as a column BEFORE the gram lambdas reference it,
-    so the text is split once per row, not once per gram (~2× on long docs).
-    Empty/short docs are dropped.
+    """THE shingling entry point: (id, sh) projection of distinct word
+    n-grams. (A column-level variant, ``word_shingles``, existed through
+    round 6; it had no callers and its early form re-split the text per
+    gram — folded in here so the package exposes exactly one shingling
+    path, the fast one.) Two-step: the word array is materialized as a
+    column BEFORE the gram lambdas reference it, so the text is split once
+    per row, not once per gram (~2× on long docs). Empty/short docs are
+    dropped.
 
     Grams are built by folding ``n`` word-aligned slices with ``zip_with``
     (gram i = w[i] ⊔ w[i+1] ⊔ … ⊔ w[i+n-1]) rather than

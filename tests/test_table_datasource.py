@@ -354,3 +354,106 @@ def test_stream_writer_replayed_batch_is_skipped(spark, tmp_path):
     m3 = w.write(iter([pa.RecordBatch.from_pydict({"id": [3], "v": ["c"]})]))
     w.commit([m3], batchId=1)
     assert store.read().count() == 3
+
+
+# -- round-7: CDF streaming under the round-6 commit kinds --------------------
+
+
+def test_stream_cdf_dv_delete_streams_preimages(spark, tmp_path):
+    """A deletion-vector delete commit (delete_keys(mode='dv') — NO segment
+    rewritten, the dv file holds the pre-images) must flow into an
+    in-flight changes stream as _change_type='delete' rows carrying the
+    deleted images, at the dv commit's version."""
+    s = TableStore(spark, str(tmp_path / "t"), key="id", write_cdf=True)
+    s.init(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        )
+    )  # v0
+    s.delete_keys(spark.createDataFrame([(2,), (4,)], "id long"), mode="dv")  # v1
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _drain(spark, s.root, ckpt, out, expected=8)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in got.collect()
+    )
+    inserts = [r for r in rows if r[1] == "insert"]
+    deletes = [r for r in rows if r[1] == "delete"]
+    assert len(inserts) == 6 and all(r[0] == 0 for r in inserts)
+    # the dv commit streamed exactly the deleted PRE-images
+    assert deletes == [(1, "delete", 2, "v2"), (1, "delete", 4, "v4")]
+    # and matches the batch change feed for the same range
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in s.changes(0).collect()
+    )
+    assert rows == want
+
+
+def test_stream_cdf_rename_commit_is_transparent(spark, tmp_path):
+    """A metadata-only RENAME COLUMN commit adds no segments and no dv —
+    the stream must pass over it as a no-op (no rows, no error) and keep
+    serving later commits; rows written before AND after the rename
+    surface under the stream's pinned logical schema."""
+    s = TableStore(spark, str(tmp_path / "t"), key="id", write_cdf=True)
+    s.init(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )  # v0
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _drain(spark, s.root, ckpt, out, expected=2)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+    # rename mid-stream (stream is stopped between drains, which is the
+    # stricter case: the restart re-reads the mapping at its NEW state
+    # while the checkpoint pins old offsets)
+    s.rename_column("v", "val")  # v1: metadata-only
+    s.append(spark.createDataFrame([(3, "c")], "id long, val string"))  # v2
+    got2 = _drain(spark, s.root, ckpt, out, expected=3)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in got2.collect()
+    )
+    # v1 contributed NOTHING; v0 not replayed; v2's row arrived
+    assert rows == [(0, "insert", 1), (0, "insert", 2), (2, "insert", 3)]
+
+
+def test_stream_cdf_rename_transparent_while_running(spark, tmp_path):
+    """The in-flight variant: one continuously-running stream observes a
+    rename commit between two appends without stopping — the rename must
+    contribute zero rows and later appends keep flowing."""
+    s = TableStore(spark, str(tmp_path / "t"), key="id", write_cdf=True)
+    s.init(spark.createDataFrame([(1, "a")], "id long, v string"))  # v0
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("changes", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(s.root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+
+        def _count():
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return 0
+
+        while _count() < 1 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        s.rename_column("v", "val")  # v1 lands while the stream runs
+        s.append(spark.createDataFrame([(2, "b")], "id long, val string"))  # v2
+        while _count() < 2 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert q.exception() is None
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = sorted(
+        (r["_commit_version"], r["id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(0, 1), (2, 2)]
