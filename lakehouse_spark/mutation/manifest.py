@@ -291,6 +291,7 @@ class TxnMixin:
         constraints_override: dict[str, str] | None = None,
         generated_override: dict[str, str] | None = None,
         columns_override: tuple[dict, list] | None = None,
+        partition_by_override: list[str] | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -445,10 +446,17 @@ class TxnMixin:
                             if columns_override is None
                             else columns_override[1]
                         ),
-                        # Partitioning: the column list is fixed at table
-                        # creation and carried verbatim; per-segment values
-                        # follow the stats lifecycle above.
-                        "partition_by": prev_pby,
+                        # Partitioning: the column list is carried verbatim
+                        # commit to commit; only repartition_table() passes
+                        # an override (partition evolution is a versioned
+                        # full rewrite, never an implicit drift).
+                        # Per-segment values follow the stats lifecycle
+                        # above.
+                        "partition_by": (
+                            prev_pby
+                            if partition_by_override is None
+                            else list(partition_by_override)
+                        ),
                         "partitions": parts,
                         # Advertised so external readers (the Python data
                         # source) can apply deletion vectors without being

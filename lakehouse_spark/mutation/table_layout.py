@@ -21,7 +21,12 @@ class LayoutMixin:
         """The table's partition columns — the committed manifest's record
         wins over the constructor (so a second instance opened without the
         arg still partitions correctly); a conflicting constructor value is
-        an error, not a silent re-partition."""
+        an error, not a silent re-partition. Changing the layout of a live
+        table goes through :meth:`repartition_table` (which sets the
+        in-transaction override consulted first here)."""
+        pending = getattr(self, "_pending_partition_by", None)
+        if pending is not None:
+            return pending
         v = self.current_version()
         if v is None:
             return self.partition_by
@@ -30,10 +35,77 @@ class LayoutMixin:
         if self.partition_by and committed != self.partition_by:
             raise ValueError(
                 f"table {self.root} is partitioned by {list(committed)}, "
-                f"constructor said {list(self.partition_by)}; partitioning "
-                "is fixed at table creation"
+                f"constructor said {list(self.partition_by)}; use "
+                "repartition_table() to change a live table's layout"
             )
         return committed
+
+    def repartition_table(
+        self, new_cols: tuple[str, ...] | list[str], meta: dict | None = None
+    ) -> int:
+        """Partition evolution: re-lay the LIVE table out by ``new_cols``
+        (empty tuple = un-partition) as ONE versioned full rewrite — the
+        explicit analog of Delta/Iceberg REPLACE TABLE ... PARTITIONED BY.
+
+        Contract (pytest-pinned):
+
+        - history is preserved — every earlier version still time-travels
+          with ITS OWN layout (each manifest carries its own partition_by
+          and per-segment values), and under ``write_cdf`` the rewrite
+          materializes an empty change set (same rows, new files), so CDF
+          consumers see no phantom changes;
+        - later writes split/prune on the NEW columns;
+        - blocked when column mapping would orphan a partition column: a
+          renamed column (logical ≠ physical) is rejected — per-segment
+          partition values and the rename guard key on the name being
+          stable — and a dropped/unknown column fails the existence check;
+        - snapshot-conflict-safe: derived from the version it read
+          (``base_version``), so an interleaved commit raises
+          :class:`~lakehouse_spark.mutation.manifest.ConcurrentWriteError`
+          instead of being clobbered.
+
+        Cost: O(table) — one read + one partition-split write, exactly
+        what re-laying data out requires. Returns the new version (or the
+        current one when ``new_cols`` already matches — no empty commit).
+        """
+        new_cols = tuple(new_cols)
+        v0 = self.current_version()
+        if v0 is None:
+            raise FileNotFoundError(
+                f"table {self.root} has no committed version"
+            )
+        if new_cols == self.partition_cols():
+            return v0
+        snapshot = self.read(v0)  # logical columns, deletion vectors applied
+        missing = [c for c in new_cols if c not in snapshot.columns]
+        if missing:
+            raise KeyError(
+                f"partition column(s) {missing} not in table columns "
+                f"{snapshot.columns}"
+            )
+        inv = {log: phy for phy, log in self.renames().items()}
+        mapped = [c for c in new_cols if inv.get(c, c) != c]
+        if mapped:
+            raise ValueError(
+                f"cannot partition by renamed column(s) {mapped}: column "
+                "mapping would orphan the manifest's partition values "
+                "(they are keyed by the stable name); compact the rename "
+                "away or partition by an unmapped column"
+            )
+        self._pending_partition_by = new_cols
+        try:
+            v = self._transact(
+                lambda nv: self._write_partitioned(snapshot, nv),
+                meta=meta or {"repartitioned_to": list(new_cols)},
+                base_version=v0,
+                partition_by_override=list(new_cols),
+            )
+        finally:
+            self._pending_partition_by = None
+        # Future writes from THIS instance follow the committed layout;
+        # a stale ctor value would otherwise trip the drift check above.
+        self.partition_by = new_cols
+        return v
 
     def _write_partitioned(self, df: DataFrame, v: int) -> list[str]:
         """Write ``df`` as one segment per live partition-value tuple

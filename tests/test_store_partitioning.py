@@ -115,7 +115,7 @@ def test_second_instance_partitions_from_manifest(spark, tmp_path):
     conflicting = TableStore(
         spark, store.root, key="id", partition_by=("x",)
     )
-    with pytest.raises(ValueError, match="fixed at table creation"):
+    with pytest.raises(ValueError, match="repartition_table"):
         conflicting.partition_cols()
 
 
