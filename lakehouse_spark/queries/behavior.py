@@ -686,3 +686,90 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@_q(
+    "ts_anomaly_rolling_mad",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT a.event_type, a.day, a.cnt,
+             median(b.cnt) AS med, count(*) AS n_hist
+      FROM counts a JOIN counts b
+        ON a.event_type = b.event_type
+       AND b.day >= a.day - 7 AND b.day <= a.day - 1
+      GROUP BY a.event_type, a.day, a.cnt
+    ), mad AS (
+      SELECT m.event_type, m.day, m.cnt, m.med,
+             median(abs(b.cnt - m.med)) AS mad
+      FROM med m JOIN counts b
+        ON m.event_type = b.event_type
+       AND b.day >= m.day - 7 AND b.day <= m.day - 1
+      WHERE m.n_hist >= 4
+      GROUP BY m.event_type, m.day, m.cnt, m.med)
+    SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt, med, mad,
+           (abs(cnt - med) > 3 * mad AND mad > 0) AS is_anomaly
+    FROM mad
+    """,
+    doc="Robust volume-anomaly detection: per (event_type, day), flag "
+    "counts more than 3 rolling MADs from the trailing-7-day rolling "
+    "median (>=4 days of history). Median-of-integers is exact halves in "
+    "binary64 and |cnt-med| stays on the same grid, so the flags are "
+    "hash-stable cross-engine where mean/stddev z-scores would not be. "
+    "Scales as two self-joins over the (type, day) relation — day "
+    "cardinality, not event cardinality; the only data-sized work is the "
+    "initial groupBy count with map-side partials",
+)
+def ts_anomaly_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    hist_cond = (
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") >= F.date_sub(F.col("a.day"), 7))
+        & (F.col("b.day") <= F.date_sub(F.col("a.day"), 1))
+    )
+    med = (
+        a.join(b, hist_cond)
+        .groupBy("a.event_type", "a.day", "a.cnt")
+        .agg(
+            F.expr("percentile(b.cnt, 0.5)").alias("med"),
+            F.count("*").alias("n_hist"),
+        )
+        .filter(F.col("n_hist") >= 4)
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.cnt").alias("cnt"),
+            "med",
+        )
+    )
+    m, b2 = med.alias("m"), counts.alias("b")
+    mad = (
+        m.join(
+            b2,
+            (F.col("m.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") >= F.date_sub(F.col("m.day"), 7))
+            & (F.col("b.day") <= F.date_sub(F.col("m.day"), 1)),
+        )
+        .groupBy("m.event_type", "m.day", "m.cnt", "m.med")
+        .agg(
+            F.expr("percentile(abs(b.cnt - m.med), 0.5)").alias("mad")
+        )
+        .select(
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.day").alias("day"),
+            F.col("m.cnt").cast("long").alias("cnt"),
+            F.col("m.med").alias("med"),
+            "mad",
+        )
+    )
+    return mad.withColumn(
+        "is_anomaly",
+        (F.abs(F.col("cnt") - F.col("med")) > 3 * F.col("mad"))
+        & (F.col("mad") > 0),
+    )

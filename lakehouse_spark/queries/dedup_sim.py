@@ -1164,3 +1164,104 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# -- round-7: canonical selection + dup-rate reporting over the clusters ------
+
+_CLUSTERS_SQL = CATALOG["dedup_cluster_components"].oracle
+
+
+@_q(
+    "dedup_keep_best",
+    f"""
+    WITH clusters AS ({_CLUSTERS_SQL}),
+    m AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             sum(d.n_chars) OVER (PARTITION BY c.cluster_id) AS total_chars
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT cluster_id, doc_id AS survivor_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM m WHERE rn = 1
+    """,
+    doc="Canonical selection — the production OUTPUT of near-dup dedup: "
+    "per cluster (connected components over the exact ngram-jaccard "
+    "pairs), keep the best member (longest text, doc_id tie-break) and "
+    "report cluster size + total bytes retired. Pure integer argmax, so "
+    "the survivor choice is hash-stable cross-engine; at 100 TB this is "
+    "one window over the (doc, cluster) relation — no pair blow-up "
+    "beyond the banded LSH join that fed it",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = CATALOG["dedup_cluster_components"].build(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .withColumn("total_chars", F.sum("n_chars").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_q(
+    "curation_dup_rate_by_source",
+    f"""
+    WITH clusters AS ({_CLUSTERS_SQL}),
+    sized AS (
+      SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id),
+    flagged AS (
+      SELECT c.doc_id, (s.n > 1) AS is_dup
+      FROM clusters c JOIN sized s USING (cluster_id))
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(floor(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END)
+                      * 10000.0 / count(*) + 0.5) AS BIGINT) AS dup_rate_bp
+    FROM documents d JOIN flagged f USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Data-quality report: per-source duplication rate (share of docs "
+    "living in a >1-member near-dup cluster), in integer basis points "
+    "(floor(x*10000+0.5) — the house exact-rounding grid). The shape a "
+    "crawl pipeline alerts on when one source starts mirroring another; "
+    "scales as one groupBy over the doc-cluster relation",
+)
+def curation_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = CATALOG["dedup_cluster_components"].build(spark, sf_dir)
+    sized = labels.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    flagged = labels.join(sized, "cluster_id").select(
+        "doc_id", (F.col("n") > 1).alias("is_dup")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(flagged, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .withColumn(
+            "dup_rate_bp",
+            F.floor(
+                F.col("n_dup") * F.lit(10000.0) / F.col("n_docs") + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
