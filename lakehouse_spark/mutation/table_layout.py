@@ -295,15 +295,15 @@ class LayoutMixin:
             raise ValueError("pass zorder_by or range_by, not both")
         v0 = self.current_version()
         pcols = self.partition_cols()
-        if pcols and zorder_by is not None:
-            raise ValueError(
-                "zorder_by compaction is not supported on a partitioned "
-                f"table (partition_by={list(pcols)}); use "
-                "compact(range_by=...) to key-cluster within each partition"
-            )
         if pcols:
+            # Partition-wise: each partition folds/clusters independently
+            # (Delta's OPTIMIZE [ZORDER BY] runs per partition too).
             return self._compact_partitions(
-                v0, range_by=range_by, n_segments=n_segments
+                v0,
+                range_by=range_by,
+                zorder_by=zorder_by,
+                bits=bits,
+                n_segments=n_segments,
             )
         if zorder_by is None and range_by is None:
             return self._rewrite(self.read(v0), base_version=v0)
@@ -376,19 +376,28 @@ class LayoutMixin:
             keyed.unpersist()
 
     def _compact_partitions(
-        self, v0: int, range_by: str | None = None, n_segments: int = 8
+        self,
+        v0: int,
+        range_by: str | None = None,
+        zorder_by: tuple[str, str] | None = None,
+        bits: int = 8,
+        n_segments: int = 8,
     ) -> int:
         """Partition-wise OPTIMIZE: fold each partition's segments, reading
         only that partition's files (never a cross-partition shuffle — at
         100 TB a partition is the unit of maintenance, like Delta's
         OPTIMIZE WHERE). Deletion vectors are applied during the fold and
-        retired. Without ``range_by``, each partition folds to one segment
-        and single-segment partitions with no outstanding dv are reused by
-        reference (a no-op partition costs zero IO). With ``range_by``,
-        each partition is rewritten as up to ``n_segments`` contiguous
-        bands of that column cut at sampled in-partition quantiles — the
-        'partition by day, cluster by key' layout that keeps targeted DML
-        O(affected files) inside big partitions too."""
+        retired. Without a clustering arg, each partition folds to one
+        segment and single-segment partitions with no outstanding dv are
+        reused by reference (a no-op partition costs zero IO). With
+        ``range_by``, each partition is rewritten as up to ``n_segments``
+        contiguous bands of that column cut at sampled in-partition
+        quantiles — the 'partition by day, cluster by key' layout that
+        keeps targeted DML O(affected files) inside big partitions too.
+        With ``zorder_by``, each partition is rewritten as Morton-key
+        bands over the two columns (Delta's OPTIMIZE ZORDER BY runs per
+        partition the same way), so 2-D box predicates prune bands
+        WITHIN whatever the partition predicate already kept."""
         with open(self._manifest_path(v0)) as f:
             m = json.load(f)
         parts, dv = m.get("partitions", {}), m.get("dv", {})
@@ -403,15 +412,19 @@ class LayoutMixin:
             k = json.dumps(p, sort_keys=True, default=str)
             groups.setdefault(k, (p, []))[1].append(s)
 
-        def _band_edges(df: DataFrame) -> list:
-            """In-partition quantile cut points (generic orderable type,
-            bounded sample — the compact(range_by=) approach)."""
+        clustered = range_by is not None or zorder_by is not None
+
+        def _band_edges(df: DataFrame, key: str) -> list:
+            """In-partition quantile cut points over ``key`` (generic
+            orderable type, bounded sample — the compact(range_by=)
+            approach; the Morton key is just a long and samples the same
+            way)."""
             n = max(1, n_segments)
             total = df.count()
             frac = min(1.0, 100_000 / max(total, 1))
             sample = sorted(
                 r[0]
-                for r in df.select(range_by)
+                for r in df.select(key)
                 .dropna()
                 .sample(fraction=frac, seed=7)
                 .collect()
@@ -424,21 +437,32 @@ class LayoutMixin:
             return [None, *sorted(set(qs)), None]
 
         def _write_banded(df: DataFrame, v: int, i0: int, pvals) -> list[str]:
+            if zorder_by is not None:
+                from lakehouse_spark.operators.layout import zorder_key
+
+                a, b = zorder_by
+                df, key, drop = df.withColumn(
+                    "__z", zorder_key(df, a, b, bits)
+                ), "__z", True
+            else:
+                key, drop = range_by, False
             df = df.persist()
             try:
                 segs = []
-                edges = _band_edges(df)
+                edges = _band_edges(df, key)
                 for j in range(len(edges) - 1):
                     lo, hi = edges[j], edges[j + 1]
                     band = df
                     if lo is not None:
-                        band = band.filter(F.col(range_by) >= lo)
+                        band = band.filter(F.col(key) >= lo)
                     if hi is not None:
-                        cond = F.col(range_by) < hi
+                        cond = F.col(key) < hi
                         if lo is None:  # nulls ride in the first band
-                            cond = cond | F.col(range_by).isNull()
+                            cond = cond | F.col(key).isNull()
                         band = band.filter(cond)
-                    band = band.sortWithinPartitions(range_by)
+                    band = band.sortWithinPartitions(key)
+                    if drop:
+                        band = band.drop(key)
                     seg = self._write_segment(band, v, part=i0 + j)
                     if pvals is not None:
                         self._pending_parts[seg] = pvals
@@ -452,13 +476,13 @@ class LayoutMixin:
             i = 0
             for k in sorted(groups):
                 pvals, group = groups[k]
-                if range_by is None and len(group) == 1 and group[0] not in masked:
+                if not clustered and len(group) == 1 and group[0] not in masked:
                     # Already optimal: carry the segment (and its stats /
                     # partition values, via the _transact carry-forward).
                     segs.append(group[0])
                     continue
                 df_g = self._to_logical(self._read_segments(group, dv))
-                if range_by is None:
+                if not clustered:
                     seg = self._write_segment(df_g, v, part=i)
                     self._pending_parts[seg] = pvals
                     segs.append(seg)
@@ -469,7 +493,7 @@ class LayoutMixin:
                     i += len(new)
             if loose:
                 df_l = self._to_logical(self._read_segments(loose, dv))
-                if range_by is None:
+                if not clustered:
                     segs.append(self._write_segment(df_l, v, part=i))
                 else:
                     segs += _write_banded(df_l, v, i, None)
@@ -478,6 +502,8 @@ class LayoutMixin:
         meta = {"compacted_partitions": len(groups)}
         if range_by is not None:
             meta["range_by"] = range_by
+        if zorder_by is not None:
+            meta["zorder_by"] = list(zorder_by)
         return self._transact(_fold, meta=meta, base_version=v0)
 
     def maybe_compact(

@@ -186,9 +186,12 @@ def test_compact_folds_within_partitions_only(spark, tmp_path):
     vals = sorted(p["day"] for p in m["partitions"].values())
     assert vals == ["d0", "d1", "d2"]
     assert store.read().orderBy("id").collect() == before
-    # 2-D z-ordering is partition-incompatible and says so
-    with pytest.raises(ValueError, match="not supported on a partitioned"):
-        store.compact(zorder_by=("id", "x"))
+    # 2-D z-ordering now runs partition-wise (round 7); results intact
+    store.compact(zorder_by=("id", "x"), bits=4, n_segments=2)
+    assert store.read().orderBy("id").collect() == before
+    m2 = _manifest(store)
+    # every written segment still carries its partition values
+    assert all(s in m2["partitions"] for s in m2["segments"])
 
 
 def test_compact_range_by_clusters_within_partitions(spark, tmp_path):
@@ -402,3 +405,59 @@ def test_date_partition_values_prune(spark, tmp_path):
     rng = store.read(predicate={"day": (date(2024, 3, 2), None)})
     assert sorted(r.id for r in rng.collect()) == [2, 3]
     assert sum(1 for fs in per_seg.values() if fs & set(rng.inputFiles())) == 2
+
+
+def test_compact_zorder_within_partitions_prunes_2d(spark, tmp_path):
+    """Round-7: OPTIMIZE ZORDER runs partition-wise. Each partition is
+    rewritten as Morton-key bands over (xa, xb); with both columns in
+    stats_cols a 2-D box predicate prunes BANDS within the partition the
+    partition predicate already selected — and results stay exact."""
+    store = TableStore(
+        spark,
+        str(tmp_path / "zp"),
+        key="id",
+        partition_by=("day",),
+        stats_cols=("xa", "xb"),
+    )
+    rows = [
+        (i, f"d{i % 2}", (i * 17) % 32, (i * 29) % 32) for i in range(1600)
+    ]
+    store.init(
+        spark.createDataFrame(rows, "id long, day string, xa long, xb long")
+    )
+    before = store.read().orderBy("id").collect()
+    store.compact(zorder_by=("xa", "xb"), bits=5, n_segments=4)
+    m = _manifest(store)
+    assert len(m["segments"]) == 8  # 2 partitions x 4 z-bands
+    assert all(s in m["partitions"] for s in m["segments"])
+    assert store.read().orderBy("id").collect() == before
+
+    full_one_day = store.read(predicate={"day": "d0"})
+    box = store.read(
+        predicate={"day": "d0", "xa": (0, 3), "xb": (0, 3)}
+    )
+    want = sorted(
+        r.id
+        for r in full_one_day.filter(
+            F.col("xa").between(0, 3) & F.col("xb").between(0, 3)
+        ).collect()
+    )
+    assert sorted(r.id for r in box.collect()) == want
+    # bands pruned WITHIN the partition: fewer files than the whole
+    # partition, which is itself fewer than the table
+    assert (
+        len(box.inputFiles())
+        < len(full_one_day.inputFiles())
+        < len(store.read().inputFiles())
+    )
+    # maybe_compact forwards the zorder args (ingest-loop path)
+    store.append(
+        spark.createDataFrame(
+            [(9000 + i, f"d{i % 2}", 1, 1) for i in range(4)],
+            "id long, day string, xa long, xb long",
+        )
+    )
+    assert store.maybe_compact(
+        max_segments=8, zorder_by=("xa", "xb"), n_segments=2
+    )
+    assert store.read().count() == 1604
