@@ -32,9 +32,10 @@ _DV_RE = re.compile(r"^_dv(\d{6})(?:_\d+)?$")
 
 def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
     """Conservative overlap test of a segment's per-column [min, max]
-    against a predicate of scalars / (lo, hi) ranges. Missing stats (or an
-    all-null column, min==max==None) keep the segment — pruning must never
-    change results, only skip provably-impossible files."""
+    against a predicate of scalars / (lo, hi) ranges / value LISTS
+    (membership). Missing stats (or an all-null column, min==max==None)
+    keep the segment — pruning must never change results, only skip
+    provably-impossible files."""
     if not seg_stats:
         return True
     for col, bounds in predicate.items():
@@ -43,6 +44,18 @@ def _segment_may_match(seg_stats: dict | None, predicate: dict) -> bool:
             continue
         mn, mx = st
         if mn is None or mx is None:
+            continue
+        if isinstance(bounds, (list, set, frozenset)):
+            # IN-set: the segment survives if ANY value could be inside
+            # its range (incomparable values conservatively count as
+            # possible). An empty set matches nothing anywhere.
+            def _maybe_in(v) -> bool:
+                try:
+                    return mn <= v <= mx
+                except TypeError:
+                    return True
+            if not any(_maybe_in(v) for v in bounds):
+                return False
             continue
         lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
         try:
@@ -122,10 +135,16 @@ def _harvest_dir_stats(path: str, cols: tuple[str, ...]) -> dict:
 
 def _predicate_expr(predicate: dict):
     """The exact Catalyst filter a stats predicate stands for: AND of
-    per-column range terms (scalar = equality, (lo, hi) = closed range,
-    None bound = unbounded). Returns None for an empty predicate."""
+    per-column terms (scalar = equality, (lo, hi) = closed range with
+    None = unbounded, list/set = IN-membership). Returns None for an
+    empty predicate."""
     cond = None
     for c, bounds in predicate.items():
+        if isinstance(bounds, (list, set, frozenset)):
+            vals = [v for v in bounds if v is not None]  # NULL never IN-matches
+            term = F.col(c).isin(*vals) if vals else F.lit(False)
+            cond = term if cond is None else (cond & term)
+            continue
         lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
         for b, op in ((lo, "__ge__"), (hi, "__le__")):
             if b is not None:

@@ -84,8 +84,8 @@ class ReadsMixin:
         as_of=None,
     ) -> DataFrame:
         """Read a version. ``predicate`` maps stats-tracked columns to a
-        scalar (equality) or ``(lo, hi)`` range (either bound None =
-        unbounded): segments whose manifest min/max can't overlap are
+        scalar (equality), ``(lo, hi)`` range (either bound None =
+        unbounded), or a LIST of values (IN-membership): segments whose manifest min/max can't overlap are
         skipped before Spark ever lists their files — Delta-style data
         skipping at manifest scale, on top of parquet's own row-group
         pruning within the surviving segments. Equality predicates also
@@ -133,16 +133,25 @@ class ReadsMixin:
                 if _segment_may_match(stats.get(s), predicate)
                 and self._partition_may_match(parts.get(s), predicate)
             ]
-            # Equality terms additionally probe bloom sidecars — effective
-            # exactly where min/max is not (unclustered high-cardinality
-            # keys). Range terms can't use a bloom.
+            # Equality and IN-set terms additionally probe bloom sidecars
+            # — effective exactly where min/max is not (unclustered
+            # high-cardinality keys). For an IN-set a segment is ruled out
+            # only when ALL values are provably absent. Range terms can't
+            # use a bloom.
             from lakehouse_spark.mutation.bloom import hash_values, probe_family
 
             for c, bounds in predicate.items():
                 if isinstance(bounds, tuple):
                     continue
-                fam = probe_family([bounds])
-                hv = hash_values([bounds])
+                vals = (
+                    [v for v in bounds if v is not None]
+                    if isinstance(bounds, (list, set, frozenset))
+                    else [bounds]
+                )
+                if not vals:
+                    continue  # empty IN: stats pruning already emptied it
+                fam = probe_family(vals)
+                hv = hash_values(vals)
                 if hv is None:
                     continue
                 segments = [

@@ -254,6 +254,17 @@ class LayoutMixin:
             val = part[col]
             if val is None:
                 continue  # null partition values are never pruned
+            if isinstance(bounds, (list, set, frozenset)):
+                # IN-set: keep the segment when ANY value may equal the
+                # partition value ("may equal" = neither side provably
+                # smaller — incomparable stays conservative).
+                if not any(
+                    not cls._part_lt(val, v) and not cls._part_lt(v, val)
+                    for v in bounds
+                    if v is not None
+                ):
+                    return False
+                continue
             lo, hi = bounds if isinstance(bounds, tuple) else (bounds, bounds)
             if lo is not None and cls._part_lt(val, lo):
                 return False
@@ -268,6 +279,7 @@ class LayoutMixin:
         bits: int = 8,
         n_segments: int = 8,
         range_by: str | None = None,
+        where: dict | None = None,
     ) -> int:
         """OPTIMIZE analog: fold all live segments into one (append-heavy
         tables accumulate small segments; run this on a cadence).
@@ -290,11 +302,24 @@ class LayoutMixin:
         is the layout that makes the targeted-DML and
         :meth:`overwrite_where` paths O(affected files): after
         ``compact(range_by=key)``, a merge/upsert/delete whose source keys
-        fall in one band rewrites one band."""
+        fall in one band rewrites one band.
+
+        ``where`` (Delta's ``OPTIMIZE WHERE``, partitioned tables only;
+        the :meth:`read` predicate dict form over partition columns)
+        scopes the maintenance: only partitions whose recorded values may
+        match are folded/clustered, everything else is carried by
+        reference — so a daily job can optimize yesterday's partition
+        without touching (or reading) the other 10 years."""
         if zorder_by is not None and range_by is not None:
             raise ValueError("pass zorder_by or range_by, not both")
         v0 = self.current_version()
         pcols = self.partition_cols()
+        if where is not None and not pcols:
+            raise ValueError(
+                "compact(where=...) scopes maintenance by PARTITION values; "
+                "this table is unpartitioned (Delta's OPTIMIZE WHERE has "
+                "the same restriction)"
+            )
         if pcols:
             # Partition-wise: each partition folds/clusters independently
             # (Delta's OPTIMIZE [ZORDER BY] runs per partition too).
@@ -304,6 +329,7 @@ class LayoutMixin:
                 zorder_by=zorder_by,
                 bits=bits,
                 n_segments=n_segments,
+                where=where,
             )
         if zorder_by is None and range_by is None:
             return self._rewrite(self.read(v0), base_version=v0)
@@ -382,6 +408,7 @@ class LayoutMixin:
         zorder_by: tuple[str, str] | None = None,
         bits: int = 8,
         n_segments: int = 8,
+        where: dict | None = None,
     ) -> int:
         """Partition-wise OPTIMIZE: fold each partition's segments, reading
         only that partition's files (never a cross-partition shuffle — at
@@ -471,11 +498,27 @@ class LayoutMixin:
             finally:
                 df.unpersist()
 
+        # OPTIMIZE WHERE scope: a partition outside the predicate is
+        # carried BY REFERENCE — zero IO, dv masks intact. Loose segments
+        # (pre-partitioning history) have no values to match, so a scoped
+        # run conservatively leaves them alone too.
+        phys_where = self._pred_to_physical(where) if where else None
+
+        def _in_scope(pvals) -> bool:
+            return phys_where is None or self._partition_may_match(
+                pvals, phys_where
+            )
+
         def _fold(v: int) -> list[str]:
             segs: list[str] = []
             i = 0
+            n_touched = 0
             for k in sorted(groups):
                 pvals, group = groups[k]
+                if not _in_scope(pvals):
+                    segs += group
+                    continue
+                n_touched += 1
                 if not clustered and len(group) == 1 and group[0] not in masked:
                     # Already optimal: carry the segment (and its stats /
                     # partition values, via the _transact carry-forward).
@@ -492,14 +535,24 @@ class LayoutMixin:
                     segs += new
                     i += len(new)
             if loose:
-                df_l = self._to_logical(self._read_segments(loose, dv))
-                if not clustered:
-                    segs.append(self._write_segment(df_l, v, part=i))
+                if phys_where is not None:
+                    segs += loose
                 else:
-                    segs += _write_banded(df_l, v, i, None)
+                    df_l = self._to_logical(self._read_segments(loose, dv))
+                    if not clustered:
+                        segs.append(self._write_segment(df_l, v, part=i))
+                    else:
+                        segs += _write_banded(df_l, v, i, None)
             return segs
 
+        if phys_where is not None and not any(
+            _in_scope(p) for p, _ in groups.values()
+        ):
+            return v0  # nothing in scope: no empty commit
+
         meta = {"compacted_partitions": len(groups)}
+        if where is not None:
+            meta["where"] = {k: v for k, v in where.items()}
         if range_by is not None:
             meta["range_by"] = range_by
         if zorder_by is not None:
@@ -512,18 +565,28 @@ class LayoutMixin:
         zorder_by: tuple[str, str] | None = None,
         range_by: str | None = None,
         n_segments: int = 8,
+        max_dv: int = 8,
     ) -> bool:
         """Small-file policy: compact only when the live version holds more
-        than ``max_segments`` segments. Call it after appends (streaming
-        sinks, ingest loops) — amortized cost stays O(table/max_segments)
-        per rewrite while reads never degrade past ``max_segments`` file
-        groups. ``zorder_by`` / ``range_by`` forward to :meth:`compact`, so
-        an ingest loop can keep the table key-clustered (and targeted DML
-        cheap) with the same call. Returns True when a compaction ran. A
-        concurrent writer winning the race simply surfaces
+        than ``max_segments`` segments OR more than ``max_dv`` outstanding
+        deletion-vector files. Call it after appends and merge-on-read DML
+        (streaming sinks, ingest loops) — amortized cost stays
+        O(table/max_segments) per rewrite while reads never degrade past
+        ``max_segments`` file groups or ``max_dv`` anti-join passes (each
+        outstanding dv costs every read one broadcast anti-join, the
+        merge-on-read tax Delta's OPTIMIZE-after-DV-DML cadence exists to
+        bound). ``zorder_by`` / ``range_by`` forward to :meth:`compact`,
+        so an ingest loop can keep the table key-clustered (and targeted
+        DML cheap) with the same call. Returns True when a compaction ran.
+        A concurrent writer winning the race simply surfaces
         ConcurrentWriteError like any other commit — the caller's next
         maybe_compact retries."""
-        if self.n_segments() <= max_segments:
+        v = self.current_version()
+        n_dv = 0
+        if v is not None:
+            with open(self._manifest_path(v)) as f:
+                n_dv = len(json.load(f).get("dv", {}))
+        if self.n_segments() <= max_segments and n_dv <= max_dv:
             return False
         self.compact(
             zorder_by=zorder_by, range_by=range_by, n_segments=n_segments
