@@ -1496,3 +1496,81 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorts.top_n(
         scored, [F.desc("pmi"), F.asc("w1"), F.asc("w2")], 20
     ).select("w1", "w2", "c12", "pmi")
+
+
+@_q(
+    "curation_filter_funnel",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             length(text) - length(replace(text, '#', '')) AS hash_cnt,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt,
+             text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4)
+               AS mean_word_len,
+             round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(w), 4) AS frac_alpha_words,
+             round((hash_cnt + ell_cnt) * 1.0 / len(w), 4) AS symbol_ratio,
+             CAST(len(list_filter(['the','a','and','of','to','in','is','for'],
+                                  s -> list_contains(w, s))) AS BIGINT)
+               AS stop_hits
+      FROM feats
+    ), attributed AS (
+      SELECT CASE
+        WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'n_words'
+        WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0 THEN 'mean_word_len'
+        WHEN frac_alpha_words < 0.8 THEN 'frac_alpha_words'
+        WHEN symbol_ratio >= 0.1 THEN 'symbol_ratio'
+        WHEN stop_hits < 2 THEN 'stop_hits'
+        ELSE 'pass' END AS rule
+      FROM m
+    ), stages(stage, rule) AS (
+      VALUES (0, 'n_words'), (1, 'mean_word_len'), (2, 'frac_alpha_words'),
+             (3, 'symbol_ratio'), (4, 'stop_hits'), (5, 'pass')
+    )
+    SELECT s.stage, s.rule,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+    FROM stages s LEFT JOIN (
+      SELECT rule, count(*) AS n FROM attributed GROUP BY rule) c
+      ON s.rule = c.rule
+    """,
+    doc="Pipeline observability: the quality-filter FUNNEL — per Gopher "
+    "rule (fixed order), how many docs that rule removed among those "
+    "surviving every earlier rule, plus the final pass count. The report "
+    "a curation run ships next to its output so a threshold change is "
+    "attributable to the stage that caused it. One scan + one 6-row "
+    "groupBy; the stage table is a broadcast literal",
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = text.gopher_rules(docs, "doc_id", "text")
+    rule = (
+        F.when(~F.col("n_words").between(50, 100000), "n_words")
+        .when(~F.col("mean_word_len").between(3.0, 10.0), "mean_word_len")
+        .when(F.col("frac_alpha_words") < 0.8, "frac_alpha_words")
+        .when(F.col("symbol_ratio") >= 0.1, "symbol_ratio")
+        .when(F.col("stop_hits") < 2, "stop_hits")
+        .otherwise("pass")
+    )
+    counts = feats.groupBy(rule.alias("rule")).agg(F.count("*").alias("n"))
+    stages = spark.createDataFrame(
+        [
+            (0, "n_words"),
+            (1, "mean_word_len"),
+            (2, "frac_alpha_words"),
+            (3, "symbol_ratio"),
+            (4, "stop_hits"),
+            (5, "pass"),
+        ],
+        "stage int, rule string",
+    )
+    return stages.join(counts, "rule", "left").select(
+        "stage",
+        "rule",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs"),
+    )
