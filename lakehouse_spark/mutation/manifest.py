@@ -488,12 +488,19 @@ class TxnMixin:
                     default=str,  # dates/decimals degrade to strings
                 )
             os.replace(tmp, self._manifest_path(nxt))
-            self._swap_pointer(nxt)
             if self.write_cdf:
-                # Post-pointer, so the commit is already durable; an error
-                # here leaves a repairable gap (materialize_cdf(v) is
-                # idempotent), never a broken table.
+                # PRE-pointer (round 7; used to run post-pointer): the
+                # finalized manifest file is all _changes_one needs, and a
+                # live CDF stream polls the pointer — swapping first opened
+                # a window where the stream saw the rewrite version but not
+                # its change file yet and died with "rewrite commit without
+                # a materialized change file". Now the pointer only ever
+                # advances to a version whose changes are already readable.
+                # A failure here aborts the whole commit (pointer unmoved,
+                # claim released below) — Delta's CDC write is part of its
+                # commit for the same reason.
                 self.materialize_cdf(nxt)
+            self._swap_pointer(nxt)
             return nxt
         except BaseException:
             # Release the claim: the slot must not stay wedged after a failed
@@ -511,6 +518,11 @@ class TxnMixin:
                 os.unlink(self._manifest_path(nxt))
             except FileNotFoundError:
                 pass
+            # An aborted attempt's change file is poison: it was computed
+            # for THIS attempt's segments, and the next claimant of the
+            # same slot commits DIFFERENT content — materialize_cdf's
+            # exists-short-circuit would then serve the stale diff.
+            shutil.rmtree(self._cdc_path(nxt), ignore_errors=True)
             raise
 
     def vacuum(self, keep_last: int = 2, dry_run: bool = False) -> dict:

@@ -554,6 +554,19 @@ class SnapshotReader(DataSourceReader):
         )
 
 
+def _changes_ready(root: str, v: int) -> bool:
+    """Whether commit ``v``'s changes can be planned right now: always for
+    append/noop/dv commits, and once the ``_cdc`` dir exists for rewrites.
+    The stream's offset logic uses this to hold back from a HEAD whose
+    writer finalized the manifest but hasn't published the change file
+    (a crashed-writer pointer roll-forward can expose that state)."""
+    try:
+        kind, _ = _commit_kind(root, v)
+    except FileNotFoundError:
+        return False
+    return kind != "rewrite" or os.path.isdir(_cdc_dir(root, v))
+
+
 def _change_parts(root: str, v: int, cdf: bool) -> list[_ScanPart]:
     """Partitions for one commit's changes. Raises on an unmaterialized
     rewrite — silently skipping it would corrupt every downstream sink."""
@@ -666,7 +679,24 @@ class ChangesStreamReader(DataSourceStreamReader):
         # replaying already-committed versions into the sink.
         head = _pointer(self.root)
         last = getattr(self, "_last", None)
-        self._last = head if last is None else min(head, last + self.max_versions)
+        if last is None:
+            self._last = head
+        else:
+            cand = min(head, last + self.max_versions)
+            # Don't step ONTO a head whose change file isn't readable yet
+            # (writer mid-commit after a pointer roll-forward): wait one
+            # poll instead of terminally failing the plan. Only the head
+            # can be transient — a missing change file BELOW head is
+            # permanent (the writer moved on) and planning raises as
+            # before so the gap is repaired, not silently skipped.
+            if (
+                self.cdf
+                and cand == head
+                and cand > last
+                and not _changes_ready(self.root, cand)
+            ):
+                cand -= 1
+            self._last = max(last, cand)
         return {"version": self._last}
 
     def partitions(self, start: dict, end: dict):

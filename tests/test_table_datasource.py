@@ -457,3 +457,60 @@ def test_stream_cdf_rename_transparent_while_running(spark, tmp_path):
         (r["_commit_version"], r["id"]) for r in spark.read.parquet(out).collect()
     )
     assert rows == [(0, 1), (2, 2)]
+
+
+def test_stream_survives_mid_flight_rewrites(spark, tmp_path):
+    """Round-7 race fix: a rewrite commit (repartition_table, compact)
+    landing while a changes stream is polling must never kill the query.
+    The pointer used to swap BEFORE the change file was materialized, so
+    a 300 ms poll could observe the version without its cdc and die with
+    'rewrite commit without a materialized change file'. Now the commit
+    materializes pre-pointer AND the reader holds back from a head whose
+    changes aren't readable."""
+    s = TableStore(
+        spark, str(tmp_path / "t"), key="id", write_cdf=True,
+        partition_by=("g",),
+    )
+    s.init(
+        spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(6)], "id long, g int, v string"
+        )
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("changes", "true")
+        .option("maxVersionsPerBatch", "1")
+        .load(s.root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def n():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    deadline = time.monotonic() + 90
+    try:
+        while n() < 6 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        s.repartition_table(())  # rewrite, EMPTY change set
+        s.compact()              # rewrite again
+        s.append(
+            spark.createDataFrame([(99, 1, "z")], "id long, g int, v string")
+        )
+        while n() < 7 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert q.exception() is None
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = spark.read.parquet(out)
+    assert got.count() == 7  # 6 initial inserts + the post-rewrite append
+    # the empty-diff rewrites contributed zero phantom rows
+    assert got.filter("_commit_version in (1, 2)").count() == 0
