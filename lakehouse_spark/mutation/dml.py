@@ -235,13 +235,31 @@ class DmlMixin:
             version = self.version_at(as_of)
         with open(self._manifest_path(version)) as f:  # raises if vacuumed
             m = json.load(f)
-        return self._transact(
-            lambda v: m["segments"],
+        v = self._transact(
+            lambda _v: m["segments"],
             meta={"restored_from": version},
-            # Pin the restored version's deletion vectors too: carrying the
-            # head's dvs would keep masking rows the restored state had.
+            # Pin the restored version's FULL state, not just its data:
+            # deletion vectors (carrying the head's would keep masking
+            # rows the restored state had), per-segment stats/partition
+            # values (the head's carry-forward doesn't know segments it no
+            # longer references), and the logical-schema plane —
+            # constraints, generated columns, column mapping, partition
+            # layout. Restoring across a RENAME/DROP COLUMN or a
+            # repartition_table must bring the old schema and layout back,
+            # exactly Delta's RESTORE contract (data AND metadata roll
+            # back; the bad commits stay inspectable in history).
             dv_override=m.get("dv", {}),
+            stats_override=m.get("stats", {}),
+            partitions_override=m.get("partitions", {}),
+            constraints_override=m.get("constraints", {}),
+            generated_override=m.get("generated", {}),
+            columns_override=(m.get("renames", {}), m.get("dropped", [])),
+            partition_by_override=m.get("partition_by", []),
         )
+        # Future writes from THIS instance follow the restored layout (the
+        # same instance-state roll that repartition_table performs).
+        self.partition_by = tuple(m.get("partition_by", []))
+        return v
 
     def overwrite(
         self,

@@ -311,6 +311,8 @@ class TxnMixin:
         generated_override: dict[str, str] | None = None,
         columns_override: tuple[dict, list] | None = None,
         partition_by_override: list[str] | None = None,
+        stats_override: dict | None = None,
+        partitions_override: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -392,10 +394,15 @@ class TxnMixin:
                 new_txn[app] = max(int(ver), int(new_txn.get(app, -1)))
             segments = make_segments(nxt)
             # Per-segment stats: fresh for new segments, carried forward
-            # for reused ones (the append case rewrites nothing).
+            # for reused ones (the append case rewrites nothing). RESTORE
+            # passes the restored manifest's stats instead — the head's
+            # carry-forward wouldn't know segments the head no longer
+            # references (segments are immutable, so the old records are
+            # still exact).
+            stat_src = prev_stats if stats_override is None else stats_override
             stats = {}
             for s in segments:
-                st = self._pending_stats.pop(s, prev_stats.get(s))
+                st = self._pending_stats.pop(s, stat_src.get(s))
                 if st:
                     stats[s] = st
             # A written-but-unreferenced segment's stats are equally stale
@@ -403,9 +410,12 @@ class TxnMixin:
             for s in set(self._pending_stats) - pending_before:
                 del self._pending_stats[s]
             # Per-segment partition values: same lifecycle as stats.
+            part_src = (
+                prev_parts if partitions_override is None else partitions_override
+            )
             parts = {}
             for s in segments:
-                p = self._pending_parts.pop(s, prev_parts.get(s))
+                p = self._pending_parts.pop(s, part_src.get(s))
                 if p is not None:
                     parts[s] = p
             for s in set(self._pending_parts) - parts_pending_before:

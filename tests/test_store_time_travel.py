@@ -116,3 +116,80 @@ def test_datasource_timestamp_as_of(spark, store):
             .load(store.root)
             .count()
         )
+
+
+# -- round-7: RESTORE rolls back table STATE, not just data -------------------
+
+
+def test_restore_brings_back_renamed_and_dropped_columns(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "rs"), key="id")
+    s.init(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, v string, x long"
+        )
+    )
+    v0 = s.current_version()
+    s.rename_column("v", "val")
+    s.drop_column("x")
+    assert s.read().columns == ["id", "val"]
+    s.restore(version=v0)
+    # the old logical schema is back — Delta RESTORE restores metadata too
+    got = s.read()
+    assert got.columns == ["id", "v", "x"]
+    assert sorted((r.id, r.v, r.x) for r in got.collect()) == [
+        (1, "a", 10), (2, "b", 20),
+    ]
+    # and the rename era is still inspectable via time travel
+    assert "val" in s.read(version=v0 + 1).columns
+
+
+def test_restore_drops_later_constraints_and_generated(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "rc"), key="id")
+    s.init(spark.createDataFrame([(1, 5, 10)], "id long, g long, g2 long"))
+    v0 = s.current_version()
+    s.add_constraint("pos", "g > 0")
+    s.set_generated("g2", "g * 2")
+    s.restore(version=v0)
+    assert s.constraints() == {}
+    assert s.generated_columns() == {}
+    # a write the dropped constraint would have rejected now lands
+    s.append(spark.createDataFrame([(2, -1, 0)], "id long, g long, g2 long"))
+    assert s.read().count() == 2
+
+
+def test_restore_across_repartition_restores_layout(spark, tmp_path):
+    s = TableStore(
+        spark, str(tmp_path / "rp"), key="id", partition_by=("day",)
+    )
+    rows = [(i, f"d{i % 3}", i % 2) for i in range(12)]
+    s.init(spark.createDataFrame(rows, "id long, day string, g int"))
+    v0 = s.current_version()
+    s.repartition_table(("g",))
+    assert s.partition_cols() == ("g",)
+    s.restore(version=v0)
+    # declared layout AND per-segment partition values are the old era's:
+    # partition pruning on day works again
+    assert s.partition_cols() == ("day",)
+    hit = s.read(predicate={"day": "d1"})
+    assert sorted(r.id for r in hit.collect()) == [1, 4, 7, 10]
+    assert len(hit.inputFiles()) < len(s.read().inputFiles())
+    # and new writes split on day again
+    s.append(spark.createDataFrame([(100, "d9", 0)], "id long, day string, g int"))
+    assert s.read(predicate={"day": "d9"}).count() == 1
+
+
+def test_restore_recovers_stats_head_forgot(spark, tmp_path):
+    """Segments the head no longer references (compacted away between the
+    restored version and now) must get their min/max back from the
+    restored manifest — otherwise pruning silently degrades after every
+    rollback across an OPTIMIZE."""
+    s = TableStore(spark, str(tmp_path / "st"), key="id", stats_cols=("id",))
+    s.init(spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string"))
+    s.append(spark.createDataFrame([(200 + i, f"w{i}") for i in range(100)], "id long, v string"))
+    v1 = s.current_version()
+    pruned_before = len(s.read(predicate={"id": (0, 50)}).inputFiles())
+    s.compact()  # head forgets the two original segments
+    s.restore(version=v1)
+    hit = s.read(predicate={"id": (0, 50)})
+    assert len(hit.inputFiles()) == pruned_before  # stats back, pruning back
+    assert hit.count() == 51
