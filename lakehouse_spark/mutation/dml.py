@@ -707,6 +707,107 @@ class DmlMixin:
             base_version=v0,
         )
 
+    def delete_where(
+        self,
+        where: str | None = None,
+        predicate: dict | None = None,
+        mode: str = "rewrite",
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Delta's ``DELETE FROM t WHERE ...``. ``where`` is a SQL boolean
+        over the row; ``predicate`` is the :meth:`read` dict form of (part
+        of) the same condition and is what buys file skipping — segments
+        whose stats/partition values can't match are reused by reference,
+        so a partition-scoped delete is O(affected segments). At least one
+        of the two is required (deleting every row should be the explicit
+        ``overwrite`` of an empty frame, not a DELETE with no WHERE).
+
+        ``mode="rewrite"`` (default) deletes EXACT rows: the touched
+        segments' survivors are rewritten. ``mode="dv"`` is merge-on-read:
+        O(deleted rows) written, no segment rewritten — but this store's
+        deletion vectors mask by KEY, so dv mode requires every matched
+        key's rows to ALL match the condition (true on unique-key tables,
+        always true for delete_keys); a partial-key match raises with
+        instructions to use rewrite mode rather than silently deleting
+        sibling rows the WHERE spared. Returns the number of deleted
+        rows."""
+        if where is None and predicate is None:
+            raise ValueError(
+                "DELETE with no condition would drop every row; call "
+                "overwrite() with an empty frame if that is really meant"
+            )
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
+        v0 = self.current_version()
+        if v0 is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        with open(self._manifest_path(v0)) as f:
+            manifest = json.load(f)
+        touched, untouched = manifest["segments"], []
+        if predicate:
+            stats = manifest.get("stats", {})
+            parts = manifest.get("partitions", {})
+            phys_pred = self._pred_to_physical(predicate)
+            touched = [
+                s
+                for s in manifest["segments"]
+                if _segment_may_match(stats.get(s), phys_pred)
+                and self._partition_may_match(parts.get(s), phys_pred)
+            ]
+            untouched = [
+                s for s in manifest["segments"] if s not in set(touched)
+            ]
+        if not touched:
+            return 0  # provably nothing matches; no commit needed
+        base = self._aligned_base(manifest, touched)
+        cond = _predicate_expr(predicate) if predicate else None
+        if where is not None:
+            w = F.expr(where)
+            cond = w if cond is None else (cond & w)
+        matched_cond = F.coalesce(cond, F.lit(False))  # NULL = not matched
+        if mode == "rewrite":
+            base = base.persist()
+            try:
+                survivors = base.filter(~matched_cond)
+                removed = base.count() - survivors.count()
+                if removed == 0:
+                    return 0
+                self._transact(
+                    lambda v: untouched + self._write_partitioned(survivors, v),
+                    txn=txn,
+                    base_version=v0,
+                )
+                return removed
+            finally:
+                base.unpersist()
+        pre = base.filter(matched_cond).persist()
+        try:
+            removed = pre.count()
+            if removed == 0:
+                return 0
+            key_rows = base.join(
+                pre.select(self.key).distinct(), self.key, "left_semi"
+            ).count()
+            if key_rows != removed:
+                raise ValueError(
+                    "mode='dv' masks by key, but the condition matches only "
+                    "SOME rows of at least one key — a dv would also delete "
+                    "the rows the WHERE spared; use mode='rewrite' for "
+                    "row-exact deletes on duplicate-key tables"
+                )
+
+            def _keep(v: int) -> list[str]:
+                segs = self._segments(v - 1)
+                name = f"_dv{v:06d}"
+                pre.write.mode("overwrite").parquet(self._dv_path(name))
+                self._pending_dv[name] = segs
+                return segs
+
+            self._transact(_keep, txn=txn, base_version=v0)
+            return removed
+        finally:
+            pre.unpersist()
+
     def delete_keys(self, keys: DataFrame, mode: str = "rewrite") -> int:
         """J4 target: delete all rows whose key appears in ``keys`` (feed
         with plans.closure.cascade_delete_targets for recursive deletes).

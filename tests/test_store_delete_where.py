@@ -1,0 +1,117 @@
+"""delete_where — Delta's DELETE FROM t WHERE ...: exact-row rewrite
+deletes with predicate file skipping, merge-on-read dv deletes with the
+key-granularity guard, CDF pre-images, and no-op hygiene."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouse_spark.mutation.store import TableStore
+
+
+def _manifest(store):
+    with open(store._manifest_path(store.current_version())) as f:
+        return json.load(f)
+
+
+def _mk(spark, tmp_path, **kw):
+    s = TableStore(spark, str(tmp_path / "t"), key="id", **kw)
+    s.init(
+        spark.createDataFrame(
+            [(i, f"d{i % 3}", i * 10) for i in range(30)],
+            "id long, day string, x long",
+        )
+    )
+    return s
+
+
+def test_rewrite_deletes_exact_rows(spark, tmp_path):
+    s = _mk(spark, tmp_path)
+    removed = s.delete_where(where="x >= 250")
+    assert removed == 5
+    assert sorted(r.id for r in s.read().collect()) == list(range(25))
+    # WHERE evaluating NULL spares the row (SQL DELETE semantics)
+    s.append(
+        spark.createDataFrame(
+            [(100, None, None)], "id long, day string, x long"
+        )
+    )
+    assert s.delete_where(where="x > 0 AND day = 'd9'") == 0
+    assert s.read().filter("id = 100").count() == 1
+
+
+def test_rewrite_deletes_rows_not_keys(spark, tmp_path):
+    """DELETE WHERE must be row-exact even when keys repeat — the trap a
+    delete-by-matched-keys implementation falls into."""
+    s = TableStore(spark, str(tmp_path / "dups"), key="id")
+    s.init(
+        spark.createDataFrame(
+            [(1, "keep"), (1, "drop"), (2, "keep")], "id long, v string"
+        )
+    )
+    assert s.delete_where(where="v = 'drop'") == 1
+    got = sorted((r.id, r.v) for r in s.read().collect())
+    assert got == [(1, "keep"), (2, "keep")]
+
+
+def test_predicate_skips_untouched_partitions(spark, tmp_path):
+    s = TableStore(
+        spark, str(tmp_path / "p"), key="id", partition_by=("day",)
+    )
+    s.init(
+        spark.createDataFrame(
+            [(i, f"d{i % 3}", i) for i in range(30)],
+            "id long, day string, x long",
+        )
+    )
+    before = _manifest(s)["segments"]
+    removed = s.delete_where(where="x < 10", predicate={"day": "d1"})
+    assert removed == sum(1 for i in range(30) if i % 3 == 1 and i < 10)
+    after = _manifest(s)["segments"]
+    # d0/d2 segments reused by reference
+    assert len([x for x in after if x in before]) == 2
+    assert s.read().count() == 30 - removed
+
+
+def test_predicate_only_no_match_no_commit(spark, tmp_path):
+    s = _mk(spark, tmp_path, stats_cols=("x",))
+    v = s.current_version()
+    assert s.delete_where(predicate={"x": (5000, None)}) == 0
+    assert s.current_version() == v  # stats proved it; no commit at all
+    with pytest.raises(ValueError, match="no condition"):
+        s.delete_where()
+
+
+def test_dv_mode_masks_and_feeds_cdf(spark, tmp_path):
+    s = _mk(spark, tmp_path, write_cdf=True)
+    segs_before = _manifest(s)["segments"]
+    removed = s.delete_where(where="x BETWEEN 100 AND 120", mode="dv")
+    assert removed == 3
+    m = _manifest(s)
+    assert m["segments"] == segs_before  # nothing rewritten
+    assert len(m["dv"]) == 1
+    assert s.read().count() == 27
+    # the dv pre-images ARE the change feed rows
+    ch = s.changes(s.current_version(), s.current_version())
+    got = sorted(
+        (r["_change_type"], r.id) for r in ch.collect()
+    )
+    assert got == [("delete", 10), ("delete", 11), ("delete", 12)]
+
+
+def test_dv_mode_key_granularity_guard(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "g"), key="id")
+    s.init(
+        spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "id long, v string"
+        )
+    )
+    with pytest.raises(ValueError, match="masks by key"):
+        s.delete_where(where="v = 'a'", mode="dv")
+    # full-key matches are fine
+    assert s.delete_where(where="id = 1", mode="dv") == 2
+    assert sorted(r.v for r in s.read().collect()) == ["c"]
