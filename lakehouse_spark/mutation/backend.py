@@ -27,6 +27,8 @@ Contract summary (each clause is one test):
 8. ``history()`` lists versions with timestamps, newest first.
 9. Appending a frame whose column types conflict with the table is
    rejected (schema enforcement), leaving the table untouched.
+10. ``delete_where(condition)`` removes exactly the rows matching a SQL
+    boolean, row-exact (not key-granular).
 """
 
 from __future__ import annotations
@@ -60,6 +62,9 @@ class TableBackend(ABC):
 
     @abstractmethod
     def delete_keys(self, keys: DataFrame) -> None: ...
+
+    @abstractmethod
+    def delete_where(self, condition: str) -> None: ...
 
     @abstractmethod
     def read(
@@ -101,6 +106,9 @@ class TableStoreBackend(TableBackend):
     def delete_keys(self, keys):
         self._store.delete_keys(keys)
 
+    def delete_where(self, condition):
+        self._store.delete_where(where=condition)
+
     def read(self, version=None, as_of=None):
         return self._store.read(version=version, as_of=as_of)
 
@@ -120,7 +128,7 @@ class TableStoreBackend(TableBackend):
 
 
 class DeltaBackend(TableBackend):
-    """Delta Lake binding: the same nine clauses through delta-spark.
+    """Delta Lake binding: the same ten clauses through delta-spark.
 
     Complete and intended to run verbatim where the package exists
     (``pip install delta-spark`` + the Delta SQL extensions); in this
@@ -166,6 +174,9 @@ class DeltaBackend(TableBackend):
         from pyspark.sql import functions as F
 
         self._dt().delete(F.col(self.key).isin(ids))
+
+    def delete_where(self, condition):
+        self._dt().delete(condition)
 
     def read(self, version=None, as_of=None):
         reader = self.spark.read.format("delta")

@@ -1,4 +1,4 @@
-"""The backend contract suite (mutation/backend.py): nine behavioral
+"""The backend contract suite (mutation/backend.py): ten behavioral
 clauses any versioned-table engine must pass to be swappable behind the
 pipelines. Parameterized over every binding in ALL_BACKENDS — TableStore
 runs here; the Delta binding runs verbatim wherever delta-spark is
@@ -148,3 +148,11 @@ def test_type_conflicting_append_rejected(backend, spark):  # clause 9
     with pytest.raises(Exception):
         backend.append(bad)
     assert _rows(backend.read()) == before  # table untouched
+
+
+def test_delete_where_is_row_exact(backend, spark):  # clause 10
+    backend.append(
+        spark.createDataFrame([(4, "d", 25)], "id long, v string, x long")
+    )
+    backend.delete_where("x > 20")
+    assert _rows(backend.read()) == [(1, "a", 10), (2, "b", 20)]
