@@ -157,3 +157,37 @@ def test_maybe_compact_triggers_on_dv_pressure(spark, tmp_path):
     m = _manifest(s)
     assert m.get("dv", {}) == {}  # folded and retired
     assert s.read().count() == 47
+
+
+# -- cross-feature interplay ---------------------------------------------------
+
+
+def test_update_accepts_in_list_predicate(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "up"), key="id", stats_cols=("id",))
+    s.init(
+        spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(20)], "id long, v string, n long"
+        )
+    )
+    n = s.update({"n": "n + 1"}, predicate={"id": [3, 7, 999]})
+    assert n == 2
+    got = {r.id: r.n for r in s.read().collect()}
+    assert got[3] == 1 and got[7] == 1 and got[5] == 0
+
+
+def test_delete_where_respects_column_mapping(spark, tmp_path):
+    """WHERE arrives in LOGICAL names after a rename; the rewrite must
+    filter on them and write physical, with the survivors still readable
+    under the logical schema."""
+    s = TableStore(spark, str(tmp_path / "cm"), key="id")
+    s.init(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, v string, x long",
+        )
+    )
+    s.rename_column("x", "amount")
+    assert s.delete_where(where="amount >= 20") == 2
+    got = s.read()
+    assert got.columns == ["id", "v", "amount"]
+    assert [(r.id, r.amount) for r in got.collect()] == [(1, 10)]
