@@ -773,3 +773,125 @@ def ts_anomaly_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("cnt") - F.col("med")) > 3 * F.col("mad"))
         & (F.col("mad") > 0),
     )
+
+
+@_q(
+    "rollup_ohlc",
+    """
+    WITH seq AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             row_number() OVER w_asc AS rn_a,
+             row_number() OVER w_desc AS rn_d
+      FROM events
+      WINDOW w_asc AS (PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts ASC, event_id ASC),
+             w_desc AS (PARTITION BY event_type, CAST(ts AS DATE)
+                        ORDER BY ts DESC, event_id DESC)
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq GROUP BY event_type, day
+    """,
+    doc="OHLC candle rollup per (event_type, day): open/close are the "
+    "first/last observation by (ts, event_id) — explicit tie-break, so "
+    "the selection is deterministic — high/low are min/max. Pure value "
+    "SELECTION (no float arithmetic), hence bit-exact cross-engine. One "
+    "window sort per group feeds both endpoints; group cardinality is "
+    "(types x days), never event cardinality, and the groupBy runs with "
+    "map-side partials",
+)
+def rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return seq.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@_q(
+    "j_pit_enrichment",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), facts AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT f.user_id, f.day, f.n_events, d.state
+    FROM facts f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= CAST(f.day AS TIMESTAMP)
+     AND (d.valid_to IS NULL OR CAST(f.day AS TIMESTAMP) < d.valid_to)
+    """,
+    doc="Point-in-time-correct enrichment: each (user, day) fact row "
+    "joins the SCD2 state interval valid AT THE DAY'S START — the "
+    "no-leakage dimension join every feature pipeline needs (joining the "
+    "CURRENT state would leak the future into training rows). Day 1 "
+    "starts before any state exists and correctly reads NULL. Equi join "
+    "on user_id with a residual interval condition — a hash join whose "
+    "partitions are per-user timelines, no range blow-up; the dimension "
+    "is change-points only (<<= event count)",
+)
+def j_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_type", "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    facts = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    day_start = F.col("day").cast("timestamp")
+    return (
+        facts.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= day_start)
+            & (F.col("valid_to").isNull() | (day_start < F.col("valid_to"))),
+            "left",
+        )
+        .select("user_id", "day", "n_events", "state")
+    )
