@@ -577,6 +577,19 @@ class TxnMixin:
                 # long as ANY retained manifest references it.
                 if int(m.group(1)) <= cur and name not in live_dv:
                     doomed.append(name)
+            elif name.startswith("_cdc") and ".tmp." in name:
+                # Debris of a writer that died mid-materialize (the tmp
+                # dir is renamed atomically on success). Age-gated by the
+                # same grace window as claim stealing — a fresh tmp may
+                # belong to a live commit in flight.
+                try:
+                    age = time.time() - os.path.getmtime(
+                        os.path.join(self.root, name)
+                    )
+                except OSError:
+                    continue
+                if age > self.orphan_grace_sec:
+                    doomed.append(name)
         n_files = size = 0
         for name in doomed:
             p = os.path.join(self.root, name)

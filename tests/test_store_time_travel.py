@@ -193,3 +193,31 @@ def test_restore_recovers_stats_head_forgot(spark, tmp_path):
     hit = s.read(predicate={"id": (0, 50)})
     assert len(hit.inputFiles()) == pruned_before  # stats back, pruning back
     assert hit.count() == 51
+
+
+def test_vacuum_sweeps_orphaned_cdc_tmp_debris(spark, tmp_path):
+    """A writer that dies mid-materialize leaves a _cdcNNNNNN.tmp.<pid>
+    dir (the atomic-rename never ran). Vacuum reclaims it once it is
+    older than the orphan grace window — and never touches a fresh one,
+    which may belong to a commit in flight."""
+    import os
+    import time
+
+    s = TableStore(
+        spark, str(tmp_path / "t"), key="id", orphan_grace_sec=0.5
+    )
+    s.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    s.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    stale = os.path.join(s.root, "_cdc000009.tmp.999.888")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-x.parquet"), "w") as f:
+        f.write("junk")
+    fresh = os.path.join(s.root, "_cdc000010.tmp.111.222")
+    os.makedirs(fresh)
+    time.sleep(0.6)  # stale ages past the grace window
+    os.utime(fresh)  # fresh stays fresh
+    rep = s.vacuum(keep_last=10)
+    assert "_cdc000009.tmp.999.888" in rep["names"]
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # live writer's in-flight dir untouched
+    assert s.read().count() == 2
