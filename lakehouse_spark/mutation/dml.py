@@ -800,7 +800,13 @@ class DmlMixin:
                 segs = self._segments(v - 1)
                 name = f"_dv{v:06d}"
                 pre.write.mode("overwrite").parquet(self._dv_path(name))
-                self._pending_dv[name] = segs
+                # Scope the dv to the predicate-touched segments only
+                # (matching the upsert/merge dv paths at :424/:690). The
+                # key-granularity guard above only inspects rows in the
+                # touched segments, so registering against ALL segments
+                # would silently mask a matched key's sibling rows living
+                # in predicate-pruned segments.
+                self._pending_dv[name] = list(touched)
                 return segs
 
             self._transact(_keep, txn=txn, base_version=v0)

@@ -287,6 +287,16 @@ class TxnMixin:
         if st.st_size > 0:
             cur = self.current_version()
             if cur is None or cur < v:
+                # Preserve the pre-pointer CDF invariant across recovery:
+                # the crashed writer may have died between manifest
+                # finalize and materialize_cdf, so rolling the pointer
+                # forward without materializing would publish a rewrite
+                # commit whose change file nothing ever writes — a CDF
+                # stream then stalls at head-1 forever (table_source.py
+                # latestOffset holdback). materialize_cdf is idempotent
+                # and atomic, so racing the original writer is safe.
+                if self.write_cdf:
+                    self.materialize_cdf(v)
                 self._swap_pointer(v)
                 return True
             return False  # pointer already caught up; plain lost race
@@ -553,6 +563,20 @@ class TxnMixin:
             v for v in range(max(0, cur - keep_last + 1), cur + 1)
             if os.path.exists(self._manifest_path(v))
         ]
+        if self.write_cdf and not dry_run:
+            # Opportunistic CDF repair: a published rewrite commit can be
+            # missing its change file when a crashed writer's pointer was
+            # rolled forward by a non-CDF-aware recoverer. Materialize
+            # while manifest v-1 is still retained — once vacuum drops it
+            # the gap becomes permanent and a stream parked there needs a
+            # restart past it. Best-effort: vacuum is maintenance, not a
+            # commit path.
+            for kv in keep_versions:
+                if kv == 0 or os.path.exists(self._manifest_path(kv - 1)):
+                    try:
+                        self.materialize_cdf(kv)
+                    except Exception:
+                        pass
         live = {s for v in keep_versions for s in self._segments(v)}
         live_dv = set()
         for kv in keep_versions:

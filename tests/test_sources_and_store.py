@@ -463,6 +463,51 @@ def test_rollforward_after_crash_between_finalize_and_pointer(
     assert {r.k for r in store.read().collect()} == {"a", "b", "c"}
 
 
+def test_rollforward_materializes_missing_change_file(
+    spark, tmp_store_dir
+):
+    """Round-8 advisor item (table_source.py:690): a crashed writer can
+    die between manifest finalize and materialize_cdf. Rolling the pointer
+    forward without materializing publishes a rewrite commit whose change
+    file nothing ever writes — a CDF stream stalls at head-1 until the gap
+    drops below head, then fails permanently. The recoverer must
+    materialize before the swap, and vacuum repairs gaps a non-CDF-aware
+    recoverer left behind."""
+    import json as _json
+    import shutil
+
+    ts = datetime(2026, 1, 1)
+    store = TableStore(spark, tmp_store_dir, key="k", write_cdf=True)
+    store.init(_kv(spark, ("a", 1, ts)))
+    store.append(_kv(spark, ("b", 2, ts)))
+    v0 = store.current_version()
+
+    # Simulate the crash: a REWRITE commit (drops one segment, adds one)
+    # finalized by hand — no _cdc dir, pointer still at v0.
+    crashed = v0 + 1
+    seg = store._write_segment(_kv(spark, ("a", 10, ts), ("b", 2, ts)), crashed)
+    with open(store._manifest_path(crashed), "w") as f:
+        _json.dump({"segments": [seg], "meta": {}, "txn": {}}, f)
+    assert store.commit_kind(crashed)[0] == "rewrite"
+    assert not os.path.isdir(store._cdc_path(crashed))
+
+    # Next writer's recovery rolls the pointer forward AND materializes.
+    store.append(_kv(spark, ("c", 3, ts)))
+    assert store.current_version() == crashed + 1
+    assert os.path.isdir(store._cdc_path(crashed))
+    ch = store.changes(crashed, crashed)
+    assert {(r["_change_type"], r.k) for r in ch.collect()} >= {
+        ("update_postimage", "a")
+    }
+
+    # Vacuum repair path: blow the change file away (as if a
+    # write_cdf=False recoverer had rolled forward) and vacuum re-creates
+    # it while manifest v-1 is still retained.
+    shutil.rmtree(store._cdc_path(crashed))
+    store.vacuum(keep_last=10)
+    assert os.path.isdir(store._cdc_path(crashed))
+
+
 def test_threaded_append_race_loses_nothing(spark, tmp_store_dir):
     """Two writers appending from the same base version, for real (threads):
     the claim protocol must serialize them — every append that REPORTED

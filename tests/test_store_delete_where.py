@@ -103,6 +103,54 @@ def test_dv_mode_masks_and_feeds_cdf(spark, tmp_path):
     assert got == [("delete", 10), ("delete", 11), ("delete", 12)]
 
 
+def test_dv_scoped_to_touched_segments(spark, tmp_path):
+    """Round-8 advisor fix (dml.py:803): a dv from a predicate-scoped
+    delete must apply ONLY to the predicate-touched segments. With the dv
+    registered against ALL segments, a matched key's sibling rows in
+    predicate-PRUNED partitions were silently masked (and the CDF
+    under-reported the extra delete)."""
+    s = TableStore(
+        spark,
+        str(tmp_path / "sib"),
+        key="id",
+        partition_by=("day",),
+        write_cdf=True,
+    )
+    s.init(
+        spark.createDataFrame(
+            [(1, "d0", 10), (1, "d1", 11), (2, "d0", 20)],
+            "id long, day string, x long",
+        )
+    )
+    removed = s.delete_where(predicate={"day": "d1"}, mode="dv")
+    assert removed == 1
+    # key 1's d0 sibling row SURVIVES: the dv is scoped to the d1 segment
+    got = sorted((r.id, r.day) for r in s.read().collect())
+    assert got == [(1, "d0"), (2, "d0")]
+    m = _manifest(s)
+    (applies_to,) = m["dv"].values()
+    assert set(applies_to) < set(m["segments"])  # strict subset
+    parts = m["partitions"]
+    assert all(parts[seg].get("day") == "d1" for seg in applies_to)
+    # CDF reports exactly the one deleted row
+    ch = s.changes(s.current_version(), s.current_version())
+    assert [(r["_change_type"], r.id, r.day) for r in ch.collect()] == [
+        ("delete", 1, "d1")
+    ]
+    # and the guard is now sound per-scope: within the touched partition a
+    # partial-key match still raises
+    s2 = TableStore(
+        spark, str(tmp_path / "sib2"), key="id", partition_by=("day",)
+    )
+    s2.init(
+        spark.createDataFrame(
+            [(1, "d0", 1), (1, "d0", 2)], "id long, day string, x long"
+        )
+    )
+    with pytest.raises(ValueError, match="masks by key"):
+        s2.delete_where(where="x = 1", predicate={"day": "d0"}, mode="dv")
+
+
 def test_dv_mode_key_granularity_guard(spark, tmp_path):
     s = TableStore(spark, str(tmp_path / "g"), key="id")
     s.init(
