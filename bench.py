@@ -116,10 +116,14 @@ def _scaling_pair(
     spark, suite, d_small: str, d_big: str, tag_small: str, tag_big: str
 ) -> dict:
     """Per-query {t_<small>, t_<big>, time_ratio, shuffle_ratio} between
-    two dataset sizes: one single-shot run at each, shuffle bytes/records
-    from the executed plan (plans/metrics). ``shuffle_ratio`` is
-    bytes-based; records ratio rides alongside. Single-shot by design
-    (the medians above are the timing artifact — this is about SLOPE).
+    two dataset sizes: median-of-3 runs at each point (round 8 — the
+    single-shot round-7 sections fabricated an 8.7× slope for
+    dedup_minhash_lsh_xxh that interleaved re-measurement showed was a
+    cold-state spike: candidate counts md5 2558 vs xxh 2559, xxh median
+    FASTER), shuffle bytes/records from the executed plan
+    (plans/metrics, deterministic — read once). ``shuffle_ratio`` is
+    bytes-based; records ratio rides alongside. Reps via
+    BENCH_SCALING_REPS (default 3).
 
     Caveat: queries that localCheckpoint/cache their iterative core (e.g.
     dedup_cluster_components) report only the FINAL job's plan metrics —
@@ -129,43 +133,43 @@ def _scaling_pair(
     from lakehouse_spark.operators.dedup import release_caches
     from lakehouse_spark.plans.metrics import plan_metrics
 
+    reps = max(1, int(os.environ.get("BENCH_SCALING_REPS", "3")))
     queries: dict[str, dict] = {}
     superlinear: list[str] = []
     for name, spec in suite.items():
         entry: dict = {}
         try:
             for tag, d in ((tag_small, d_small), (tag_big, d_big)):
-                t0 = time.perf_counter()
-                df = spec.build(spark, d)
-                df.collect()
-                entry[f"t_{tag}"] = round(time.perf_counter() - t0, 3)
-                m = plan_metrics(df, total=True)
-                entry[f"shuffle_bytes_{tag}"] = m.get("shuffleBytesWritten", 0)
-                entry[f"shuffle_records_{tag}"] = m.get("shuffleRecordsWritten", 0)
-                release_caches()
+                runs = []
+                for i in range(reps):
+                    t0 = time.perf_counter()
+                    df = spec.build(spark, d)
+                    df.collect()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                    if i == 0:  # plan metrics are deterministic; read once
+                        m = plan_metrics(df, total=True)
+                        entry[f"shuffle_bytes_{tag}"] = m.get(
+                            "shuffleBytesWritten", 0
+                        )
+                        entry[f"shuffle_records_{tag}"] = m.get(
+                            "shuffleRecordsWritten", 0
+                        )
+                    release_caches()
+                entry[f"t_{tag}"] = round(statistics.median(runs), 3)
+                entry[f"t_{tag}_min"] = min(runs)
+                entry[f"runs_{tag}"] = runs
             entry["time_ratio"] = (
                 round(entry[f"t_{tag_big}"] / entry[f"t_{tag_small}"], 2)
                 if entry[f"t_{tag_small}"]
                 else None
             )
-            # Single shots are contention-prone (a transient stall on one
-            # side fabricates a scary slope): a time ratio that reads
-            # super-linear gets ONE re-measure of each point, keeping the
-            # min — a real quadratic survives the retry, a GC/noise spike
-            # doesn't. Shuffle ratios need no such defense (deterministic).
-            if entry["time_ratio"] is not None and entry["time_ratio"] > 10:
-                for tag, d in ((tag_small, d_small), (tag_big, d_big)):
-                    t0 = time.perf_counter()
-                    spec.build(spark, d).collect()
-                    entry[f"t_{tag}"] = min(
-                        entry[f"t_{tag}"],
-                        round(time.perf_counter() - t0, 3),
-                    )
-                    release_caches()
-                entry["time_ratio"] = round(
-                    entry[f"t_{tag_big}"] / entry[f"t_{tag_small}"], 2
-                )
-                entry["time_ratio_remeasured"] = True
+            # min-based slope rides alongside: when median and min ratios
+            # disagree wildly the medians were contention, not compute.
+            entry["time_ratio_min"] = (
+                round(entry[f"t_{tag_big}_min"] / entry[f"t_{tag_small}_min"], 2)
+                if entry[f"t_{tag_small}_min"]
+                else None
+            )
             sb = entry[f"shuffle_bytes_{tag_small}"]
             bb = entry[f"shuffle_bytes_{tag_big}"]
             sr = entry[f"shuffle_records_{tag_small}"]

@@ -41,6 +41,9 @@ from lakehouse_spark.queries import (  # noqa: E402,F401  (import-for-effect)
     tpch,
 )
 
+# sqlfront reuses tpch oracle texts, so it must import AFTER tpch.
+from lakehouse_spark.queries import sqlfront  # noqa: E402,F401
+
 __all__ = ["CATALOG", "QuerySpec", "headline_queries"]
 
 

@@ -26,6 +26,20 @@ integration seam that makes the store a first-class `format(...)`:
   store's optimistic-concurrency manifest commit. An aborted job leaves
   only an unreferenced staging dir; readers never see a partial write.
 
+KNOWN UPSTREAM CAVEAT (Spark 4.1, round-8 finding): the JVM caches the
+planned read per relation (``PythonDataSourceV2.readInfo``) with NO keying
+on pushed filters — ``getOrCreateReadInfo`` is a bare null-check and
+``PythonScanBuilder.pushFilters`` overwrites the shared field. Reusing ONE
+loaded DataFrame (or a temp view over it) across scans with DIFFERENT
+filter sets silently executes the wrong partitions: an unfiltered query
+after a filtered one returns the filtered rows, and a self-join runs the
+last-pushed side's filter on both sides. Use a FRESH
+``spark.read.format("lakehouse").load(root)`` per query (the pattern every
+module here follows), and use :class:`lakehouse_spark.catalog.LakeCatalog`
+for named views — it backs views with parquet-native ``TableStore.read()``
+scans for exactly this reason (tests/test_sql_catalog.py pins the
+mixed-filter-reuse scenarios).
+
 Scale notes: the per-partition unit is one parquet *file*, so
 parallelism matches the layout exactly as Delta's log-driven scans do;
 all file IO is pyarrow.dataset (vectorized, row-group pruned). The
