@@ -275,7 +275,7 @@ class LayoutMixin:
 
     def compact(
         self,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
         bits: int = 8,
         n_segments: int = 8,
         range_by: str | None = None,
@@ -284,14 +284,16 @@ class LayoutMixin:
         """OPTIMIZE analog: fold all live segments into one (append-heavy
         tables accumulate small segments; run this on a cadence).
 
-        ``zorder_by=(col_a, col_b)`` is OPTIMIZE ZORDER BY: rows are
-        Morton-clustered on the two columns (operators.layout) and written
-        as ``n_segments`` z-range-banded segments instead of one. Each
-        band covers a compact rectangle of the 2-D key space, so with the
+        ``zorder_by=(col_a, col_b, ...)`` is OPTIMIZE ZORDER BY over any
+        N >= 2 columns (Delta takes a column list too): rows are
+        Morton-clustered on the N columns (operators.layout, per-dimension
+        ``bits`` — N*bits must fit a signed long) and written as
+        ``n_segments`` z-range-banded segments instead of one. Each band
+        covers a compact hyper-rectangle of the N-D key space, so with the
         same columns in ``stats_cols`` the manifest's per-segment min/max
         lets ``read(predicate=...)`` skip most bands on a box predicate
-        over EITHER column — manifest-level data skipping on top of the
-        parquet row-group pruning the z-sort already buys. One full
+        over ANY of the columns — manifest-level data skipping on top of
+        the parquet row-group pruning the z-sort already buys. One full
         rewrite, same as Delta's OPTIMIZE; the banded writes read the keyed
         snapshot from a persisted cache, not n_segments recomputes of
         upstream lineage.
@@ -312,6 +314,11 @@ class LayoutMixin:
         without touching (or reading) the other 10 years."""
         if zorder_by is not None and range_by is not None:
             raise ValueError("pass zorder_by or range_by, not both")
+        if zorder_by is not None and len(zorder_by) < 2:
+            raise ValueError(
+                "zorder_by needs at least two columns (one-column "
+                "clustering is range_by=)"
+            )
         v0 = self.current_version()
         pcols = self.partition_cols()
         if where is not None and not pcols:
@@ -339,9 +346,8 @@ class LayoutMixin:
         else:
             from lakehouse_spark.operators.layout import zorder_key
 
-            a, b = zorder_by
             keyed = base.withColumn(
-                "__z", zorder_key(base, a, b, bits)
+                "__z", zorder_key(base, *zorder_by, bits=bits)
             ).persist()
         try:
             n = max(1, n_segments)
@@ -405,7 +411,7 @@ class LayoutMixin:
         self,
         v0: int,
         range_by: str | None = None,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
         bits: int = 8,
         n_segments: int = 8,
         where: dict | None = None,
@@ -467,9 +473,8 @@ class LayoutMixin:
             if zorder_by is not None:
                 from lakehouse_spark.operators.layout import zorder_key
 
-                a, b = zorder_by
                 df, key, drop = df.withColumn(
-                    "__z", zorder_key(df, a, b, bits)
+                    "__z", zorder_key(df, *zorder_by, bits=bits)
                 ), "__z", True
             else:
                 key, drop = range_by, False

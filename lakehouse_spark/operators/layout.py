@@ -30,19 +30,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def interleave_bits_n(cols: list[Column], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` of N non-negative ints: result
+    bit ``n*i + j`` = bit ``i`` of ``cols[j]`` — the N-dimensional Z-curve
+    (Delta's OPTIMIZE ZORDER BY takes any column list; so does this).
+    ``n * bits`` must fit a signed long (≤ 62); the fixed shift/mask stack
+    stays whole-stage-codegen-able at any N."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("interleave_bits_n needs at least one column")
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits; the Morton "
+            "key must fit a signed long (<= 62) — lower bits= (pruning "
+            "needs locality, not precision)"
+        )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                    n * i + j,
+                )
+            )
+    return out
+
+
 def interleave_bits(a: Column, b: Column, bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` of two non-negative ints:
     result bit 2i = bit i of ``a``, bit 2i+1 = bit i of ``b``."""
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = out.bitwiseOR(
-            F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(
-                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-            )
-        )
-    return out
+    return interleave_bits_n([a, b], bits)
 
 
 def interleave_bits_sql(a: str, b: str, bits: int = 16) -> str:
@@ -82,28 +100,39 @@ def rank_bucket(df: DataFrame, col: str, bits: int = 8) -> Column:
     ).cast("long")
 
 
-def zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = 8) -> Column:
-    """Morton key over the rank-bucketed pair — attach with withColumn and
-    range-partition/sort by it."""
-    return interleave_bits(
-        rank_bucket(df, col_a, bits), rank_bucket(df, col_b, bits), bits
+def zorder_key(df: DataFrame, *cols: str, bits: int = 8) -> Column:
+    """Morton key over the rank-bucketed columns (N >= 2) — attach with
+    withColumn and range-partition/sort by it. ``bits`` is per-dimension;
+    total key bits = ``len(cols) * bits`` (must be <= 62, so 3-D keeps the
+    default 8, 7-D drops to 8 as well, etc.)."""
+    if len(cols) < 2:
+        raise ValueError("zorder_key needs at least two columns")
+    if len(cols) * bits > 62:
+        # validate BEFORE rank_bucket: a too-wide bits= would otherwise
+        # ask approxQuantile for 2^bits boundary points first
+        raise ValueError(
+            f"{len(cols)} columns x {bits} bits = {len(cols) * bits} key "
+            "bits; the Morton key must fit a signed long (<= 62) — lower "
+            "bits= (pruning needs locality, not precision)"
+        )
+    return interleave_bits_n(
+        [rank_bucket(df, c, bits) for c in cols], bits
     )
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     bits: int = 8,
     n_files: int = 16,
 ) -> None:
-    """Write ``df`` Z-ordered on (col_a, col_b): range-partition by the
+    """Write ``df`` Z-ordered on ``cols`` (N >= 2): range-partition by the
     Morton key (locality across files) + sort within partitions (locality
     within each file's row groups). Each output file covers a compact
-    rectangle of the 2-D key space, so min/max stats prune box predicates
-    on EITHER OR BOTH columns."""
-    keyed = df.withColumn("__z", zorder_key(df, col_a, col_b, bits))
+    hyper-rectangle of the N-D key space, so min/max stats prune box
+    predicates on ANY subset of the columns."""
+    keyed = df.withColumn("__z", zorder_key(df, *cols, bits=bits))
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
