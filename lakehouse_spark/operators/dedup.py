@@ -765,6 +765,22 @@ def hyperplanes(k: int, dim: int, seed: int = 5) -> list[list[float]]:
     return out
 
 
+def rp_signature(v, planes) -> "F.Column":
+    """Sign-bit signature column: bit p = [<v, planes[p]> >= 0] (Charikar
+    SimHash for vectors). One HOF fold per plane, no shuffle; planes are
+    inlined literals so the signature replays identically cross-engine."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(0).cast("long")
+    return sig
+
+
 def rp_lsh_near_duplicates(
     emb: DataFrame,
     id_col: str,
@@ -792,16 +808,11 @@ def rp_lsh_near_duplicates(
 
     planes = hyperplanes(k, len(emb.select(vec_col).first()[0]), seed)
     v = F.col(vec_col)
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(0).cast("long")
-    signed = emb.select(F.col(id_col).alias("id"), v.alias("v"), sig.alias("sig"))
+    signed = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        rp_signature(v, planes).alias("sig"),
+    )
 
     width = k // bands
     mask = (1 << width) - 1
@@ -913,8 +924,9 @@ def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     tau: float = 0.3,
+    target_cluster_size: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — cluster the corpus, then
@@ -937,13 +949,60 @@ def semdedup(
     Scale shape: the seed relation is tiny and broadcast, so assignment
     is scan-speed (argmax over n_clusters broadcast rows via map-side
     max_by partial aggregation — the corpus never shuffles to assign);
-    the within-cluster self-join shuffles on cluster_id once. At real
-    corpus scale raise ``n_clusters`` ~√n (the paper uses 11k clusters
-    for LAION-scale corpora) — per-cluster pair cost falls quadratically
-    with cluster count while assignment stays one broadcast argmax."""
+    the within-cluster self-join shuffles on cluster_id once.
+
+    ``n_clusters=None`` (the scale contract, round 8) sizes the cluster
+    count as ``ceil(n / target_cluster_size)`` — CONSTANT expected cluster
+    size, so the within-cluster pair space grows LINEARLY in the corpus
+    (``~n * target_cluster_size``). A fixed cluster count is quadratic
+    (the round-8 stress run measured 99.6x shuffle on 10x data at
+    n_clusters=8), and the √n rule sometimes quoted from the paper still
+    leaves pair space at n^1.5; constant cluster size is what actually
+    survives 100 TB. Assignment cost is n * n_clusters broadcast
+    comparisons — at extreme scale swap the flat argmax for the IVF
+    two-level assignment in operators/similarity (same contract)."""
     from lakehouse_spark.operators.similarity import cosine
 
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_clusters is None:
+        import math
+
+        n = e.count()
+        n_clusters = max(8, -(-n // target_cluster_size))
+        if n_clusters > 64:
+            # Large-corpus path: flat argmax assignment is O(n * k) =
+            # O(nˆ2 / target_cluster_size) — the round-8 100x stress
+            # measured 13x time on 10x data from exactly this term. Swap
+            # the assignment for random-hyperplane bucketing (Charikar
+            # sign bits, cosine-preserving, deterministic md5 planes):
+            # O(n * log k * dim), truly scan-linear, same within-cluster
+            # dedup downstream. The same size-triggered plan transition
+            # discipline as broadcast-vs-shuffle joins; the oracle-checked
+            # small-corpus path keeps the seed-argmax form.
+            h = max(3, math.ceil(math.log2(n_clusters)))
+            planes = hyperplanes(h, len(e.select("v").first()[0]))
+            clustered = e.withColumn(
+                "cluster_id", rp_signature(F.col("v"), planes)
+            )
+            assigned = clustered.select("id", "cluster_id")
+            pairs = embedding_near_duplicates(
+                clustered, "id", "v", block_col="cluster_id", min_cosine=-2.0
+            )
+            dropped = (
+                pairs.withColumn("cos", F.round("cosine", 6))
+                .filter(F.col("cos") >= tau)
+                .select(F.col("b_id").alias("id"))
+                .distinct()
+            )
+            return (
+                assigned.join(
+                    dropped.withColumn("kept", F.lit(False)), "id", "left"
+                ).select(
+                    F.col("id").alias(id_col),
+                    "cluster_id",
+                    F.coalesce("kept", F.lit(True)).alias("kept"),
+                )
+            )
     seeds = (
         e.withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h", "id")

@@ -83,6 +83,9 @@ def _strides(spark: SparkSession, src_dir: str) -> dict[str, int]:
     for t, key in _STRIDE_KEY.items():
         mx = load_table(spark, src_dir, t).agg(F.max(key)).first()[0]
         out[t] = int(mx) + 1
+    # label stride for the per-copy label shift (see _scaled_copy)
+    mx = load_table(spark, src_dir, "embeddings").agg(F.max("label")).first()[0]
+    out["embeddings_label"] = int(mx) + 1
     return out
 
 
@@ -99,6 +102,32 @@ def _scaled_copy(df: DataFrame, table: str, i: int, strides: dict) -> DataFrame:
         df = df.withColumn(
             "text", F.regexp_replace("text", r"(\S+)", f"$1{i}")
         ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "part":
+        # Common-suffix rename (round 8): appending the same copy digit to
+        # both strings of a pair preserves Levenshtein distance exactly,
+        # while making the last-word half of dedup_fuzzy_levenshtein's
+        # (head noun, first char) block key copy-distinct — so its
+        # fixed-cardinality blocks grow Kx in COUNT, not size, and the
+        # blocked pair space stays linear (un-renamed copies measured 24x
+        # time on 10x data from the squared blocks).
+        df = df.withColumn("p_name", F.concat(F.col("p_name"), F.lit(str(i))))
+    if table == "embeddings":
+        # Per-copy label shift (round 8): label-blocked operators
+        # (sim_knn_graph, dedup_embedding_cosine) compare all pairs
+        # WITHIN a label. Un-shifted copies grow each block Kx and the
+        # block-internal pair space Kˆ2 — the round-8 stress run measured
+        # a 17-23x shuffle on 10x data from exactly this. With the shift,
+        # label CARDINALITY grows Kx at constant block size (how real
+        # corpora scale: more sources, not monster sources), every copy's
+        # k-NN graph equals the original's (shifted), and work grows
+        # exactly Kx. Copy-0 labels stay verbatim so pinned query
+        # literals keep matching.
+        df = df.withColumn(
+            "label",
+            (F.col("label") + F.lit(i * strides["embeddings_label"])).cast(
+                "long"
+            ),
+        )
     return df
 
 
@@ -114,7 +143,9 @@ def synthesize_scaled(
             "/tmp", f"lakehouse_scale{k}_{os.path.basename(src_dir)}"
         )
     marker = os.path.join(dst_dir, _MARKER)
-    want = {"src": os.path.realpath(src_dir), "k": k}
+    # "gen" bumps when the synthesis recipe changes (round 8: embedding
+    # label rename) so stale /tmp caches rebuild instead of short-circuiting.
+    want = {"src": os.path.realpath(src_dir), "k": k, "gen": 3}
     try:
         with open(marker) as f:
             if json.load(f) == want:

@@ -987,8 +987,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (
-      SELECT id AS cid, v AS cv FROM e
-      ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8
+      SELECT id AS cid, v AS cv FROM (
+        SELECT id, v,
+               row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+                 AS rn,
+               count(*) OVER () AS n
+        FROM e) t
+      WHERE rn <= greatest(8, CAST(ceil(n / 64.0) AS BIGINT))
     ),
     assigned AS (
       SELECT id, cid AS cluster_id FROM (
@@ -1018,16 +1023,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pairwise cost is sum(|cluster|^2), never n^2. Deterministic "
         "variant: seeds = smallest-md5(id) vectors, assignment = broadcast "
         "max-cosine argmax (map-side max_by, the corpus never shuffles to "
-        "assign), keep-smallest-id within a near-dup pair. At real scale "
-        "n_clusters grows ~sqrt(n) (SemDeDup uses 11k clusters for LAION) "
-        "and the per-cluster pair cost falls quadratically."
+        "assign), keep-smallest-id within a near-dup pair. Cluster count "
+        "auto-sizes to ceil(n/64) — CONSTANT cluster size, so pair space "
+        "grows linearly with the corpus (a fixed count is quadratic; the "
+        "round-8 stress run measured 99.6x shuffle on 10x data at k=8)."
     ),
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return dedup.semdedup(emb, "vec_id", "embedding", n_clusters=8, tau=0.3)
+    return dedup.semdedup(
+        emb, "vec_id", "embedding", n_clusters=None, tau=0.3
+    )
 
 
 @_q(

@@ -239,9 +239,13 @@ class _ScanPart(InputPartition):
     dv_key: str | None = None
 
 
-def _arrow_filter(ranges: dict, null_checked: tuple[str, ...]):
-    """pyarrow dataset expression from pushed-down per-column ranges —
-    drives row-group/page pruning inside the scan."""
+def _arrow_filter(
+    ranges: dict,
+    null_checked: tuple[str, ...],
+    in_sets: dict | None = None,
+):
+    """pyarrow dataset expression from pushed-down per-column ranges /
+    IN-sets — drives row-group/page pruning inside the scan."""
     import pyarrow.dataset as ds
 
     expr = None
@@ -250,10 +254,104 @@ def _arrow_filter(ranges: dict, null_checked: tuple[str, ...]):
             if bound is not None:
                 term = getattr(ds.field(col), cmp)(bound)
                 expr = term if expr is None else expr & term
+    for col, values in (in_sets or {}).items():
+        term = ds.field(col).isin(values)
+        expr = term if expr is None else expr & term
     for col in null_checked:
         term = ds.field(col).is_valid()
         expr = term if expr is None else expr & term
     return expr
+
+
+def _parse_predicate_option(
+    options, col_map: dict, schema: StructType
+) -> tuple[dict, dict]:
+    """``.option("predicate", '<json>')`` — static filter pushdown for
+    change reads. Spark 4.1 exposes no pushFilters seam to Python STREAM
+    readers, so a filtered ``readStream`` otherwise ships every commit's
+    files and re-filters post-Arrow; the option closes that gap (Delta
+    users know it as partition-filtered CDF reads).
+
+    JSON value forms per column: scalar = equality, ``{"between": [lo,
+    hi]}`` = closed range (null end = unbounded), ``{"in": [...]}`` =
+    membership. Semantics are EXACT row filtering (the pyarrow scan
+    applies the predicate), plus IO pruning: whole segments are skipped
+    via manifest stats and individual files via parquet footer stats when
+    they provably can't match. Returns ``(ranges {phys: (lo, hi)},
+    in_sets {phys: [values]})``."""
+    raw = options.get("predicate")
+    if not raw:
+        return {}, {}
+    spec = json.loads(raw)
+    names = set(schema.fieldNames())
+    ranges: dict = {}
+    in_sets: dict = {}
+    for col, v in spec.items():
+        if col not in names:
+            raise ValueError(
+                f"predicate column {col!r} is not in the table schema "
+                f"{sorted(names)}"
+            )
+        phys = col_map.get(col, col)
+        if isinstance(v, dict) and set(v) == {"between"}:
+            lo, hi = v["between"]
+            ranges[phys] = (lo, hi)
+        elif isinstance(v, dict) and set(v) == {"in"}:
+            in_sets[phys] = list(v["in"])
+        elif isinstance(v, dict):
+            raise ValueError(
+                f"predicate for {col!r} must be a scalar, "
+                '{"between": [lo, hi]}, or {"in": [...]}; got '
+                f"{sorted(v)}"
+            )
+        else:
+            ranges[phys] = (v, v)
+    return ranges, in_sets
+
+
+def _file_may_match(path: str, ranges: dict, in_sets: dict) -> bool:
+    """Conservative parquet-footer stats probe: False only when NO row
+    group's [min, max] can satisfy the predicate. Driver-side metadata
+    read, zero data IO — the same bound the manifest stats give, but
+    available for files no manifest tracks (stored change files, dv
+    pre-images). Any missing stats / unreadable footer / incomparable
+    type keeps the file."""
+    if not ranges and not in_sets:
+        return True
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        cols = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        for col in set(ranges) | set(in_sets):
+            idx = cols.get(col)
+            if idx is None:
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mn = mx = None
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if mn is None:
+                continue
+            if col in ranges:
+                lo, hi = ranges[col]
+                if (lo is not None and mx < lo) or (
+                    hi is not None and mn > hi
+                ):
+                    return False
+            if col in in_sets and not any(
+                mn <= v <= mx for v in in_sets[col]
+            ):
+                return False
+        return True
+    except (TypeError, ValueError, OSError):
+        return True  # incomparable predicate/stat types: keep the file
 
 
 def _read_files(
@@ -262,6 +360,7 @@ def _read_files(
     ranges: dict | None = None,
     null_checked: tuple[str, ...] = (),
     col_map: dict | None = None,
+    in_sets: dict | None = None,
 ):
     """Yield Arrow RecordBatches for one partition, conformed to the read
     schema (column order + missing-column nulls), with CDF tagging."""
@@ -304,7 +403,11 @@ def _read_files(
     # Read with the files' own types, project/conform after: parquet
     # footers may carry e.g. int32 where the table schema says int64.
     dataset = ds.dataset(list(part.files), schema=file_schema, format="parquet")
-    flt = _arrow_filter(ranges, null_checked) if (ranges or null_checked) else None
+    flt = (
+        _arrow_filter(ranges or {}, null_checked, in_sets)
+        if (ranges or null_checked or in_sets)
+        else None
+    )
     for batch in dataset.to_batches(filter=flt):
         if deleted_keys is not None and batch.num_rows:
             keep = pc.invert(
@@ -354,6 +457,13 @@ class LakehouseDataSource(DataSource):
       stream start).
     - ``maxVersionsPerBatch`` — stream rate limit (default 10 commits
       per micro-batch).
+    - ``predicate`` — JSON dict pushing a static filter into CHANGE reads
+      (batch ``changes`` and streams), where Spark has no pushFilters
+      seam for Python sources: ``{"col": scalar}`` equality,
+      ``{"col": {"between": [lo, hi]}}`` range (null end = unbounded),
+      ``{"col": {"in": [...]}}`` membership. Rows are filtered exactly
+      (pyarrow scan filter); segments/files that provably can't match
+      are never read (manifest stats + parquet footer stats).
     """
 
     @classmethod
@@ -581,17 +691,48 @@ def _changes_ready(root: str, v: int) -> bool:
     return kind != "rewrite" or os.path.isdir(_cdc_dir(root, v))
 
 
-def _change_parts(root: str, v: int, cdf: bool) -> list[_ScanPart]:
+def _change_parts(
+    root: str,
+    v: int,
+    cdf: bool,
+    ranges: dict | None = None,
+    in_sets: dict | None = None,
+) -> list[_ScanPart]:
     """Partitions for one commit's changes. Raises on an unmaterialized
-    rewrite — silently skipping it would corrupt every downstream sink."""
+    rewrite — silently skipping it would corrupt every downstream sink.
+
+    ``ranges``/``in_sets`` (from the ``predicate`` option) prune the
+    plan: appended segments are dropped via MANIFEST stats first (zero
+    per-file IO — at scale a commit may add thousands of files), then
+    every surviving file — segment, dv pre-image, or stored change file —
+    via its parquet footer. Conservative both times; the exact predicate
+    is re-applied inside the scan."""
+    ranges, in_sets = ranges or {}, in_sets or {}
+
+    def _files(seg: str) -> list[str]:
+        return [
+            f
+            for f in _segment_files(root, seg)
+            if _file_may_match(f, ranges, in_sets)
+        ]
+
     kind, added = _commit_kind(root, v)
     if kind == "noop":
         return []
     if kind == "append":
+        if ranges or in_sets:
+            # manifest stats: cheapest prune, whole segments at a time
+            from lakehouse_spark.mutation.store import _segment_may_match
+
+            stats = _manifest(root, v).get("stats", {})
+            pred = {**ranges, **in_sets}
+            added = [
+                s for s in added if _segment_may_match(stats.get(s), pred)
+            ]
         return [
             _ScanPart(files=(f,), ctype="insert", commit_version=v)
             for s in added
-            for f in _segment_files(root, s)
+            for f in _files(s)
         ]
     if kind == "delete_dv":
         if not cdf:
@@ -604,7 +745,7 @@ def _change_parts(root: str, v: int, cdf: bool) -> list[_ScanPart]:
         return [
             _ScanPart(files=(f,), ctype="dv_delete", commit_version=v)
             for n in added
-            for f in _segment_files(root, n)
+            for f in _files(n)
         ]
     cdc = _cdc_dir(root, v)
     if not os.path.isdir(cdc):
@@ -622,7 +763,7 @@ def _change_parts(root: str, v: int, cdf: bool) -> list[_ScanPart]:
         )
     return [
         _ScanPart(files=(f,), ctype="cdc", commit_version=v)
-        for f in _segment_files(root, f"_cdc{v:06d}")
+        for f in _files(f"_cdc{v:06d}")
     ]
 
 
@@ -636,6 +777,9 @@ class ChangesBatchReader(DataSourceReader):
         self.col_map = {log: phy for phy, log in renames.items()}
         self.start = int(options.get("startingversion", 0))
         self.end = int(options.get("endingversion", _pointer(root)))
+        self.pred_ranges, self.pred_in = _parse_predicate_option(
+            options, self.col_map, schema
+        )
         if not 0 <= self.start <= self.end <= _pointer(root):
             raise ValueError(
                 f"invalid change range [{self.start}, {self.end}] "
@@ -646,11 +790,17 @@ class ChangesBatchReader(DataSourceReader):
         return [
             p
             for v in range(self.start, self.end + 1)
-            for p in _change_parts(self.root, v, cdf=True)
+            for p in _change_parts(
+                self.root, v, cdf=True,
+                ranges=self.pred_ranges, in_sets=self.pred_in,
+            )
         ] or [_ScanPart(files=())]
 
     def read(self, partition: _ScanPart):
-        yield from _read_files(partition, self.schema, col_map=self.col_map)
+        yield from _read_files(
+            partition, self.schema, self.pred_ranges,
+            col_map=self.col_map, in_sets=self.pred_in,
+        )
 
 
 class ChangesStreamReader(DataSourceStreamReader):
@@ -672,6 +822,9 @@ class ChangesStreamReader(DataSourceStreamReader):
             renames = {}  # stream may start before the table's first commit
         self.col_map = {log: phy for phy, log in renames.items()}
         self.cdf = cdf
+        self.pred_ranges, self.pred_in = _parse_predicate_option(
+            options, self.col_map, schema
+        )
         self.max_versions = int(options.get("maxversionsperbatch", 10))
         start = str(options.get("startingversion", "0"))
         if start == "latest":
@@ -719,12 +872,19 @@ class ChangesStreamReader(DataSourceStreamReader):
         return [
             p
             for v in range(start["version"] + 1, end["version"] + 1)
-            for p in _change_parts(self.root, v, self.cdf)
+            for p in _change_parts(
+                self.root, v, self.cdf,
+                ranges=self.pred_ranges, in_sets=self.pred_in,
+            )
         ] or [_ScanPart(files=())]
 
     def read(self, partition: _ScanPart):
         yield from _read_files(
-            partition, self.schema, col_map=getattr(self, "col_map", None)
+            partition,
+            self.schema,
+            getattr(self, "pred_ranges", None),
+            col_map=getattr(self, "col_map", None),
+            in_sets=getattr(self, "pred_in", None),
         )
 
     def commit(self, end: dict) -> None:

@@ -638,3 +638,31 @@ def test_semdedup_policy_and_invariants(spark):
     # deterministic across runs
     again = semdedup(df, "vec_id", "embedding", n_clusters=3, tau=0.999).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semdedup_auto_mode_switches_to_rplsh_at_scale(spark):
+    """Round-8 scale fix: semdedup(n_clusters=None) uses seed-argmax
+    assignment on small corpora (oracle-replayable) but switches to
+    random-hyperplane bucketing above ~4096 rows, where the flat argmax's
+    O(n*k) assignment would be quadratic. Pin: the large path still drops
+    exact duplicates (cos=1 >= tau), keeps the smallest id of each pair,
+    and every row comes back exactly once."""
+    import numpy as np
+
+    from lakehouse_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((5000, 8)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(5000)]
+    # exact duplicates of ids 0..49 at ids 10000..10049
+    rows += [(10_000 + i, base[i].tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, "vec_id", "embedding", n_clusters=None, tau=0.999)
+    got = {r.vec_id: (r.cluster_id, r.kept) for r in out.collect()}
+    assert len(got) == 5050  # every row classified exactly once
+    for i in range(50):
+        # identical vectors share a sign signature -> same cluster,
+        # and the larger id of the duplicate pair is dropped
+        assert got[i][0] == got[10_000 + i][0]
+        assert got[i][1] is True
+        assert got[10_000 + i][1] is False
