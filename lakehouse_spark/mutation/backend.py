@@ -133,7 +133,18 @@ class DeltaBackend(TableBackend):
     Complete and intended to run verbatim where the package exists
     (``pip install delta-spark`` + the Delta SQL extensions); in this
     container :meth:`available` is False and the contract suite records
-    a skip, not a pass."""
+    a skip, not a pass.
+
+    Install attempt (round 8, documented environment block): the sandbox
+    has no network route to any package index (``pip download delta-spark``
+    fails DNS resolution on every retry), ``import delta`` raises
+    ImportError, and no delta jar ships in the Spark 4.1.2 distribution
+    under /opt — so the 10-clause contract run against this backend
+    cannot execute here. On a networked machine:
+    ``pip install delta-spark`` then
+    ``pytest tests/test_backend_contract.py`` turns the 10 skips into
+    runs with no code change (the suite parametrizes over
+    ``TableBackend.__subclasses__`` gated on :meth:`available`)."""
 
     @classmethod
     def available(cls) -> bool:

@@ -786,10 +786,44 @@ class AnnIndex:
                 rows, "subspace int, code int, vec array<double>"
             )
         )
+        fit = self._quantizer_fit(corpus)
         self.codes.init(
             encoded.select(self.id_col, "bucket_id", "pq_code"),
-            meta={"residual": "1" if residual else "0"},
+            # residual: encode scheme. fit: build-time mean best-cosine of
+            # the corpus to the coarse quantizer — add()'s drift baseline.
+            meta={
+                "residual": "1" if residual else "0",
+                "fit": f"{fit:.6f}",
+            },
         )
+
+    def _quantizer_fit(self, vectors: DataFrame) -> float:
+        """Mean best-cosine of ``vectors`` against the coarse quantizer
+        (1.0 = every vector sits on a centroid). One narrow Arrow-batched
+        projection + a scalar mean — the quantization-quality number FAISS
+        surfaces as imbalance/quantization error, used here as add()'s
+        drift signal."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        rows = self.centroids.read().collect()
+        C = np.array([r["centroid"] for r in rows], dtype=float)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+        @pandas_udf("double")
+        def _best(vs):
+            import pandas as pd
+
+            M = np.array(vs.tolist(), dtype=float)
+            M = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series((M @ C.T).max(axis=1))
+
+        out = vectors.select(
+            F.mean(_best(F.col(self.vec_col))).alias("fit")
+        ).first()
+        return float(out["fit"])
 
     def _is_residual(self) -> bool:
         return self.codes.version_meta().get("residual") == "1"
@@ -826,13 +860,24 @@ class AnnIndex:
             residual=self._is_residual(),
         )
 
-    def add(self, new_vectors) -> None:
+    def add(self, new_vectors, drift_threshold: float = 2.0) -> dict:
         """Fold new vectors into the index without retraining: assign
         against the EXISTING centroids, encode with the EXISTING codebooks,
         append the code rows (O(new vectors) — one narrow Arrow pass + one
         segment commit). Quantizer drift is the documented trade (FAISS
-        add() makes the same one): retrain/rebuild on a cadence if the
-        distribution moves."""
+        add() makes the same one) — so every add RETURNS a drift report:
+
+        ``{"added", "fit", "baseline_fit", "drift_ratio",
+        "retrain_recommended"}``
+
+        where ``fit`` is the batch's mean best-cosine to the coarse
+        quantizer, ``baseline_fit`` the build corpus' (codes-table meta),
+        and ``drift_ratio`` the quantization-ERROR ratio
+        ``(1 - fit) / (1 - baseline_fit)`` — 1.0 means the batch fits the
+        quantizer exactly as well as the training corpus did; above
+        ``drift_threshold`` the report recommends a rebuild. The report is
+        also committed as the append's manifest meta, so drift history is
+        queryable from the version log."""
         cent = self.centroids.read()
         books = self._load_codebooks()
         bucketed = assign_buckets(
@@ -847,7 +892,34 @@ class AnnIndex:
             encoded = pq_encode(
                 new_vectors, books, self.id_col, self.vec_col
             ).join(bucketed.select(self.id_col, "bucket_id"), self.id_col)
-        self.codes.append(encoded.select(self.id_col, "bucket_id", "pq_code"))
+        fit = self._quantizer_fit(new_vectors)
+        base = self.codes.version_meta().get("fit")
+        baseline = float(base) if base is not None else None
+        ratio = (
+            round((1.0 - fit) / max(1.0 - baseline, 1e-9), 4)
+            if baseline is not None
+            else None
+        )
+        report = {
+            "added": new_vectors.count(),
+            "fit": round(fit, 6),
+            "baseline_fit": baseline,
+            "drift_ratio": ratio,
+            "retrain_recommended": bool(
+                ratio is not None and ratio > drift_threshold
+            ),
+        }
+        self.codes.append(
+            encoded.select(self.id_col, "bucket_id", "pq_code"),
+            meta={
+                # carry the baseline forward so later adds keep a target
+                "residual": "1" if self._is_residual() else "0",
+                "fit": base if base is not None else f"{fit:.6f}",
+                "add_fit": f"{fit:.6f}",
+                "add_drift_ratio": "" if ratio is None else str(ratio),
+            },
+        )
+        return report
 
 
 # --- PCA dimensionality reduction ---------------------------------------------

@@ -369,20 +369,85 @@ def test_ann_index_add_makes_new_vectors_searchable(spark, tmp_path):
     idx = AnnIndex(spark, str(tmp_path / "annadd"))
     idx.build(old, n_clusters=25, m=16, ksub=64, kmeans_iters=2, pq_iters=4)
     before = idx.codes.read().select("vec_id").distinct().count()
-    idx.add(new)
+    v_before = idx.codes.current_version()
+    report = idx.add(new)
     assert idx.codes.read().select("vec_id").distinct().count() == 500
     assert before == 400
+    # versioned append: exactly one commit, with the drift report in meta
+    assert idx.codes.current_version() == v_before + 1
+    assert report["added"] == 100
+    assert report["baseline_fit"] is not None
+    # same-distribution batch: quantization error ~ the training corpus',
+    # so no retrain flag (drift_ratio near 1)
+    assert report["drift_ratio"] is not None
+    assert report["retrain_recommended"] is False
+    meta = idx.codes.version_meta()
+    assert meta["add_fit"] and meta["add_drift_ratio"]
 
-    # a query that IS one of the added vectors must now see added neighbors
-    q = emb.filter(F.col("vec_id") == 450)
-    out = idx.search(q, k=5, nprobe=25, corpus=emb).collect()
-    assert len(out) == 5
+    # recall@5 over the ADDED vectors as queries: the no-retrain add must
+    # hold full-probe recall (round-8 ask: >= 0.95 after add)
+    qs = emb.filter(F.col("vec_id") >= 490)
     truth = {
-        r.neighbor_id
-        for r in similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, qs, k=5).collect()
     }
-    got = {r.neighbor_id for r in out}
-    assert len(got & truth) >= 3  # full-probe search tracks exact top-k
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in idx.search(
+            qs, k=5, nprobe=25, shortlist=8, corpus=emb
+        ).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.95
+
+
+def test_ann_index_add_drift_guard(spark, tmp_path):
+    """add()'s drift report: an in-distribution batch reads drift ~1 (no
+    retrain), an out-of-distribution batch (a direction the quantizer
+    never trained on) quantizes measurably worse and flips
+    retrain_recommended. Built on a sharply clustered corpus so the
+    baseline fit is meaningful (near-uniform data has nothing to drift
+    FROM — its quantizer fits poorly by construction)."""
+    import numpy as np
+
+    from lakehouse_spark.operators.similarity import AnnIndex
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    centers = rng.standard_normal((8, dim)) * 4.0
+
+    def batch(start, n, cs):
+        return spark.createDataFrame(
+            [
+                (
+                    start + i,
+                    (
+                        cs[i % len(cs)] + rng.standard_normal(dim) * 0.1
+                    ).tolist(),
+                )
+                for i in range(n)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    idx = AnnIndex(spark, str(tmp_path / "drift"))
+    idx.build(
+        batch(0, 400, centers),
+        n_clusters=8,
+        m=4,
+        ksub=16,
+        kmeans_iters=3,
+        pq_iters=2,
+    )
+    ok = idx.add(batch(1000, 50, centers))  # same clusters
+    assert ok["drift_ratio"] is not None
+    assert ok["retrain_recommended"] is False
+    off_center = rng.standard_normal((1, dim)) * 4.0  # unseen direction
+    bad = idx.add(batch(2000, 50, off_center))
+    assert bad["drift_ratio"] > ok["drift_ratio"]
+    assert bad["retrain_recommended"] is True
+    # drift history is queryable from the version log
+    meta = idx.codes.version_meta()
+    assert float(meta["add_drift_ratio"]) == bad["drift_ratio"]
 
 
 def test_cross_corpus_minhash_agrees_with_dedup_index(spark, tmp_path):
