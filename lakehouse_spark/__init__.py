@@ -71,4 +71,8 @@ def __getattr__(name):
         from lakehouse_spark.plans.metrics import collect_with_metrics
 
         return collect_with_metrics
+    if name == "LakeCatalog":
+        from lakehouse_spark.catalog import LakeCatalog
+
+        return LakeCatalog
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -64,6 +64,37 @@ class SessionLake:
             )
         return self._automations
 
+    # -- SQL-by-name surface (round 8) ------------------------------------------
+
+    def register_views(self, prefix: str = "") -> "LakeCatalog":
+        """Expose this lake's tables as named SQL relations — the
+        reference's whole query surface is name-addressed
+        (routers/sessions.py:753-1406: "sessions", "events", never a
+        path). After this, ``lake.sql("SELECT ... FROM events JOIN
+        sessions USING (session_id)")`` works, with parquet row-group
+        pushdown intact (see lakehouse_spark.catalog for why views are
+        parquet-native). Views pin the registration-time snapshot;
+        re-call (or catalog.refresh) after writes."""
+        from lakehouse_spark.catalog import LakeCatalog
+
+        cat = LakeCatalog(self.spark)
+        for name, store in (
+            ("sessions", self.sessions),
+            ("messages", self.messages),
+            ("events", self.events),
+        ):
+            if store.current_version() is not None:
+                cat.register(prefix + name, store=store)
+        self._catalog = cat
+        return cat
+
+    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
+        """``spark.sql`` over the registered views (auto-registers on
+        first use), with named-parameter binding."""
+        if getattr(self, "_catalog", None) is None:
+            self.register_views()
+        return self._catalog.sql(query, args)
+
     # -- ingest ----------------------------------------------------------------
 
     @classmethod

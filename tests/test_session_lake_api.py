@@ -318,3 +318,33 @@ def test_snapshot_gives_consistent_view_across_writes(spark, tmp_path_factory):
     msgs = lake.read_at(snap, "messages")
     sess = lake.read_at(snap, "sessions")
     assert msgs.join(sess, "session_id", "left_anti").isEmpty()
+
+
+def test_lake_sql_by_name(lake):
+    """Round-8: the lake's tables as named SQL relations — the reference's
+    name-addressed query surface (routers/sessions.py). A join over two
+    registered views with named parameters must agree with the DataFrame
+    API, and the plan must show pushed filters (parquet-native views)."""
+    cat = lake.register_views()
+    assert set(cat.names()) >= {"sessions", "messages", "events"}
+    got = lake.sql(
+        """
+        SELECT s.session_id, count(*) AS n_events
+        FROM sessions s JOIN events e ON s.session_id = e.session_id
+        WHERE s.status = :status
+        GROUP BY s.session_id ORDER BY s.session_id
+        """,
+        args={"status": "active"},
+    )
+    active = {
+        r.session_id for r in lake.sessions.read().filter("status = 'active'").collect()
+    }
+    ev = lake.events.read()
+    want = sorted(
+        (sid, ev.filter(ev.session_id == sid).count())
+        for sid in active
+        if ev.filter(ev.session_id == sid).count() > 0
+    )
+    assert sorted((r.session_id, r.n_events) for r in got.collect()) == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
