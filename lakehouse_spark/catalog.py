@@ -77,6 +77,9 @@ class LakeCatalog:
         version: int | None = None,
         as_of=None,
         predicate: dict | None = None,
+        changes: bool = False,
+        starting_version: int = 0,
+        ending_version: int | None = None,
     ) -> DataFrame:
         """Register one named relation. Exactly one source form:
 
@@ -90,7 +93,14 @@ class LakeCatalog:
         ``predicate=`` (the :meth:`TableStore.read` dict form) bakes
         manifest-stats segment pruning into the view — segments that
         provably can't match are never listed, Delta-style data skipping
-        for every query through the name."""
+        for every query through the name.
+
+        ``changes=True`` registers the CHANGE FEED as the named relation
+        (Delta's ``table_changes(...)`` TVF as a view): rows are the table
+        columns plus ``_change_type`` / ``_commit_version`` for commits
+        ``starting_version..ending_version`` (default head). Like snapshot
+        views, the range is pinned at registration — :meth:`refresh`
+        extends a default-range view to the new head."""
         forms = sum(x is not None for x in (path, store, df))
         if forms != 1:
             raise ValueError(
@@ -108,11 +118,24 @@ class LakeCatalog:
             return df
         if store is None:
             store = self._open(path)
-        df = store.read(
-            version=version,
-            as_of=as_of,
-            predicate=predicate,
-        )
+        if changes:
+            if version is not None or as_of is not None or predicate:
+                raise ValueError(
+                    "changes=True views take starting_version/"
+                    "ending_version, not version/as_of/predicate"
+                )
+            df = store.changes(starting_version, ending_version)
+            opts = {
+                "changes": True,
+                "starting_version": starting_version,
+                "ending_version": ending_version,
+            }
+        else:
+            df = store.read(
+                version=version,
+                as_of=as_of,
+                predicate=predicate,
+            )
         df.createOrReplaceTempView(name)
         self._entries[name] = (store, opts)
         return df
@@ -147,9 +170,12 @@ class LakeCatalog:
         registrations and DataFrame/testdata views have no head to follow
         and are returned unchanged)."""
         store, opts = self._entry(name)
-        if store is None or opts.get("version") is not None or (
-            opts.get("as_of") is not None
-        ):
+        pinned = (
+            opts.get("version") is not None
+            or opts.get("as_of") is not None
+            or opts.get("ending_version") is not None
+        )
+        if store is None or pinned:
             return self.table(name)
         return self.register(name, store=store, **opts)
 

@@ -185,3 +185,44 @@ def test_sql_front_entries_match_dataframe_twins(spark):
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb, f"{sql_name} != {df_name}"
+
+
+def test_changes_view_through_sql(spark, tmp_path):
+    """changes=True registers the change feed as a named relation —
+    Delta's table_changes(...) TVF as a SQL view: _change_type /
+    _commit_version queryable by name, range pinned at registration,
+    refresh() extends a default-range view to the new head."""
+    s = TableStore(spark, str(tmp_path / "c"), key="id", write_cdf=True)
+    s.init(spark.range(5).selectExpr("id", "id AS x"))
+    s.upsert(spark.createDataFrame([(1, 99)], "id long, x long"))
+    cat = LakeCatalog(spark)
+    cat.register("t_changes", store=s, changes=True)
+    got = cat.sql(
+        """
+        SELECT _change_type, CAST(count(*) AS BIGINT) AS n
+        FROM t_changes GROUP BY 1 ORDER BY 1
+        """
+    ).collect()
+    assert {(r._change_type, r.n) for r in got} == {
+        ("insert", 5),
+        ("update_preimage", 1),
+        ("update_postimage", 1),
+    }
+    # pinned at registration; refresh extends to the new head
+    s.delete_keys(spark.createDataFrame([(2,)], "id long"), mode="dv")
+    assert (
+        cat.sql(
+            "SELECT count(*) n FROM t_changes WHERE _change_type = 'delete'"
+        ).collect()[0].n
+        == 0
+    )
+    cat.refresh("t_changes")
+    assert (
+        cat.sql(
+            "SELECT count(*) n FROM t_changes WHERE _change_type = 'delete'"
+        ).collect()[0].n
+        == 1
+    )
+    # option guard
+    with pytest.raises(ValueError, match="changes=True"):
+        cat.register("bad", store=s, changes=True, version=0)
