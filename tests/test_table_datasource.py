@@ -615,3 +615,49 @@ def test_stream_predicate_option_prunes_files_results_identical(
 
     with _pytest.raises(Exception, match="not in the table schema"):
         _reader({"nope": 1})
+
+
+def test_batch_changes_predicate_option(spark, tmp_path):
+    """The predicate option on BATCH change reads: same exact-row
+    semantics as the stream, fewer files planned."""
+    import json as _json
+
+    from lakehouse_spark.sources.table_source import ChangesBatchReader
+
+    s = TableStore(
+        spark, str(tmp_path / "bc"), key="id", stats_cols=("x",),
+        write_cdf=True,
+    )
+    s.init(spark.range(100).selectExpr("id", "id AS x"))
+    s.append(spark.range(100, 200).selectExpr("id", "id AS x"))
+    s.upsert(spark.createDataFrame([(5, -1)], "id long, x long"))
+
+    def _load(pred=None):
+        r = spark.read.format("lakehouse").option("changes", "true")
+        if pred is not None:
+            r = r.option("predicate", _json.dumps(pred))
+        return r.load(s.root)
+
+    full = _load().collect()
+    filt = _load({"x": {"between": [0, 99]}}).collect()
+    key = lambda r: (r["_commit_version"], r["_change_type"], r["id"])  # noqa: E731
+    assert sorted(map(key, filt)) == sorted(
+        key(r) for r in full if 0 <= r["x"] <= 99
+    )
+    # planner-level: fewer files with the predicate
+    schema = _load().schema
+    opts = {"changes": "true", "startingversion": "0"}
+    all_parts = [
+        p for p in ChangesBatchReader(s.root, opts, schema).partitions()
+        if p.files
+    ]
+    pr_parts = [
+        p
+        for p in ChangesBatchReader(
+            s.root,
+            {**opts, "predicate": _json.dumps({"x": {"between": [0, 99]}})},
+            schema,
+        ).partitions()
+        if p.files
+    ]
+    assert len(pr_parts) < len(all_parts)
