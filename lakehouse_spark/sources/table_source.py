@@ -215,10 +215,17 @@ def _unified_arrow_schema(files: list[str]):
 
 def _one_file_per_schema(root: str, segments: list[str]) -> list[str]:
     """One representative file per segment — enough for schema union, since
-    a segment is written in one Spark job and is schema-homogeneous."""
+    a segment is written in one Spark job and is schema-homogeneous.
+    Tolerant of a missing segment dir: this feeds SCHEMA derivation only
+    (a predicate-optioned relation may legitimately never read a segment
+    whose files are gone — e.g. archived cold partitions); the DATA path
+    still fails loudly if a partition it planned cannot be read."""
     out = []
     for s in segments:
-        fs = _segment_files(root, s)
+        try:
+            fs = _segment_files(root, s)
+        except FileNotFoundError:
+            continue
         if fs:
             out.append(fs[0])
     return out
@@ -457,13 +464,19 @@ class LakehouseDataSource(DataSource):
       stream start).
     - ``maxVersionsPerBatch`` — stream rate limit (default 10 commits
       per micro-batch).
-    - ``predicate`` — JSON dict pushing a static filter into CHANGE reads
-      (batch ``changes`` and streams), where Spark has no pushFilters
-      seam for Python sources: ``{"col": scalar}`` equality,
+    - ``predicate`` — JSON dict baking a static filter into the
+      RELATION (snapshot reads, batch ``changes``, and streams):
+      ``{"col": scalar}`` equality,
       ``{"col": {"between": [lo, hi]}}`` range (null end = unbounded),
       ``{"col": {"in": [...]}}`` membership. Rows are filtered exactly
       (pyarrow scan filter); segments/files that provably can't match
-      are never read (manifest stats + parquet footer stats).
+      are never read (manifest stats + Bloom sidecars on snapshots,
+      manifest + parquet footer stats on change reads). Because options
+      are part of the relation's identity, this is the CACHE-SAFE
+      pruning path for long-lived/reused relations (temp views) where
+      the pushFilters seam is unsafe (see the upstream caveat above);
+      for streams it is the ONLY pushdown seam Spark offers Python
+      sources.
     """
 
     @classmethod
@@ -563,8 +576,36 @@ class SnapshotReader(DataSourceReader):
         # segments' Bloom sidecars (mutation/bloom.py), which can prove a
         # point lookup absent even where min/max ranges span everything.
         self.eq_values: dict[str, list] = {}
+        # OPTION-pinned predicate (the cache-safe pruning path): options
+        # are part of the relation's identity, so a long-lived/reused
+        # relation with .option("predicate", ...) prunes WITHOUT touching
+        # the pushFilters seam that Spark 4.1's shared readInfo cache
+        # makes unsafe under relation reuse (see the module docstring).
+        # Rows are filtered exactly in-scan — the option behaves like a
+        # .filter baked into the relation.
+        self.opt_in: dict[str, list] = {}
+        opt_ranges, self.opt_in = _parse_predicate_option(
+            options, self.col_map, schema
+        )
+        self.ranges.update(opt_ranges)
+        for col, (lo, hi) in opt_ranges.items():
+            if lo is not None and lo == hi:
+                self.eq_values.setdefault(col, []).append([lo])
+        for col, values in self.opt_in.items():
+            self.eq_values.setdefault(col, []).append(list(values))
 
     def pushFilters(self, filters: list[Filter]):
+        if self.opt_in or any(
+            v != (None, None) for v in self.ranges.values()
+        ):
+            # An option-pinned predicate makes this relation REUSE-SAFE by
+            # keeping its planned read identical for every query — so
+            # per-query filters must NOT narrow it (Spark 4.1 caches the
+            # planned read per relation unkeyed by pushed filters; a
+            # narrowed readInfo from one query would poison the next, see
+            # the module docstring). Decline everything: Spark applies the
+            # filters itself, the option still prunes.
+            return filters
         names = set(self.schema.fieldNames())
 
         def _narrow(col, lo=None, hi=None):
@@ -607,13 +648,14 @@ class SnapshotReader(DataSourceReader):
     def _surviving_segments(self) -> list[str]:
         m = _manifest(self.root, self.version)
         segs, stats = m["segments"], m.get("stats", {})
-        if not self.ranges:
+        pred = {**self.ranges, **self.opt_in}  # IN-lists prune stats too
+        if not pred:
             return segs
         # Local import keeps driver/executor import graphs decoupled.
         from lakehouse_spark.mutation.store import _segment_may_match
 
         segs = [
-            s for s in segs if _segment_may_match(stats.get(s), self.ranges)
+            s for s in segs if _segment_may_match(stats.get(s), pred)
         ]
         if self.eq_values:
             from lakehouse_spark.mutation.bloom import (
@@ -674,7 +716,7 @@ class SnapshotReader(DataSourceReader):
     def read(self, partition: _ScanPart):
         yield from _read_files(
             partition, self.schema, self.ranges, self.null_checked,
-            col_map=self.col_map,
+            col_map=self.col_map, in_sets=self.opt_in,
         )
 
 

@@ -661,3 +661,53 @@ def test_batch_changes_predicate_option(spark, tmp_path):
         if p.files
     ]
     assert len(pr_parts) < len(all_parts)
+
+
+def test_snapshot_predicate_option_is_cache_safe_pruning(spark, tmp_path):
+    """The predicate OPTION on snapshot reads: option-pinned pruning rides
+    the relation's identity, so the Spark 4.1 shared-readInfo hazard that
+    makes pushFilters unsafe under relation REUSE cannot apply — and the
+    pruning is real (provably-excluded segments' files are never listed,
+    Bloom/stats both consulted). Rows are filtered exactly in-scan."""
+    import json as _json
+    import shutil
+
+    s = TableStore(
+        spark, str(tmp_path / "sp"), key="id", stats_cols=("x",)
+    )
+    s.init(spark.range(100).selectExpr("id", "id AS x"))
+    for i in range(1, 4):
+        s.append(spark.range(i * 100, i * 100 + 100).selectExpr("id", "id AS x"))
+
+    hot = (
+        spark.read.format("lakehouse")
+        .option("predicate", _json.dumps({"x": {"between": [350, None]}}))
+        .load(s.root)
+    )
+    hot.createOrReplaceTempView("hot_snap")
+    assert spark.table("hot_snap").count() == 50
+    # REUSE with mixed downstream filters over the SAME relation: exact
+    # (the option is the only pushed state; Spark-side filters re-check)
+    assert spark.sql("SELECT count(*) n FROM hot_snap WHERE x < 380").collect()[0].n == 30
+    assert spark.table("hot_snap").count() == 50  # unfiltered after filtered
+    # pruning proof: excluded segments' files are never listed
+    import os as _os
+
+    m_path = s._manifest_path(s.current_version())
+    with open(m_path) as f:
+        m = _json.load(f)
+    for seg in [x for x in m["segments"] if m["stats"][x]["x"][1] < 350]:
+        shutil.rmtree(_os.path.join(s.root, seg))
+    fresh = (
+        spark.read.format("lakehouse")
+        .option("predicate", _json.dumps({"x": {"between": [350, None]}}))
+        .load(s.root)
+    )
+    assert fresh.count() == 50
+    # IN-form prunes too (single surviving segment)
+    one = (
+        spark.read.format("lakehouse")
+        .option("predicate", _json.dumps({"x": {"in": [355, 377]}}))
+        .load(s.root)
+    )
+    assert sorted(r.x for r in one.collect()) == [355, 377]
