@@ -295,15 +295,11 @@ def dml_section(spark) -> dict:
         return total
 
     def _op(name, store, fn):
-        import json as _json
-
-        with open(store._manifest_path(store.current_version())) as fh:
-            before = set(_json.load(fh)["segments"])
+        before = set(store._snapshot(store.current_version())["segments"])
         t0 = time.perf_counter()
         fn()
         sec = round(time.perf_counter() - t0, 3)
-        with open(store._manifest_path(store.current_version())) as fh:
-            m = _json.load(fh)
+        m = store._snapshot(store.current_version())
         after = set(m["segments"])
         new = after - before
         out[name] = {

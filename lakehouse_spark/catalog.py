@@ -80,6 +80,7 @@ class LakeCatalog:
         changes: bool = False,
         starting_version: int = 0,
         ending_version: int | None = None,
+        follow_head: bool = False,
     ) -> DataFrame:
         """Register one named relation. Exactly one source form:
 
@@ -100,18 +101,36 @@ class LakeCatalog:
         columns plus ``_change_type`` / ``_commit_version`` for commits
         ``starting_version..ending_version`` (default head). Like snapshot
         views, the range is pinned at registration — :meth:`refresh`
-        extends a default-range view to the new head."""
+        extends a default-range view to the new head.
+
+        ``follow_head=True`` makes the name re-resolve to the table's
+        CURRENT head on every :meth:`sql`/:meth:`table` call through this
+        catalog (the round-8 pin-at-registration default stays for plain
+        registrations — see the module docstring for why). Implementation
+        is a refresh-on-reference pre-pass, which keeps the underlying
+        relation the reuse-safe parquet-scan kind; mutually exclusive with
+        explicit ``version=``/``as_of=`` pins."""
         forms = sum(x is not None for x in (path, store, df))
         if forms != 1:
             raise ValueError(
                 "register() needs exactly one of path=, store=, df="
             )
-        opts = {"version": version, "as_of": as_of, "predicate": predicate}
+        if follow_head and (version is not None or as_of is not None):
+            raise ValueError(
+                "follow_head=True re-resolves the head per query; it "
+                "cannot combine with a version=/as_of= pin"
+            )
+        opts = {
+            "version": version,
+            "as_of": as_of,
+            "predicate": predicate,
+            "follow_head": follow_head,
+        }
         if df is not None:
-            if any(v is not None for v in opts.values()):
+            if version is not None or as_of is not None or predicate or follow_head:
                 raise ValueError(
-                    "version/as_of/predicate only apply to path=/store= "
-                    "registrations"
+                    "version/as_of/predicate/follow_head only apply to "
+                    "path=/store= registrations"
                 )
             df.createOrReplaceTempView(name)
             self._entries[name] = (None, {})
@@ -149,8 +168,7 @@ class LakeCatalog:
         v = st.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed table at {path}")
-        with open(st._manifest_path(v)) as f:
-            st.key = json.load(f).get("key", "") or st.key
+        st.key = st._snapshot(v)["key"] or st.key
         return st
 
     def register_testdata(
@@ -189,15 +207,50 @@ class LakeCatalog:
     def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
         """``spark.sql`` with named/positional parameter binding (the
         injection-safe front-end — parameters reach Catalyst as literals so
-        constant folding and pushdown still apply)."""
+        constant folding and pushdown still apply).
+
+        DML statements (``INSERT INTO / UPDATE / DELETE FROM / MERGE INTO``
+        a registered TableStore name) route to the owning store's
+        transactional DML — file skipping, dv modes, CDF, and
+        snapshot-conflict detection all intact; see
+        :mod:`lakehouse_spark.sqldml` for the supported grammar. The
+        mutated view is refreshed to the new head. Returns the one-row
+        metrics frame ``(op, table, affected_rows)`` for DML."""
+        from lakehouse_spark import sqldml
+
+        if sqldml.is_dml(query):
+            if args is not None:
+                raise ValueError(
+                    "parameter binding is not supported for DML statements; "
+                    "inline literals (the router parses them for file "
+                    "skipping)"
+                )
+            return sqldml.route(self, query)
+        self._refresh_followers(query)
         return (
             self.spark.sql(query, args=args)
             if args is not None
             else self.spark.sql(query)
         )
 
+    def _refresh_followers(self, query: str) -> None:
+        """Re-resolve every ``follow_head`` registration the query text
+        references (word-boundary match; a false positive costs one cheap
+        pointer re-read, never correctness)."""
+        import re as _re
+
+        for name, (store, opts) in list(self._entries.items()):
+            if (
+                store is not None
+                and opts.get("follow_head")
+                and _re.search(rf"\b{_re.escape(name)}\b", query, _re.I)
+            ):
+                self.register(name, store=store, **opts)
+
     def table(self, name: str) -> DataFrame:
-        self._entry(name)
+        store, opts = self._entry(name)
+        if store is not None and opts.get("follow_head"):
+            return self.register(name, store=store, **opts)
         return self.spark.table(name)
 
     def names(self) -> list[str]:

@@ -135,12 +135,14 @@ class DeltaBackend(TableBackend):
     container :meth:`available` is False and the contract suite records
     a skip, not a pass.
 
-    Install attempt (round 8, documented environment block): the sandbox
-    has no network route to any package index (``pip download delta-spark``
-    fails DNS resolution on every retry), ``import delta`` raises
-    ImportError, and no delta jar ships in the Spark 4.1.2 distribution
-    under /opt — so the 10-clause contract run against this backend
-    cannot execute here. On a networked machine:
+    Install attempt log (documented environment block; retried every
+    round per the round-8 verdict): round 8 and round 9 (2026-08-15) both
+    fail identically — the sandbox has no network route to any package
+    index (``pip install delta-spark`` retries exhaust on DNS
+    ``Name or service not known``), ``import delta`` raises ImportError,
+    and no delta jar ships in the Spark 4.1.2 distribution under /opt —
+    so the 10-clause contract run against this backend cannot execute
+    here. On a networked machine:
     ``pip install delta-spark`` then
     ``pytest tests/test_backend_contract.py`` turns the 10 skips into
     runs with no code change (the suite parametrizes over

@@ -6,7 +6,6 @@ rewrite to the files the affected keys can live in. Split out of store.py.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -233,8 +232,7 @@ class DmlMixin:
             raise ValueError("pass exactly one of version= or as_of=")
         if as_of is not None:
             version = self.version_at(as_of)
-        with open(self._manifest_path(version)) as f:  # raises if vacuumed
-            m = json.load(f)
+        m = self._snapshot(version)  # raises FileNotFoundError if vacuumed
         v = self._transact(
             lambda _v: m["segments"],
             meta={"restored_from": version},
@@ -318,8 +316,7 @@ class DmlMixin:
         v0 = self.current_version()
         if v0 is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        with open(self._manifest_path(v0)) as f:
-            manifest = json.load(f)
+        manifest = self._snapshot(v0)
         stats = manifest.get("stats", {})
         # Stats are keyed by PHYSICAL column names; the predicate arrives
         # logical. (The row-level cond below stays logical — the base read
@@ -343,11 +340,14 @@ class DmlMixin:
         # means "doesn't match" and therefore survives).
         survivors = base.filter(~F.coalesce(cond, F.lit(False)))
         out = survivors.unionByName(df.select(*base.columns))
+        # Interleaved appends provably OUTSIDE the replaced region commute
+        # (serial order: replace, then append) — rebase instead of raising.
         return self._transact(
             lambda v: untouched + self._write_partitioned(out, v),
             meta,
             txn,
             base_version=v0,
+            rebase_predicate=phys_pred,
         )
 
     def upsert(
@@ -391,13 +391,18 @@ class DmlMixin:
         # snapshot-conflict check back to that read — a commit landing after
         # the derivation raises instead of silently losing it.
         v0 = self.current_version() if base_version is None else base_version
-        with open(self._manifest_path(v0)) as f:
-            manifest = json.load(f)
+        manifest = self._snapshot(v0)
         keys = self._source_key_list(rows)
         if keys is None:
             touched, untouched = manifest["segments"], []
         else:
             touched, untouched = self._split_by_key_overlap(manifest, keys)
+        # Conflict-rebase proof: an interleaved blind append commutes with
+        # this upsert iff its segments provably hold NONE of the source
+        # keys (else carried-through appended rows would duplicate keys
+        # the new segment also carries). Key column is rename-guarded, so
+        # the logical name IS the physical name.
+        rebase_pred = {self.key: keys} if keys is not None else None
         base = self._aligned_base(manifest, touched)
         if mode == "dv":
             new_rows = rows.select(*base.columns)
@@ -424,7 +429,9 @@ class DmlMixin:
                     self._pending_dv[name] = list(touched)
                 return segs + new_segs
 
-            self._transact(_mor, txn=txn, base_version=v0)
+            self._transact(
+                _mor, txn=txn, base_version=v0, rebase_predicate=rebase_pred
+            )
             return
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
         out = survivors.unionByName(rows.select(*base.columns))
@@ -432,6 +439,7 @@ class DmlMixin:
             lambda v: untouched + self._write_partitioned(out, v),
             txn=txn,
             base_version=v0,
+            rebase_predicate=rebase_pred,
         )
 
     def update(
@@ -588,13 +596,15 @@ class DmlMixin:
         # the unknown-column check and clause evaluation below are
         # byte-identical to the untargeted form.
         v0 = self.current_version()
-        with open(self._manifest_path(v0)) as f:
-            manifest = json.load(f)
+        manifest = self._snapshot(v0)
         tkeys = self._source_key_list(source)
         if tkeys is None:
             touched, untouched = manifest["segments"], []
         else:
             touched, untouched = self._split_by_key_overlap(manifest, tkeys)
+        # Same commute proof as upsert: interleaved appends must provably
+        # hold none of the source keys.
+        rebase_pred = {self.key: tkeys} if tkeys is not None else None
         base = self._aligned_base(manifest, touched)
         unknown = [c for c in source.columns if c not in base.columns]
         if unknown and extra_cols == "error":
@@ -690,7 +700,9 @@ class DmlMixin:
                     self._pending_dv[name] = list(touched)
                 return segs + new_segs
 
-            self._transact(_mor, txn=txn, base_version=v0)
+            self._transact(
+                _mor, txn=txn, base_version=v0, rebase_predicate=rebase_pred
+            )
             return
         kept = joined.filter(~deleted).select(
             *[
@@ -705,6 +717,7 @@ class DmlMixin:
             lambda v: untouched + self._write_partitioned(out, v),
             txn=txn,
             base_version=v0,
+            rebase_predicate=rebase_pred,
         )
 
     def delete_where(
@@ -741,13 +754,17 @@ class DmlMixin:
         v0 = self.current_version()
         if v0 is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        with open(self._manifest_path(v0)) as f:
-            manifest = json.load(f)
+        manifest = self._snapshot(v0)
         touched, untouched = manifest["segments"], []
+        rebase_pred = None
         if predicate:
             stats = manifest.get("stats", {})
             parts = manifest.get("partitions", {})
             phys_pred = self._pred_to_physical(predicate)
+            # Interleaved appends provably disjoint from the delete's
+            # predicate commute (they land "after" the delete in the
+            # serial order, so their rows correctly survive).
+            rebase_pred = phys_pred
             touched = [
                 s
                 for s in manifest["segments"]
@@ -776,6 +793,7 @@ class DmlMixin:
                     lambda v: untouched + self._write_partitioned(survivors, v),
                     txn=txn,
                     base_version=v0,
+                    rebase_predicate=rebase_pred,
                 )
                 return removed
             finally:
@@ -809,7 +827,9 @@ class DmlMixin:
                 self._pending_dv[name] = list(touched)
                 return segs
 
-            self._transact(_keep, txn=txn, base_version=v0)
+            self._transact(
+                _keep, txn=txn, base_version=v0, rebase_predicate=rebase_pred
+            )
             return removed
         finally:
             pre.unpersist()
@@ -838,8 +858,7 @@ class DmlMixin:
         v0 = self.current_version()
         if v0 is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        with open(self._manifest_path(v0)) as f:
-            manifest = json.load(f)
+        manifest = self._snapshot(v0)
         keyset = keys.select(self.key).distinct()
         # Deleted rows can only live in segments whose key stats overlap the
         # key set — read (and in rewrite mode, rewrite) just those.
@@ -848,6 +867,9 @@ class DmlMixin:
             touched, untouched = manifest["segments"], []
         else:
             touched, untouched = self._split_by_key_overlap(manifest, klist)
+        # Appends provably free of the deleted keys commute with this
+        # delete (their rows survive either serial order).
+        rebase_pred = {self.key: klist} if klist is not None else None
         if not touched:
             return 0  # provably nothing to delete; no commit needed
         base = self._aligned_base(manifest, touched)
@@ -857,6 +879,7 @@ class DmlMixin:
             self._transact(
                 lambda v: untouched + self._write_partitioned(out, v),
                 base_version=v0,
+                rebase_predicate=rebase_pred,
             )
             return removed
         deleted = base.join(F.broadcast(keyset), self.key, "left_semi")
@@ -874,8 +897,10 @@ class DmlMixin:
 
         # base_version pins the dv's pre-images to the segment list they
         # were computed from — a commit landing between the read above and
-        # the claim would make applies_to describe the wrong snapshot.
-        self._transact(_keep, base_version=v0)
+        # the claim would make applies_to describe the wrong snapshot
+        # (unless provably-disjoint appends, which _keep re-resolves at
+        # v-1 and the rebase carries through unmasked).
+        self._transact(_keep, base_version=v0, rebase_predicate=rebase_pred)
         return removed
 
     def delete_last_per_group(self, group: str, order_col: str) -> None:

@@ -36,8 +36,7 @@ class MetadataMixin:
         v = self.current_version()
         if v is None:
             return {}
-        with open(self._manifest_path(v)) as f:
-            return json.load(f).get("constraints", {})
+        return self._snapshot(v)["constraints"]
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         """Every segment this store writes — new rows, merge post-images,
@@ -99,8 +98,7 @@ class MetadataMixin:
         v = self.current_version()
         if v is None:
             return {}
-        with open(self._manifest_path(v)) as f:
-            return json.load(f).get("generated", {})
+        return self._snapshot(v)["generated"]
 
     def set_generated(self, col: str, expr: str) -> int:
         """Declare ``col`` GENERATED ALWAYS AS (expr) — Delta's generated
@@ -164,8 +162,7 @@ class MetadataMixin:
         v = self.current_version()
         if v is None:
             return {}
-        with open(self._manifest_path(v)) as f:
-            return json.load(f).get("renames", {})
+        return self._snapshot(v)["renames"]
 
     def dropped_columns(self) -> list[str]:
         """Physical names dropped from the logical schema at HEAD. The
@@ -175,8 +172,7 @@ class MetadataMixin:
         v = self.current_version()
         if v is None:
             return []
-        with open(self._manifest_path(v)) as f:
-            return json.load(f).get("dropped", [])
+        return self._snapshot(v)["dropped"]
 
     def _guard_col_mutation(self, logical: str) -> None:
         """Shared preconditions for rename/drop: the key column and any
@@ -213,8 +209,7 @@ class MetadataMixin:
         v = self.current_version()
         if v is None:
             return ""
-        with open(self._manifest_path(v)) as f:
-            return json.load(f).get("key", "")
+        return self._snapshot(v)["key"]
 
     def _logical_columns(self) -> list[str]:
         """Current logical schema's column names (physical schema with
@@ -224,10 +219,8 @@ class MetadataMixin:
         return [renames.get(c, c) for c in phys if c not in dropped]
 
     def _read_segments_schema_cols(self) -> list[str]:
-        v = self.current_version()
-        with open(self._manifest_path(v)) as f:
-            m = json.load(f)
-        return self._read_segments(m["segments"], m.get("dv", {})).columns
+        m = self._snapshot(self.current_version())
+        return self._read_segments(m["segments"], m["dv"]).columns
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN, metadata-only — Delta's column
@@ -398,8 +391,7 @@ class MetadataMixin:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        with open(self._manifest_path(v)) as f:
-            m = json.load(f)
+        m = self._snapshot(v)
         from lakehouse_spark.mutation.store import TableStore
 
         dst = TableStore(
@@ -471,8 +463,7 @@ class MetadataMixin:
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        with open(self._manifest_path(v)) as f:
-            m = json.load(f)
+        m = self._snapshot(v)
         size = 0
         n_files = 0
         for s in m["segments"]:

@@ -107,8 +107,7 @@ class ReadsMixin:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        with open(self._manifest_path(v)) as f:
-            manifest = json.load(f)
+        manifest = self._snapshot(v)
         segments = manifest["segments"]
         dv = manifest.get("dv", {})
         # Column mapping: the snapshot presents ITS OWN logical schema
@@ -193,26 +192,12 @@ class ReadsMixin:
         for a merge-on-read delete (segments untouched, dv added),
         ``("noop", [])`` for pointer-only commits (restore to an identical
         state), ``("rewrite", [])`` otherwise (upsert / merge / delete /
-        overwrite / compact / mixed)."""
-        with open(self._manifest_path(v)) as f:
-            mv = json.load(f)
-        cur_segs, cur_dv = mv["segments"], mv.get("dv", {})
-        if v > 0:
-            with open(self._manifest_path(v - 1)) as f:
-                mp = json.load(f)
-            prev_segs, prev_dv = set(mp["segments"]), mp.get("dv", {})
-        else:
-            prev_segs, prev_dv = set(), {}
-        if prev_segs <= set(cur_segs):
-            added = [s for s in cur_segs if s not in prev_segs]
-            new_dv = [n for n in cur_dv if n not in prev_dv]
-            lost_dv = [n for n in prev_dv if n not in cur_dv]
-            if new_dv and not added and not lost_dv:
-                return ("delete_dv", new_dv)
-            if new_dv or lost_dv:
-                return ("rewrite", [])  # mixed / dv removal: snapshot diff
-            return ("append", added) if added else ("noop", [])
-        return ("rewrite", [])
+        overwrite / compact / mixed). O(1) for delta manifests (the delta
+        IS the classification); full manifests diff against the previous
+        snapshot."""
+        from lakehouse_spark.mutation.manifest import commit_kind_from_files
+
+        return commit_kind_from_files(self.root, v, snapshot=self._snapshot)
 
     def has_cdf(self, v: int) -> bool:
         """True when commit ``v``'s changes are readable without a snapshot
@@ -420,10 +405,8 @@ class ReadsMixin:
         (upsert/delete/compact) fall back to the two-sided exceptAll, which
         is what a Delta CDF reader must do without a change log either."""
         v_to = self.current_version() if v_to is None else v_to
-        with open(self._manifest_path(v_from)) as f:
-            m_from = json.load(f)
-        with open(self._manifest_path(v_to)) as f:
-            m_to = json.load(f)
+        m_from = self._snapshot(v_from)
+        m_to = self._snapshot(v_to)
         old_segs, new_segs = m_from["segments"], m_to["segments"]
         # The append fast path also requires UNCHANGED deletion vectors: a
         # dv commit reuses every segment but removes rows, which the

@@ -104,6 +104,7 @@ class TableStore(TxnMixin, MetadataMixin, ReadsMixin, DmlMixin, LayoutMixin):
         bloom_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
         max_partitions_per_commit: int = 64,
+        checkpoint_interval: int = 32,
     ):
         self.spark = spark
         self.root = root
@@ -157,5 +158,14 @@ class TableStore(TxnMixin, MetadataMixin, ReadsMixin, DmlMixin, LayoutMixin):
         # Must comfortably exceed the longest segment write a live writer
         # could be performing under the claim.
         self.orphan_grace_sec = orphan_grace_sec
+        # Metadata plane (round 9): manifests are per-commit DELTAS; a full
+        # snapshot checkpoint (_checkpoint_NNNNNN.json) is written every
+        # this-many commits post-pointer-swap, bounding reader replay.
+        # 0/None disables checkpoints (replay then runs to the last FULL
+        # manifest — table creation or a restore/clone-style override).
+        self.checkpoint_interval = checkpoint_interval
+        # {version: materialized snapshot} — versions are immutable once
+        # committed, so the cache never invalidates (bounded LRU-ish).
+        self._snap_cache: dict[int, dict] = {}
         os.makedirs(root, exist_ok=True)
 

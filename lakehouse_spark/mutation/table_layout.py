@@ -30,8 +30,7 @@ class LayoutMixin:
         v = self.current_version()
         if v is None:
             return self.partition_by
-        with open(self._manifest_path(v)) as f:
-            committed = tuple(json.load(f).get("partition_by", []))
+        committed = tuple(self._snapshot(v)["partition_by"])
         if self.partition_by and committed != self.partition_by:
             raise ValueError(
                 f"table {self.root} is partitioned by {list(committed)}, "
@@ -168,8 +167,7 @@ class LayoutMixin:
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        with open(self._manifest_path(v)) as f:
-            m = json.load(f)
+        m = self._snapshot(v)
         out: dict[str, dict] = {}
         for s in m["segments"]:
             p = m.get("partitions", {}).get(s)
@@ -431,8 +429,7 @@ class LayoutMixin:
         bands over the two columns (Delta's OPTIMIZE ZORDER BY runs per
         partition the same way), so 2-D box predicates prune bands
         WITHIN whatever the partition predicate already kept."""
-        with open(self._manifest_path(v0)) as f:
-            m = json.load(f)
+        m = self._snapshot(v0)
         parts, dv = m.get("partitions", {}), m.get("dv", {})
         masked = {s for ap in dv.values() for s in ap}
         groups: dict[str, tuple[dict, list[str]]] = {}
@@ -589,8 +586,7 @@ class LayoutMixin:
         v = self.current_version()
         n_dv = 0
         if v is not None:
-            with open(self._manifest_path(v)) as f:
-                n_dv = len(json.load(f).get("dv", {}))
+            n_dv = len(self._snapshot(v)["dv"])
         if self.n_segments() <= max_segments and n_dv <= max_dv:
             return False
         self.compact(

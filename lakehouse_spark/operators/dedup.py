@@ -979,11 +979,51 @@ def semdedup(
             # dedup downstream. The same size-triggered plan transition
             # discipline as broadcast-vs-shuffle joins; the oracle-checked
             # small-corpus path keeps the seed-argmax form.
+            #
+            # ORACLE-PARITY THRESHOLD (round-9 advisor note): this switch
+            # fires at n > 64 * target_cluster_size (4096 with defaults).
+            # cluster_id changes domain here (hyperplane signature, not a
+            # seed id) and the DuckDB oracle in queries/dedup_sim.py
+            # implements only the argmax path — cross-engine hash checks
+            # are valid for corpora at or under the threshold (every
+            # shipped sf0.01 correctness gate), and the large path is
+            # pinned by pytest + the dedup_stress_100x bench instead. A
+            # future sf bump that crosses 4096 embeddings is a documented
+            # plan transition, not a correctness regression.
             h = max(3, math.ceil(math.log2(n_clusters)))
-            planes = hyperplanes(h, len(e.select("v").first()[0]))
+            dim = len(e.select("v").first()[0])
+            planes = hyperplanes(h, dim)
             clustered = e.withColumn(
-                "cluster_id", rp_signature(F.col("v"), planes)
+                "cluster_id", rp_signature(F.col("v"), planes).cast("string")
             )
+            # Skew control (round-9 advisor fix): sign-bit signatures over
+            # correlated embeddings can pile mass into one bucket,
+            # reintroducing the within-block quadratic this path exists to
+            # avoid. Buckets beyond 16x the target size are re-split with
+            # EXTRA hyperplanes (seed-distinct, so the refinement is a
+            # finer LSH, preserving the near-dup-pairs-collide property) —
+            # bucket count thus grows with bucket mass, never fixed.
+            cap = 16 * target_cluster_size
+            big = [
+                r["cluster_id"]
+                for r in clustered.groupBy("cluster_id")
+                .count()
+                .filter(F.col("count") > cap)
+                .collect()
+            ]
+            if big:
+                extra = hyperplanes(max(3, h // 2 + 1), dim, seed=11)
+                clustered = clustered.withColumn(
+                    "cluster_id",
+                    F.when(
+                        F.col("cluster_id").isin(big),
+                        F.concat_ws(
+                            "_",
+                            F.col("cluster_id"),
+                            rp_signature(F.col("v"), extra).cast("string"),
+                        ),
+                    ).otherwise(F.col("cluster_id")),
+                )
             assigned = clustered.select("id", "cluster_id")
             pairs = embedding_near_duplicates(
                 clustered, "id", "v", block_col="cluster_id", min_cosine=-2.0

@@ -895,8 +895,15 @@ class AnnIndex:
         fit = self._quantizer_fit(new_vectors)
         base = self.codes.version_meta().get("fit")
         baseline = float(base) if base is not None else None
+        # Round-9 advisor fix: floor the error denominator at 1e-3. A tiny
+        # build corpus can fit the quantizer EXACTLY (every vector is a
+        # centroid, baseline_fit == 1.0); dividing by ~0 then flags
+        # retrain_recommended for any real batch. With the floor, a batch
+        # must show a genuinely material error (> threshold × 0.001
+        # cosine-error) before the recommendation fires; a near-perfect
+        # baseline is reported as-is in the meta either way.
         ratio = (
-            round((1.0 - fit) / max(1.0 - baseline, 1e-9), 4)
+            round((1.0 - fit) / max(1.0 - baseline, 1e-3), 4)
             if baseline is not None
             else None
         )

@@ -100,9 +100,29 @@ def _pointer(root: str) -> int:
         ) from None
 
 
+# Materialized-snapshot cache: a committed version's manifest chain is
+# immutable, so (root, version) keys never invalidate. Bounded — reader
+# instances are per-query and short-lived, the cache just spares the
+# checkpoint+delta-tail replay across the schema()/partitions() calls of
+# one plan (and across micro-batches of a stream on this driver).
+_SNAPSHOT_CACHE: dict[tuple[str, int], dict] = {}
+
+
 def _manifest(root: str, v: int) -> dict:
-    with open(os.path.join(root, f"_manifest_{v:06d}.json")) as f:
-        return json.load(f)
+    """The FULL logical manifest (snapshot) of version ``v`` — manifests
+    are per-commit deltas since round 9, so readers materialize through
+    lakehouse_spark.mutation.manifest.load_snapshot (checkpoint + delta
+    tail; see that module's format notes)."""
+    key = (root, v)
+    snap = _SNAPSHOT_CACHE.get(key)
+    if snap is None:
+        from lakehouse_spark.mutation.manifest import load_snapshot
+
+        snap = load_snapshot(root, v)
+        _SNAPSHOT_CACHE[key] = snap
+        while len(_SNAPSHOT_CACHE) > 64:
+            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+    return snap
 
 
 def _col_mapping(root: str, v: int) -> tuple[dict, list]:
@@ -177,23 +197,13 @@ def _cdc_dir(root: str, v: int) -> str:
 
 
 def _commit_kind(root: str, v: int) -> tuple[str, list[str]]:
-    mv = _manifest(root, v)
-    cur, cur_dv = mv["segments"], mv.get("dv", {})
-    if v > 0:
-        mp = _manifest(root, v - 1)
-        prev, prev_dv = set(mp["segments"]), mp.get("dv", {})
-    else:
-        prev, prev_dv = set(), {}
-    if prev <= set(cur):
-        added = [s for s in cur if s not in prev]
-        new_dv = [n for n in cur_dv if n not in prev_dv]
-        lost_dv = [n for n in prev_dv if n not in cur_dv]
-        if new_dv and not added and not lost_dv:
-            return ("delete_dv", new_dv)
-        if new_dv or lost_dv:
-            return ("rewrite", [])
-        return ("append", added) if added else ("noop", [])
-    return ("rewrite", [])
+    # O(1) for delta manifests (the file IS the classification); full
+    # manifests diff against the cached previous snapshot.
+    from lakehouse_spark.mutation.manifest import commit_kind_from_files
+
+    return commit_kind_from_files(
+        root, v, snapshot=lambda w: _manifest(root, w)
+    )
 
 
 def _unified_arrow_schema(files: list[str]):
@@ -213,19 +223,33 @@ def _unified_arrow_schema(files: list[str]):
     return pa.schema(fields)
 
 
-def _one_file_per_schema(root: str, segments: list[str]) -> list[str]:
+def _one_file_per_schema(
+    root: str, segments: list[str], tolerate_missing: bool = False
+) -> list[str]:
     """One representative file per segment — enough for schema union, since
     a segment is written in one Spark job and is schema-homogeneous.
-    Tolerant of a missing segment dir: this feeds SCHEMA derivation only
-    (a predicate-optioned relation may legitimately never read a segment
-    whose files are gone — e.g. archived cold partitions); the DATA path
-    still fails loudly if a partition it planned cannot be read."""
+
+    ``tolerate_missing`` (round-9 advisor fix: opt-in, NOT the default)
+    skips segment dirs whose files are gone. Only the predicate-optioned
+    relation passes True — such a relation may legitimately never read a
+    pruned segment (archived cold partitions), and its DATA path still
+    fails loudly if a planned partition can't be read. Everywhere else a
+    missing segment must surface here rather than silently narrowing the
+    derived schema (the missing segment could be the only carrier of an
+    evolved column)."""
     out = []
     for s in segments:
         try:
             fs = _segment_files(root, s)
         except FileNotFoundError:
-            continue
+            if tolerate_missing:
+                continue
+            raise FileNotFoundError(
+                f"segment {s!r} of table {root} is missing; refusing to "
+                "derive a (possibly narrowed) schema without it — restore "
+                "the files or read with .option('predicate', ...) that "
+                "prunes it"
+            ) from None
         if fs:
             out.append(fs[0])
     return out
@@ -294,6 +318,19 @@ def _parse_predicate_option(
     ranges: dict = {}
     in_sets: dict = {}
     for col, v in spec.items():
+        if col in _CDF_COLS:
+            # Round-9 advisor fix: on change reads the read schema includes
+            # the CDF metadata columns, so they'd pass the name check — but
+            # the pyarrow scan filter then references a field absent from
+            # append-segment/dv files (error or inconsistent footer skips
+            # depending on commit kind). They're not data columns; filter
+            # them Spark-side after tagging instead.
+            raise ValueError(
+                f"predicate on CDF metadata column {col!r} is not "
+                "supported; filter _change_type/_commit_version with "
+                ".filter(...) after the read (the predicate option prunes "
+                "DATA columns)"
+            )
         if col not in names:
             raise ValueError(
                 f"predicate column {col!r} is not in the table schema "
@@ -498,7 +535,13 @@ class LakehouseDataSource(DataSource):
         root = self._root()
         v = _resolve_version(root, self.options)
         segs = _manifest(root, v)["segments"]
-        arrow = _unified_arrow_schema(_one_file_per_schema(root, segs))
+        arrow = _unified_arrow_schema(
+            _one_file_per_schema(
+                root,
+                segs,
+                tolerate_missing=bool(self.options.get("predicate")),
+            )
+        )
         # Present the LOGICAL schema: footers hold physical names.
         renames, dropped = _col_mapping(root, v)
         if renames or dropped:
@@ -763,10 +806,15 @@ def _change_parts(
         return []
     if kind == "append":
         if ranges or in_sets:
-            # manifest stats: cheapest prune, whole segments at a time
+            # manifest stats: cheapest prune, whole segments at a time.
+            # Raw per-version manifest, NOT the materialized snapshot: the
+            # added segments' stats ride in the commit's own file (delta
+            # "stats" carries exactly the additions; a full manifest's map
+            # is a superset), so a stream stays O(commit) per version.
+            from lakehouse_spark.mutation.manifest import read_manifest_file
             from lakehouse_spark.mutation.store import _segment_may_match
 
-            stats = _manifest(root, v).get("stats", {})
+            stats = read_manifest_file(root, v).get("stats", {})
             pred = {**ranges, **in_sets}
             added = [
                 s for s in added if _segment_may_match(stats.get(s), pred)

@@ -1,0 +1,465 @@
+"""SQL DML routing for :class:`~lakehouse_spark.catalog.LakeCatalog`.
+
+Round 8 gave the catalog a SQL-by-name READ surface; this module closes
+the write half: ``cat.sql("DELETE FROM events WHERE day = 'd1'")`` routes
+to the owning :class:`~lakehouse_spark.mutation.store.TableStore`'s
+transactional DML (delete_where / update / merge / append) instead of
+failing in Spark's parser (temp views are not writable relations). The
+reference mutates every entity by name through its API
+(amplifier_library/sessions/manager.py:422-452 cascade delete;
+amplifierd/routers/sessions.py CRUD — read, not copied); a Spark user of
+a name-addressed catalog expects ``INSERT/UPDATE/DELETE/MERGE INTO
+<name>`` to work the same way.
+
+Supported statements (the subset the store's DML surface expresses; an
+unsupported shape raises ValueError with directions, never silently
+misparses):
+
+- ``INSERT INTO name [(cols)] VALUES (...), ...`` and
+  ``INSERT INTO name [(cols)] SELECT ...`` → ``TableStore.append``
+  (positional column mapping, store-assignment casts);
+- ``DELETE FROM name WHERE cond`` → ``TableStore.delete_where`` — the
+  WHERE's prunable conjuncts (``col = lit``, ``col >=/<=/>/< lit``,
+  ``col BETWEEN a AND b``, ``col IN (...)``) are additionally extracted
+  into the store's stats-predicate dict, so file skipping works exactly
+  as it does through the Python API;
+- ``UPDATE name SET col = expr, ... [WHERE cond]`` →
+  ``TableStore.update`` (same predicate extraction);
+- ``MERGE INTO name [AS] t USING (subquery)|source_name [AS] s
+  ON t.<key> = s.<key>
+  [WHEN MATCHED [AND cond] THEN DELETE]
+  [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = s.c, ...]
+  [WHEN NOT MATCHED THEN INSERT *]`` → ``TableStore.merge``.
+
+Every route commits through the store's optimistic transaction —
+snapshot-conflict detection, deletion-vector modes untouched, CDF rows
+identical to the equivalent Python call (pytest-pinned in
+tests/test_sql_dml.py). After a successful mutation the catalog's view of
+the table is refreshed to the new head (pinned ``version=``/``as_of=``
+registrations are never mutable through SQL — that would edit history).
+
+Results come back as a one-row DataFrame ``(op, table, affected_rows)``
+(affected_rows = -1 where the store API doesn't report a count), mirroring
+Delta's DML metrics output.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DML_HEAD = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.I)
+
+
+def is_dml(query: str) -> bool:
+    return bool(_DML_HEAD.match(query))
+
+
+# -- lexing helpers ----------------------------------------------------------
+
+
+def _split_top(text: str, sep_word: str | None = None) -> list[str]:
+    """Split on top-level commas (sep_word=None) or a top-level keyword
+    (e.g. "AND"), respecting parentheses, single-quoted strings, and the
+    AND that belongs to a BETWEEN ... AND ... expression."""
+    parts: list[str] = []
+    depth = 0
+    i = 0
+    start = 0
+    n = len(text)
+    word = sep_word.upper() if sep_word else None
+    pending_between = False
+
+    def _is_word_at(idx: int, w: str) -> bool:
+        if text[idx : idx + len(w)].upper() != w:
+            return False
+        before = text[idx - 1] if idx else " "
+        after = text[idx + len(w)] if idx + len(w) < n else " "
+        return not (before.isalnum() or before == "_") and not (
+            after.isalnum() or after == "_"
+        )
+
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'" and i + 1 < n and text[i + 1] == "'":
+                    i += 2  # escaped quote
+                elif text[i] == "'":
+                    break
+                else:
+                    i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if word is None and c == ",":
+                parts.append(text[start:i])
+                start = i + 1
+            elif word is not None:
+                if _is_word_at(i, "BETWEEN"):
+                    pending_between = True
+                    i += len("BETWEEN")
+                    continue
+                if _is_word_at(i, word):
+                    if pending_between:
+                        # the AND of BETWEEN lo AND hi: part of the term
+                        pending_between = False
+                        i += len(word)
+                        continue
+                    parts.append(text[start:i])
+                    start = i + len(word)
+                    i += len(word)
+                    continue
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_NUM_RE = re.compile(r"^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$")
+_STR_RE = re.compile(r"^'((?:[^']|'')*)'$", re.S)
+_TEMPORAL_RE = re.compile(r"^(?:DATE|TIMESTAMP)\s*'([^']*)'$", re.I)
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _literal(tok: str):
+    """Parse a SQL literal into the store-predicate value domain (numbers,
+    strings; DATE/TIMESTAMP literals degrade to their ISO string, which is
+    how the manifest stores partition values). Returns (ok, value)."""
+    tok = tok.strip()
+    if _NUM_RE.match(tok):
+        v = float(tok)
+        return True, int(v) if v.is_integer() and "." not in tok and "e" not in tok.lower() else v
+    m = _STR_RE.match(tok)
+    if m:
+        return True, m.group(1).replace("''", "'")
+    m = _TEMPORAL_RE.match(tok)
+    if m:
+        return True, m.group(1)
+    return False, None
+
+
+def extract_predicate(where: str) -> dict:
+    """Prunable conjuncts of a WHERE clause as the store's stats-predicate
+    dict — BEST-EFFORT and conservative: a conjunct that doesn't match one
+    of the simple shapes is simply not extracted (the full WHERE is always
+    re-applied row-exactly by the DML path, so extraction can only ever
+    SKIP more files, never change results). Strict bounds widen to closed
+    ones for the same reason."""
+    out: dict = {}
+
+    def _merge_range(col: str, lo=None, hi=None):
+        cur = out.get(col)
+        cur_lo, cur_hi = cur if isinstance(cur, tuple) else (None, None)
+        if lo is not None:
+            cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+        if hi is not None:
+            cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+        out[col] = (cur_lo, cur_hi)
+
+    for conj in _split_top(where, "AND"):
+        m = re.match(
+            rf"^({_IDENT})\s*(=|>=|<=|>|<)\s*(.+)$", conj.strip(), re.S
+        )
+        if m:
+            ok, v = _literal(m.group(3))
+            if not ok:
+                continue
+            col, op = m.group(1), m.group(2)
+            if col in out and not isinstance(out[col], tuple):
+                continue  # already an IN/equality; keep the tighter form
+            if op == "=":
+                if col not in out:
+                    out[col] = v
+            elif op in (">=", ">"):
+                _merge_range(col, lo=v)
+            else:
+                _merge_range(col, hi=v)
+            continue
+        m = re.match(
+            rf"^({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$",
+            conj.strip(),
+            re.I | re.S,
+        )
+        if m:
+            ok1, lo = _literal(m.group(2))
+            ok2, hi = _literal(m.group(3))
+            if ok1 and ok2:
+                _merge_range(m.group(1), lo=lo, hi=hi)
+            continue
+        m = re.match(
+            rf"^({_IDENT})\s+IN\s*\((.+)\)$", conj.strip(), re.I | re.S
+        )
+        if m and m.group(1) not in out:
+            vals = []
+            good = True
+            for tok in _split_top(m.group(2)):
+                ok, v = _literal(tok)
+                if not ok:
+                    good = False
+                    break
+                vals.append(v)
+            if good and vals:
+                out[m.group(1)] = vals
+    return out
+
+
+# -- routing -----------------------------------------------------------------
+
+
+def _result(spark, op: str, table: str, affected: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(op, table, affected)],
+        "op string, table string, affected_rows long",
+    )
+
+
+def _writable_store(cat, name: str):
+    store, opts = cat._entry(name)
+    if store is None:
+        raise ValueError(
+            f"{name!r} is a DataFrame/testdata view — SQL DML needs a "
+            "TableStore-backed registration (register(name, store=...))"
+        )
+    if opts.get("version") is not None or opts.get("as_of") is not None:
+        raise ValueError(
+            f"{name!r} is pinned to an explicit version/as_of snapshot; "
+            "DML through a time-travel view would edit history — register "
+            "the head (no version=) to mutate"
+        )
+    if opts.get("changes"):
+        raise ValueError(f"{name!r} is a change-feed view; it is read-only")
+    return store
+
+
+def _refresh_after(cat, name: str) -> None:
+    try:
+        cat.refresh(name)
+    except Exception:
+        pass  # view refresh is a convenience; the commit already landed
+
+
+def route(cat, query: str) -> DataFrame:
+    """Dispatch one DML statement against the catalog. ``cat`` is the
+    LakeCatalog (gives name→store resolution and the SparkSession)."""
+    verb = _DML_HEAD.match(query).group(1).upper()
+    q = query.strip().rstrip(";").strip()
+    if verb == "INSERT":
+        return _insert(cat, q)
+    if verb == "DELETE":
+        return _delete(cat, q)
+    if verb == "UPDATE":
+        return _update(cat, q)
+    return _merge(cat, q)
+
+
+def _insert(cat, q: str) -> DataFrame:
+    m = re.match(
+        rf"^INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
+        r"(VALUES\b.*|SELECT\b.*|TABLE\b.*)$",
+        q,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported INSERT shape; use INSERT INTO <name> [(cols)] "
+            "VALUES (...) | SELECT ..."
+        )
+    name, collist, body = m.group(1), m.group(2), m.group(3)
+    store = _writable_store(cat, name)
+    spark = cat.spark
+    if body.upper().startswith("VALUES"):
+        src = spark.sql(f"SELECT * FROM {body}")
+    else:
+        src = spark.sql(body)
+    target = (
+        [c.strip() for c in collist.split(",")]
+        if collist
+        else store.read().columns
+    )
+    if len(src.columns) != len(target):
+        raise ValueError(
+            f"INSERT provides {len(src.columns)} column(s) but the target "
+            f"list has {len(target)}: {target}"
+        )
+    src = src.toDF(*target)
+    # Store-assignment casts (INSERT adapts values to the table schema;
+    # genuinely incompatible types still fail the append's enforcement).
+    ttypes = {f.name: f.dataType for f in store.read().schema}
+    src = src.select(
+        *[
+            F.col(c).cast(ttypes[c]).alias(c) if c in ttypes else F.col(c)
+            for c in src.columns
+        ]
+    )
+    src = src.persist()
+    try:
+        n = src.count()
+        store.append(src)
+    finally:
+        src.unpersist()
+    _refresh_after(cat, name)
+    return _result(spark, "INSERT", name, n)
+
+
+def _delete(cat, q: str) -> DataFrame:
+    m = re.match(
+        rf"^DELETE\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(.+))?$", q, re.I | re.S
+    )
+    if not m:
+        raise ValueError("unsupported DELETE shape; use DELETE FROM <name> WHERE <cond>")
+    name, where = m.group(1), m.group(2)
+    store = _writable_store(cat, name)
+    if where is None:
+        raise ValueError(
+            "DELETE with no WHERE would drop every row; use "
+            "store.overwrite() with an empty frame if that is really meant"
+        )
+    pred = extract_predicate(where)
+    n = store.delete_where(where=where, predicate=pred or None)
+    _refresh_after(cat, name)
+    return _result(cat.spark, "DELETE", name, n)
+
+
+def _update(cat, q: str) -> DataFrame:
+    m = re.match(
+        rf"^UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+        q,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported UPDATE shape; use UPDATE <name> SET c = expr, ... "
+            "[WHERE <cond>]"
+        )
+    name, set_text, where = m.group(1), m.group(2), m.group(3)
+    store = _writable_store(cat, name)
+    assignments: dict[str, str] = {}
+    for item in _split_top(set_text):
+        am = re.match(rf"^({_IDENT})\s*=\s*(.+)$", item, re.S)
+        if not am:
+            raise ValueError(f"cannot parse SET assignment {item!r}")
+        assignments[am.group(1)] = am.group(2).strip()
+    pred = extract_predicate(where) if where else {}
+    n = store.update(
+        set=assignments, where=where, predicate=pred or None
+    )
+    _refresh_after(cat, name)
+    return _result(cat.spark, "UPDATE", name, n)
+
+
+def _merge(cat, q: str) -> DataFrame:
+    m = re.match(
+        rf"^MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
+        rf"USING\s+(\(.*?\)|{_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
+        r"ON\s+(.+?)\s+(WHEN\s+.+)$",
+        q,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported MERGE shape; use MERGE INTO <name> [AS t] USING "
+            "(<subquery>)|<name> [AS s] ON t.<key> = s.<key> WHEN ..."
+        )
+    name, talias, src_text, salias, on_text, clauses_text = m.groups()
+    talias = talias or name
+    store = _writable_store(cat, name)
+    spark = cat.spark
+    if src_text.startswith("("):
+        source = spark.sql(src_text[1:-1])
+        salias = salias or "s"
+    else:
+        salias = salias or src_text
+        source = cat.table(src_text)
+    key = store.key
+    on_ok = re.match(
+        rf"^\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+        on_text,
+    )
+    pairs = (
+        {(on_ok.group(1), on_ok.group(2)), (on_ok.group(3), on_ok.group(4))}
+        if on_ok
+        else set()
+    )
+    if not on_ok or pairs != {(talias, key), (salias, key)}:
+        raise ValueError(
+            f"MERGE ON must be the key equi-join {talias}.{key} = "
+            f"{salias}.{key} (the store's MERGE contract); got {on_text!r}"
+        )
+
+    def _rewrite_aliases(cond: str) -> str:
+        # store.merge evaluates conditions over t.<col> / s.<col>.
+        cond = re.sub(rf"\b{re.escape(talias)}\.", "t.", cond)
+        return re.sub(rf"\b{re.escape(salias)}\.", "s.", cond)
+
+    update_cols = None
+    update_cond = None
+    delete_cond = None
+    insert = False
+    has_update = False
+    clause_re = re.compile(
+        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+        r"(DELETE|INSERT\s*\*|UPDATE\s+SET\s+.+?)"
+        r"(?=\s+WHEN\s+|\s*$)",
+        re.I | re.S,
+    )
+    matched_any = False
+    for cm in clause_re.finditer(clauses_text):
+        matched_any = True
+        not_matched, cond, action = cm.groups()
+        action_u = action.strip().upper()
+        if not_matched:
+            if cond is not None:
+                raise ValueError(
+                    "WHEN NOT MATCHED AND <cond> is not supported by the "
+                    "store's MERGE; filter the source instead"
+                )
+            if not action_u.startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports only INSERT *")
+            insert = True
+            continue
+        if action_u == "DELETE":
+            delete_cond = _rewrite_aliases(cond) if cond else "true"
+            continue
+        # UPDATE SET ...
+        has_update = True
+        if cond is not None:
+            update_cond = _rewrite_aliases(cond)
+        set_text = re.sub(r"^UPDATE\s+SET\s+", "", action.strip(), flags=re.I)
+        if set_text.strip() == "*":
+            update_cols = None
+        else:
+            update_cols = []
+            for item in _split_top(set_text):
+                am = re.match(
+                    rf"^(?:{re.escape(talias)}\.)?({_IDENT})\s*=\s*"
+                    rf"{re.escape(salias)}\.({_IDENT})\s*$",
+                    item,
+                    re.S,
+                )
+                if not am or am.group(1) != am.group(2):
+                    raise ValueError(
+                        f"MERGE UPDATE SET supports 'c = {salias}.c' "
+                        f"assignments (or SET *); got {item!r}"
+                    )
+                update_cols.append(am.group(1))
+    if not matched_any:
+        raise ValueError("MERGE has no parseable WHEN clause")
+    if not has_update and not delete_cond and not insert:
+        raise ValueError("MERGE needs at least one action clause")
+    if not has_update and delete_cond is None:
+        # insert-only merge: suppress updates entirely
+        update_cond = "false"
+    store.merge(
+        source,
+        update_cols=update_cols,
+        update_cond=update_cond,
+        delete_cond=delete_cond,
+        insert=insert,
+    )
+    _refresh_after(cat, name)
+    return _result(spark, "MERGE", name, -1)

@@ -241,16 +241,14 @@ def test_overwrite_where_prunes_by_date_partition(spark, tmp_path):
         (i, dt.date(2024, 1, 1 + (i % 3)), f"v{i}") for i in range(9)
     ]
     store.init(spark.createDataFrame(rows, "id long, day date, v string"))
-    with open(store._manifest_path(store.current_version())) as f:
-        before = json.load(f)["segments"]
+    before = store._snapshot(store.current_version())["segments"]
     assert len(before) == 3  # one per day — and days get NO footer stats
 
     repl = spark.createDataFrame(
         [(100, dt.date(2024, 1, 2), "NEW")], "id long, day date, v string"
     )
     store.overwrite_where(repl, {"day": dt.date(2024, 1, 2)})
-    with open(store._manifest_path(store.current_version())) as f:
-        after = json.load(f)["segments"]
+    after = store._snapshot(store.current_version())["segments"]
     # the two other day-partitions are reused BY REFERENCE, not rewritten
     reused = [s for s in after if s in before]
     assert len(reused) == 2

@@ -89,8 +89,7 @@ def test_predicate_registration_prunes_segments(spark, tmp_path):
     facts = _mk_facts(spark, tmp_path)
     cat = LakeCatalog(spark)
     cat.register("hot", store=facts, predicate={"x": (350, None)})
-    with open(facts._manifest_path(facts.current_version())) as f:
-        m = json.load(f)
+    m = facts._snapshot(facts.current_version())
     doomed = [s for s in m["segments"] if m["stats"][s]["x"][1] < 350]
     assert len(doomed) == 3
     for s in doomed:

@@ -1,0 +1,207 @@
+"""SQL DML through the catalog (round-9 task): INSERT/UPDATE/DELETE/MERGE
+INTO a registered name route to the owning TableStore's transactional DML
+with parity to the direct Python calls — including file skipping from the
+WHERE clause and identical CDF rows. Reference: every entity there is
+mutated by name through the API (amplifier_library/sessions/manager.py
+CRUD/cascade — read, not copied).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_spark.catalog import LakeCatalog
+from lakehouse_spark.mutation.store import TableStore
+from lakehouse_spark.sqldml import extract_predicate
+
+
+def _mk(spark, tmp_path, name="t", write_cdf=False):
+    st = TableStore(
+        spark,
+        str(tmp_path / name),
+        key="id",
+        stats_cols=("id", "day"),
+        write_cdf=write_cdf,
+    )
+    st.init(
+        spark.range(100).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS day", "id * 2 AS val"
+        )
+    )
+    return st
+
+
+def test_extract_predicate_shapes():
+    p = extract_predicate(
+        "id >= 10 AND id < 20 AND day = 'd1' AND grp IN (1, 2, 3) "
+        "AND ts BETWEEN 5 AND 9 AND upper(name) = 'X'"
+    )
+    assert p["id"] == (10, 20)  # strict < widened to closed (conservative)
+    assert p["day"] == "d1"
+    assert p["grp"] == [1, 2, 3]
+    assert p["ts"] == (5, 9)
+    assert "name" not in p and "upper(name)" not in str(p)
+    # OR never extracts (not a conjunct)
+    assert extract_predicate("id = 1 OR id = 2") == {}
+
+
+def test_sql_delete_routes_and_prunes(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.compact(range_by="id", n_segments=4)  # cluster so stats prune
+    segs_before = st._snapshot(st.current_version())["segments"]
+    cat = LakeCatalog(spark)
+    cat.register("events_t", store=st)
+    res = cat.sql("DELETE FROM events_t WHERE id >= 90").collect()[0]
+    assert res.op == "DELETE" and res.affected_rows == 10
+    # file skipping happened: untouched low-range segments reused by name
+    segs_after = st._snapshot(st.current_version())["segments"]
+    assert len(set(segs_before) & set(segs_after)) >= 2
+    # the view auto-refreshed to the new head
+    assert cat.sql("SELECT count(*) AS n FROM events_t").collect()[0].n == 90
+    assert st.read().count() == 90
+
+
+def test_sql_delete_parity_with_python_api(spark, tmp_path):
+    a = _mk(spark, tmp_path, "a", write_cdf=True)
+    b = _mk(spark, tmp_path, "b", write_cdf=True)
+    cat = LakeCatalog(spark)
+    cat.register("tbl_a", store=a)
+    cat.sql("DELETE FROM tbl_a WHERE day = '1' AND id < 50")
+    b.delete_where(where="day = '1' AND id < 50", predicate={"day": "1"})
+    assert sorted(r.id for r in a.read().collect()) == sorted(
+        r.id for r in b.read().collect()
+    )
+    # CDF rows identical (same commit classification and pre-images)
+    ca = {
+        (r.id, r._change_type)
+        for r in a.changes(1, a.current_version()).collect()
+    }
+    cb = {
+        (r.id, r._change_type)
+        for r in b.changes(1, b.current_version()).collect()
+    }
+    assert ca == cb and ca
+
+
+def test_sql_insert_values_and_select(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("ins_t", store=st)
+    r = cat.sql(
+        "INSERT INTO ins_t (id, day, val) VALUES (1000, 'd9', 7), "
+        "(1001, 'd9', 8)"
+    ).collect()[0]
+    assert r.affected_rows == 2
+    assert st.read().count() == 102
+    # commit was an O(delta) append
+    import json
+
+    raw = json.load(open(st._manifest_path(st.current_version())))
+    assert "segments" not in raw and raw["add"]
+    r = cat.sql(
+        "INSERT INTO ins_t SELECT id + 5000, day, val FROM ins_t "
+        "WHERE id >= 1000"
+    ).collect()[0]
+    assert r.affected_rows == 2
+    assert st.read().count() == 104
+    got = {r.id for r in st.read(predicate={"id": (6000, 6001)}).collect()}
+    assert got == {6000, 6001}
+
+
+def test_sql_update_routes(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("upd_t", store=st)
+    r = cat.sql(
+        "UPDATE upd_t SET val = val + 1000 WHERE id BETWEEN 10 AND 14"
+    ).collect()[0]
+    assert r.op == "UPDATE" and r.affected_rows == 5
+    rows = {r.id: r.val for r in st.read().collect()}
+    assert rows[12] == 12 * 2 + 1000 and rows[9] == 18
+
+
+def test_sql_merge_routes(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("mrg_t", store=st)
+    src = spark.range(95, 105).selectExpr(
+        "id", "'dX' AS day", "id * 10 AS val"
+    )
+    cat.register("mrg_src", df=src)
+    cat.sql(
+        "MERGE INTO mrg_t AS t USING mrg_src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.val > 960 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET val = s.val "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r.id: r.val for r in st.read().collect()}
+    # 96..99 matched with s.val (960..990) > 960 → 97,98,99 deleted; 96 = 960 updated
+    assert 97 not in rows and 98 not in rows and 99 not in rows
+    assert rows[96] == 960 and rows[95] == 950
+    assert rows[100] == 1000 and rows[104] == 1040  # inserts
+    # parity with the direct call
+    st2 = _mk(spark, tmp_path, "p")
+    st2.merge(
+        src,
+        update_cols=["val"],
+        update_cond=None,
+        delete_cond="s.val > 960",
+        insert=True,
+    )
+    assert rows == {r.id: r.val for r in st2.read().select("id", "val").collect()}
+
+
+def test_sql_merge_with_subquery_source(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("mq_t", store=st)
+    cat.sql(
+        "MERGE INTO mq_t t USING (SELECT id, CAST(id % 4 AS STRING) AS day, "
+        "id * 100 AS val FROM range(3)) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    rows = {r.id: r.val for r in st.read().collect()}
+    assert rows[0] == 0 and rows[1] == 100 and rows[2] == 200 and rows[3] == 6
+
+
+def test_sql_dml_guards(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("g_t", store=st, version=0)
+    with pytest.raises(ValueError, match="pinned"):
+        cat.sql("DELETE FROM g_t WHERE id = 1")
+    cat.register("g_df", df=spark.range(3))
+    with pytest.raises(ValueError, match="TableStore-backed"):
+        cat.sql("DELETE FROM g_df WHERE id = 1")
+    cat.register("g_head", store=st)
+    with pytest.raises(ValueError, match="WHERE"):
+        cat.sql("DELETE FROM g_head")
+    with pytest.raises(ValueError, match="key equi-join"):
+        cat.sql(
+            "MERGE INTO g_head t USING g_df s ON t.val = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_follow_head_view_sees_new_commits(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("fh", store=st, follow_head=True)
+    cat.register("pinned", store=st)  # registration-time snapshot
+    n0 = cat.sql("SELECT count(*) AS n FROM fh").collect()[0].n
+    st.append(
+        spark.range(500, 510).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS day", "id * 2 AS val"
+        )
+    )
+    assert cat.sql("SELECT count(*) AS n FROM fh").collect()[0].n == n0 + 10
+    assert cat.table("fh").count() == n0 + 10
+    # the pinned view still shows the registration-time snapshot
+    assert cat.sql("SELECT count(*) AS n FROM pinned").collect()[0].n == n0
+
+
+def test_follow_head_rejects_version_pin(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    with pytest.raises(ValueError, match="follow_head"):
+        cat.register("x", store=st, version=0, follow_head=True)

@@ -38,8 +38,7 @@ def _mk_unclustered(spark, root, bloom=True):
 
 
 def _segments_of_head(store):
-    with open(store._manifest_path(store.current_version())) as f:
-        return json.load(f)["segments"]
+    return store._snapshot(store.current_version())["segments"]
 
 
 def test_jvm_and_python_hashes_agree(spark):
@@ -66,8 +65,7 @@ def test_bloom_prunes_point_lookup_on_unclustered_layout(spark, tmp_path):
     store = _mk_unclustered(spark, str(tmp_path / "t"))
     full = store.read()
     # range stats alone cannot prune this layout: every segment overlaps
-    with open(store._manifest_path(store.current_version())) as f:
-        stats = json.load(f)["stats"]
+    stats = store._snapshot(store.current_version())["stats"]
     assert all(
         stats[s]["id"][0] <= 42 <= stats[s]["id"][1]
         for s in _segments_of_head(store)

@@ -152,10 +152,8 @@ def test_drop_column_hides_and_rewrite_purges(spark, store):
     import pyarrow.parquet as pq
 
     seg = [d for d in os.listdir(store.root) if d.startswith("_seg")]
-    head_segs = set(
-        s for s in seg if s in set(__import__("json").load(
-            open(os.path.join(store.root, f"_manifest_{store.current_version():06d}.json"))
-        )["segments"])
+    head_segs = set(seg) & set(
+        store._snapshot(store.current_version())["segments"]
     )
     for s in head_segs:
         for n in os.listdir(os.path.join(store.root, s)):

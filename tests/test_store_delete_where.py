@@ -14,8 +14,9 @@ from lakehouse_spark.mutation.store import TableStore
 
 
 def _manifest(store):
-    with open(store._manifest_path(store.current_version())) as f:
-        return json.load(f)
+    # Round 9: manifests are per-commit deltas; assertions run against the
+    # MATERIALIZED snapshot (segments/stats/dv/partitions as readers see them).
+    return store._snapshot(store.current_version())
 
 
 def _mk(spark, tmp_path, **kw):

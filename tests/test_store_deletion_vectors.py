@@ -81,10 +81,7 @@ def test_dv_predicate_read_stays_exact(spark, store):
 def test_dv_compact_folds_and_restore_pins(spark, store):
     store.delete_keys(_keys(spark, 2, 3), mode="dv")  # v1
     store.compact()  # v2: rewrite folds the dv in
-    m = json.load(
-        open(os.path.join(store.root, f"_manifest_{2:06d}.json"))
-    )
-    assert m["dv"] == {}
+    assert store._snapshot(2)["dv"] == {}
     assert _ids(store.read()) == [1, 4]
     # restore to v0 resurrects the deleted keys (dv pinned per version)
     store.restore(0)

@@ -32,10 +32,9 @@ def _mk(spark, tmp_path, **kw):
 
 
 def _manifest(store):
-    with open(
-        os.path.join(store.root, f"_manifest_{store.current_version():06d}.json")
-    ) as f:
-        return json.load(f)
+    # Round 9: manifests are per-commit deltas; assertions run against the
+    # MATERIALIZED snapshot (segments/stats/dv/partitions as readers see them).
+    return store._snapshot(store.current_version())
 
 
 def test_init_splits_one_segment_per_value(spark, tmp_path):

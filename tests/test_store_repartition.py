@@ -17,8 +17,8 @@ from lakehouse_spark.mutation.store import ConcurrentWriteError, TableStore
 
 def _manifest(store, v=None):
     v = store.current_version() if v is None else v
-    with open(store._manifest_path(v)) as f:
-        return json.load(f)
+    # Round 9: manifests are per-commit deltas; assert on the snapshot.
+    return store._snapshot(v)
 
 
 def _mk(spark, tmp_path, **kw):

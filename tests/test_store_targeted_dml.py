@@ -33,8 +33,7 @@ def _mk_banded(spark, root, stats=True):
 
 
 def _segments_of_head(store):
-    with open(store._manifest_path(store.current_version())) as f:
-        return json.load(f)["segments"]
+    return store._snapshot(store.current_version())["segments"]
 
 
 def _rows(df):
@@ -299,8 +298,7 @@ def test_mor_upsert_rewrites_nothing(spark, tmp_path):
     want = _rows(mor.read())
     mor.compact()
     assert _rows(mor.read()) == want
-    with open(mor._manifest_path(mor.current_version())) as f:
-        assert json.load(f)["dv"] == {}
+    assert mor._snapshot(mor.current_version())["dv"] == {}
 
 
 def test_mor_merge_parity_with_rewrite_merge(spark, tmp_path):

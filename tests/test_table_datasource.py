@@ -223,7 +223,7 @@ def test_writer_append_overwrite_and_stats(spark, store):
     ).write.format("lakehouse").mode("append").save(root)
     assert 7 in {r.id for r in store.read().collect()}
     v = store.current_version()
-    m = json.load(open(os.path.join(root, f"_manifest_{v:06d}.json")))
+    m = store._snapshot(v)
     seg = f"_seg{v:06d}"
     assert seg in m["segments"]
     assert m["stats"][seg]["x"] == [3, 3]  # footer-harvested, no extra scan
@@ -693,9 +693,7 @@ def test_snapshot_predicate_option_is_cache_safe_pruning(spark, tmp_path):
     # pruning proof: excluded segments' files are never listed
     import os as _os
 
-    m_path = s._manifest_path(s.current_version())
-    with open(m_path) as f:
-        m = _json.load(f)
+    m = s._snapshot(s.current_version())
     for seg in [x for x in m["segments"] if m["stats"][x]["x"][1] < 350]:
         shutil.rmtree(_os.path.join(s.root, seg))
     fresh = (
