@@ -129,9 +129,24 @@ def _scaling_pair(
     dedup_cluster_components) report only the FINAL job's plan metrics —
     their per-round shuffles aren't visible from the returned DataFrame,
     so a 0-byte reading there means "not measurable here", not "free";
-    their time_ratio is the meaningful slope."""
+    their time_ratio is the meaningful slope.
+
+    Round-9 self-adjudication (the verdict's two manual forensics, now
+    mechanical):
+
+    * ``join_strategies_<tag>`` records the executed plan's actual join
+      operators per measured point, so a shuffle-record blow-up is
+      classified definitively — unchanged strategies ⇒ ``superlinear``,
+      a strategy flip ⇒ ``plan_transition`` (broadcast rows become
+      shuffle-visible; the records delta indicts the planner threshold,
+      not the pair space);
+    * a point whose max/min run spread exceeds 3× (the round-8 md5 52.6s
+      artifact signature) is RE-RUN once — the re-run's runs are pooled
+      into the median and the spread is recorded
+      (``outlier_rerun_<tag>``) together with the persistent-RDD count
+      per run (cache-eviction state, the suspected mechanism)."""
     from lakehouse_spark.operators.dedup import release_caches
-    from lakehouse_spark.plans.metrics import plan_metrics
+    from lakehouse_spark.plans.metrics import join_strategies, plan_metrics
 
     reps = max(1, int(os.environ.get("BENCH_SCALING_REPS", "3")))
     queries: dict[str, dict] = {}
@@ -140,8 +155,13 @@ def _scaling_pair(
         entry: dict = {}
         try:
             for tag, d in ((tag_small, d_small), (tag_big, d_big)):
-                runs = []
-                for i in range(reps):
+                runs: list[float] = []
+                persisted: list[int] = []
+
+                def _one(i: int) -> None:
+                    persisted.append(
+                        spark.sparkContext._jsc.getPersistentRDDs().size()
+                    )
                     t0 = time.perf_counter()
                     df = spec.build(spark, d)
                     df.collect()
@@ -154,7 +174,23 @@ def _scaling_pair(
                         entry[f"shuffle_records_{tag}"] = m.get(
                             "shuffleRecordsWritten", 0
                         )
+                        entry[f"join_strategies_{tag}"] = join_strategies(df)
                     release_caches()
+
+                for i in range(reps):
+                    _one(i)
+                if min(runs) > 0 and max(runs) / min(runs) > 3.0:
+                    # Outlier policy: one catastrophic run (host stall /
+                    # cache eviction) must not fabricate a slope. Re-run
+                    # the whole point and pool the samples; the artifact
+                    # records that adjudication happened and what the
+                    # cache state was per run.
+                    entry[f"outlier_rerun_{tag}"] = {
+                        "first_runs": list(runs),
+                        "persistent_rdds_per_run": list(persisted),
+                    }
+                    for i in range(reps):
+                        _one(reps + i)
                 entry[f"t_{tag}"] = round(statistics.median(runs), 3)
                 entry[f"t_{tag}_min"] = min(runs)
                 entry[f"runs_{tag}"] = runs
@@ -180,17 +216,30 @@ def _scaling_pair(
             entry["shuffle_records_ratio"] = (
                 round(br / sr, 2) if sr else (1.0 if br == 0 else None)
             )
-            # Flag super-linear growth on RECORDS with a meaningful
-            # baseline: a tiny small-side reading (broadcast at the small
-            # point, sort-merge at the big one) fabricates huge ratios
-            # that indict the PLANNER's size threshold, not the pair
-            # space — round 8 measured 795x records on a 6.6k-record
-            # baseline for dedup_ngram_jaccard while its output and time
-            # stayed linear. Those cases are recorded as
-            # plan_transition_suspect instead.
+            # Flag super-linear growth on RECORDS, adjudicated by the
+            # recorded join strategies (round 9 — no more "suspect"): a
+            # records blow-up with UNCHANGED strategies is genuine
+            # super-linear pair growth regardless of baseline size; a
+            # strategy flip (broadcast at the small point, sort-merge at
+            # the big one) is a planner size-threshold transition — the
+            # blow-up is broadcast rows becoming shuffle-visible (round 8
+            # measured 795x records on a 6.6k baseline for
+            # dedup_ngram_jaccard from exactly this; its time stayed
+            # linear). Strategy data missing (cached/checkpointed cores)
+            # falls back to the round-8 baseline-size heuristic.
             rr = entry["shuffle_records_ratio"]
             if rr is not None and rr > 12:
-                if sr >= 50_000:
+                js_s = entry.get(f"join_strategies_{tag_small}")
+                js_b = entry.get(f"join_strategies_{tag_big}")
+                if js_s is not None and js_b is not None:
+                    if js_s == js_b:
+                        superlinear.append(name)
+                    else:
+                        entry["plan_transition"] = {
+                            "small": js_s,
+                            "big": js_b,
+                        }
+                elif sr >= 50_000:
                     superlinear.append(name)
                 else:
                     entry["plan_transition_suspect"] = True
@@ -362,6 +411,111 @@ def dml_section(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def manifest_plane_section(spark) -> dict:
+    """Metadata-plane microbench (round-9 verdict ask #1): commit latency
+    and on-disk commit record size at 1k vs 50k segments, isolating the
+    MANIFEST cost from data IO (commits append a segment by reference —
+    no parquet write — so the timed work is exactly snapshot load + delta
+    encode + claim/finalize/swap). Round 8's full-manifest-per-commit
+    design was O(table) here.
+
+    Reading the numbers: ``commit_record_bytes`` must be FLAT across the
+    50× span (the IO/durability plane is O(delta) — this is the claim
+    that kills the 100 MB-JSON-per-append failure mode). Commit LATENCY
+    keeps a small linear in-memory term (~0.1 µs/segment: the head
+    snapshot's dict/list copies — the same driver-side snapshot-update
+    shape Delta pays per commit), so expect single-digit ms at 50k
+    segments, not a 1.0 ratio. ``o_table_write_sec`` reports what
+    SERIALIZING the full snapshot costs at each size — the price every
+    round-8 commit paid on top, now paid only by the periodic checkpoint
+    AFTER the pointer swap (off the commit latency path)."""
+    import shutil
+    import statistics as _st
+    import tempfile
+
+    from lakehouse_spark.mutation.manifest import load_snapshot
+    from lakehouse_spark.mutation.store import TableStore
+
+    root = tempfile.mkdtemp(prefix="bench_manifest_")
+    out: dict = {}
+    try:
+        for n_segs in (1_000, 50_000):
+            tdir = os.path.join(root, f"t{n_segs}")
+            st = TableStore(spark, tdir, key="id", stats_cols=("id",))
+            st.init(spark.range(10).selectExpr("id", "id AS val"))
+            # Fabricate a head with n synthetic segments + per-segment
+            # stats (metadata only — the fake segments are never read;
+            # appends resolve prior segments by NAME). This is how a
+            # 100 TB table's manifest looks: ~n_segs × 100 MB of data
+            # behind ~n_segs manifest entries.
+            snap = st._snapshot(0)
+            fakes = [f"_synth{i:06d}" for i in range(n_segs)]
+            full = dict(snap)
+            full["segments"] = list(snap["segments"]) + fakes
+            full["stats"] = {
+                **snap["stats"],
+                **{
+                    s: {"id": [i * 100, i * 100 + 99]}
+                    for i, s in enumerate(fakes)
+                },
+            }
+            with open(st._manifest_path(1), "w") as fh:
+                json.dump(full, fh)
+            st._swap_pointer(1)
+
+            fresh = TableStore(spark, tdir, key="id", stats_cols=("id",))
+            # Cold snapshot load (checkpoint/full-manifest parse).
+            t0 = time.perf_counter()
+            fresh._snapshot(fresh.current_version())
+            cold_load = round(time.perf_counter() - t0, 4)
+            # Metadata-only commits: append one segment by reference.
+            commit_secs = []
+            for _ in range(9):
+                t0 = time.perf_counter()
+                fresh._transact(
+                    lambda v: fresh._segments(v - 1) + [f"_synthx{v:06d}"]
+                )
+                commit_secs.append(round(time.perf_counter() - t0, 4))
+            head = fresh.current_version()
+            delta_bytes = os.path.getsize(fresh._manifest_path(head))
+            # Warm incremental read: head snapshot off the cached chain.
+            t0 = time.perf_counter()
+            fresh._snapshot(head)
+            warm_load = round(time.perf_counter() - t0, 4)
+            # The O(table) cost a round-8-style full write would pay.
+            snap_now = load_snapshot(tdir, head)
+            t0 = time.perf_counter()
+            with open(os.path.join(tdir, "_o_table_probe"), "w") as fh:
+                json.dump(snap_now, fh)
+            o_table = round(time.perf_counter() - t0, 4)
+            out[str(n_segs)] = {
+                "commit_sec_median": round(_st.median(commit_secs), 4),
+                "commit_secs": commit_secs,
+                "commit_record_bytes": delta_bytes,
+                "cold_snapshot_load_sec": cold_load,
+                "warm_snapshot_load_sec": warm_load,
+                "o_table_write_sec": o_table,
+            }
+        small, big = out["1000"], out["50000"]
+        out["commit_latency_ratio_50x"] = (
+            round(
+                big["commit_sec_median"] / small["commit_sec_median"], 2
+            )
+            if small["commit_sec_median"]
+            else None
+        )
+        out["commit_bytes_ratio_50x"] = round(
+            big["commit_record_bytes"] / max(small["commit_record_bytes"], 1),
+            2,
+        )
+        return out
+    except Exception as ex:  # noqa: BLE001 — microbench must not kill bench
+        out["error"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -492,6 +646,10 @@ def main() -> None:
     # DML write-amplification microbench (round 8).
     dml = dml_section(spark)
 
+    # Metadata-plane flatness: commit latency/bytes at 1k vs 50k segments
+    # (round 9 — the delta manifest log's proof artifact).
+    manifest_plane = manifest_plane_section(spark)
+
     # Contention signature: a query whose median ran >30% above its own
     # min within the SAME bench invocation was interfered with mid-run —
     # the per-run complement of the parallel host probe's before/after
@@ -502,6 +660,20 @@ def main() -> None:
         for name, d in detail.items()
         if d["min"] and d["median"] / d["min"] > 1.3
     )
+
+    # Probe-normalized ratios (round-9 verdict ask #5): seconds ÷ the
+    # host-speed probe (numpy matmul, before/after averaged). The round-8
+    # official artifact was taken on a uniformly-degraded host, which the
+    # min/median contention flag can't catch (everything was equally
+    # slow); normalized numbers compare across rounds/hosts. Quiet
+    # reference probe ≈ 0.17 s, so normalized ≈ seconds × 5.9 there.
+    probe_norm = (
+        probe_before["numpy_matmul_sec"] + probe_after["numpy_matmul_sec"]
+    ) / 2.0
+    queries_normalized = {
+        n: (round(v / probe_norm, 2) if v is not None else None)
+        for n, v in medians.items()
+    }
 
     out = {
         "metric": "headline_suite_wall_sec",
@@ -520,6 +692,9 @@ def main() -> None:
         "scaling_100x": scaling_100x,
         "dedup_stress_100x": dedup_stress,
         "dml": dml,
+        "manifest_plane": manifest_plane,
+        "queries_normalized": queries_normalized,
+        "probe_norm_sec": round(probe_norm, 4),
         "contended_queries": contended,
         "sf": sf,
     }
@@ -577,18 +752,51 @@ def main() -> None:
             n: e.get("time_ratio")
             for n, e in scaling.get("queries", {}).items()
         },
+        # host-normalized per-query ratios (seconds ÷ numpy probe):
+        # the cross-round comparable number (round 9).
+        "queries_normalized": queries_normalized,
+        "probe_norm_sec": round(probe_norm, 4),
+        # metadata-plane flatness summary (full numbers in the detail file)
+        "manifest_plane": {
+            "commit_sec_1k": manifest_plane.get("1000", {}).get(
+                "commit_sec_median"
+            ),
+            "commit_sec_50k": manifest_plane.get("50000", {}).get(
+                "commit_sec_median"
+            ),
+            "latency_ratio_50x": manifest_plane.get(
+                "commit_latency_ratio_50x"
+            ),
+            "bytes_ratio_50x": manifest_plane.get("commit_bytes_ratio_50x"),
+        },
+        # definitive plan-transition adjudications from the scaling
+        # instruments (strategy flip recorded per point; empty = none)
+        "plan_transitions": sorted(
+            {
+                n
+                for sec in (scaling, scaling_100x, dedup_stress)
+                for n, e in (sec.get("queries") or {}).items()
+                if "plan_transition" in e or "plan_transition_suspect" in e
+            }
+        ),
         "detail_file": detail_path,
     }
     if errors:
         compact["errors"] = {k: v[:80] for k, v in errors.items()}
-    # Degrade gracefully: shed the least essential keys until the line fits.
+    # Degrade gracefully: shed the least essential keys until the line
+    # fits (everything shed is still in BENCH_DETAIL.json; the per-round
+    # headline numbers — queries, normalized ratios, manifest flatness —
+    # go last).
     for drop in (
-        "dml_sec",
-        "superlinear_shuffle_dedup",
         "scaling_time_ratios",
+        "dml_sec",
+        "plan_transitions",
+        "superlinear_shuffle_dedup",
         "superlinear_shuffle_100x",
         "superlinear_shuffle",
         "contended_queries",
+        "manifest_plane",
+        "queries_normalized",
         "errors",
     ):
         if len(json.dumps(compact)) <= 1800:

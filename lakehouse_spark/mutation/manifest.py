@@ -246,16 +246,27 @@ def _apply_delta(prev: dict, d: dict) -> dict:
     Returns a NEW dict with fresh top-level containers; per-segment stat
     lists / dv applies-to lists are shared by reference (immutable by
     convention — nothing in the store mutates them in place)."""
-    rm = set(d.get("remove", ()))
-    segments = [s for s in prev["segments"] if s not in rm]
+    # C-speed carry: copy + pop-the-removed beats rebuilding n-key dicts
+    # through Python-level comprehensions (the per-commit metadata cost is
+    # O(n) memory ops either way — dicts aren't structurally shared — but
+    # the constant matters at 10^5-10^6 segments).
+    removed = d.get("remove", ())
+    if removed:
+        rm = set(removed)
+        segments = [s for s in prev["segments"] if s not in rm]
+    else:
+        segments = list(prev["segments"])
     segments += list(d.get("add", ()))
-    live = set(segments)
-    stats = {s: st for s, st in prev["stats"].items() if s in live}
+    stats = dict(prev["stats"])
+    partitions = dict(prev["partitions"])
+    for s in removed:
+        stats.pop(s, None)
+        partitions.pop(s, None)
     stats.update(d.get("stats", {}))
-    partitions = {s: p for s, p in prev["partitions"].items() if s in live}
     partitions.update(d.get("partitions", {}))
-    unset = set(d.get("dv_unset", ()))
-    dv = {n: ap for n, ap in prev["dv"].items() if n not in unset}
+    dv = dict(prev["dv"])
+    for n in d.get("dv_unset", ()):
+        dv.pop(n, None)
     dv.update(d.get("dv_set", {}))
     txn = dict(prev["txn"])
     txn.update(d.get("txn_set", {}))
@@ -279,7 +290,16 @@ def load_snapshot(root: str, v: int, cache: dict | None = None) -> dict:
     catalog) goes through. Cost: nearest checkpoint/full manifest + the
     delta tail, O(delta) amortized with a warm ``cache`` ({version:
     snapshot}, treated read-only). Raises FileNotFoundError when the
-    version's manifest chain was vacuumed."""
+    version's manifest chain was vacuumed — checked against the FILES even
+    on a cache hit, so a vacuumed version never resurrects from memory
+    (time travel past retention must fail deterministically; the segments
+    may be gone too). Cache hits at intermediate versions of the walk-back
+    are fine regardless: only the requested version's existence matters."""
+    if not os.path.exists(manifest_path(root, v)):
+        raise FileNotFoundError(
+            f"version {v} of {root} has no manifest (never committed, or "
+            "vacuumed past retention)"
+        )
     chain: list[dict] = []
     w = v
     while True:
@@ -686,33 +706,77 @@ class TxnMixin:
                 segments = segments + [
                     s for s in rebase_adds if s not in have
                 ]
+            n_prev = len(prev_segments)
+            if len(segments) >= n_prev and segments[:n_prev] == prev_segments:
+                # Pure append (the steady-state hot path): one C-level
+                # list compare instead of two set builds + two Python
+                # comprehensions over all n segments.
+                removed: list[str] = []
+                added = segments[n_prev:]
+            else:
+                live0 = set(segments)
+                prev_set = set(prev_segments)
+                removed = [s for s in prev_segments if s not in live0]
+                added = [s for s in segments if s not in prev_set]
+            live = None  # built lazily — only dv pruning / pending claims need it
+
+            def _live() -> set:
+                nonlocal live
+                if live is None:
+                    live = set(segments)
+                return live
             # Per-segment stats: fresh for new segments, carried forward
-            # for reused ones (the append case rewrites nothing). RESTORE
-            # passes the restored manifest's stats instead — the head's
-            # carry-forward wouldn't know segments the head no longer
-            # references (segments are immutable, so the old records are
-            # still exact).
-            stat_src = prev_stats if stats_override is None else stats_override
-            stats = {}
-            for s in segments:
-                st = self._pending_stats.pop(s, stat_src.get(s))
-                if st:
-                    stats[s] = st
-            # A written-but-unreferenced segment's stats are equally stale
-            # the moment this commit lands — drop any unclaimed additions.
-            for s in set(self._pending_stats) - pending_before:
-                del self._pending_stats[s]
+            # for reused ones (the append case rewrites nothing) — carry =
+            # C-speed dict copy + pop-the-removed, never a Python loop
+            # over all n segments (the metadata plane's per-commit CPU
+            # constant matters at 10^6 segments). RESTORE passes the
+            # restored manifest's stats instead — the head's carry-forward
+            # wouldn't know segments the head no longer references
+            # (segments are immutable, so the old records are still exact).
+            if stats_override is None:
+                stats = dict(prev_stats)
+                for s in removed:
+                    stats.pop(s, None)
+            else:
+                stats = {
+                    s: stats_override[s]
+                    for s in segments
+                    if stats_override.get(s)
+                }
+            # Claim this commit's pending stats (a SMALL dict — only the
+            # segments written under this claim); unclaimed additions are
+            # stale the moment this commit lands and are dropped. st_new
+            # tracks exactly what this commit introduced, so the delta doc
+            # below never scans the full map to find it.
+            st_new: dict = {}
+            for s, st in list(self._pending_stats.items()):
+                if s in _live():
+                    del self._pending_stats[s]
+                    if st:
+                        stats[s] = st
+                        st_new[s] = st
+                elif s not in pending_before:
+                    del self._pending_stats[s]
             # Per-segment partition values: same lifecycle as stats.
-            part_src = (
-                prev_parts if partitions_override is None else partitions_override
-            )
-            parts = {}
-            for s in segments:
-                p = self._pending_parts.pop(s, part_src.get(s))
-                if p is not None:
-                    parts[s] = p
-            for s in set(self._pending_parts) - parts_pending_before:
-                del self._pending_parts[s]
+            if partitions_override is None:
+                parts = dict(prev_parts)
+                for s in removed:
+                    parts.pop(s, None)
+            else:
+                parts = {
+                    s: partitions_override[s]
+                    for s in segments
+                    if partitions_override.get(s) is not None
+                }
+            pt_new: dict = {}
+            for s, p in list(self._pending_parts.items()):
+                if s in _live():
+                    del self._pending_parts[s]
+                    if p is not None:
+                        parts[s] = p
+                        pt_new[s] = p
+                elif s not in parts_pending_before:
+                    del self._pending_parts[s]
             # Deletion vectors: carried forward by default — a dv masks
             # ONLY the exact segment names in its applies_to list, so a
             # rewrite that drops those segments makes the dv inert and the
@@ -724,10 +788,11 @@ class TxnMixin:
                 dv = dict(prev_dv)
                 for name in set(self._pending_dv) - dv_pending_before:
                     dv[name] = self._pending_dv.pop(name)
-            live = set(segments)
-            dv = {
-                n: ap for n, ap in dv.items() if any(s in live for s in ap)
-            }
+            if dv:
+                lv = _live()
+                dv = {
+                    n: ap for n, ap in dv.items() if any(s in lv for s in ap)
+                }
             # Wall-clock commit time, the substrate for TIMESTAMP AS OF
             # time travel. Informational only — version_at() monotonizes
             # before resolving, so clock skew between writers can't reorder
@@ -764,14 +829,22 @@ class TxnMixin:
             )
             delta_doc = None
             if not force_full:
-                live = set(segments)
-                removed = [s for s in prev_segments if s not in live]
-                prev_set = set(prev_segments)
-                added = [s for s in segments if s not in prev_set]
-                rm = set(removed)
-                if segments == [
-                    s for s in prev_segments if s not in rm
-                ] + added:
+                # Delta-encodable iff the new list is exactly prev minus
+                # removed plus appended-at-end. Fast path for the pure
+                # append (one C-level list compare over shared string
+                # objects); the general check only runs when something was
+                # removed.
+                if not removed:
+                    encodable = (
+                        segments[:n_prev] == prev_segments
+                        and segments[n_prev:] == added
+                    )
+                else:
+                    rm = set(removed)
+                    encodable = segments == [
+                        s for s in prev_segments if s not in rm
+                    ] + added
+                if encodable:
                     delta_doc = {
                         "delta": 1,
                         "add": added,
@@ -779,19 +852,11 @@ class TxnMixin:
                         "meta": meta or {},
                         "committed_at": now,
                     }
-                    # Stats / partition values travel only for segments this
-                    # commit introduced (carried segments keep theirs by
-                    # identity — stat_src IS the previous snapshot's dict).
-                    st_new = {
-                        s: v for s, v in stats.items()
-                        if prev_stats.get(s) is not v
-                    }
+                    # Stats / partition values travel only for segments
+                    # this commit introduced — tracked at pending-claim
+                    # time, so no O(n) scan to find them.
                     if st_new:
                         delta_doc["stats"] = st_new
-                    pt_new = {
-                        s: v for s, v in parts.items()
-                        if prev_parts.get(s) is not v
-                    }
                     if pt_new:
                         delta_doc["partitions"] = pt_new
                     dv_set = {

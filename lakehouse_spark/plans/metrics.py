@@ -68,3 +68,42 @@ def plan_metrics(
         for k, v in mets.items():
             totals[k] += int(v)
     return dict(totals)
+
+
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    """Sorted join-operator names of an ALREADY-EXECUTED DataFrame's final
+    (post-AQE) physical plan — the definitive record of which strategy
+    actually ran. Round-9 purpose: the scaling instruments record this per
+    measured point, so a shuffle-record blow-up between two dataset sizes
+    is adjudicated mechanically — strategies identical ⇒ genuine
+    super-linear pair growth; strategy flip (broadcast → sort-merge) ⇒
+    planner size-threshold transition, the records delta is the join
+    input becoming shuffle-visible, not a pair-space change."""
+    found: set[str] = set()
+
+    def walk(node):
+        name = node.nodeName()
+        for j in _JOIN_NODES:
+            if name.startswith(j):
+                found.add(j)
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStage"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return sorted(found)

@@ -115,13 +115,18 @@ def _manifest(root: str, v: int) -> dict:
     tail; see that module's format notes)."""
     key = (root, v)
     snap = _SNAPSHOT_CACHE.get(key)
-    if snap is None:
-        from lakehouse_spark.mutation.manifest import load_snapshot
+    if snap is not None:
+        # Vacuum can drop a version between uses: never serve a snapshot
+        # whose manifest is gone (its segments may be gone too).
+        if os.path.exists(os.path.join(root, f"_manifest_{v:06d}.json")):
+            return snap
+        _SNAPSHOT_CACHE.pop(key, None)
+    from lakehouse_spark.mutation.manifest import load_snapshot
 
-        snap = load_snapshot(root, v)
-        _SNAPSHOT_CACHE[key] = snap
-        while len(_SNAPSHOT_CACHE) > 64:
-            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+    snap = load_snapshot(root, v)
+    _SNAPSHOT_CACHE[key] = snap
+    while len(_SNAPSHOT_CACHE) > 64:
+        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
     return snap
 
 
@@ -897,7 +902,21 @@ class ChangesStreamReader(DataSourceStreamReader):
     """Tail the commit log. Offset = ``{"version": last fully processed
     commit}``; a micro-batch (start, end] covers whole commits, so replay
     from the checkpointed offset is exact — the store's immutable
-    segments/change files make every batch deterministic."""
+    segments/change files make every batch deterministic.
+
+    Schema evolution mid-stream (round-9 pinned contract,
+    tests/test_stream_schema_evolution.py): a live stream serves its
+    REGISTRATION-TIME logical schema for its whole life — Spark fixes a
+    streaming query's schema at start, so adapting is the only non-silent
+    option. Concretely: columns appended later are invisible until a
+    restart (which re-derives the schema from the head); a metadata-only
+    RENAME changes nothing mid-stream (physical names are immutable and
+    the pinned logical→physical map keys on them); a DROP makes
+    post-drop commits read null for that column (post-drop segments are
+    physically purged — the same union-read semantics as batch). Batches
+    are conformed BY NAME (_read_files), so no evolution can misalign
+    values positionally; type changes are rejected at write time before
+    any manifest commits."""
 
     def __init__(self, root: str, options, schema: StructType, cdf: bool):
         self.root = root
