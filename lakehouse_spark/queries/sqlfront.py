@@ -101,3 +101,115 @@ def sql_front_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status": "F",
         },
     )
+
+
+_DML_PIPELINE_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    ),
+    after_delete AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey <= 1000)
+    ),
+    after_update AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN o_custkey + 1000000
+                  ELSE o_custkey END AS o_custkey,
+             o_orderstatus
+      FROM after_delete
+    ),
+    after_insert AS (
+      SELECT * FROM after_update
+      UNION ALL
+      SELECT * FROM (VALUES (900000001, 42, 'Z'), (900000002, 43, 'Z'))
+        t(o_orderkey, o_custkey, o_orderstatus)
+    ),
+    after_merge AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey = 1500 THEN 777 ELSE o_custkey END
+               AS o_custkey,
+             o_orderstatus
+      FROM after_insert
+      UNION ALL
+      SELECT 900000005, 778, 'M'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM after_merge
+    GROUP BY o_orderstatus
+"""
+
+
+@_q(
+    "sql_dml_pipeline",
+    _DML_PIPELINE_ORACLE,
+    doc=(
+        "SQL DML round-trip through the catalog (round 9): DELETE / UPDATE "
+        "/ INSERT / MERGE INTO a registered TableStore name route to the "
+        "store's transactional DML (lakehouse_spark.sqldml) — file-skipping "
+        "predicates extracted from the WHERE conjuncts, O(delta) manifest "
+        "commits, snapshot-conflict detection — and the final table state "
+        "must hash-match the same relational algebra replayed in DuckDB as "
+        "pure SELECTs (delete = anti-filter, update = CASE projection, "
+        "insert/merge = UNION ALL + keyed CASE). All-integer arithmetic so "
+        "the cross-engine hash is exact. The reference mutates every "
+        "entity by name over its API (amplifier_library/sessions/"
+        "manager.py:422-452, routers/sessions.py CRUD)."
+    ),
+)
+def sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.mutation.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="sql_dml_entry_")
+    st = TableStore(
+        spark,
+        os.path.join(tmp, "orders"),
+        key="o_orderkey",
+        stats_cols=("o_orderkey",),
+    )
+    st.init(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("dml_orders", store=st, follow_head=True)
+    cat.sql(
+        "DELETE FROM dml_orders "
+        "WHERE o_orderstatus = 'F' AND o_orderkey <= 1000"
+    )
+    cat.sql(
+        "UPDATE dml_orders SET o_custkey = o_custkey + 1000000 "
+        "WHERE o_orderstatus = 'O'"
+    )
+    cat.sql(
+        "INSERT INTO dml_orders (o_orderkey, o_custkey, o_orderstatus) "
+        "VALUES (900000001, 42, 'Z'), (900000002, 43, 'Z')"
+    )
+    cat.sql(
+        "MERGE INTO dml_orders AS t USING ("
+        "  SELECT CAST(k AS BIGINT) AS o_orderkey,"
+        "         CAST(c AS BIGINT) AS o_custkey, s AS o_orderstatus"
+        "  FROM VALUES (1500, 777, 'M'), (900000005, 778, 'M') v(k, c, s)"
+        ") AS s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    return cat.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM dml_orders
+        GROUP BY o_orderstatus
+        """
+    )

@@ -352,20 +352,68 @@ def _update(cat, q: str) -> DataFrame:
     return _result(cat.spark, "UPDATE", name, n)
 
 
+def _balanced_paren(text: str) -> int:
+    """Index just past the ')' balancing text[0] == '(' (quote-aware).
+    Raises ValueError on unbalanced input."""
+    depth = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'" and i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                elif text[i] == "'":
+                    break
+                else:
+                    i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in MERGE USING clause")
+
+
 def _merge(cat, q: str) -> DataFrame:
-    m = re.match(
-        rf"^MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
-        rf"USING\s+(\(.*?\)|{_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
-        r"ON\s+(.+?)\s+(WHEN\s+.+)$",
+    shape_err = ValueError(
+        "unsupported MERGE shape; use MERGE INTO <name> [AS t] USING "
+        "(<subquery>)|<name> [AS s] ON t.<key> = s.<key> WHEN ..."
+    )
+    head = re.match(
+        rf"^MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?"
+        rf"(?:\s+(?!USING\b)({_IDENT}))?\s+USING\s+",
         q,
         re.I | re.S,
     )
+    if not head:
+        raise shape_err
+    name, talias = head.group(1), head.group(2)
+    rest = q[head.end():]
+    if rest.startswith("("):
+        # Balanced-paren scan: a subquery source routinely nests parens
+        # (VALUES lists, function calls) that a non-greedy regex would
+        # truncate at the first ')'.
+        j = _balanced_paren(rest)
+        src_text, rest = rest[:j], rest[j:]
+    else:
+        sm = re.match(rf"({_IDENT})", rest)
+        if not sm:
+            raise shape_err
+        src_text, rest = sm.group(1), rest[sm.end():]
+    m = re.match(
+        rf"^\s*(?:AS\s+)?(?:(?!ON\b)({_IDENT})\s+)?"
+        r"ON\s+(.+?)\s+(WHEN\s+.+)$",
+        rest,
+        re.I | re.S,
+    )
     if not m:
-        raise ValueError(
-            "unsupported MERGE shape; use MERGE INTO <name> [AS t] USING "
-            "(<subquery>)|<name> [AS s] ON t.<key> = s.<key> WHEN ..."
-        )
-    name, talias, src_text, salias, on_text, clauses_text = m.groups()
+        raise shape_err
+    salias, on_text, clauses_text = m.groups()
     talias = talias or name
     store = _writable_store(cat, name)
     spark = cat.spark
