@@ -629,15 +629,29 @@ class TxnMixin:
         serial order is rewrite-then-append, so appended rows correctly
         survive a delete and never collide with an upsert (disjointness is
         the proof). Anything unprovable still raises."""
-        for attempt in range(2):
+        # Claim loop: one recovery-driven retry by default (round-8
+        # semantics — fail fast on a LIVE competing claim). With
+        # ``claim_wait_sec`` > 0 the loop instead polls until the live
+        # writer finalizes (the pointer advances past its slot) and claims
+        # the next version — Delta's internal commit-retry shape, so
+        # transient claim contention never surfaces to the caller; the
+        # base_version/rebase logic below still guards rewrite semantics.
+        deadline = time.time() + getattr(self, "claim_wait_sec", 0.0)
+        recoveries = 0
+        while True:
             cur = self.current_version()
             nxt = 0 if cur is None else cur + 1
             try:
                 self._claim(nxt)
                 break
             except ConcurrentWriteError:
-                if attempt == 1 or not self._recover_slot(nxt):
-                    raise
+                if recoveries < 2 and self._recover_slot(nxt):
+                    recoveries += 1
+                    continue
+                if time.time() < deadline:
+                    time.sleep(0.05)
+                    continue
+                raise
         rebase_adds: list[str] = []
         if base_version is not None and nxt != base_version + 1:
             # The table advanced past the snapshot this rewrite was derived

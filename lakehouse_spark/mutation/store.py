@@ -105,6 +105,7 @@ class TableStore(TxnMixin, MetadataMixin, ReadsMixin, DmlMixin, LayoutMixin):
         partition_by: tuple[str, ...] = (),
         max_partitions_per_commit: int = 64,
         checkpoint_interval: int = 32,
+        claim_wait_sec: float = 0.0,
     ):
         self.spark = spark
         self.root = root
@@ -164,6 +165,14 @@ class TableStore(TxnMixin, MetadataMixin, ReadsMixin, DmlMixin, LayoutMixin):
         # 0/None disables checkpoints (replay then runs to the last FULL
         # manifest — table creation or a restore/clone-style override).
         self.checkpoint_interval = checkpoint_interval
+        # >0 turns transient claim contention (a LIVE writer mid-commit)
+        # into a bounded poll-and-retry at the NEXT version instead of an
+        # immediate ConcurrentWriteError — Delta's internal commit-retry
+        # shape. Appends then never surface contention to the caller;
+        # read-then-rewrite commits still pass through the
+        # base_version/rebase guard after each claim. Default 0 keeps the
+        # round-8 fail-fast contract.
+        self.claim_wait_sec = claim_wait_sec
         # {version: materialized snapshot} — versions are immutable once
         # committed, so the cache never invalidates (bounded LRU-ish).
         self._snap_cache: dict[int, dict] = {}

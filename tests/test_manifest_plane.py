@@ -383,3 +383,94 @@ def test_unprovable_append_raises_without_stats(spark, tmp_path):
                 spark.range(5).selectExpr("id", "id AS val")
             ),
         )
+
+
+def test_rebased_delete_cdf_shows_only_deletes(spark, tmp_path):
+    """CDF of a REBASED commit: the interleaved (carried) append's rows are
+    in both adjacent snapshots, so the rebased delete's change feed holds
+    exactly the delete pre-images — the appends were attributed to their
+    own commit, never double-counted."""
+    st = TableStore(
+        spark,
+        str(tmp_path / "t"),
+        key="id",
+        stats_cols=("id",),
+        write_cdf=True,
+    )
+    st.init(spark.range(100).selectExpr("id", "id * 2 AS val"))
+    other = TableStore(
+        spark, st.root, key="id", stats_cols=("id",), write_cdf=True
+    )
+
+    def interleave():
+        other.append(
+            spark.range(5000, 5100).selectExpr("id", "id * 2 AS val")
+        )
+
+    removed = _race(
+        st, interleave, lambda: st.delete_where(predicate={"id": (0, 4)})
+    )
+    assert removed == 5
+    head = st.current_version()
+    # the interleaved append's commit carries its own inserts
+    app = st.changes(head - 1, head - 1)
+    assert {r._change_type for r in app.collect()} == {"insert"}
+    assert app.count() == 100
+    # the rebased delete's commit carries exactly the 5 deletes
+    ch = st.changes(head, head).collect()
+    assert sorted((r.id, r._change_type) for r in ch) == [
+        (i, "delete") for i in range(5)
+    ]
+
+
+def test_true_thread_race_appender_vs_disjoint_rewrites(spark, tmp_path):
+    """The round-9 verdict's done-criterion, with REAL concurrency: an
+    appender thread and disjoint predicate-deletes race with ZERO
+    user-level retries — claim contention is absorbed by
+    claim_wait_sec's bounded poll, and read-then-rewrite staleness by the
+    disjoint-append rebase. Overlap would still raise (pinned above);
+    here everything is provably disjoint, so every commit must land."""
+    import threading
+
+    st = TableStore(
+        spark,
+        str(tmp_path / "t"),
+        key="id",
+        stats_cols=("id",),
+        claim_wait_sec=60.0,
+    )
+    st.init(spark.range(100).selectExpr("id", "id * 2 AS val"))
+    appender = TableStore(
+        spark,
+        st.root,
+        key="id",
+        stats_cols=("id",),
+        claim_wait_sec=60.0,
+    )
+    errs: list[Exception] = []
+
+    def _appends():
+        try:
+            for i in range(5):
+                appender.append(
+                    spark.range(
+                        10_000 + i * 100, 10_000 + (i + 1) * 100
+                    ).selectExpr("id", "id * 2 AS val")
+                )
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(e)
+
+    t = threading.Thread(target=_appends)
+    t.start()
+    deleted = 0
+    try:
+        for j in range(3):
+            deleted += st.delete_where(
+                predicate={"id": (j * 10, j * 10 + 9)}
+            )
+    finally:
+        t.join()
+    assert not errs, errs
+    assert deleted == 30
+    assert st.read().count() == 100 - 30 + 500
+    assert st.read(predicate={"id": (10_000, 11_000)}).count() == 500
