@@ -1071,6 +1071,21 @@ class TxnMixin:
                 # long as ANY retained manifest references it.
                 if int(m.group(1)) <= cur and name not in live_dv:
                     doomed.append(name)
+            elif (
+                name.startswith("_checkpoint") and ".tmp." in name
+            ):
+                # Debris of a writer that died mid-checkpoint (the real
+                # file lands via atomic rename). Age-gated like claim
+                # stealing — a fresh tmp may be a live post-commit
+                # checkpoint write in flight.
+                try:
+                    age = time.time() - os.path.getmtime(
+                        os.path.join(self.root, name)
+                    )
+                except OSError:
+                    continue
+                if age > self.orphan_grace_sec:
+                    doomed.append(name)
             elif name.startswith("_cdc") and ".tmp." in name:
                 # Debris of a writer that died mid-materialize (the tmp
                 # dir is renamed atomically on success). Age-gated by the

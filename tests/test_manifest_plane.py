@@ -474,3 +474,17 @@ def test_true_thread_race_appender_vs_disjoint_rewrites(spark, tmp_path):
     assert deleted == 30
     assert st.read().count() == 100 - 30 + 500
     assert st.read(predicate={"id": (10_000, 11_000)}).count() == 500
+
+
+def test_vacuum_sweeps_stale_checkpoint_tmp_debris(spark, tmp_path):
+    st = TableStore(
+        spark, str(tmp_path / "t"), key="id", orphan_grace_sec=0.0
+    )
+    st.init(spark.range(5).selectExpr("id", "id AS val"))
+    st.append(spark.range(5, 10).selectExpr("id", "id AS val"))
+    debris = st._checkpoint_path(1) + ".tmp.999.888"
+    with open(debris, "w") as f:
+        f.write("{")
+    st.vacuum(keep_last=2)
+    assert not os.path.exists(debris)
+    assert st.read().count() == 10
