@@ -690,7 +690,10 @@ def test_store_random_op_sequences_match_model(spark, tmp_path):
             return _kv(spark, *[(k, v, ts) for k, v in pairs])
 
         for step in range(14):
-            op = rng.choice(["append", "append", "upsert", "delete", "compact", "vacuum"])
+            op = rng.choice(
+                ["append", "append", "upsert", "delete", "delete_dv",
+                 "compact", "vacuum"]
+            )
             if not store.exists() or op == "append":
                 pairs = [(f"k{rng.randint(0, 9)}_{step}", step)]
                 if store.exists():
@@ -702,10 +705,11 @@ def test_store_random_op_sequences_match_model(spark, tmp_path):
                 key = rng.choice(sorted(model) + [f"new{step}"])
                 store.upsert(kv([(key, 100 + step)]))
                 model[key] = 100 + step
-            elif op == "delete" and model:
+            elif op in ("delete", "delete_dv") and model:
                 key = rng.choice(sorted(model))
                 removed = store.delete_keys(
-                    spark.createDataFrame([(key,)], "k string")
+                    spark.createDataFrame([(key,)], "k string"),
+                    mode="dv" if op == "delete_dv" else "rewrite",
                 )
                 assert removed == 1
                 del model[key]
@@ -716,6 +720,16 @@ def test_store_random_op_sequences_match_model(spark, tmp_path):
             history.append(dict(model))
             got = {r.k: r.v for r in store.read().collect()}
             assert got == model, f"seed={seed} step={step} op={op}"
+            # round 9: the head snapshot a COLD reader replays from the
+            # delta manifest chain must equal the writer's cached one —
+            # continuously, across every op mix (append/dv/compact/
+            # vacuum checkpointing)
+            from lakehouse_spark.mutation.manifest import load_snapshot
+
+            head = store.current_version()
+            assert store._snapshot(head) == load_snapshot(store.root, head), (
+                f"seed={seed} step={step} op={op}: snapshot replay drift"
+            )
 
         # time travel: the previous version (kept by vacuum keep_last=2)
         # matches the model one step back whenever that commit exists

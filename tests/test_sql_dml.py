@@ -205,3 +205,59 @@ def test_follow_head_rejects_version_pin(spark, tmp_path):
     cat = LakeCatalog(spark)
     with pytest.raises(ValueError, match="follow_head"):
         cat.register("x", store=st, version=0, follow_head=True)
+
+
+def test_extract_predicate_never_narrows_the_where(spark):
+    """The safety contract behind WHERE-conjunct extraction: the DML paths
+    AND the extracted stats-predicate with the full WHERE, so extraction
+    must be IMPLIED by the WHERE — `filter(where)` and
+    `filter(where AND predicate)` must select identical rows for every
+    supported clause shape (strict bounds widened, OR never extracted,
+    non-literal conjuncts skipped)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spark.mutation.manifest import _predicate_expr
+
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                None if i % 7 == 0 else f"s{i % 5}",
+                None if i % 11 == 0 else float(i) / 3.0,
+            )
+        )
+    df = spark.createDataFrame(rows, "a long, s string, d double")
+    clauses = [
+        "a = 7",
+        "a >= 10 AND a < 20",
+        "a > 5 AND a <= 40 AND s = 's1'",
+        "a BETWEEN 12 AND 31",
+        "a BETWEEN 12 AND 31 AND d >= 3.5",
+        "s IN ('s1', 's3')",
+        "a IN (1, 2, 3, 40) AND s = 's2'",
+        "a = 7 OR a = 9",
+        "(a > 10 AND a < 50) OR s = 's0'",
+        "upper(s) = 'S1' AND a < 30",
+        "d > 2.0 AND d < 9.0 AND a % 2 = 0",
+        "s = 's1' AND s = 's2'",
+        "a >= 55 AND a >= 10",
+        "a <= 5 AND a <= 30",
+        "s IS NOT NULL AND a BETWEEN 3 AND 9",
+        "a BETWEEN 5 AND 8 AND a IN (6, 7, 100)",
+    ]
+    from lakehouse_spark.sqldml import extract_predicate
+
+    for where in clauses:
+        pred = extract_predicate(where)
+        base = {r.a for r in df.filter(F.expr(where)).collect()}
+        cond = _predicate_expr(pred)
+        if cond is None:
+            continue  # nothing extracted: trivially safe
+        both = {
+            r.a
+            for r in df.filter(
+                F.expr(where) & F.coalesce(cond, F.lit(False))
+            ).collect()
+        }
+        assert both == base, f"extraction narrowed {where!r}: {pred}"
