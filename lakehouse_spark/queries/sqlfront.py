@@ -125,6 +125,9 @@ _DML_PIPELINE_ORACLE = """
         t(o_orderkey, o_custkey, o_orderstatus)
     ),
     after_merge AS (
+      -- MERGE semantics, sf-agnostic: key 1500 exists at sf >= 0.01
+      -- (matched -> custkey updated, status kept) but not at sf0.001
+      -- (not matched -> inserted with the source row's status 'M').
       SELECT o_orderkey,
              CASE WHEN o_orderkey = 1500 THEN 777 ELSE o_custkey END
                AS o_custkey,
@@ -132,6 +135,11 @@ _DML_PIPELINE_ORACLE = """
       FROM after_insert
       UNION ALL
       SELECT 900000005, 778, 'M'
+      UNION ALL
+      SELECT 1500, 777, 'M'
+      WHERE NOT EXISTS (
+        SELECT 1 FROM after_insert WHERE o_orderkey = 1500
+      )
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
