@@ -218,13 +218,15 @@ class LakeCatalog:
         metrics frame ``(op, table, affected_rows)`` for DML."""
         from lakehouse_spark import sqldml
 
-        if sqldml.is_dml(query):
+        if sqldml.is_dml(query) or sqldml.is_util(query):
             if args is not None:
                 raise ValueError(
-                    "parameter binding is not supported for DML statements; "
-                    "inline literals (the router parses them for file "
-                    "skipping)"
+                    "parameter binding is not supported for DML/maintenance "
+                    "statements; inline literals (the router parses them "
+                    "for file skipping)"
                 )
+            if sqldml.is_util(query):
+                return sqldml.route_util(self, query)
             return sqldml.route(self, query)
         self._refresh_followers(query)
         return (

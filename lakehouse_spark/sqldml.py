@@ -41,6 +41,13 @@ registrations are never mutable through SQL — that would edit history).
 Results come back as a one-row DataFrame ``(op, table, affected_rows)``
 (affected_rows = -1 where the store API doesn't report a count), mirroring
 Delta's DML metrics output.
+
+The MAINTENANCE half of Delta's SQL surface routes here too (is_util /
+route_util): ``DESCRIBE HISTORY|DETAIL <name>``, ``VACUUM <name> [RETAIN n
+VERSIONS] [DRY RUN]``, ``OPTIMIZE <name> [ZORDER BY (cols)]``, and
+``RESTORE <name> TO VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'`` — each a
+thin parse over the corresponding TableStore method, returning its metrics
+as a DataFrame. Plain ``DESCRIBE <name>`` stays with Spark's parser.
 """
 
 from __future__ import annotations
@@ -511,3 +518,150 @@ def _merge(cat, q: str) -> DataFrame:
     )
     _refresh_after(cat, name)
     return _result(spark, "MERGE", name, -1)
+
+
+# -- utility statements (Delta's SQL maintenance surface) ---------------------
+
+_UTIL_HEAD = re.compile(r"^\s*(DESCRIBE|DESC|VACUUM|OPTIMIZE|RESTORE)\b", re.I)
+
+
+def is_util(query: str) -> bool:
+    """Maintenance statements this router handles (Delta's SQL surface:
+    DESCRIBE HISTORY/DETAIL, VACUUM, OPTIMIZE [ZORDER BY], RESTORE).
+    Plain ``DESCRIBE <name>``/``DESCRIBE TABLE`` stays with Spark."""
+    m = _UTIL_HEAD.match(query)
+    if not m:
+        return False
+    if m.group(1).upper() in ("DESCRIBE", "DESC"):
+        return bool(
+            re.match(
+                r"^\s*(?:DESCRIBE|DESC)\s+(?:HISTORY|DETAIL)\b", query, re.I
+            )
+        )
+    return True
+
+
+def _json_str(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, sort_keys=True, default=str)
+
+
+def route_util(cat, query: str) -> DataFrame:
+    """Dispatch one maintenance statement. Read-only forms (DESCRIBE)
+    accept any store-backed registration including pinned snapshots;
+    mutating forms (VACUUM / OPTIMIZE / RESTORE) require a head
+    registration, exactly like DML."""
+    spark = cat.spark
+    q = query.strip().rstrip(";").strip()
+
+    m = re.match(
+        rf"^(?:DESCRIBE|DESC)\s+(HISTORY|DETAIL)\s+({_IDENT})$", q, re.I
+    )
+    if m:
+        kind, name = m.group(1).upper(), m.group(2)
+        store, _opts = cat._entry(name)
+        if store is None:
+            raise ValueError(
+                f"{name!r} is a DataFrame/testdata view; DESCRIBE "
+                f"{kind} needs a TableStore-backed registration"
+            )
+        if kind == "HISTORY":
+            rows = [
+                (
+                    e["version"],
+                    e["n_segments"],
+                    float(e["committed_at"]) if e["committed_at"] else None,
+                    _json_str(e["meta"]),
+                    _json_str(e["txn"]),
+                )
+                for e in store.history()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version long, n_segments long, committed_at double, "
+                "meta string, txn string",
+            )
+        d = store.detail()
+        row = (
+            d["location"],
+            d["version"],
+            d["key"],
+            d["num_segments"],
+            d["num_data_files"],
+            d["size_bytes"],
+            d["num_deletion_vectors"],
+            _json_str(d["constraints"]),
+            _json_str(d["partition_by"]),
+            d["num_partitions"],
+        )
+        return spark.createDataFrame(
+            [row],
+            "location string, version long, key string, num_segments long, "
+            "num_data_files long, size_bytes long, "
+            "num_deletion_vectors long, constraints string, "
+            "partition_by string, num_partitions long",
+        )
+
+    m = re.match(
+        rf"^VACUUM\s+({_IDENT})"
+        r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?$",
+        q,
+        re.I,
+    )
+    if m:
+        name, keep, dry = m.group(1), m.group(2), bool(m.group(3))
+        store = _writable_store(cat, name)
+        out = store.vacuum(
+            keep_last=int(keep) if keep else 2, dry_run=dry
+        )
+        return spark.createDataFrame(
+            [(name, len(out["names"]), out["n_files"], out["bytes"], dry)],
+            "table string, entries long, n_files long, bytes long, "
+            "dry_run boolean",
+        )
+
+    m = re.match(
+        rf"^OPTIMIZE\s+({_IDENT})"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+        q,
+        re.I,
+    )
+    if m:
+        name, zcols = m.group(1), m.group(2)
+        store = _writable_store(cat, name)
+        if zcols:
+            cols = tuple(c.strip() for c in zcols.split(",") if c.strip())
+            v = store.compact(zorder_by=cols)
+        else:
+            v = store.compact()
+        _refresh_after(cat, name)
+        return spark.createDataFrame(
+            [(name, v, store.n_segments())],
+            "table string, version long, num_segments long",
+        )
+
+    m = re.match(
+        rf"^RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')$",
+        q,
+        re.I,
+    )
+    if m:
+        name, ver, ts = m.groups()
+        store = _writable_store(cat, name)
+        v = store.restore(
+            version=int(ver) if ver is not None else None,
+            as_of=ts,
+        )
+        _refresh_after(cat, name)
+        return spark.createDataFrame(
+            [(name, v)], "table string, version long"
+        )
+
+    raise ValueError(
+        "unsupported maintenance statement; supported: DESCRIBE "
+        "HISTORY|DETAIL <name>, VACUUM <name> [RETAIN n VERSIONS] [DRY "
+        "RUN], OPTIMIZE <name> [ZORDER BY (cols)], RESTORE <name> TO "
+        "VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'"
+    )

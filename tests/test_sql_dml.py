@@ -261,3 +261,43 @@ def test_extract_predicate_never_narrows_the_where(spark):
             ).collect()
         }
         assert both == base, f"extraction narrowed {where!r}: {pred}"
+
+
+def test_sql_maintenance_statements(spark, tmp_path):
+    """Delta's SQL maintenance surface through the catalog: DESCRIBE
+    HISTORY/DETAIL, OPTIMIZE [ZORDER BY], VACUUM [RETAIN n VERSIONS]
+    [DRY RUN], RESTORE TO VERSION AS OF."""
+    st = _mk(spark, tmp_path)
+    st.append(
+        spark.range(100, 200).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS day", "id * 2 AS val"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("mt", store=st, follow_head=True)
+
+    h = cat.sql("DESCRIBE HISTORY mt").collect()
+    assert [r.version for r in h] == [1, 0]
+    assert h[0].n_segments == 2
+
+    d = cat.sql("DESCRIBE DETAIL mt").collect()[0]
+    assert d.version == 1 and d.num_segments == 2 and d.key == "id"
+
+    o = cat.sql("OPTIMIZE mt ZORDER BY (id, val)").collect()[0]
+    assert o.version == 2 and o.num_segments >= 1
+    assert cat.sql("SELECT count(*) n FROM mt").collect()[0].n == 200
+
+    dry = cat.sql("VACUUM mt RETAIN 1 VERSIONS DRY RUN").collect()[0]
+    assert dry.dry_run and dry.entries > 0
+    real = cat.sql("VACUUM mt RETAIN 2 VERSIONS").collect()[0]
+    assert not real.dry_run
+    # old versions collected; table intact
+    assert st.read().count() == 200
+
+    r = cat.sql("RESTORE mt TO VERSION AS OF 1").collect()[0]
+    assert r.version == 3
+    assert cat.sql("SELECT count(*) n FROM mt").collect()[0].n == 200
+
+    # plain DESCRIBE stays with Spark's parser (column listing of a view)
+    cols = {r[0] for r in cat.sql("DESCRIBE mt").collect()}
+    assert {"id", "day", "val"} <= cols
