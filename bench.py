@@ -468,12 +468,14 @@ def manifest_plane_section(spark) -> dict:
             t0 = time.perf_counter()
             fresh._snapshot(fresh.current_version())
             cold_load = round(time.perf_counter() - t0, 4)
-            # Metadata-only commits: append one segment by reference.
+            # Metadata-only commits through the append LANE (what
+            # store.append() and the streaming sink use): prior segments
+            # ride by reference, the head mirror evolves in place.
             commit_secs = []
             for _ in range(9):
                 t0 = time.perf_counter()
                 fresh._transact(
-                    lambda v: fresh._segments(v - 1) + [f"_synthx{v:06d}"]
+                    None, append_make=lambda v: [f"_synthx{v:06d}"]
                 )
                 commit_secs.append(round(time.perf_counter() - t0, 4))
             head = fresh.current_version()

@@ -168,12 +168,15 @@ class DmlMixin:
             return
         rows = self._apply_generated(rows)
         self._reject_schema_conflicts(rows)
-        # Prior segments are resolved INSIDE the claimed transaction: once
-        # v is claimed, v-1 is immutable (no other writer can advance it).
+        # Append LANE: prior segments ride by reference inside the claimed
+        # transaction (once v is claimed, v-1 is immutable) and the commit
+        # touches O(new segments) manifest state — the head mirror evolves
+        # in place, so ingest commit latency is flat in table size.
         self._transact(
-            lambda v: self._segments(v - 1) + self._write_partitioned(rows, v),
+            None,
             meta,
             txn,
+            append_make=lambda v: self._write_partitioned(rows, v),
         )
 
     def _reject_schema_conflicts(self, rows: DataFrame, op: str = "append") -> None:

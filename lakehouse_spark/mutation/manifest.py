@@ -423,11 +423,72 @@ class TxnMixin:
     def _snapshot(self, v: int) -> dict:
         """Materialized manifest of version ``v`` (cached; see
         load_snapshot). Treat as READ-ONLY — snapshots are shared via the
-        cache and share substructure with their neighbors."""
+        cache and share substructure with their neighbors.
+
+        When this instance's mutable head-state (maintained by the
+        append-lane commit, see :meth:`_head_for`) holds ``v``, the
+        snapshot is materialized from it — O(n) copy once, then cached —
+        instead of replaying the delta chain from disk. Top-level
+        containers are COPIED under the head lock so later in-place head
+        evolution can never leak into a handed-out snapshot (snapshot
+        isolation for same-process readers at older versions)."""
         cache = getattr(self, "_snap_cache", None)
         if cache is None:
             cache = self._snap_cache = {}
+        if v not in cache:
+            head = getattr(self, "_head", None)
+            if head is not None:
+                with self._head_lock:
+                    head = self._head
+                    if head is not None and head.get("version") == v:
+                        snap = {
+                            "segments": list(head["segments"]),
+                            "meta": head["meta"],
+                            "txn": dict(head["txn"]),
+                            "stats": dict(head["stats"]),
+                            "dv": dict(head["dv"]),
+                            "committed_at": head["committed_at"],
+                            "partitions": dict(head["partitions"]),
+                        }
+                        for k in _SNAP_SCALARS:
+                            snap[k] = head[k]
+                        cache[v] = snap
+                        while len(cache) > 16:
+                            cache.pop(next(iter(cache)))
         return load_snapshot(self.root, v, cache)
+
+    def _head_for(self, cur: int) -> dict:
+        """This instance's OWNED, mutable head-state at version ``cur`` —
+        the in-memory mirror the append-lane commit evolves in place so a
+        pure append costs O(new segments), not O(table), in driver CPU
+        (the same incremental-snapshot-update shape Delta's Snapshot
+        keeps). Rebuilt from the materialized snapshot when absent or
+        stale (another writer advanced the table, or a rewrite
+        invalidated it); all containers are fresh copies, never shared
+        with cached snapshots. Only the claim holder may call this (the
+        claim serializes commits, so at most one thread evolves the head
+        at a time); concurrent readers materialize via :meth:`_snapshot`
+        under the same lock."""
+        with self._head_lock:
+            head = self._head
+            if head is not None and head.get("version") == cur:
+                return head
+        snap = self._snapshot(cur)  # not under the lock (it takes it)
+        head = {
+            "version": cur,
+            "segments": list(snap["segments"]),
+            "stats": dict(snap["stats"]),
+            "partitions": dict(snap["partitions"]),
+            "dv": dict(snap["dv"]),
+            "txn": dict(snap["txn"]),
+            "meta": snap["meta"],
+            "committed_at": snap["committed_at"],
+        }
+        for k in _SNAP_SCALARS:
+            head[k] = snap[k]
+        with self._head_lock:
+            self._head = head
+        return head
 
     def _segments(self, v: int) -> list[str]:
         return list(self._snapshot(v)["segments"])
@@ -580,6 +641,84 @@ class TxnMixin:
                 adds.append(s)
         return adds
 
+    def _commit_append(
+        self,
+        nxt: int,
+        cur: int,
+        append_make,
+        meta: dict | None,
+        txn: tuple[str, int] | None,
+    ) -> int:
+        """The append lane of :meth:`_transact` (caller holds the claim on
+        ``nxt`` and routes abort cleanup): commit ``append_make(nxt)``'s
+        new segments on top of version ``cur`` touching O(new segments)
+        state — the head mirror evolves in place instead of rebuilding
+        O(table) containers per commit, which is what keeps a streaming
+        ingest's commit latency flat from 10^3 to 10^6 segments."""
+        head = self._head_for(cur)
+        added = append_make(nxt)
+        st_new: dict = {}
+        pt_new: dict = {}
+        for s in added:
+            st = self._pending_stats.pop(s, None)
+            if st:
+                st_new[s] = st
+            p = self._pending_parts.pop(s, None)
+            if p is not None:
+                pt_new[s] = p
+        delta_doc: dict = {
+            "delta": 1,
+            "add": list(added),
+            "remove": [],
+            "meta": meta or {},
+            "committed_at": time.time(),
+        }
+        if st_new:
+            delta_doc["stats"] = st_new
+        if pt_new:
+            delta_doc["partitions"] = pt_new
+        if txn is not None:
+            app, ver = txn
+            delta_doc["txn_set"] = {
+                app: max(int(ver), int(head["txn"].get(app, -1)))
+            }
+        # Canonicalize through JSON once so the in-memory head mirror is
+        # bit-identical to what a cold reader replays from the file
+        # (dates/decimals in harvested stats degrade to strings exactly as
+        # the round-trip would).
+        doc = json.loads(json.dumps(delta_doc, default=str))
+        tmp = self._manifest_path(nxt) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest_path(nxt))
+        self._swap_pointer(nxt)
+        # -- committed. Nothing below may raise into the caller's abort
+        # cleanup (it would unlink the LIVE manifest): the head mirror and
+        # the periodic checkpoint are maintenance — on any failure drop
+        # the mirror (rebuilt from files on demand) and move on.
+        try:
+            with self._head_lock:
+                head["segments"].extend(doc["add"])
+                head["stats"].update(doc.get("stats", {}))
+                head["partitions"].update(doc.get("partitions", {}))
+                head["txn"].update(doc.get("txn_set", {}))
+                head["meta"] = doc["meta"]
+                head["committed_at"] = doc["committed_at"]
+                head["version"] = nxt
+            interval = getattr(self, "checkpoint_interval", 32)
+            if interval and nxt > 0 and nxt % interval == 0:
+                snap = self._snapshot(nxt)  # materializes from the head
+                ctmp = (
+                    f"{self._checkpoint_path(nxt)}.tmp.{os.getpid()}"
+                    f".{threading.get_ident()}"
+                )
+                with open(ctmp, "w") as f:
+                    json.dump(snap, f)
+                os.replace(ctmp, self._checkpoint_path(nxt))
+        except BaseException:
+            self._head = None
+        return nxt
+
     def _transact(
         self,
         make_segments,
@@ -594,6 +733,7 @@ class TxnMixin:
         stats_override: dict | None = None,
         partitions_override: dict | None = None,
         rebase_predicate: dict | None = None,
+        append_make=None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -652,6 +792,19 @@ class TxnMixin:
                     time.sleep(0.05)
                     continue
                 raise
+        if append_make is not None and (cur is None or self.write_cdf):
+            # The append LANE (below) needs an existing head-state to
+            # evolve and defers to the general lane for CDF stores (the
+            # change-file materialization reads snapshots mid-commit, and
+            # CDF appends copy the appended data anyway — metadata CPU is
+            # not their floor). Creation commits and CDF stores fall back
+            # with byte-identical semantics.
+            _am = append_make
+            append_make = None
+            if cur is None:
+                make_segments = _am
+            else:
+                make_segments = lambda v: self._segments(v - 1) + _am(v)  # noqa: E731
         rebase_adds: list[str] = []
         if base_version is not None and nxt != base_version + 1:
             # The table advanced past the snapshot this rewrite was derived
@@ -685,6 +838,12 @@ class TxnMixin:
         dv_pending_before = set(self._pending_dv)
         parts_pending_before = set(self._pending_parts)
         try:
+            if append_make is not None:
+                # Pure-append fast lane: O(new segments) driver CPU — no
+                # full-list diff, no snapshot-container copies, a delta
+                # manifest by construction. Shares this claim and the
+                # abort cleanup below.
+                return self._commit_append(nxt, cur, append_make, meta, txn)
             prev_txn, prev_stats, prev_dv = {}, {}, {}
             prev_cons, prev_gen = {}, {}
             prev_renames, prev_dropped = {}, []
@@ -721,7 +880,10 @@ class TxnMixin:
                     s for s in rebase_adds if s not in have
                 ]
             n_prev = len(prev_segments)
-            if len(segments) >= n_prev and segments[:n_prev] == prev_segments:
+            prefix_append = (
+                len(segments) >= n_prev and segments[:n_prev] == prev_segments
+            )
+            if prefix_append:
                 # Pure append (the steady-state hot path): one C-level
                 # list compare instead of two set builds + two Python
                 # comprehensions over all n segments.
@@ -849,10 +1011,10 @@ class TxnMixin:
                 # objects); the general check only runs when something was
                 # removed.
                 if not removed:
-                    encodable = (
-                        segments[:n_prev] == prev_segments
-                        and segments[n_prev:] == added
-                    )
+                    # removed==[] with a differing prefix means a reorder —
+                    # never delta-encodable — so the earlier compare is the
+                    # whole answer (no second O(n) slice+compare).
+                    encodable = prefix_append
                 else:
                     rm = set(removed)
                     encodable = segments == [
@@ -932,6 +1094,12 @@ class TxnMixin:
             cache[nxt] = snap
             while len(cache) > 16:
                 cache.pop(next(iter(cache)))
+            # The general lane rebuilt the snapshot from scratch; the
+            # append lane's in-place head mirror is now stale — drop it
+            # (the next append rebuilds it once, O(n) per rewrite→append
+            # transition, amortized noise next to the rewrite itself).
+            with self._head_lock:
+                self._head = None
             if self.write_cdf:
                 # PRE-pointer (round 7; used to run post-pointer): the
                 # finalized manifest file is all _changes_one needs, and a

@@ -42,6 +42,7 @@ append/`MERGE INTO`/`DELETE`/`OPTIMIZE` — call sites don't change.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -176,5 +177,11 @@ class TableStore(TxnMixin, MetadataMixin, ReadsMixin, DmlMixin, LayoutMixin):
         # {version: materialized snapshot} — versions are immutable once
         # committed, so the cache never invalidates (bounded LRU-ish).
         self._snap_cache: dict[int, dict] = {}
+        # Mutable head-state mirror for the append-lane commit (manifest
+        # TxnMixin._head_for): owned containers evolved in place under
+        # the lock, so pure appends stay O(new segments) in driver CPU.
+        # None = rebuild lazily from the materialized snapshot.
+        self._head: dict | None = None
+        self._head_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 

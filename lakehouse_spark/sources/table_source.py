@@ -1273,6 +1273,14 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         safe = "".join(c if c.isalnum() else "_" for c in app_id)
         self.staging = os.path.join(root, f"_staging_stream_{safe}")
         os.makedirs(self.staging, exist_ok=True)
+        # One store instance per QUERY (this writer object lives across
+        # micro-batches; only commit() runs on the driver): its snapshot
+        # cache and append-lane head mirror persist batch to batch, so the
+        # per-batch commit touches O(new segments) manifest state instead
+        # of replaying/copying the full segment list every batch — the
+        # property that keeps a long-running ingest's commit cadence flat
+        # as the table grows to 10^5-10^6 segments.
+        self._store = None
 
     def write(self, iterator):
         return _write_task_file(iterator, self.staging)
@@ -1281,7 +1289,9 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         from lakehouse_spark.mutation.store import TableStore
 
         kept = [m for m in messages if m is not None and m.name]
-        store = TableStore(spark=None, root=self.root, key="")
+        if self._store is None:
+            self._store = TableStore(spark=None, root=self.root, key="")
+        store = self._store
         if (
             store.current_version() is not None
             and store.last_txn_version(self.app_id) >= batchId
@@ -1309,10 +1319,9 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             if store.current_version() is None:
                 return
 
-            def _noseg(v: int) -> list[str]:
-                return _manifest(self.root, v - 1)["segments"]
-
-            store._transact(_noseg, txn=(self.app_id, batchId))
+            store._transact(
+                None, txn=(self.app_id, batchId), append_make=lambda v: []
+            )
             return
 
         _reject_column_mapped_write(self.root)
@@ -1320,7 +1329,7 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         _reject_staged_schema_conflicts(self.root, staged)
         _enforce_staged_constraints(store, staged)
 
-        def _segments(v: int) -> list[str]:
+        def _new_segment(v: int) -> list[str]:
             seg = f"_seg{v:06d}"
             dst = os.path.join(self.root, seg)
             if os.path.isdir(dst):
@@ -1334,10 +1343,14 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
             stats = _merged_stats(kept)
             if stats:
                 store._pending_stats[seg] = stats
-            prev = _manifest(self.root, v - 1)["segments"] if v > 0 else []
-            return prev + [seg]
+            return [seg]
 
-        store._transact(_segments, txn=(self.app_id, batchId))
+        # Append lane: prior segments ride by reference (O(new segments)
+        # manifest work per batch; falls back to a full first commit when
+        # the table has no version yet).
+        store._transact(
+            None, txn=(self.app_id, batchId), append_make=_new_segment
+        )
         # Sweep abandoned task files (a retried task that died before its
         # abort ran). Batches are sequential, so anything still in staging
         # after this batch committed and older than the grace window
