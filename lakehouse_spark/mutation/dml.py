@@ -419,7 +419,6 @@ class DmlMixin:
             has_matches = bool(touched) and matched.limit(1).count() > 0
 
             def _mor(v: int) -> list[str]:
-                segs = self._segments(v - 1)
                 new_segs = self._write_partitioned(new_rows, v)
                 if has_matches:
                     name = f"_dv{v:06d}"
@@ -430,10 +429,16 @@ class DmlMixin:
                     # has to be tested against files the keys provably
                     # aren't in — fewer read-time anti-join groups.
                     self._pending_dv[name] = list(touched)
-                return segs + new_segs
+                return new_segs
 
+            # Append lane (prior segments by reference): the commit writes
+            # O(changed rows) data AND touches O(changed) manifest state.
             self._transact(
-                _mor, txn=txn, base_version=v0, rebase_predicate=rebase_pred
+                None,
+                txn=txn,
+                base_version=v0,
+                rebase_predicate=rebase_pred,
+                append_make=_mor,
             )
             return
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
@@ -695,16 +700,19 @@ class DmlMixin:
             has_masks = bool(touched) and pre.limit(1).count() > 0
 
             def _mor(v: int) -> list[str]:
-                segs = self._segments(v - 1)
                 new_segs = self._write_partitioned(new_seg_rows, v)
                 if has_masks:
                     name = f"_dv{v:06d}"
                     pre.write.mode("overwrite").parquet(self._dv_path(name))
                     self._pending_dv[name] = list(touched)
-                return segs + new_segs
+                return new_segs
 
             self._transact(
-                _mor, txn=txn, base_version=v0, rebase_predicate=rebase_pred
+                None,
+                txn=txn,
+                base_version=v0,
+                rebase_predicate=rebase_pred,
+                append_make=_mor,
             )
             return
         kept = joined.filter(~deleted).select(
@@ -818,7 +826,6 @@ class DmlMixin:
                 )
 
             def _keep(v: int) -> list[str]:
-                segs = self._segments(v - 1)
                 name = f"_dv{v:06d}"
                 pre.write.mode("overwrite").parquet(self._dv_path(name))
                 # Scope the dv to the predicate-touched segments only
@@ -828,10 +835,14 @@ class DmlMixin:
                 # would silently mask a matched key's sibling rows living
                 # in predicate-pruned segments.
                 self._pending_dv[name] = list(touched)
-                return segs
+                return []
 
             self._transact(
-                _keep, txn=txn, base_version=v0, rebase_predicate=rebase_pred
+                None,
+                txn=txn,
+                base_version=v0,
+                rebase_predicate=rebase_pred,
+                append_make=_keep,
             )
             return removed
         finally:
@@ -890,20 +901,29 @@ class DmlMixin:
         if removed == 0:
             return 0
         def _keep(v: int) -> list[str]:
-            # applies_to resolved INSIDE the claimed transaction (v-1 is
-            # immutable once v is claimed), like append's segment list.
-            segs = self._segments(v - 1)
             name = f"_dv{v:06d}"
             deleted.write.mode("overwrite").parquet(self._dv_path(name))
-            self._pending_dv[name] = segs
-            return segs
+            # Scope applies_to to the key-touched segments (stats overlap,
+            # computed above): segments provably free of the deleted keys
+            # never need the read-time anti-join mask, and the commit
+            # record stays O(touched) instead of listing every live
+            # segment. Unclustered keys (klist None) degrade to all
+            # segments, as before.
+            self._pending_dv[name] = list(touched)
+            return []
 
         # base_version pins the dv's pre-images to the segment list they
         # were computed from — a commit landing between the read above and
         # the claim would make applies_to describe the wrong snapshot
-        # (unless provably-disjoint appends, which _keep re-resolves at
-        # v-1 and the rebase carries through unmasked).
-        self._transact(_keep, base_version=v0, rebase_predicate=rebase_pred)
+        # (unless provably-disjoint appends, which the rebase carries
+        # through unmasked — the head at v-1 already holds them, and the
+        # dv never applies to them by construction).
+        self._transact(
+            None,
+            base_version=v0,
+            rebase_predicate=rebase_pred,
+            append_make=_keep,
+        )
         return removed
 
     def delete_last_per_group(self, group: str, order_col: str) -> None:

@@ -654,9 +654,21 @@ class TxnMixin:
         new segments on top of version ``cur`` touching O(new segments)
         state — the head mirror evolves in place instead of rebuilding
         O(table) containers per commit, which is what keeps a streaming
-        ingest's commit latency flat from 10^3 to 10^6 segments."""
+        ingest's commit latency flat from 10^3 to 10^6 segments.
+
+        Also serves merge-on-read DML (dv delete / dv upsert / MoR merge):
+        those commits are prev-segments-plus-new-segments plus a deletion
+        vector riding in ``_pending_dv`` — the same delta shape. Their
+        ``base_version`` conflict check (and the disjoint-append rebase)
+        already ran in the caller before dispatch, and the head mirror at
+        ``cur`` inherently carries any rebased-in interleaved appends."""
         head = self._head_for(cur)
+        dv_before = set(self._pending_dv)
         added = append_make(nxt)
+        dv_set: dict = {}
+        for name in list(self._pending_dv):
+            if name not in dv_before:
+                dv_set[name] = self._pending_dv.pop(name)
         st_new: dict = {}
         pt_new: dict = {}
         for s in added:
@@ -677,6 +689,8 @@ class TxnMixin:
             delta_doc["stats"] = st_new
         if pt_new:
             delta_doc["partitions"] = pt_new
+        if dv_set:
+            delta_doc["dv_set"] = dv_set
         if txn is not None:
             app, ver = txn
             delta_doc["txn_set"] = {
@@ -701,6 +715,7 @@ class TxnMixin:
                 head["segments"].extend(doc["add"])
                 head["stats"].update(doc.get("stats", {}))
                 head["partitions"].update(doc.get("partitions", {}))
+                head["dv"].update(doc.get("dv_set", {}))
                 head["txn"].update(doc.get("txn_set", {}))
                 head["meta"] = doc["meta"]
                 head["committed_at"] = doc["committed_at"]

@@ -170,3 +170,30 @@ def test_dv_datasource_read_and_stream(spark, store, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert sgot == got
+
+
+def test_dv_delete_keys_applies_to_scoped_by_key_stats(spark, tmp_path):
+    """delete_keys(mode='dv') scopes applies_to to the segments whose KEY
+    stats overlap the deleted key set (like delete_where/upsert dv): the
+    mask is never tested against provably key-free segments, the commit
+    record stays O(touched), and rows of the same keys appended later
+    still resurrect (new segments are outside applies_to)."""
+    st = TableStore(
+        spark, str(tmp_path / "t"), key="id", stats_cols=("id",)
+    )
+    st.init(spark.range(10).selectExpr("id", "id * 2 AS val"))
+    st.append(spark.range(100, 110).selectExpr("id", "id * 2 AS val"))
+    st.append(spark.range(200, 210).selectExpr("id", "id * 2 AS val"))
+    removed = st.delete_keys(
+        spark.range(100, 103).selectExpr("id"), mode="dv"
+    )
+    assert removed == 3
+    m = st._snapshot(st.current_version())
+    (applies_to,) = m["dv"].values()
+    # Only the middle segment's key range [100, 109] overlaps the set.
+    assert len(applies_to) == 1
+    assert st.read().count() == 27
+    # Re-inserted keys land outside applies_to and resurrect.
+    st.append(spark.range(100, 103).selectExpr("id", "id * 9 AS val"))
+    assert st.read().count() == 30
+    assert st.read().filter("id = 101 AND val = 909").count() == 1
