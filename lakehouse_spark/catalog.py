@@ -229,11 +229,50 @@ class LakeCatalog:
                 return sqldml.route_util(self, query)
             return sqldml.route(self, query)
         self._refresh_followers(query)
+        query = self._rewrite_time_travel(query)
         return (
             self.spark.sql(query, args=args)
             if args is not None
             else self.spark.sql(query)
         )
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """Inline SQL time travel (Delta's ``SELECT ... FROM t VERSION AS
+        OF 3`` / ``TIMESTAMP AS OF '...'``): each travel clause after
+        FROM/JOIN on a store-backed registration is resolved to a pinned
+        snapshot view and the clause replaced by that view's name, so the
+        rest of the query plans unchanged. Requiring the FROM/JOIN anchor
+        keeps the rewrite out of string literals and projection
+        expressions; non-registered names (and change-feed views, whose
+        version range is explicit instead) pass through untouched for
+        Spark to resolve."""
+        import re as _re
+
+        pat = _re.compile(
+            r"\b(FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')",
+            _re.I,
+        )
+
+        def _sub(m):
+            kw, name, ver, ts = m.groups()
+            store, opts = self._entries.get(name, (None, {}))
+            if store is None or opts.get("changes"):
+                return m.group(0)
+            if ver is not None:
+                alias = f"{name}__asof_v{ver}"
+                df = store.read(version=int(ver))
+                pin = {"version": int(ver)}
+            else:
+                safe = "".join(c if c.isalnum() else "_" for c in ts)
+                alias = f"{name}__asof_t{safe}"
+                df = store.read(as_of=ts)
+                pin = {"as_of": ts}
+            df.createOrReplaceTempView(alias)
+            self._entries[alias] = (store, pin)
+            return f"{kw} {alias}"
+
+        return pat.sub(_sub, query)
 
     def _refresh_followers(self, query: str) -> None:
         """Re-resolve every ``follow_head`` registration the query text

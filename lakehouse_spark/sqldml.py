@@ -522,7 +522,31 @@ def _merge(cat, q: str) -> DataFrame:
 
 # -- utility statements (Delta's SQL maintenance surface) ---------------------
 
-_UTIL_HEAD = re.compile(r"^\s*(DESCRIBE|DESC|VACUUM|OPTIMIZE|RESTORE)\b", re.I)
+_UTIL_HEAD = re.compile(
+    r"^\s*(DESCRIBE|DESC|VACUUM|OPTIMIZE|RESTORE|ALTER|CREATE)\b", re.I
+)
+
+# ALTER TABLE sub-forms this router expresses over the store's logical-
+# schema plane (column mapping, CHECK constraints). Anything else (ADD
+# COLUMN is write-time additive evolution — just write the column) is not
+# claimed, so it falls through to Spark's parser.
+_ALTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+"
+    r"(RENAME\s+COLUMN|DROP\s+COLUMN|ADD\s+CONSTRAINT|DROP\s+CONSTRAINT)\b",
+    re.I,
+)
+
+# CREATE [OR REPLACE] TABLE <name> [KEY <col>] [PARTITIONED BY (cols)]
+# LOCATION '<path>' AS <select> — CTAS materializing into a NEW TableStore
+# root and registering it. Other CREATE forms (temp views, real catalog
+# tables) stay with Spark.
+_CTAS_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
+    rf"(?:\s+KEY\s+({_IDENT}))?"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+    r"\s+LOCATION\s+'([^']+)'\s+AS\s+(.+)$",
+    re.I | re.S,
+)
 
 
 def is_util(query: str) -> bool:
@@ -532,12 +556,17 @@ def is_util(query: str) -> bool:
     m = _UTIL_HEAD.match(query)
     if not m:
         return False
-    if m.group(1).upper() in ("DESCRIBE", "DESC"):
+    head = m.group(1).upper()
+    if head in ("DESCRIBE", "DESC"):
         return bool(
             re.match(
                 r"^\s*(?:DESCRIBE|DESC)\s+(?:HISTORY|DETAIL)\b", query, re.I
             )
         )
+    if head == "ALTER":
+        return bool(_ALTER_RE.match(query))
+    if head == "CREATE":
+        return bool(_CTAS_RE.match(query.strip().rstrip(";")))
     return True
 
 
@@ -659,9 +688,90 @@ def route_util(cat, query: str) -> DataFrame:
             [(name, v)], "table string, version long"
         )
 
+    if _ALTER_RE.match(q):
+        name = _ALTER_RE.match(q).group(1)
+        if name not in cat._entries:
+            # Not a catalog registration: the user means a real Spark
+            # catalog table — hand the statement back to Spark untouched.
+            return spark.sql(query)
+        store = _writable_store(cat, name)
+        for pat, fn, op in (
+            (
+                rf"^ALTER\s+TABLE\s+{_IDENT}\s+RENAME\s+COLUMN\s+"
+                rf"({_IDENT})\s+TO\s+({_IDENT})$",
+                lambda g: store.rename_column(g[0], g[1]),
+                "rename_column",
+            ),
+            (
+                rf"^ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+COLUMN\s+({_IDENT})$",
+                lambda g: store.drop_column(g[0]),
+                "drop_column",
+            ),
+            (
+                rf"^ALTER\s+TABLE\s+{_IDENT}\s+ADD\s+CONSTRAINT\s+"
+                rf"({_IDENT})\s+CHECK\s*\((.+)\)$",
+                lambda g: store.add_constraint(g[0], g[1].strip()),
+                "add_constraint",
+            ),
+            (
+                rf"^ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+CONSTRAINT\s+"
+                rf"({_IDENT})$",
+                lambda g: store.drop_constraint(g[0]),
+                "drop_constraint",
+            ),
+        ):
+            m = re.match(pat, q, re.I | re.S)
+            if m:
+                v = fn(m.groups())
+                _refresh_after(cat, name)
+                return spark.createDataFrame(
+                    [(name, op, v)], "table string, op string, version long"
+                )
+        raise ValueError(
+            "unsupported ALTER TABLE form; supported: RENAME COLUMN a TO "
+            "b, DROP COLUMN c, ADD CONSTRAINT nm CHECK (expr), DROP "
+            "CONSTRAINT nm"
+        )
+
+    m = _CTAS_RE.match(q)
+    if m:
+        replace, name, key, pby, path, select = m.groups()
+        from lakehouse_spark.mutation.store import TableStore
+
+        if name in cat._entries and not replace:
+            raise ValueError(
+                f"{name!r} is already registered; use CREATE OR REPLACE "
+                "TABLE to redefine it"
+            )
+        df = cat.sql(select)  # follower refresh + time travel apply
+        parts = (
+            [c.strip() for c in pby.split(",") if c.strip()] if pby else None
+        )
+        store = TableStore(
+            spark,
+            path,
+            key=key or "",
+            stats_cols=(key,) if key else (),
+            partition_by=tuple(parts) if parts else (),
+        )
+        if store.exists():
+            if not replace:
+                raise ValueError(
+                    f"a table already exists at {path}; use CREATE OR "
+                    "REPLACE TABLE to overwrite it"
+                )
+            store.overwrite(df)
+        else:
+            store.init(df)
+        cat.register(name, store=store)
+        return _result(spark, "create_table_as", name, -1)
+
     raise ValueError(
         "unsupported maintenance statement; supported: DESCRIBE "
         "HISTORY|DETAIL <name>, VACUUM <name> [RETAIN n VERSIONS] [DRY "
         "RUN], OPTIMIZE <name> [ZORDER BY (cols)], RESTORE <name> TO "
-        "VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'"
+        "VERSION AS OF n | TO TIMESTAMP AS OF '<ts>', ALTER TABLE <name> "
+        "RENAME/DROP COLUMN | ADD/DROP CONSTRAINT, CREATE [OR REPLACE] "
+        "TABLE <name> [KEY k] [PARTITIONED BY (...)] LOCATION '<path>' "
+        "AS <select>"
     )

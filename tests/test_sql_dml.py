@@ -301,3 +301,82 @@ def test_sql_maintenance_statements(spark, tmp_path):
     # plain DESCRIBE stays with Spark's parser (column listing of a view)
     cols = {r[0] for r in cat.sql("DESCRIBE mt").collect()}
     assert {"id", "day", "val"} <= cols
+
+
+def test_sql_inline_time_travel(spark, tmp_path):
+    """Delta's SELECT-side time travel: ``FROM t VERSION AS OF n`` /
+    ``TIMESTAMP AS OF '<ts>'`` resolve to pinned snapshot views for
+    store-backed registrations; unregistered names pass through to Spark
+    untouched (never silently rewritten)."""
+    st = _mk(spark, tmp_path)
+    st.append(
+        spark.range(100, 150).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS day", "id * 2 AS val"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st, follow_head=True)
+    assert (
+        cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 0").first().n
+        == 100
+    )
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 150
+    # JOIN anchor + trailing alias survive the rewrite.
+    j = cat.sql(
+        "SELECT count(*) AS n FROM t cur "
+        "JOIN t VERSION AS OF 0 old ON cur.id = old.id"
+    ).first().n
+    assert j == 100
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(
+        st.commit_timestamp(0) + 0.001, tz=timezone.utc
+    ).isoformat()
+    assert (
+        cat.sql(
+            f"SELECT count(*) AS n FROM t TIMESTAMP AS OF '{iso}'"
+        ).first().n
+        == 100
+    )
+    # Unregistered name: left for Spark (which raises its own error).
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        cat.sql("SELECT * FROM nosuch VERSION AS OF 0").collect()
+
+
+def test_sql_ctas_and_alter_table(spark, tmp_path):
+    """CREATE [OR REPLACE] TABLE ... LOCATION ... AS SELECT materializes a
+    new TableStore and registers it; ALTER TABLE routes rename/drop
+    column and CHECK constraints to the store's logical-schema plane."""
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st)
+    p2 = str(tmp_path / "derived")
+    r = cat.sql(
+        f"CREATE TABLE d KEY id PARTITIONED BY (day) LOCATION '{p2}' "
+        "AS SELECT id, day, val FROM t WHERE id < 40"
+    ).first()
+    assert (r.op, r.table) == ("create_table_as", "d")
+    assert cat.sql("SELECT count(*) AS n FROM d").first().n == 40
+    # Partition layout came through: day predicate prunes at the manifest.
+    d_store = cat._entry("d")[0]
+    assert d_store.partition_cols() == ("day",)
+    with pytest.raises(ValueError, match="already registered"):
+        cat.sql(f"CREATE TABLE d KEY id LOCATION '{p2}' AS SELECT * FROM t")
+    cat.sql(
+        f"CREATE OR REPLACE TABLE d KEY id LOCATION '{p2}' "
+        "AS SELECT id, day, val FROM t WHERE id < 10"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM d").first().n == 10
+    # ALTER TABLE forms, each visible through the refreshed view.
+    cat.sql("ALTER TABLE d ADD CONSTRAINT nonneg CHECK (id >= 0)")
+    assert d_store.constraints() == {"nonneg": "id >= 0"}
+    with pytest.raises(Exception):  # constraint now enforced on writes
+        cat.sql("INSERT INTO d VALUES (-1, 'x', 0)")
+    cat.sql("ALTER TABLE d RENAME COLUMN val TO doubled")
+    assert "doubled" in cat.sql("SELECT * FROM d").columns
+    cat.sql("ALTER TABLE d DROP CONSTRAINT nonneg")
+    cat.sql("ALTER TABLE d DROP COLUMN doubled")
+    assert sorted(cat.sql("SELECT * FROM d").columns) == ["day", "id"]
+    # Unsupported ALTER form on a registered name: clear error, no hijack.
+    with pytest.raises(Exception):
+        cat.sql("ALTER TABLE d SET TBLPROPERTIES ('x'='y')")
