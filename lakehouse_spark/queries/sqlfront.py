@@ -221,3 +221,69 @@ def sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+_TT_CTAS_ORACLE = """
+    SELECT 'v0' AS snap,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'head' AS snap,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+"""
+
+
+@_q(
+    "sql_time_travel_ctas",
+    _TT_CTAS_ORACLE,
+    doc=(
+        "Inline SQL time travel + CTAS (round 9): FROM t VERSION AS OF 0 "
+        "inside a CREATE TABLE ... LOCATION ... AS SELECT materializes the "
+        "v0 snapshot into a NEW TableStore through the catalog, and the "
+        "final union of v0-vs-head aggregates must hash-match DuckDB "
+        "replaying the same slices as plain SELECTs (v0 = the init "
+        "commit's filter, head = all rows). All-integer arithmetic."
+    ),
+)
+def sql_time_travel_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.mutation.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="sql_tt_entry_")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    st = TableStore(
+        spark,
+        os.path.join(tmp, "orders"),
+        key="o_orderkey",
+        stats_cols=("o_orderkey",),
+    )
+    st.init(base.filter("o_orderstatus = 'F'"))  # version 0
+    st.append(base.filter("o_orderstatus <> 'F'"))  # head
+    cat = LakeCatalog(spark)
+    cat.register("tt_orders", store=st, follow_head=True)
+    cat.sql(
+        "CREATE TABLE tt_v0 KEY o_orderkey "
+        f"LOCATION '{os.path.join(tmp, 'v0')}' "
+        "AS SELECT * FROM tt_orders VERSION AS OF 0"
+    )
+    return cat.sql(
+        """
+        SELECT 'v0' AS snap,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        FROM tt_v0
+        UNION ALL
+        SELECT 'head' AS snap,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        FROM tt_orders
+        """
+    )
