@@ -609,21 +609,22 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nlbl").alias("mn"))
         )
+        # The change flag rides in the SAME checkpointed frame the next
+        # round needs anyway: convergence detection then costs a scan of
+        # the just-persisted partitions (early-terminating isEmpty), not a
+        # second labels⋈labels shuffle join job per round — per-round job
+        # count is what dominates on shallow graphs where the data is tiny.
         new = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("nlbl"),
+                F.col("lbl").alias("olbl"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-        )
-        labels = new
-        if changed.isEmpty():
+        labels = new.select("node", F.col("nlbl").alias("lbl"))
+        if new.filter(F.col("nlbl") != F.col("olbl")).isEmpty():
             converged = True
             break
     if not converged:
