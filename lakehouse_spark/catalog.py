@@ -64,6 +64,11 @@ class LakeCatalog:
         # re-resolve the snapshot; DataFrame/testdata registrations store
         # (None, {}).
         self._entries: dict[str, tuple[object | None, dict]] = {}
+        # name -> table version the view was last resolved at: lets the
+        # follow_head pre-pass skip the re-registration (snapshot load +
+        # view plan rebuild) when the head did not move — one pointer read
+        # per referenced follower per query instead.
+        self._reg_versions: dict[str, int] = {}
 
     # -- registration ------------------------------------------------------
 
@@ -143,6 +148,12 @@ class LakeCatalog:
                     "changes=True views take starting_version/"
                     "ending_version, not version/as_of/predicate"
                 )
+            if follow_head:
+                raise ValueError(
+                    "follow_head=True is not supported for change-feed "
+                    "views; register with ending_version=None and call "
+                    "refresh() to extend the range to the new head"
+                )
             df = store.changes(starting_version, ending_version)
             opts = {
                 "changes": True,
@@ -157,6 +168,7 @@ class LakeCatalog:
             )
         df.createOrReplaceTempView(name)
         self._entries[name] = (store, opts)
+        self._reg_versions[name] = store.current_version()
         return df
 
     def _open(self, path: str):
@@ -201,6 +213,7 @@ class LakeCatalog:
         self._entry(name)
         self.spark.catalog.dropTempView(name)
         del self._entries[name]
+        self._reg_versions.pop(name, None)
 
     # -- query surface -----------------------------------------------------
 
@@ -261,11 +274,18 @@ class LakeCatalog:
                 return m.group(0)
             if ver is not None:
                 alias = f"{name}__asof_v{ver}"
-                df = store.read(version=int(ver))
-                pin = {"version": int(ver)}
             else:
                 safe = "".join(c if c.isalnum() else "_" for c in ts)
                 alias = f"{name}__asof_t{safe}"
+            if alias in self._entries:
+                # Same travel clause seen before: the pinned snapshot view
+                # already exists (versions are immutable) — reuse it, no
+                # second snapshot read or view rebuild.
+                return f"{kw} {alias}"
+            if ver is not None:
+                df = store.read(version=int(ver))
+                pin = {"version": int(ver)}
+            else:
                 df = store.read(as_of=ts)
                 pin = {"as_of": ts}
             df.createOrReplaceTempView(alias)
@@ -277,7 +297,9 @@ class LakeCatalog:
     def _refresh_followers(self, query: str) -> None:
         """Re-resolve every ``follow_head`` registration the query text
         references (word-boundary match; a false positive costs one cheap
-        pointer re-read, never correctness)."""
+        pointer re-read, never correctness). Re-registration (snapshot
+        load + view plan rebuild) only happens when the head actually
+        moved past the version the view was resolved at."""
         import re as _re
 
         for name, (store, opts) in list(self._entries.items()):
@@ -285,13 +307,15 @@ class LakeCatalog:
                 store is not None
                 and opts.get("follow_head")
                 and _re.search(rf"\b{_re.escape(name)}\b", query, _re.I)
+                and store.current_version() != self._reg_versions.get(name)
             ):
                 self.register(name, store=store, **opts)
 
     def table(self, name: str) -> DataFrame:
         store, opts = self._entry(name)
         if store is not None and opts.get("follow_head"):
-            return self.register(name, store=store, **opts)
+            if store.current_version() != self._reg_versions.get(name):
+                return self.register(name, store=store, **opts)
         return self.spark.table(name)
 
     def names(self) -> list[str]:

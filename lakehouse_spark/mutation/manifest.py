@@ -1183,6 +1183,16 @@ class TxnMixin:
         ``dry_run=True`` (Delta's VACUUM DRY RUN) deletes nothing and
         returns what a real run would reclaim. Both modes return
         ``{"names": [...], "n_files": int, "bytes": int}``."""
+        if keep_last < 1:
+            # keep_last=0 would compute an empty retained set and delete
+            # the HEAD manifest and every live segment while _CURRENT
+            # still points at them — a bricked table. The head must
+            # always survive ("RETAIN 0 VERSIONS" plausibly reads as
+            # "keep no history", so reject loudly, not silently clamp).
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}): the current "
+                "version is always retained"
+            )
         cur = self.current_version()
         if cur is None:
             return {"names": [], "n_files": 0, "bytes": 0}

@@ -139,8 +139,12 @@ def _literal(tok: str):
     how the manifest stores partition values). Returns (ok, value)."""
     tok = tok.strip()
     if _NUM_RE.match(tok):
-        v = float(tok)
-        return True, int(v) if v.is_integer() and "." not in tok and "e" not in tok.lower() else v
+        # Integer-shaped tokens parse as int DIRECTLY — routing through
+        # float silently corrupts values above 2^53 (64-bit ids), and a
+        # corrupted bound makes stats pruning skip the matching file.
+        if "." not in tok and "e" not in tok.lower():
+            return True, int(tok)
+        return True, float(tok)
     m = _STR_RE.match(tok)
     if m:
         return True, m.group(1).replace("''", "'")
@@ -156,7 +160,15 @@ def extract_predicate(where: str) -> dict:
     of the simple shapes is simply not extracted (the full WHERE is always
     re-applied row-exactly by the DML path, so extraction can only ever
     SKIP more files, never change results). Strict bounds widen to closed
-    ones for the same reason."""
+    ones for the same reason.
+
+    A TOP-LEVEL OR disables extraction entirely: SQL precedence makes
+    ``A AND B OR C`` mean ``(A AND B) OR C``, so treating A as a standalone
+    conjunct would prune files that only match C — unsound (silently
+    undeleted/unupdated rows). Parenthesized ORs inside a conjunct are fine
+    (the conjunct just fails the simple-shape match and is skipped)."""
+    if len(_split_top(where, "OR")) > 1:
+        return {}
     out: dict = {}
 
     def _merge_range(col: str, lo=None, hi=None):
@@ -255,6 +267,20 @@ def route(cat, query: str) -> DataFrame:
     LakeCatalog (gives name→store resolution and the SparkSession)."""
     verb = _DML_HEAD.match(query).group(1).upper()
     q = query.strip().rstrip(";").strip()
+    # Route only statements whose target is a CATALOG registration.
+    # Dotted/backticked names and unknown identifiers belong to Spark's
+    # own catalog — pass them through untouched (same fall-through the
+    # ALTER branch of route_util uses) instead of hijacking them into
+    # shape errors.
+    target_pat = {
+        "INSERT": r"^INSERT\s+INTO\s+([A-Za-z_][\w.]*|`[^`]+`)",
+        "DELETE": r"^DELETE\s+FROM\s+([A-Za-z_][\w.]*|`[^`]+`)",
+        "UPDATE": r"^UPDATE\s+([A-Za-z_][\w.]*|`[^`]+`)",
+        "MERGE": r"^MERGE\s+INTO\s+([A-Za-z_][\w.]*|`[^`]+`)",
+    }[verb]
+    tm = re.match(target_pat, q, re.I)
+    if not tm or tm.group(1) not in cat._entries:
+        return cat.spark.sql(query)
     if verb == "INSERT":
         return _insert(cat, q)
     if verb == "DELETE":
@@ -282,7 +308,10 @@ def _insert(cat, q: str) -> DataFrame:
     if body.upper().startswith("VALUES"):
         src = spark.sql(f"SELECT * FROM {body}")
     else:
-        src = spark.sql(body)
+        # Through cat.sql, not raw spark.sql: the SELECT body then gets
+        # follow_head re-resolution and inline VERSION/TIMESTAMP AS OF,
+        # the same contract every read through the catalog has.
+        src = cat.sql(body)
     target = (
         [c.strip() for c in collist.split(",")]
         if collist
@@ -425,7 +454,9 @@ def _merge(cat, q: str) -> DataFrame:
     store = _writable_store(cat, name)
     spark = cat.spark
     if src_text.startswith("("):
-        source = spark.sql(src_text[1:-1])
+        # cat.sql so the subquery source honors follow_head and inline
+        # time travel, like every other read through the catalog.
+        source = cat.sql(src_text[1:-1])
         salias = salias or "s"
     else:
         salias = salias or src_text
@@ -447,9 +478,14 @@ def _merge(cat, q: str) -> DataFrame:
         )
 
     def _rewrite_aliases(cond: str) -> str:
-        # store.merge evaluates conditions over t.<col> / s.<col>.
-        cond = re.sub(rf"\b{re.escape(talias)}\.", "t.", cond)
-        return re.sub(rf"\b{re.escape(salias)}\.", "s.", cond)
+        # store.merge evaluates conditions over t.<col> / s.<col>. Two
+        # phases through NUL-fenced placeholders: a user alias of literal
+        # 't' or 's' would otherwise collide with the canonical prefixes
+        # (USING src AS t → step 1's output 't.' must not be re-rewritten
+        # to 's.' by step 2).
+        cond = re.sub(rf"\b{re.escape(talias)}\.", "\x00T\x00.", cond)
+        cond = re.sub(rf"\b{re.escape(salias)}\.", "\x00S\x00.", cond)
+        return cond.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.")
 
     update_cols = None
     update_cond = None
@@ -506,8 +542,12 @@ def _merge(cat, q: str) -> DataFrame:
         raise ValueError("MERGE has no parseable WHEN clause")
     if not has_update and not delete_cond and not insert:
         raise ValueError("MERGE needs at least one action clause")
-    if not has_update and delete_cond is None:
-        # insert-only merge: suppress updates entirely
+    if not has_update:
+        # No UPDATE clause anywhere (insert-only, or conditional DELETE
+        # only): suppress updates entirely. store.merge's update_cond=None
+        # means "update every matched row" — letting that default through
+        # would rewrite matched-but-not-deleted rows the statement never
+        # asked to touch.
         update_cond = "false"
     store.merge(
         source,

@@ -380,3 +380,145 @@ def test_sql_ctas_and_alter_table(spark, tmp_path):
     # Unsupported ALTER form on a registered name: clear error, no hijack.
     with pytest.raises(Exception):
         cat.sql("ALTER TABLE d SET TBLPROPERTIES ('x'='y')")
+
+
+# -- round-9 review fixes (each pinned a silent-wrong-results hazard) --------
+
+
+def test_extract_predicate_toplevel_or_disables_pruning():
+    """SQL precedence: A AND B OR C is (A AND B) OR C — extracting A as a
+    standalone conjunct would prune files that only match C. A top-level
+    OR must disable extraction entirely."""
+    assert extract_predicate("day = 'd1' AND x = 1 OR day = 'd2'") == {}
+    assert extract_predicate("id >= 5 OR id <= 2") == {}
+    # Parenthesized OR inside a conjunct: other conjuncts still extract.
+    p = extract_predicate("day = 'd1' AND (x = 1 OR x = 2)")
+    assert p == {"day": "d1"}
+
+
+def test_sql_delete_with_toplevel_or_deletes_all_branches(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st, follow_head=True)
+    # 25 rows per day bucket; both OR branches must go.
+    n = cat.sql(
+        "DELETE FROM t WHERE day = '1' AND id < 200 OR day = '2'"
+    ).first().affected_rows
+    assert n == 50
+    assert cat.sql("SELECT count(*) AS n FROM t WHERE day IN ('1','2')").first().n == 0
+
+
+def test_extract_predicate_keeps_int64_exact():
+    big = 9007199254740993  # 2^53 + 1: float round-trips to ...992
+    p = extract_predicate(f"id = {big}")
+    assert p["id"] == big and isinstance(p["id"], int)
+
+
+def test_sql_merge_conditional_delete_only_leaves_other_matches(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN DELETE with no UPDATE clause must not
+    rewrite matched-but-not-deleted rows from the source."""
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st, follow_head=True)
+    cat.sql(
+        "MERGE INTO t USING ("
+        " SELECT CAST(k AS BIGINT) AS id, CAST(k AS STRING) AS day,"
+        "        CAST(0 AS BIGINT) AS val"
+        " FROM VALUES (1), (2) v(k)"
+        ") AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.id = 1 THEN DELETE"
+    )
+    # id=1 deleted; id=2 matched but NOT deleted and NOT updated (val
+    # stays 4, not the source's 0).
+    assert cat.sql("SELECT count(*) AS n FROM t WHERE id = 1").first().n == 0
+    assert cat.sql("SELECT val FROM t WHERE id = 2").first().val == 4
+
+
+def test_sql_merge_user_alias_t_does_not_collide(spark, tmp_path):
+    """USING src AS t: the user's alias 't' must not be re-rewritten into
+    the canonical source prefix by the second substitution phase."""
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("tgt", store=st, follow_head=True)
+    # delete condition references BOTH sides; with the collision bug the
+    # target operand flips to the source side and the wrong rows die.
+    cat.sql(
+        "MERGE INTO tgt USING ("
+        " SELECT CAST(k AS BIGINT) AS id, CAST(99 AS BIGINT) AS val"
+        " FROM VALUES (3), (4) v(k)"
+        ") AS t ON tgt.id = t.id "
+        "WHEN MATCHED AND tgt.val < t.val THEN DELETE"
+    )
+    # tgt.val for id 3,4 is 6,8 — both < 99 → both deleted.
+    assert cat.sql("SELECT count(*) AS n FROM tgt WHERE id IN (3,4)").first().n == 0
+    assert cat.sql("SELECT count(*) AS n FROM tgt").first().n == 98
+
+
+def test_sql_dml_on_nonregistered_names_passes_through(spark, tmp_path):
+    cat = LakeCatalog(spark)
+    # Unknown simple and dotted names go to Spark's own parser/catalog,
+    # which raises ITS error (not this router's shape/KeyError).
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        cat.sql("INSERT INTO nosuch_table VALUES (1)")
+    with pytest.raises(
+        Exception,
+        match="TABLE_OR_VIEW_NOT_FOUND|REQUIRES_SINGLE_PART_NAMESPACE"
+        "|cannot be found",
+    ):
+        cat.sql("DELETE FROM some.dotted.name WHERE x = 1")
+
+
+def test_vacuum_rejects_keep_last_below_one(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="keep_last must be >= 1"):
+        st.vacuum(keep_last=0)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st)
+    with pytest.raises(ValueError, match="keep_last must be >= 1"):
+        cat.sql("VACUUM t RETAIN 0 VERSIONS")
+    assert st.read().count() == 100  # table intact
+
+
+def test_sql_insert_select_honors_follow_head_and_time_travel(spark, tmp_path):
+    src = _mk(spark, tmp_path, name="src")
+    dst = TableStore(spark, str(tmp_path / "dst"), key="id")
+    dst.init(spark.range(0).selectExpr("id", "CAST(id AS STRING) AS day", "id AS val"))
+    cat = LakeCatalog(spark)
+    cat.register("src", store=src, follow_head=True)
+    cat.register("dst", store=dst, follow_head=True)
+    src.append(
+        spark.range(100, 120).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS day", "id * 2 AS val"
+        )
+    )  # direct store append AFTER registration
+    n = cat.sql("INSERT INTO dst SELECT * FROM src").first().affected_rows
+    assert n == 120  # sees the post-registration append (follow_head)
+    n0 = cat.sql(
+        "INSERT INTO dst SELECT * FROM src VERSION AS OF 0"
+    ).first().affected_rows
+    assert n0 == 100  # inline time travel works inside INSERT ... SELECT
+
+
+def test_register_changes_rejects_follow_head(spark, tmp_path):
+    st = _mk(spark, tmp_path, write_cdf=True)
+    cat = LakeCatalog(spark)
+    with pytest.raises(ValueError, match="follow_head"):
+        cat.register("feed", store=st, changes=True, follow_head=True)
+
+
+def test_time_travel_alias_reused_not_regrown(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.append(
+        spark.range(100, 110).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS day", "id * 2 AS val"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st)
+    before = len(cat._entries)
+    for _ in range(3):
+        assert (
+            cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 0").first().n
+            == 100
+        )
+    assert len(cat._entries) == before + 1  # one alias, reused
