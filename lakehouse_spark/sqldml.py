@@ -18,6 +18,8 @@ misparses):
 - ``INSERT INTO name [(cols)] VALUES (...), ...`` and
   ``INSERT INTO name [(cols)] SELECT ...`` → ``TableStore.append``
   (positional column mapping, store-assignment casts);
+  ``INSERT OVERWRITE [TABLE] name ...`` → ``TableStore.overwrite``
+  (full replace, Delta's partition-spec-less INSERT OVERWRITE);
 - ``DELETE FROM name WHERE cond`` → ``TableStore.delete_where`` — the
   WHERE's prunable conjuncts (``col = lit``, ``col >=/<=/>/< lit``,
   ``col BETWEEN a AND b``, ``col IN (...)``) are additionally extracted
@@ -273,7 +275,8 @@ def route(cat, query: str) -> DataFrame:
     # ALTER branch of route_util uses) instead of hijacking them into
     # shape errors.
     target_pat = {
-        "INSERT": r"^INSERT\s+INTO\s+([A-Za-z_][\w.]*|`[^`]+`)",
+        "INSERT": r"^INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        r"([A-Za-z_][\w.]*|`[^`]+`)",
         "DELETE": r"^DELETE\s+FROM\s+([A-Za-z_][\w.]*|`[^`]+`)",
         "UPDATE": r"^UPDATE\s+([A-Za-z_][\w.]*|`[^`]+`)",
         "MERGE": r"^MERGE\s+INTO\s+([A-Za-z_][\w.]*|`[^`]+`)",
@@ -292,17 +295,23 @@ def route(cat, query: str) -> DataFrame:
 
 def _insert(cat, q: str) -> DataFrame:
     m = re.match(
-        rf"^INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\)\s*)?"
+        rf"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*"
+        r"(?:\(([^)]*)\)\s*)?"
         r"(VALUES\b.*|SELECT\b.*|TABLE\b.*)$",
         q,
         re.I | re.S,
     )
     if not m:
         raise ValueError(
-            "unsupported INSERT shape; use INSERT INTO <name> [(cols)] "
-            "VALUES (...) | SELECT ..."
+            "unsupported INSERT shape; use INSERT INTO|OVERWRITE <name> "
+            "[(cols)] VALUES (...) | SELECT ..."
         )
-    name, collist, body = m.group(1), m.group(2), m.group(3)
+    mode, name, collist, body = (
+        m.group(1).upper(),
+        m.group(2),
+        m.group(3),
+        m.group(4),
+    )
     store = _writable_store(cat, name)
     spark = cat.spark
     if body.upper().startswith("VALUES"):
@@ -335,11 +344,16 @@ def _insert(cat, q: str) -> DataFrame:
     src = src.persist()
     try:
         n = src.count()
-        store.append(src)
+        if mode == "OVERWRITE":
+            # Full-replace semantics (Delta's INSERT OVERWRITE without a
+            # partition spec): the new version holds exactly the source.
+            store.overwrite(src)
+        else:
+            store.append(src)
     finally:
         src.unpersist()
     _refresh_after(cat, name)
-    return _result(spark, "INSERT", name, n)
+    return _result(spark, f"INSERT {mode}" if mode == "OVERWRITE" else "INSERT", name, n)
 
 
 def _delete(cat, q: str) -> DataFrame:

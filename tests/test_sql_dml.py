@@ -522,3 +522,22 @@ def test_time_travel_alias_reused_not_regrown(spark, tmp_path):
             == 100
         )
     assert len(cat._entries) == before + 1  # one alias, reused
+
+
+def test_sql_insert_overwrite_full_replace(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st, follow_head=True)
+    r = cat.sql(
+        "INSERT OVERWRITE t SELECT id, day, val FROM t WHERE id < 7"
+    ).first()
+    assert (r.op, r.affected_rows) == ("INSERT OVERWRITE", 7)
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 7
+    # History preserved: the pre-overwrite snapshot is still travelable.
+    assert (
+        cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 0").first().n
+        == 100
+    )
+    # INTO still appends.
+    cat.sql("INSERT INTO t VALUES (500, 'x', 0)")
+    assert cat.sql("SELECT count(*) AS n FROM t").first().n == 8
