@@ -154,6 +154,14 @@ class LakeCatalog:
                     "views; register with ending_version=None and call "
                     "refresh() to extend the range to the new head"
                 )
+        # Record the head BEFORE store.read()/changes() resolve their
+        # snapshot: a commit landing between the two would otherwise
+        # record a version AHEAD of what the view reflects, and a
+        # follow_head freshness check would then serve the stale view
+        # until the next commit. Recording early errs in the harmless
+        # direction (one spurious refresh).
+        v_seen = store.current_version()
+        if changes:
             df = store.changes(starting_version, ending_version)
             opts = {
                 "changes": True,
@@ -168,7 +176,7 @@ class LakeCatalog:
             )
         df.createOrReplaceTempView(name)
         self._entries[name] = (store, opts)
-        self._reg_versions[name] = store.current_version()
+        self._reg_versions[name] = v_seen
         return df
 
     def _open(self, path: str):
@@ -214,6 +222,14 @@ class LakeCatalog:
         self.spark.catalog.dropTempView(name)
         del self._entries[name]
         self._reg_versions.pop(name, None)
+        # Derived time-travel aliases die with their base name: a later
+        # registration of a DIFFERENT store under the same name must not
+        # resolve `name VERSION AS OF n` to the old store's snapshot.
+        prefix = f"{name}__asof_"
+        for a in [a for a in self._entries if a.startswith(prefix)]:
+            self.spark.catalog.dropTempView(a)
+            del self._entries[a]
+            self._reg_versions.pop(a, None)
 
     # -- query surface -----------------------------------------------------
 
@@ -274,18 +290,20 @@ class LakeCatalog:
                 return m.group(0)
             if ver is not None:
                 alias = f"{name}__asof_v{ver}"
-            else:
-                safe = "".join(c if c.isalnum() else "_" for c in ts)
-                alias = f"{name}__asof_t{safe}"
-            if alias in self._entries:
-                # Same travel clause seen before: the pinned snapshot view
-                # already exists (versions are immutable) — reuse it, no
-                # second snapshot read or view rebuild.
-                return f"{kw} {alias}"
-            if ver is not None:
+                if alias in self._entries:
+                    # Same VERSION clause seen before: a version's snapshot
+                    # is immutable — reuse the pinned view, no second
+                    # snapshot read or view rebuild.
+                    return f"{kw} {alias}"
                 df = store.read(version=int(ver))
                 pin = {"version": int(ver)}
             else:
+                safe = "".join(c if c.isalnum() else "_" for c in ts)
+                alias = f"{name}__asof_t{safe}"
+                # TIMESTAMP aliases always re-resolve: a ts at or past the
+                # newest commit maps to the head NOW but to a different
+                # version after the next commit lands — caching the first
+                # resolution would silently serve the stale snapshot.
                 df = store.read(as_of=ts)
                 pin = {"as_of": ts}
             df.createOrReplaceTempView(alias)

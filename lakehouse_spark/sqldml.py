@@ -114,12 +114,16 @@ def _split_top(text: str, sep_word: str | None = None) -> list[str]:
                     pending_between = True
                     i += len("BETWEEN")
                     continue
+                if pending_between and _is_word_at(i, "AND"):
+                    # the AND of BETWEEN lo AND hi belongs to the term —
+                    # and ONLY an AND closes the BETWEEN. (When splitting
+                    # on OR, letting pending_between swallow the first OR
+                    # instead silently merged "x BETWEEN a AND b OR c"
+                    # into one part, defeating the top-level-OR guard.)
+                    pending_between = False
+                    i += len("AND")
+                    continue
                 if _is_word_at(i, word):
-                    if pending_between:
-                        # the AND of BETWEEN lo AND hi: part of the term
-                        pending_between = False
-                        i += len(word)
-                        continue
                     parts.append(text[start:i])
                     start = i + len(word)
                     i += len(word)
@@ -283,7 +287,11 @@ def route(cat, query: str) -> DataFrame:
     }[verb]
     tm = re.match(target_pat, q, re.I)
     if not tm or tm.group(1) not in cat._entries:
-        return cat.spark.sql(query)
+        # The pre-passes still apply: a Spark-native INSERT target can
+        # SELECT from registered follow_head / time-travel names, and
+        # those reads keep the same contract as any other cat.sql read.
+        cat._refresh_followers(query)
+        return cat.spark.sql(cat._rewrite_time_travel(query))
     if verb == "INSERT":
         return _insert(cat, q)
     if verb == "DELETE":
@@ -321,10 +329,11 @@ def _insert(cat, q: str) -> DataFrame:
         # follow_head re-resolution and inline VERSION/TIMESTAMP AS OF,
         # the same contract every read through the catalog has.
         src = cat.sql(body)
+    tschema = store.read().schema  # one plan build serves columns + types
     target = (
         [c.strip() for c in collist.split(",")]
         if collist
-        else store.read().columns
+        else list(tschema.names)
     )
     if len(src.columns) != len(target):
         raise ValueError(
@@ -334,13 +343,27 @@ def _insert(cat, q: str) -> DataFrame:
     src = src.toDF(*target)
     # Store-assignment casts (INSERT adapts values to the table schema;
     # genuinely incompatible types still fail the append's enforcement).
-    ttypes = {f.name: f.dataType for f in store.read().schema}
+    ttypes = {f.name: f.dataType for f in tschema}
     src = src.select(
         *[
             F.col(c).cast(ttypes[c]).alias(c) if c in ttypes else F.col(c)
             for c in src.columns
         ]
     )
+    if mode == "OVERWRITE":
+        # NULL-fill unlisted table columns (Delta's INSERT OVERWRITE with
+        # a column list): overwrite() is full CREATE OR REPLACE, so a
+        # partial column list would otherwise silently DROP every
+        # unlisted column from the table schema. Appends don't need this
+        # — a narrow segment null-fills at read time by schema union.
+        missing = [c for c in tschema.names if c not in src.columns]
+        if missing:
+            src = src.select(
+                "*",
+                *[
+                    F.lit(None).cast(ttypes[c]).alias(c) for c in missing
+                ],
+            ).select(*tschema.names)
     src = src.persist()
     try:
         n = src.count()

@@ -541,3 +541,94 @@ def test_sql_insert_overwrite_full_replace(spark, tmp_path):
     # INTO still appends.
     cat.sql("INSERT INTO t VALUES (500, 'x', 0)")
     assert cat.sql("SELECT count(*) AS n FROM t").first().n == 8
+
+
+def test_extract_predicate_between_then_or_disables_pruning():
+    """BETWEEN's AND-swallowing must not consume a following OR: the
+    top-level-OR guard has to see 'x BETWEEN a AND b OR c' as two parts."""
+    assert (
+        extract_predicate("day = '1' AND id BETWEEN 0 AND 10 OR day = '2'")
+        == {}
+    )
+    # BETWEEN without OR still extracts, including after another conjunct.
+    p = extract_predicate("day = '1' AND id BETWEEN 0 AND 10")
+    assert p == {"day": "1", "id": (0, 10)}
+
+
+def test_sql_delete_between_or_deletes_all_branches(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st, follow_head=True)
+    n = cat.sql(
+        "DELETE FROM t WHERE day = '1' AND id BETWEEN 0 AND 10 OR day = '2'"
+    ).first().affected_rows
+    # day='1' with id<=10: ids 1,5,9 → 3 rows; day='2': 25 rows.
+    assert n == 28
+    assert cat.sql("SELECT count(*) AS n FROM t WHERE day = '2'").first().n == 0
+
+
+def test_sql_insert_overwrite_partial_collist_nullfills(spark, tmp_path):
+    """Delta semantics: INSERT OVERWRITE with a column list NULL-fills the
+    unlisted columns instead of silently dropping them from the schema."""
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st, follow_head=True)
+    cat.sql("INSERT OVERWRITE t (id, day) SELECT id, day FROM t WHERE id < 5")
+    out = cat.sql("SELECT * FROM t")
+    assert sorted(out.columns) == ["day", "id", "val"]
+    rows = out.collect()
+    assert len(rows) == 5 and all(r.val is None for r in rows)
+
+
+def test_sql_timestamp_as_of_at_head_reresolves(spark, tmp_path):
+    """A TIMESTAMP AS OF at/after the newest commit resolves to the head
+    NOW — after another commit lands, the same literal must re-resolve,
+    not serve the cached first answer."""
+    st = _mk(spark, tmp_path)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st, follow_head=True)
+    future = "2099-01-01T00:00:00+00:00"
+    q = f"SELECT count(*) AS n FROM t TIMESTAMP AS OF '{future}'"
+    assert cat.sql(q).first().n == 100
+    cat.sql("INSERT INTO t VALUES (900, 'z', 0)")
+    assert cat.sql(q).first().n == 101
+
+
+def test_unregister_drops_time_travel_aliases(spark, tmp_path):
+    a = _mk(spark, tmp_path, name="a")
+    b = TableStore(spark, str(tmp_path / "b"), key="id")
+    b.init(spark.range(7).selectExpr("id", "'x' AS day", "id AS val"))
+    cat = LakeCatalog(spark)
+    cat.register("t", store=a)
+    assert cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 0").first().n == 100
+    cat.unregister("t")
+    assert not any(n.startswith("t__asof_") for n in cat.names())
+    cat.register("t", store=b)
+    # VERSION AS OF 0 now means store b's v0, not a stale alias to a's.
+    assert cat.sql("SELECT count(*) AS n FROM t VERSION AS OF 0").first().n == 7
+
+
+def test_sql_passthrough_insert_reads_follow_head(spark, tmp_path):
+    """INSERT INTO a Spark-native table (not catalog-registered) still
+    applies the catalog read contract to its SELECT body: follow_head
+    names re-resolve and inline time travel rewrites."""
+    src = _mk(spark, tmp_path, name="src")
+    cat = LakeCatalog(spark)
+    cat.register("src", store=src, follow_head=True)
+    spark.sql("DROP TABLE IF EXISTS native_sink")
+    spark.sql(
+        "CREATE TABLE native_sink (id LONG, day STRING, val LONG) "
+        f"USING parquet LOCATION '{tmp_path / 'native_sink'}'"
+    )
+    try:
+        src.append(
+            spark.range(100, 120).selectExpr(
+                "id", "CAST(id % 4 AS STRING) AS day", "id * 2 AS val"
+            )
+        )
+        cat.sql("INSERT INTO native_sink SELECT * FROM src")
+        assert spark.table("native_sink").count() == 120  # saw the append
+        cat.sql("INSERT INTO native_sink SELECT * FROM src VERSION AS OF 0")
+        assert spark.table("native_sink").count() == 220
+    finally:
+        spark.sql("DROP TABLE IF EXISTS native_sink")
