@@ -50,6 +50,13 @@ VERSIONS] [DRY RUN]``, ``OPTIMIZE <name> [ZORDER BY (cols)]``, and
 ``RESTORE <name> TO VERSION AS OF n | TO TIMESTAMP AS OF '<ts>'`` — each a
 thin parse over the corresponding TableStore method, returning its metrics
 as a DataFrame. Plain ``DESCRIBE <name>`` stays with Spark's parser.
+Round 9 additions: ``ALTER TABLE <name> RENAME COLUMN a TO b | DROP
+COLUMN c | ADD CONSTRAINT nm CHECK (expr) | DROP CONSTRAINT nm`` (the
+store's logical-schema plane; other ALTER forms and non-catalog names
+fall through to Spark) and ``CREATE [OR REPLACE] TABLE <name> [KEY k]
+[PARTITIONED BY (cols)] LOCATION '<path>' AS <select>`` (CTAS into a new
+TableStore root, registered under <name>). Inline SELECT-side time travel
+lives in the catalog's pre-pass (catalog._rewrite_time_travel), not here.
 """
 
 from __future__ import annotations
