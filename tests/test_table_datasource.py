@@ -709,3 +709,48 @@ def test_snapshot_predicate_option_is_cache_safe_pruning(spark, tmp_path):
         .load(s.root)
     )
     assert sorted(r.x for r in one.collect()) == [355, 377]
+
+
+def test_stream_writer_batch_commits_are_delta_manifests(spark, tmp_path):
+    """The streaming sink commits through the append lane: every
+    micro-batch past table creation writes a DELTA manifest (no full
+    segment list — O(new segments) metadata per batch), and the cached
+    store instance's head mirror matches a cold file replay."""
+    import json
+
+    from lakehouse_spark.mutation.manifest import load_snapshot
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    a = TableStore(spark, src, key="id")
+    a.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .load(src)
+            .writeStream.format("lakehouse")
+            .option("path", dst)
+            .option("txnAppId", "delta-pin")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # batch 0 creates dst (full manifest, by design)
+    for i in range(2, 5):  # three more source commits → three sink batches
+        a.append(
+            spark.createDataFrame([(i, chr(96 + i))], "id long, v string")
+        )
+        drain()
+    b = TableStore(spark, dst, key="id")
+    head = b.current_version()
+    assert head == 3
+    assert b.read().count() == 4
+    for v in range(1, head + 1):
+        with open(b._manifest_path(v)) as f:
+            raw = json.load(f)
+        assert raw.get("delta") == 1 and "segments" not in raw, (v, raw.keys())
+        assert "txn_set" in raw  # exactly-once watermark rode the delta
+    assert b._snapshot(head) == load_snapshot(dst, head)
