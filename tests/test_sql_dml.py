@@ -245,6 +245,12 @@ def test_extract_predicate_never_narrows_the_where(spark):
         "a <= 5 AND a <= 30",
         "s IS NOT NULL AND a BETWEEN 3 AND 9",
         "a BETWEEN 5 AND 8 AND a IN (6, 7, 100)",
+        # Round-9 review regressions: un-parenthesized OR binds looser
+        # than AND, so any extraction from the left branch would narrow.
+        "s = 's1' AND a = 1 OR s = 's2'",
+        "a BETWEEN 0 AND 10 OR s = 's3'",
+        "s = 's1' AND a BETWEEN 0 AND 10 OR s = 's2'",
+        "a >= 40 OR a BETWEEN 2 AND 4 AND s = 's0'",
     ]
     from lakehouse_spark.sqldml import extract_predicate
 
