@@ -539,3 +539,34 @@ def test_append_lane_stale_head_rebuilds_across_instances(spark, tmp_path):
     # Per-segment stats arrived through the lane for every writer: a
     # targeted predicate read prunes to exactly one segment's rows.
     assert a.read(predicate={"id": (20, 24)}).count() == 5
+
+
+def test_append_lane_abort_releases_claim_and_keeps_head_consistent(
+    spark, tmp_path
+):
+    """A failure inside the append lane (segment write, manifest write)
+    must release the version slot, discard this attempt's pending stats,
+    and leave the head mirror at the pre-attempt version — the next
+    append claims the same slot and succeeds with correct pruning stats."""
+    st = _mk(spark, tmp_path, n=10)
+    st.append(spark.range(10, 20).selectExpr("id", "id * 2 AS val"))
+    v_before = st.current_version()
+
+    def _boom(v):
+        # register a pending stat BEFORE failing, like a partial write
+        st._pending_stats["_seg_phantom"] = {"id": [0, 0]}
+        raise RuntimeError("synthetic segment-write failure")
+
+    with pytest.raises(RuntimeError, match="synthetic"):
+        st._transact(None, append_make=_boom)
+    assert st.current_version() == v_before  # pointer unmoved
+    assert "_seg_phantom" not in st._pending_stats  # attempt state cleaned
+    assert not os.path.exists(st._manifest_path(v_before + 1))
+    # The same slot is claimable again and the mirror serves correct data.
+    st.append(spark.range(20, 30).selectExpr("id", "id * 2 AS val"))
+    assert st.current_version() == v_before + 1
+    assert st.read().count() == 30
+    assert st.read(predicate={"id": (25, 29)}).count() == 5
+    assert st._snapshot(st.current_version()) == load_snapshot(
+        st.root, st.current_version()
+    )
