@@ -7,6 +7,7 @@ heuristic. Split out of store.py.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -560,6 +561,59 @@ class LayoutMixin:
         if zorder_by is not None:
             meta["zorder_by"] = list(zorder_by)
         return self._transact(_fold, meta=meta, base_version=v0)
+
+    def compact_small(
+        self,
+        max_bytes: int = 64 << 20,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
+        """The bin-packing half of Delta's OPTIMIZE: fold ONLY the live
+        segments whose on-disk size is below ``max_bytes``, carrying every
+        already-large segment by reference. :meth:`compact` is a full
+        rewrite — correct for re-clustering, wrong as the routine
+        small-files remedy at scale (a 100 TB ingest table must fold its
+        tail of small append segments without rewriting the compacted
+        bulk). Cost: O(small data) read+written, O(changed) manifest.
+
+        Partitioned tables fold small segments within their partition
+        values (the partitioned write splits the fold back out), so
+        partition pruning is unaffected. Deletion-vector masks over the
+        folded segments are applied by the rewrite — survivors escape the
+        mask, and a dv also covering untouched segments keeps masking
+        exactly those (the commit's housekeeping drops only fully-inert
+        dvs). Returns the new version, or None when fewer than two small
+        segments exist (nothing to fold, no commit)."""
+        v0 = self.current_version()
+        if v0 is None:
+            return None
+        manifest = self._snapshot(v0)
+        segs = manifest["segments"]
+
+        def _seg_bytes(s: str) -> int:
+            total = 0
+            for dirpath, _dirs, files in os.walk(os.path.join(self.root, s)):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+            return total
+
+        small = {s for s in segs if _seg_bytes(s) < max_bytes}
+        if len(small) < 2:
+            return None
+        base = self._aligned_base(manifest, [s for s in segs if s in small])
+        base = base.persist()
+        try:
+            return self._transact(
+                lambda v: [s for s in segs if s not in small]
+                + self._write_partitioned(base, v),
+                meta={"compact_small": len(small)},
+                txn=txn,
+                base_version=v0,
+            )
+        finally:
+            base.unpersist()
 
     def maybe_compact(
         self,

@@ -144,3 +144,56 @@ def test_zorder_pruning_reflected_in_scan_metrics(spark, tmp_path):
     y_scan_z, _ = rows_scanned(z_path, preds[1])
     assert y_scan_sorted == n and y_scan_z < n
     assert z_total < s_total
+
+
+def test_compact_small_folds_only_subthreshold_segments(spark, tmp_path):
+    """OPTIMIZE's bin-packing half: small append segments fold into one,
+    already-large segments are carried by REFERENCE (never read or
+    rewritten), dv masks over folded segments apply, and the commit is an
+    O(changed) delta record."""
+    import json
+
+    from lakehouse_spark.mutation.store import TableStore
+
+    st = TableStore(
+        spark, str(tmp_path / "t"), key="id", stats_cols=("id",)
+    )
+    # Big base segment (10k rows), then a tail of tiny appends.
+    st.init(spark.range(10_000).selectExpr("id", "id * 2 AS val"))
+    for i in range(4):
+        st.append(
+            spark.range(20_000 + i * 10, 20_000 + i * 10 + 10).selectExpr(
+                "id", "id * 2 AS val"
+            )
+        )
+    # A dv over one of the small segments' keys.
+    st.delete_keys(spark.range(20_000, 20_003).selectExpr("id"), mode="dv")
+    segs_before = st._snapshot(st.current_version())["segments"]
+    big = segs_before[0]
+
+    def _bytes(seg):
+        import os
+
+        total = 0
+        for dp, _d, fs in os.walk(str(tmp_path / "t" / seg)):
+            total += sum(os.path.getsize(os.path.join(dp, f)) for f in fs)
+        return total
+
+    # Threshold strictly between the biggest small segment and the base.
+    cut = (max(_bytes(s) for s in segs_before[1:]) + _bytes(big)) // 2
+    assert _bytes(big) > cut
+    v = st.compact_small(max_bytes=cut)
+    assert v is not None
+    m = st._snapshot(v)
+    assert big in m["segments"]  # large segment carried by reference
+    assert len(m["segments"]) < len(segs_before)
+    assert st.read().count() == 10_000 + 40 - 3
+    assert st.read().filter("id = 20001").count() == 0  # dv survived fold
+    raw = json.load(open(st._manifest_path(v)))
+    assert raw.get("delta") == 1 and "segments" not in raw
+    assert big not in raw["remove"] and raw["remove"]
+    # Idempotent: one folded segment left below threshold → nothing to do.
+    assert st.compact_small(max_bytes=cut) is None
+    # Cold reader parity.
+    cold = TableStore(spark, st.root, key="id", stats_cols=("id",))
+    assert cold.read().count() == 10_037
