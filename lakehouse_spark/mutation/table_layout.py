@@ -622,6 +622,7 @@ class LayoutMixin:
         range_by: str | None = None,
         n_segments: int = 8,
         max_dv: int = 8,
+        small_bytes: int | None = None,
     ) -> bool:
         """Small-file policy: compact only when the live version holds more
         than ``max_segments`` segments OR more than ``max_dv`` outstanding
@@ -643,6 +644,19 @@ class LayoutMixin:
             n_dv = len(self._snapshot(v)["dv"])
         if self.n_segments() <= max_segments and n_dv <= max_dv:
             return False
+        if (
+            small_bytes is not None
+            and n_dv <= max_dv
+            and zorder_by is None
+            and range_by is None
+        ):
+            # small_bytes opts into the scale-right remedy for pure count
+            # pressure: bin-pack ONLY the sub-threshold tail (O(small
+            # data)). A table whose many segments are all LARGE is healthy
+            # — no rewrite then. dv pressure still takes the full fold
+            # below (the masked segments are typically the big ones, and
+            # folding is what retires the read-time anti-joins).
+            return self.compact_small(max_bytes=small_bytes) is not None
         self.compact(
             zorder_by=zorder_by, range_by=range_by, n_segments=n_segments
         )

@@ -197,3 +197,33 @@ def test_compact_small_folds_only_subthreshold_segments(spark, tmp_path):
     # Cold reader parity.
     cold = TableStore(spark, st.root, key="id", stats_cols=("id",))
     assert cold.read().count() == 10_037
+
+
+def test_maybe_compact_small_bytes_packs_tail_only(spark, tmp_path):
+    from lakehouse_spark.mutation.store import TableStore
+
+    st = TableStore(spark, str(tmp_path / "t2"), key="id", stats_cols=("id",))
+    st.init(spark.range(10_000).selectExpr("id", "id * 2 AS val"))
+    for i in range(5):
+        st.append(
+            spark.range(50_000 + i * 5, 50_000 + i * 5 + 5).selectExpr(
+                "id", "id * 2 AS val"
+            )
+        )
+    import os as _os
+
+    def _b(seg):
+        total = 0
+        for dp, _d, fs in _os.walk(str(tmp_path / "t2" / seg)):
+            total += sum(
+                _os.path.getsize(_os.path.join(dp, f)) for f in fs
+            )
+        return total
+
+    segs = st._snapshot(st.current_version())["segments"]
+    cut = (max(_b(s) for s in segs[1:]) + _b(segs[0])) // 2
+    assert not st.maybe_compact(max_segments=16, small_bytes=cut)
+    assert st.maybe_compact(max_segments=4, small_bytes=cut)
+    m = st._snapshot(st.current_version())
+    assert "_seg000000" in m["segments"]  # the large base survived
+    assert st.read().count() == 10_025
