@@ -69,6 +69,11 @@ class LakeCatalog:
         # view plan rebuild) when the head did not move — one pointer read
         # per referenced follower per query instead.
         self._reg_versions: dict[str, int] = {}
+        # base name -> FIFO of live TIMESTAMP AS OF alias names: distinct
+        # timestamp strings each get a collision-proof alias (hash-keyed),
+        # capped per base so a long-lived catalog doesn't accumulate one
+        # temp view per timestamp string ever queried.
+        self._ts_aliases: dict[str, list[str]] = {}
 
     # -- registration ------------------------------------------------------
 
@@ -137,6 +142,7 @@ class LakeCatalog:
                     "version/as_of/predicate/follow_head only apply to "
                     "path=/store= registrations"
                 )
+            self._purge_asof_aliases(name, keep_store=None)
             df.createOrReplaceTempView(name)
             self._entries[name] = (None, {})
             return df
@@ -174,10 +180,28 @@ class LakeCatalog:
                 as_of=as_of,
                 predicate=predicate,
             )
+        self._purge_asof_aliases(name, keep_store=store)
         df.createOrReplaceTempView(name)
         self._entries[name] = (store, opts)
         self._reg_versions[name] = v_seen
         return df
+
+    def _purge_asof_aliases(self, name: str, keep_store) -> None:
+        """Drop cached ``{name}__asof_*`` time-travel aliases when ``name``
+        is being re-bound to a DIFFERENT store (CREATE OR REPLACE TABLE,
+        register() overwrite): a stale alias would otherwise resolve
+        ``FROM name VERSION AS OF n`` to the OLD store's snapshot. Same-
+        store re-registration (refresh(), follow_head) keeps the aliases —
+        a version's snapshot is immutable, so they stay valid."""
+        old = self._entries.get(name)
+        if old is None or (keep_store is not None and old[0] is keep_store):
+            return
+        prefix = f"{name}__asof_"
+        for a in [a for a in self._entries if a.startswith(prefix)]:
+            self.spark.catalog.dropTempView(a)
+            del self._entries[a]
+            self._reg_versions.pop(a, None)
+        self._ts_aliases.pop(name, None)
 
     def _open(self, path: str):
         """Read-only open of a table root: the key column (needed to apply
@@ -230,6 +254,7 @@ class LakeCatalog:
             self.spark.catalog.dropTempView(a)
             del self._entries[a]
             self._reg_versions.pop(a, None)
+        self._ts_aliases.pop(name, None)
 
     # -- query surface -----------------------------------------------------
 
@@ -298,14 +323,31 @@ class LakeCatalog:
                 df = store.read(version=int(ver))
                 pin = {"version": int(ver)}
             else:
-                safe = "".join(c if c.isalnum() else "_" for c in ts)
-                alias = f"{name}__asof_t{safe}"
+                # Hash-keyed alias: a sanitized-string key collides for
+                # distinct timestamps that differ only in punctuation
+                # ('2024-01-01' vs '2024:01:01'), and two different
+                # TIMESTAMP clauses in one query would then share one
+                # view. md5 of the raw string is collision-proof.
+                import hashlib as _hl
+
+                h = _hl.md5(ts.encode()).hexdigest()[:10]
+                alias = f"{name}__asof_t{h}"
                 # TIMESTAMP aliases always re-resolve: a ts at or past the
                 # newest commit maps to the head NOW but to a different
                 # version after the next commit lands — caching the first
                 # resolution would silently serve the stale snapshot.
                 df = store.read(as_of=ts)
                 pin = {"as_of": ts}
+                fifo = self._ts_aliases.setdefault(name, [])
+                if alias in fifo:
+                    fifo.remove(alias)
+                fifo.append(alias)
+                # Cap live ts aliases per base (a single query would need
+                # >8 distinct timestamps on one table to self-evict).
+                while len(fifo) > 8:
+                    old = fifo.pop(0)
+                    self.spark.catalog.dropTempView(old)
+                    self._entries.pop(old, None)
             df.createOrReplaceTempView(alias)
             self._entries[alias] = (store, pin)
             return f"{kw} {alias}"

@@ -589,7 +589,20 @@ class LayoutMixin:
         manifest = self._snapshot(v0)
         segs = manifest["segments"]
 
+        # Segment directories are immutable once written (a rewrite gets a
+        # NEW name), so on-disk size caches safely by name — without it,
+        # every compact_small probe re-walks every live segment directory:
+        # O(table) filesystem metadata per call, at exactly the segment
+        # counts the feature targets. Pruned to the live set so removed
+        # segments don't pin entries.
+        cache: dict = getattr(self, "_segsize_cache", None) or {}
+        live = set(segs)
+        cache = {s: b for s, b in cache.items() if s in live}
+
         def _seg_bytes(s: str) -> int:
+            got = cache.get(s)
+            if got is not None:
+                return got
             total = 0
             for dirpath, _dirs, files in os.walk(os.path.join(self.root, s)):
                 for f in files:
@@ -597,9 +610,11 @@ class LayoutMixin:
                         total += os.path.getsize(os.path.join(dirpath, f))
                     except OSError:
                         pass
+            cache[s] = total
             return total
 
         small = {s for s in segs if _seg_bytes(s) < max_bytes}
+        self._segsize_cache = cache
         if len(small) < 2:
             return None
         base = self._aligned_base(manifest, [s for s in segs if s in small])
@@ -656,7 +671,22 @@ class LayoutMixin:
             # — no rewrite then. dv pressure still takes the full fold
             # below (the masked segments are typically the big ones, and
             # folding is what retires the read-time anti-joins).
-            return self.compact_small(max_bytes=small_bytes) is not None
+            #
+            # When the probe found nothing foldable (<2 small segments)
+            # the count pressure PERSISTS — remember the version so
+            # repeated calls at the same head skip straight out instead of
+            # re-probing sizes (size-cached, but still O(live segments)
+            # dict work) every time. A new commit can change the small
+            # set, so the skip resets the moment the head moves.
+            if getattr(self, "_small_noop_version", None) == (
+                v,
+                small_bytes,
+            ):
+                return False
+            ran = self.compact_small(max_bytes=small_bytes) is not None
+            if not ran:
+                self._small_noop_version = (v, small_bytes)
+            return ran
         self.compact(
             zorder_by=zorder_by, range_by=range_by, n_segments=n_segments
         )

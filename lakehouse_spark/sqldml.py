@@ -342,6 +342,16 @@ def _insert(cat, q: str) -> DataFrame:
         if collist
         else list(tschema.names)
     )
+    # An explicit column list must name real table columns (Delta raises
+    # an analysis error for unknown INSERT columns). Without this, the
+    # OVERWRITE null-fill's final `.select(*tschema.names)` would
+    # silently DROP the unknown column's data instead of erroring.
+    unknown = [c for c in target if c not in tschema.names]
+    if collist and unknown:
+        raise ValueError(
+            f"INSERT column list names column(s) not in {name}'s schema: "
+            f"{unknown}; table columns are {list(tschema.names)}"
+        )
     if len(src.columns) != len(target):
         raise ValueError(
             f"INSERT provides {len(src.columns)} column(s) but the target "
