@@ -498,6 +498,69 @@ def manifest_plane_section(spark) -> dict:
                 "warm_snapshot_load_sec": warm_load,
                 "o_table_write_sec": o_table,
             }
+        # Round-10 two-level checkpoint: cold PREDICATE planning must be
+        # O(matched shards), not O(table) (round-9 verdict's #1). Build a
+        # 200k-segment table, write the sharded checkpoint, and compare a
+        # fresh driver's full cold load against the pruned load for a
+        # predicate matching ~1 shard. Also time the INCREMENTAL
+        # checkpoint after one append (shard reuse: one tail shard + the
+        # list doc) vs the initial full write.
+        from lakehouse_spark.mutation.manifest import load_snapshot_pruned
+
+        n_segs = 200_000
+        tdir = os.path.join(root, "t200k")
+        st = TableStore(spark, tdir, key="id", stats_cols=("id",))
+        st.checkpoint_sync = True
+        st.init(spark.range(10).selectExpr("id", "id AS val"))
+        snap = st._snapshot(0)
+        fakes = [f"_synth{i:06d}" for i in range(n_segs)]
+        full = dict(snap)
+        full["segments"] = list(snap["segments"]) + fakes
+        full["stats"] = {
+            **snap["stats"],
+            **{
+                s: {"id": [i * 100, i * 100 + 99]}
+                for i, s in enumerate(fakes)
+            },
+        }
+        with open(st._manifest_path(1), "w") as fh:
+            json.dump(full, fh)
+        st._swap_pointer(1)
+        st._snap_cache = {}
+        t0 = time.perf_counter()
+        st._write_checkpoint(1)
+        ckpt_full_write = round(time.perf_counter() - t0, 4)
+        # Fresh-driver cold loads (no caches).
+        t0 = time.perf_counter()
+        full_snap = load_snapshot(tdir, 1)
+        cold_full = round(time.perf_counter() - t0, 4)
+        shard_cache: dict = {}
+        t0 = time.perf_counter()
+        pruned = load_snapshot_pruned(
+            tdir, 1, {"id": (5_000_000, 5_000_500)}, shard_cache
+        )
+        cold_pruned = round(time.perf_counter() - t0, 4)
+        # Incremental checkpoint: append one segment, re-checkpoint —
+        # shard reuse makes this O(tail shard), not O(table).
+        fresh = TableStore(spark, tdir, key="id", stats_cols=("id",))
+        fresh.checkpoint_sync = True
+        fresh._transact(None, append_make=lambda v: [f"_synthx{v:06d}"])
+        t0 = time.perf_counter()
+        fresh._write_checkpoint(fresh.current_version())
+        ckpt_incr_write = round(time.perf_counter() - t0, 4)
+        out["200000_sharded"] = {
+            "n_segments": len(full_snap["segments"]),
+            "checkpoint_full_write_sec": ckpt_full_write,
+            "checkpoint_incremental_write_sec": ckpt_incr_write,
+            "cold_full_load_sec": cold_full,
+            "cold_pruned_load_sec": cold_pruned,
+            "pruned_shards_parsed": len(shard_cache),
+            "pruned_segments": len(pruned["segments"]) if pruned else None,
+            "pruned_speedup": (
+                round(cold_full / cold_pruned, 1) if cold_pruned else None
+            ),
+        }
+
         small, big = out["1000"], out["50000"]
         out["commit_latency_ratio_50x"] = (
             round(
@@ -557,14 +620,29 @@ def main() -> None:
     medians: dict[str, float | None] = {}
     detail: dict[str, dict] = {}
     kept: dict[str, list] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     t_suite = time.perf_counter()
     for name, spec in suite.items():
         runs: list[float] = []
+        jobs_run: int | None = None
         for r in range(RUNS):
+            # Job-group the run so the per-query JOB COUNT rides in the
+            # detail (round-9 verdict #7): iterative queries like
+            # dedup_cluster_components are dominated by driver-side job
+            # scheduling, so a scheduling regression (more rounds, extra
+            # convergence jobs) separates from host noise mechanically.
+            group = f"bench:{name}:{r}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             try:
                 rows = spec.build(spark, sf_dir).collect()
                 runs.append(round(time.perf_counter() - t0, 3))
+                if r == 0:
+                    try:
+                        jobs_run = len(tracker.getJobIdsForGroup(group))
+                    except Exception:  # noqa: BLE001 — instrumentation only
+                        jobs_run = None
                 if name == "sim_topk_bruteforce" and r == 0:
                     kept[name] = rows
             except Exception as ex:  # noqa: BLE001 — survive any query failure
@@ -580,6 +658,7 @@ def main() -> None:
                 "median": medians[name],
                 "min": min(runs),
                 "runs": runs,
+                "jobs_run": jobs_run,
             }
         else:
             medians[name] = None
@@ -770,6 +849,18 @@ def main() -> None:
                 "commit_latency_ratio_50x"
             ),
             "bytes_ratio_50x": manifest_plane.get("commit_bytes_ratio_50x"),
+            # round-10 two-level checkpoint at 200k segments: cold
+            # PREDICATE planning O(matched shards) vs the full parse,
+            # and the O(changed-shards) incremental checkpoint write.
+            "cold_pruned_200k_sec": manifest_plane.get(
+                "200000_sharded", {}
+            ).get("cold_pruned_load_sec"),
+            "cold_full_200k_sec": manifest_plane.get(
+                "200000_sharded", {}
+            ).get("cold_full_load_sec"),
+            "ckpt_incr_200k_sec": manifest_plane.get(
+                "200000_sharded", {}
+            ).get("checkpoint_incremental_write_sec"),
         },
         # definitive plan-transition adjudications from the scaling
         # instruments (strategy flip recorded per point; empty = none)

@@ -203,6 +203,114 @@ class LakeCatalog:
             self._reg_versions.pop(a, None)
         self._ts_aliases.pop(name, None)
 
+    # -- registry persistence ----------------------------------------------
+
+    def save(self, path: str) -> int:
+        """Persist the registry's STORE-BACKED registrations (names,
+        roots, keys, store config, and the read options — version/as_of
+        pins, predicates, change-feed ranges, follow_head) as JSON, so a
+        fresh session re-attaches every name with :meth:`load`. The
+        reference persists its name→entity index across restarts the same
+        way (amplifier_library/sessions/manager.py:546-566 — read, not
+        copied). DataFrame/testdata views have no durable identity and
+        are skipped (re-register them per session). Time-travel ALIASES
+        are derived caches — they rebuild on demand after load. Returns
+        the number of entries written; the file lands atomically."""
+        import os
+
+        entries = []
+        for name, (store, opts) in self._entries.items():
+            if store is None or "__asof_" in name:
+                continue
+            kept_opts = {
+                k: v for k, v in opts.items() if v or v == 0
+            }  # version=0 is a real pin; None/False/empty are defaults
+            pred = kept_opts.get("predicate")
+            if pred:
+                # JSON can't tell a (lo, hi) RANGE tuple from a 2-value
+                # IN list — tag each bound's kind explicitly.
+                kept_opts["predicate"] = {
+                    c: (
+                        {"range": list(b)}
+                        if isinstance(b, tuple)
+                        else {"in": list(b)}
+                        if isinstance(b, (list, set, frozenset))
+                        else {"eq": b}
+                    )
+                    for c, b in pred.items()
+                }
+            entries.append(
+                {
+                    "name": name,
+                    "root": store.root,
+                    "key": store.key,
+                    "opts": kept_opts,
+                    "store_conf": {
+                        "stats_cols": list(store.stats_cols),
+                        "bloom_cols": list(store.bloom_cols),
+                        "write_cdf": store.write_cdf,
+                        "partition_by": list(store.partition_by),
+                        "checkpoint_interval": store.checkpoint_interval,
+                    },
+                }
+            )
+        doc = {"format": "lakehouse_catalog", "version": 1, "entries": entries}
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, path)
+        return len(entries)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeCatalog":
+        """Rebuild a catalog from :meth:`save`'s file in a fresh session:
+        every entry re-registers through the normal path, so snapshot
+        resolution, predicate-baked pruning, change-feed ranges, and
+        follow_head semantics are exactly those of a hand-built catalog —
+        and pinned (version=/as_of=) registrations still refuse DML. A
+        table whose root vanished since the save raises
+        FileNotFoundError naming it (a silently thinner catalog would
+        turn queries into 'table not found' much later)."""
+        from lakehouse_spark.mutation.store import TableStore
+
+        with open(path) as f:
+            doc = json.load(f)
+        if doc.get("format") != "lakehouse_catalog":
+            raise ValueError(f"{path} is not a saved LakeCatalog registry")
+        cat = cls(spark)
+        for e in doc["entries"]:
+            conf = e.get("store_conf", {})
+            store = TableStore(
+                spark,
+                e["root"],
+                key=e["key"],
+                stats_cols=tuple(conf.get("stats_cols", ())),
+                bloom_cols=tuple(conf.get("bloom_cols", ())),
+                write_cdf=conf.get("write_cdf", False),
+                partition_by=tuple(conf.get("partition_by", ())),
+                checkpoint_interval=conf.get("checkpoint_interval", 32),
+            )
+            if store.current_version() is None:
+                raise FileNotFoundError(
+                    f"saved registration {e['name']!r} points at "
+                    f"{e['root']}, which holds no committed table"
+                )
+            opts = e.get("opts", {})
+            pred = opts.get("predicate")
+            if pred:
+                opts["predicate"] = {
+                    c: (
+                        tuple(tag["range"])
+                        if "range" in tag
+                        else tag["in"]
+                        if "in" in tag
+                        else tag["eq"]
+                    )
+                    for c, tag in pred.items()
+                }
+            cat.register(e["name"], store=store, **opts)
+        return cat
+
     def _open(self, path: str):
         """Read-only open of a table root: the key column (needed to apply
         deletion vectors) is the manifest's advertised ``key``."""

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 _POINTER = "_CURRENT"
 _MANIFEST_RE = re.compile(r"^_manifest_(\d{6})\.json$")
 _CKPT_RE = re.compile(r"^_checkpoint_(\d{6})\.json$")
+# Round 10: checkpoints are TWO-LEVEL (Iceberg manifest-list style). The
+# _checkpoint_NNNNNN.json file is a small LIST doc whose per-shard entries
+# carry partition/stats BOUNDS; the per-segment detail lives in shard
+# files a predicate read parses selectively. Shard files are named by the
+# version that WROTE them — a later checkpoint REUSES unchanged shards by
+# reference, so vacuum must keep any shard a retained list doc points at.
+_CKSHARD_RE = re.compile(r"^_checkpoint_(\d{6})_shard_(\d{4})\.json$")
 _SEG_RE = re.compile(r"^_seg(\d{6})(?:_\d+)?$")  # optional multi-part suffix
 _CDC_RE = re.compile(r"^_cdc(\d{6})$")  # materialized change files per version
 # Deletion vectors (deleted-row files). The optional part suffix is used by
@@ -194,6 +201,36 @@ def _predicate_expr(predicate: dict):
 # driver-materialized dict, so parse-into-Python-dicts speed is the only
 # number that matters. Revisit only if scan planning itself moves off the
 # driver.
+#
+# Checkpoint STRUCTURE (round 10) is two-level, Iceberg's manifest-list
+# shape (an Iceberg snapshot points at a manifest list whose entries carry
+# partition bounds so planning opens only matching manifests — here the
+# reference's session index plays the same role for name lookups,
+# /root/reference/amplifier_library/sessions/manager.py:546-566):
+#
+# - _checkpoint_NNNNNN.json — the LIST doc: {"sharded": 1, "shard_size",
+#   "shards": [{"file", "n", "seg_hash", "bounds": {col: [min,max]},
+#   "pbounds": {pcol: [min,max]}}], "dv", "meta", "txn", "committed_at",
+#   + the scalar planes}. Small: O(n_segments / shard_size).
+# - _checkpoint_NNNNNN_shard_KKKK.json — one contiguous slice of the
+#   segment list with its per-segment stats/partition values.
+#
+# Two asymptotic wins over the round-9 monolithic checkpoint:
+# - COLD PREDICATE PLANNING is O(matched shards), not O(table): a fresh
+#   driver's read(predicate=...) parses the list doc, drops every shard
+#   whose bounds provably can't match, and json-parses only the
+#   survivors (load_snapshot_pruned).
+# - CHECKPOINT WRITES are O(changed shards) for append-heavy tables: the
+#   writer reuses the previous checkpoint's shard files by reference
+#   when a shard's segment-name slice is unchanged (appends only extend
+#   the tail slice). Reuse is sound because delta manifests never touch
+#   an EXISTING segment's stats/partitions (only add/remove whole
+#   entries) — any FULL manifest between two checkpoints disables reuse
+#   wholesale. Deletion vectors ARE mutable per segment, so the dv map
+#   rides in the list doc, not the shards.
+#
+# The round-9 monolithic format (the checkpoint file IS the snapshot)
+# still reads fine — read_checkpoint dispatches on the "sharded" marker.
 
 # Canonical snapshot shape: every key present, JSON-degraded values (the
 # same dict a round-8 reader got from json.load of a full manifest).
@@ -295,7 +332,219 @@ def _apply_delta(prev: dict, d: dict) -> dict:
     return snap
 
 
-def load_snapshot(root: str, v: int, cache: dict | None = None) -> dict:
+def _read_shard(root: str, fname: str, shard_cache: dict | None = None) -> dict:
+    """One checkpoint shard file, optionally cached by NAME — shard files
+    are immutable once written (named by writing version + index, landed
+    via atomic rename, and checkpoint versions are committed versions, so
+    the same name can never carry different content)."""
+    if shard_cache is not None:
+        got = shard_cache.get(fname)
+        if got is not None:
+            return got
+    with open(os.path.join(root, fname)) as f:
+        sd = json.load(f)
+    if shard_cache is not None:
+        shard_cache[fname] = sd
+        while len(shard_cache) > 64:
+            shard_cache.pop(next(iter(shard_cache)))
+    return sd
+
+
+def read_checkpoint(
+    root: str, v: int, shard_cache: dict | None = None
+) -> dict:
+    """Materialize the FULL snapshot stored by checkpoint ``v`` —
+    monolithic (round-9 format: the file IS the snapshot) or sharded
+    (round-10 list doc + shard files). Raises FileNotFoundError /
+    JSONDecodeError / KeyError when the checkpoint is absent or partial
+    (e.g. a referenced shard vanished) — callers fall back to the
+    manifest chain, so a broken checkpoint only costs replay time."""
+    with open(checkpoint_path(root, v)) as f:
+        doc = json.load(f)
+    if not doc.get("sharded"):
+        return doc
+    segments: list = []
+    stats: dict = {}
+    partitions: dict = {}
+    for sh in doc["shards"]:
+        sd = _read_shard(root, sh["file"], shard_cache)
+        segments.extend(sd["segments"])
+        stats.update(sd["stats"])
+        partitions.update(sd["partitions"])
+    snap = {k: doc.get(k, d) for k, d in _SNAP_DEFAULTS.items()}
+    snap["segments"] = segments
+    snap["stats"] = stats
+    snap["partitions"] = partitions
+    return snap
+
+
+def load_snapshot_pruned(
+    root: str,
+    v: int,
+    predicate: dict,
+    shard_cache: dict | None = None,
+) -> dict | None:
+    """O(matched) cold scan planning: a PARTIAL snapshot of version ``v``
+    containing every segment that MAY match ``predicate`` (shard-bounds
+    superset — the caller's per-segment pruning still applies). Walks
+    back like load_snapshot, but when the base is a SHARDED checkpoint it
+    json-parses only the shards whose recorded stats/partition bounds
+    overlap the predicate, then replays the delta tail (tail adds carry
+    their own stats; tail removes of unparsed segments are no-ops).
+
+    Returns None when there is nothing to prune against — full-manifest
+    base, monolithic checkpoint, vacuumed chain, or a missing shard — and
+    the caller should take the full load. The result carries
+    ``pruned: True``: correct for predicate-scoped segment listing and
+    dv/scalar planes, NOT a general snapshot (its segment list is
+    partial), so it must never enter the version cache."""
+    if not os.path.exists(manifest_path(root, v)):
+        raise FileNotFoundError(
+            f"version {v} of {root} has no manifest (never committed, or "
+            "vacuumed past retention)"
+        )
+    chain: list[dict] = []
+    w = v
+    doc = None
+    while True:
+        try:
+            with open(checkpoint_path(root, w)) as f:
+                doc = json.load(f)
+            break
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        try:
+            raw = read_manifest_file(root, w)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # vacuumed/corrupt mid-walk: let the full load rule
+        if "segments" in raw:
+            return None  # full-manifest base: nothing to prune against
+        chain.append(raw)
+        if w == 0:
+            raise ValueError(
+                f"corrupt manifest chain at {root}: version 0 is a delta "
+                "manifest with no base"
+            )
+        w -= 1
+    if not doc.get("sharded"):
+        return None  # monolithic checkpoint: full parse is the only option
+    # Predicates arrive LOGICAL; stats/partition values are keyed by
+    # physical column names. Resolve the renames live at v (list-doc value
+    # overlaid by any tail changes) before testing shard bounds.
+    renames = doc.get("renames", {})
+    for raw in reversed(chain):
+        renames = raw.get("renames", renames)
+    inv = {log: phy for phy, log in renames.items()}
+    pred = (
+        {inv.get(c, c): b for c, b in predicate.items()}
+        if inv
+        else predicate
+    )
+    segments: list = []
+    stats: dict = {}
+    partitions: dict = {}
+    try:
+        for sh in doc["shards"]:
+            # Bounds are recorded only for columns EVERY segment in the
+            # shard has valid stats for, so the overlap test is exactly
+            # as conservative as the per-segment one: a dropped shard is
+            # a shard whose every segment would be dropped.
+            if not _segment_may_match(sh.get("bounds"), pred):
+                continue
+            if not _segment_may_match(sh.get("pbounds"), pred):
+                continue
+            sd = _read_shard(root, sh["file"], shard_cache)
+            segments.extend(sd["segments"])
+            stats.update(sd["stats"])
+            partitions.update(sd["partitions"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        return None  # partial checkpoint: fall back to the full load
+    snap = {
+        "segments": segments,
+        "stats": stats,
+        "partitions": partitions,
+        "dv": doc.get("dv", {}),
+        "meta": doc.get("meta", {}),
+        "txn": doc.get("txn", {}),
+        "committed_at": doc.get("committed_at"),
+    }
+    for k in _SNAP_SCALARS:
+        snap[k] = doc.get(k, _SNAP_DEFAULTS[k])
+    for raw in reversed(chain):
+        snap = _apply_delta(snap, raw)
+    snap["pruned"] = True
+    return snap
+
+
+def _shard_stat_bounds(chunk: list[str], stats: dict) -> dict:
+    """Merged per-column [min, max] over a shard's segments, restricted to
+    columns EVERY segment has valid bounds for — a segment without stats
+    must be kept by any predicate, so its shard must be too (the column is
+    omitted and the overlap test conservatively keeps the shard).
+    Incomparable mixed-type bounds drop the column the same way."""
+    out: dict | None = None
+    for s in chunk:
+        st = stats.get(s)
+        if not st:
+            return {}
+        if out is None:
+            out = {
+                c: [b[0], b[1]]
+                for c, b in st.items()
+                if b[0] is not None and b[1] is not None
+            }
+            continue
+        for c in list(out):
+            b = st.get(c)
+            if b is None or b[0] is None or b[1] is None:
+                del out[c]
+                continue
+            cur = out[c]
+            try:
+                if b[0] < cur[0]:
+                    cur[0] = b[0]
+                if b[1] > cur[1]:
+                    cur[1] = b[1]
+            except TypeError:
+                del out[c]
+    return out or {}
+
+
+def _shard_part_bounds(chunk: list[str], partitions: dict) -> dict:
+    """Merged [min, max] of a shard's partition VALUES per column (each
+    segment holds one value). Same omission rules as stat bounds; the
+    range-overlap test against a value range is a conservative superset
+    of the per-segment exact-value check."""
+    out: dict | None = None
+    for s in chunk:
+        pv = partitions.get(s)
+        if not pv:
+            return {}
+        if out is None:
+            out = {c: [val, val] for c, val in pv.items() if val is not None}
+            continue
+        for c in list(out):
+            val = pv.get(c)
+            if val is None:
+                del out[c]
+                continue
+            cur = out[c]
+            try:
+                if val < cur[0]:
+                    cur[0] = val
+                if val > cur[1]:
+                    cur[1] = val
+            except TypeError:
+                del out[c]
+    return out or {}
+
+
+def load_snapshot(
+    root: str,
+    v: int,
+    cache: dict | None = None,
+    shard_cache: dict | None = None,
+) -> dict:
     """Materialize the FULL logical manifest of version ``v`` — the single
     chokepoint every reader (store mixins, the Python data source, the
     catalog) goes through. Cost: nearest checkpoint/full manifest + the
@@ -318,10 +567,9 @@ def load_snapshot(root: str, v: int, cache: dict | None = None) -> dict:
             snap = cache[w]
             break
         try:
-            with open(checkpoint_path(root, w)) as f:
-                snap = json.load(f)
+            snap = read_checkpoint(root, w, shard_cache)
             break
-        except (FileNotFoundError, json.JSONDecodeError):
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
             pass  # no/partial checkpoint: fall through to the manifest
         raw = read_manifest_file(root, w)  # FileNotFoundError = vacuumed
         if "segments" in raw:
@@ -466,7 +714,10 @@ class TxnMixin:
                         cache[v] = snap
                         while len(cache) > 16:
                             cache.pop(next(iter(cache)))
-        return load_snapshot(self.root, v, cache)
+        sc = getattr(self, "_shard_cache", None)
+        if sc is None:
+            sc = self._shard_cache = {}
+        return load_snapshot(self.root, v, cache, shard_cache=sc)
 
     def _head_for(self, cur: int) -> dict:
         """This instance's OWNED, mutable head-state at version ``cur`` —
@@ -503,6 +754,157 @@ class TxnMixin:
 
     def _segments(self, v: int) -> list[str]:
         return list(self._snapshot(v)["segments"])
+
+    # -- checkpoint writer -------------------------------------------------
+
+    def _write_checkpoint(self, v: int, snap: dict | None = None) -> None:
+        """Write checkpoint ``v`` in the two-level sharded format (see the
+        module design comment). Unchanged shards of the nearest older
+        checkpoint are carried by REFERENCE, so an append-only interval
+        rewrites one tail shard + the small list doc — O(delta), not
+        O(table). Every file lands via atomic rename; the list doc goes
+        LAST, so readers either see a complete checkpoint or none (a
+        crash mid-write leaves tmp debris vacuum sweeps and at worst some
+        never-referenced shard files)."""
+        if snap is None:
+            snap = self._snapshot(v)
+        import hashlib
+
+        size = int(getattr(self, "checkpoint_shard_size", 1000) or 1000)
+        segments = snap["segments"]
+        stats = snap["stats"]
+        parts = snap["partitions"]
+        prev_shards = self._reusable_shards(v, size)
+        tid = f"{os.getpid()}.{threading.get_ident()}"
+        shards: list[dict] = []
+        n_shards = (len(segments) + size - 1) // size
+        for i in range(n_shards):
+            chunk = segments[i * size : (i + 1) * size]
+            h = hashlib.md5("\n".join(chunk).encode()).hexdigest()
+            prev = prev_shards.get(i)
+            if (
+                prev is not None
+                and prev.get("seg_hash") == h
+                and os.path.exists(os.path.join(self.root, prev["file"]))
+            ):
+                shards.append(prev)
+                continue
+            fname = f"_checkpoint_{v:06d}_shard_{i:04d}.json"
+            fpath = os.path.join(self.root, fname)
+            body = {
+                "segments": chunk,
+                "stats": {s: stats[s] for s in chunk if s in stats},
+                "partitions": {s: parts[s] for s in chunk if s in parts},
+            }
+            tmp = f"{fpath}.tmp.{tid}"
+            with open(tmp, "w") as f:
+                json.dump(body, f)
+            os.replace(tmp, fpath)
+            shards.append(
+                {
+                    "file": fname,
+                    "n": len(chunk),
+                    "seg_hash": h,
+                    "bounds": _shard_stat_bounds(chunk, stats),
+                    "pbounds": _shard_part_bounds(chunk, parts),
+                }
+            )
+        doc = {
+            "sharded": 1,
+            "shard_size": size,
+            "shards": shards,
+            "dv": snap["dv"],
+            "meta": snap["meta"],
+            "txn": snap["txn"],
+            "committed_at": snap["committed_at"],
+        }
+        for k in _SNAP_SCALARS:
+            doc[k] = snap[k]
+        tmp = f"{self._checkpoint_path(v)}.tmp.{tid}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._checkpoint_path(v))
+
+    def _reusable_shards(self, v: int, size: int) -> dict[int, dict]:
+        """Shard entries of the nearest older sharded checkpoint, keyed by
+        index — reusable only when every manifest between it and ``v`` is
+        a DELTA (deltas never touch an existing segment's stats/partition
+        entries, so an unchanged segment-name slice proves unchanged shard
+        content; a FULL manifest can rewrite any plane wholesale, and a
+        vacuumed gap can't be verified). The dv map is list-doc content,
+        so dv churn never blocks reuse."""
+        try:
+            prevs = [
+                int(m.group(1))
+                for m in (_CKPT_RE.match(n) for n in os.listdir(self.root))
+                if m
+            ]
+        except OSError:
+            return {}
+        prevs = [p for p in prevs if p < v]
+        if not prevs:
+            return {}
+        p = max(prevs)
+        try:
+            with open(self._checkpoint_path(p)) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+        if not doc.get("sharded") or doc.get("shard_size") != size:
+            return {}
+        try:
+            for w in range(p + 1, v + 1):
+                if "segments" in read_manifest_file(self.root, w):
+                    return {}
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+        return dict(enumerate(doc.get("shards", [])))
+
+    def _maybe_checkpoint(self, nxt: int, snap: dict | None = None) -> None:
+        """Periodic checkpoint AFTER the pointer swap — pure maintenance
+        (a crash here only lengthens the next reader's delta replay). The
+        snapshot is materialized INLINE (O(n) dict copy off the head
+        mirror, also warming the read cache) but the file IO — hashing,
+        shard diff, json encode, writes — runs on a background thread
+        (Delta writes checkpoints async for the same reason: the round-9
+        inline write cost 0.45 s at 50k segments every 32nd commit,
+        surfacing as periodic latency spikes in an append-heavy stream).
+        One writer per store instance: the previous checkpoint thread is
+        joined first (an interval of commits apart, it long since
+        finished). ``checkpoint_sync=True`` forces inline writes for
+        callers that need the file before the next statement (vacuum,
+        deterministic tests)."""
+        interval = getattr(self, "checkpoint_interval", 32)
+        if not interval or nxt <= 0 or nxt % interval != 0:
+            return
+        try:
+            if snap is None:
+                snap = self._snapshot(nxt)
+            if getattr(self, "checkpoint_sync", False):
+                self._write_checkpoint(nxt, snap)
+                return
+            self.checkpoint_barrier()
+            t = threading.Thread(
+                target=self._ckpt_bg, args=(nxt, snap), daemon=True
+            )
+            self._ckpt_thread = t
+            t.start()
+        except Exception:
+            pass  # maintenance: a missing checkpoint only lengthens replay
+
+    def _ckpt_bg(self, v: int, snap: dict) -> None:
+        try:
+            self._write_checkpoint(v, snap)
+        except Exception:
+            pass  # maintenance: a failed checkpoint only lengthens replay
+
+    def checkpoint_barrier(self) -> None:
+        """Wait for any in-flight background checkpoint write. Cheap when
+        none is running; call before asserting on checkpoint files or
+        before maintenance that scans them (vacuum does)."""
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
 
     def _write_segment(self, df: DataFrame, v: int, part: int | None = None) -> str:
         seg = f"_seg{v:06d}" if part is None else f"_seg{v:06d}_{part:02d}"
@@ -720,7 +1122,11 @@ class TxnMixin:
         # -- committed. Nothing below may raise into the caller's abort
         # cleanup (it would unlink the LIVE manifest): the head mirror and
         # the periodic checkpoint are maintenance — on any failure drop
-        # the mirror (rebuilt from files on demand) and move on.
+        # the mirror (rebuilt from files on demand) and move on. Exit
+        # signals (KeyboardInterrupt/SystemExit) RE-RAISE after the mirror
+        # drop: the commit is already durable so propagating is safe, and
+        # swallowing them would keep the process running as if it had
+        # never been interrupted.
         try:
             with self._head_lock:
                 head["segments"].extend(doc["add"])
@@ -731,18 +1137,12 @@ class TxnMixin:
                 head["meta"] = doc["meta"]
                 head["committed_at"] = doc["committed_at"]
                 head["version"] = nxt
-            interval = getattr(self, "checkpoint_interval", 32)
-            if interval and nxt > 0 and nxt % interval == 0:
-                snap = self._snapshot(nxt)  # materializes from the head
-                ctmp = (
-                    f"{self._checkpoint_path(nxt)}.tmp.{os.getpid()}"
-                    f".{threading.get_ident()}"
-                )
-                with open(ctmp, "w") as f:
-                    json.dump(snap, f)
-                os.replace(ctmp, self._checkpoint_path(nxt))
+            self._maybe_checkpoint(nxt)
+        except Exception:
+            self._head = None
         except BaseException:
             self._head = None
+            raise
         return nxt
 
     def _transact(
@@ -1139,25 +1539,15 @@ class TxnMixin:
                 # commit for the same reason.
                 self.materialize_cdf(nxt)
             self._swap_pointer(nxt)
-            # Periodic checkpoint AFTER the pointer swap: pure maintenance
-            # (a crash here only lengthens the next reader's delta replay),
-            # exactly like Delta's async parquet checkpoints — so commit
-            # latency stays O(changed) even on checkpoint commits (the
-            # write is the already-materialized head snapshot).
-            interval = getattr(self, "checkpoint_interval", 32)
-            if interval and nxt > 0 and nxt % interval == 0:
-                try:
-                    ctmp = (
-                        f"{self._checkpoint_path(nxt)}.tmp.{os.getpid()}"
-                        f".{threading.get_ident()}"
-                    )
-                    with open(ctmp, "w") as f:
-                        json.dump(snap, f)
-                    os.replace(ctmp, self._checkpoint_path(nxt))
-                except OSError:
-                    pass
-            return nxt
         except BaseException:
+            if self.current_version() == nxt:
+                # The pointer already advanced to OUR claimed slot: the
+                # commit IS durable and the exception escaped from
+                # post-commit maintenance (e.g. an exit signal mid-
+                # checkpoint in the append lane). Unlinking the manifest
+                # here would brick the table — the pointer would
+                # reference a deleted file. Propagate untouched.
+                raise
             # Release the claim: the slot must not stay wedged after a failed
             # segment write. Readers were never exposed (pointer unmoved).
             # Stats from this attempt's segment writes go too — the segment
@@ -1182,6 +1572,15 @@ class TxnMixin:
             # exists-short-circuit would then serve the stale diff.
             shutil.rmtree(self._cdc_path(nxt), ignore_errors=True)
             raise
+        # -- committed. The periodic checkpoint sits OUTSIDE the abort
+        # handler: the pointer now references manifest ``nxt``, and an
+        # exception during maintenance (even an exit signal — the round-9
+        # code funneled a mid-checkpoint KeyboardInterrupt into the abort
+        # path) must never unlink the LIVE manifest. _maybe_checkpoint
+        # swallows ordinary failures itself; a crash here only lengthens
+        # the next reader's delta replay.
+        self._maybe_checkpoint(nxt, snap)
+        return nxt
 
     def vacuum(self, keep_last: int = 2, dry_run: bool = False) -> dict:
         """Drop manifests older than the newest ``keep_last`` versions and
@@ -1204,6 +1603,12 @@ class TxnMixin:
                 f"keep_last must be >= 1 (got {keep_last}): the current "
                 "version is always retained"
             )
+        # A background checkpoint writer mid-flight would race the scan
+        # below (its list doc could land referencing shard files this
+        # vacuum just doomed — readers would fall back to the manifest
+        # chain, correct but slow). Same-instance writes are serialized
+        # out here; cross-process writers keep the fallback guarantee.
+        self.checkpoint_barrier()
         cur = self.current_version()
         if cur is None:
             return {"names": [], "n_files": 0, "bytes": 0}
@@ -1243,13 +1648,20 @@ class TxnMixin:
                 except (FileNotFoundError, json.JSONDecodeError):
                     raw = {}
                 if "segments" not in raw:  # delta: needs a base below it
-                    ctmp = (
-                        f"{self._checkpoint_path(oldest)}.tmp.{os.getpid()}"
-                        f".{threading.get_ident()}"
-                    )
-                    with open(ctmp, "w") as f:
-                        json.dump(self._snapshot(oldest), f)
-                    os.replace(ctmp, self._checkpoint_path(oldest))
+                    self._write_checkpoint(oldest)
+        # Shard files a RETAINED checkpoint references must survive even
+        # when their own version number (the checkpoint that WROTE them)
+        # falls below the window — reuse-by-reference means a live list
+        # doc may point at shards from many checkpoints back.
+        ref_shards: set[str] = set()
+        for kv in keep_versions:
+            try:
+                with open(self._checkpoint_path(kv)) as f:
+                    d = json.load(f)
+                if d.get("sharded"):
+                    ref_shards |= {sh["file"] for sh in d.get("shards", [])}
+            except (OSError, json.JSONDecodeError, KeyError, TypeError):
+                pass
         doomed: list[str] = []
         for name in os.listdir(self.root):
             if m := _MANIFEST_RE.match(name):
@@ -1260,6 +1672,18 @@ class TxnMixin:
                 # retained version replays from the window-oldest
                 # checkpoint written above.
                 if int(m.group(1)) <= cur and int(m.group(1)) not in keep_versions:
+                    doomed.append(name)
+            elif m := _CKSHARD_RE.match(name):
+                # A shard file outlives its own checkpoint version: it
+                # stays as long as ANY retained list doc references it
+                # (reuse-by-reference). Unreferenced + out-of-window =
+                # orphan (its list docs are gone, or it was written by a
+                # writer that died before landing the list doc).
+                if (
+                    int(m.group(1)) <= cur
+                    and name not in ref_shards
+                    and int(m.group(1)) not in keep_versions
+                ):
                     doomed.append(name)
             elif (m := _SEG_RE.match(name)) and name not in live:
                 if int(m.group(1)) <= cur:

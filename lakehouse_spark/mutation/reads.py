@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from lakehouse_spark.mutation.manifest import (
     _predicate_expr,
     _segment_may_match,
+    load_snapshot_pruned,
 )
 
 
@@ -107,7 +108,29 @@ class ReadsMixin:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        manifest = self._snapshot(v)
+        manifest = None
+        if predicate:
+            # Cold predicate planning is O(matched shards), not O(table):
+            # when this instance has no materialized snapshot of v (no
+            # cache entry, no head mirror), plan from the two-level
+            # checkpoint — parse only the shards whose recorded bounds
+            # overlap the predicate. The partial snapshot is a provable
+            # superset of the matching segments; the per-segment pruning
+            # below still applies. Warm instances keep using the cached
+            # full snapshot (1000x cheaper than any parse).
+            head = getattr(self, "_head", None)
+            warm = v in getattr(self, "_snap_cache", {}) or (
+                head is not None and head.get("version") == v
+            )
+            if not warm:
+                sc = getattr(self, "_shard_cache", None)
+                if sc is None:
+                    sc = self._shard_cache = {}
+                manifest = load_snapshot_pruned(
+                    self.root, v, predicate, shard_cache=sc
+                )
+        if manifest is None:
+            manifest = self._snapshot(v)
         segments = manifest["segments"]
         dv = manifest.get("dv", {})
         # Column mapping: the snapshot presents ITS OWN logical schema
@@ -164,8 +187,15 @@ class ReadsMixin:
             return self._to_logical_static(df, renames, dropped)
 
         if predicate and not segments:
-            # Schema from the unpruned version.
-            empty = self._read_segments(manifest["segments"], dv)
+            # Schema from the unpruned version (a shard-pruned manifest
+            # carries a partial list — materialize the full snapshot for
+            # this rare fallback).
+            all_segs = (
+                self._snapshot(v)["segments"]
+                if manifest.get("pruned")
+                else manifest["segments"]
+            )
+            empty = self._read_segments(all_segs, dv)
             out = empty if cond is None else empty.filter(cond)
             return _logical(out.limit(0))
         out = self._read_segments(segments, dv)
@@ -177,7 +207,12 @@ class ReadsMixin:
             # filter. Fall back to the unpruned read so
             # read(predicate=p) ≡ read().filter(p) holds exactly
             # (correctness beats skipping in this rare case).
-            full = self._read_segments(manifest["segments"], dv)
+            all_segs = (
+                self._snapshot(v)["segments"]
+                if manifest.get("pruned")
+                else manifest["segments"]
+            )
+            full = self._read_segments(all_segs, dv)
             return _logical(full.filter(cond))
         return _logical(out.filter(cond))
 

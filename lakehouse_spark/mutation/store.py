@@ -166,6 +166,14 @@ class TableStore(TxnMixin, MetadataMixin, ReadsMixin, DmlMixin, LayoutMixin):
         # 0/None disables checkpoints (replay then runs to the last FULL
         # manifest — table creation or a restore/clone-style override).
         self.checkpoint_interval = checkpoint_interval
+        # Round 10: checkpoints are two-level (list doc + shard files of
+        # this many segments each; see manifest.py's design comment).
+        # checkpoint_sync=True forces the periodic checkpoint to write on
+        # the committing thread instead of in the background — for
+        # callers that need the file before their next statement
+        # (deterministic tests; vacuum always writes inline).
+        self.checkpoint_shard_size = 1000
+        self.checkpoint_sync = False
         # >0 turns transient claim contention (a LIVE writer mid-commit)
         # into a bounded poll-and-retry at the NEXT version instead of an
         # immediate ConcurrentWriteError — Delta's internal commit-retry

@@ -27,6 +27,16 @@ misparses):
   as it does through the Python API;
 - ``UPDATE name SET col = expr, ... [WHERE cond]`` →
   ``TableStore.update`` (same predicate extraction);
+- DELETE/UPDATE WHERE clauses may contain SUBQUERY conjuncts (round 10,
+  Delta's documented subquery-in-condition surface): ``col [NOT] IN
+  (SELECT ...)`` and ``[NOT] EXISTS (SELECT ...)`` as top-level AND
+  terms. Subqueries resolve through the catalog (follow_head + inline
+  time travel apply). A DELETE whose whole WHERE is a positive
+  IN-subquery on the TABLE KEY routes to ``TableStore.delete_keys`` —
+  the frame joins distributed with key-stats segment skipping (the
+  reference's cascade delete as SQL); other shapes inline the bounded
+  value set as literals so file skipping and row-exact re-application
+  work unchanged. Correlated subqueries raise with directions;
 - ``MERGE INTO name [AS] t USING (subquery)|source_name [AS] s
   ON t.<key> = s.<key>
   [WHEN MATCHED [AND cond] THEN DELETE]
@@ -396,6 +406,163 @@ def _insert(cat, q: str) -> DataFrame:
     return _result(spark, f"INSERT {mode}" if mode == "OVERWRITE" else "INSERT", name, n)
 
 
+_QUOTED_RE = re.compile(r"'(?:[^']|'')*'")
+# Above this many distinct subquery values the inline rewrite would hand
+# Catalyst a giant literal IN-list (and collect them all to the driver
+# first) — the scale path for key-set deletes is delete_keys, which joins
+# the frame distributed.
+_SUBQ_INLINE_CAP = 10_000
+
+
+def _mask_quotes(text: str) -> str:
+    """Blank the CONTENT of string literals (keeping length/quotes) so
+    structural regex scans can't match inside them."""
+    return _QUOTED_RE.sub(
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", text
+    )
+
+
+def has_where_subquery(where: str | None) -> bool:
+    return bool(where) and bool(
+        re.search(r"\(\s*SELECT\b", _mask_quotes(where), re.I)
+    )
+
+
+def _sql_literal(v) -> str:
+    """A Python value (as collected from a subquery row) back to a SQL
+    literal for the inline rewrite. Strings escape quotes; temporal types
+    use typed literals so comparisons keep their semantics."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _parse_where_term(term: str):
+    """Classify one top-level AND conjunct: ("plain", text) — no subquery;
+    ("in", col, subsql, negated) — ``col [NOT] IN (SELECT ...)``;
+    ("exists", subsql, negated) — ``[NOT] EXISTS (SELECT ...)``. Any
+    OTHER conjunct containing a subquery raises (never misparses): the
+    supported grammar is Delta's documented DELETE/UPDATE-with-subquery
+    surface, as top-level AND conjuncts."""
+    if not re.search(r"\(\s*SELECT\b", _mask_quotes(term), re.I):
+        return ("plain", term)
+    m = re.match(rf"^({_IDENT})\s+(NOT\s+)?IN\s*\(", term, re.I)
+    if m:
+        start = m.end() - 1
+        end = start + _balanced_paren(term[start:])
+        if term[end:].strip():
+            raise ValueError(
+                f"unsupported trailing text after IN-subquery in {term!r}"
+            )
+        inner = term[start + 1 : end - 1].strip()
+        if re.match(r"^SELECT\b", inner, re.I):
+            return ("in", m.group(1), inner, bool(m.group(2)))
+    m = re.match(r"^(NOT\s+)?EXISTS\s*\(", term, re.I)
+    if m:
+        start = m.end() - 1
+        end = start + _balanced_paren(term[start:])
+        if term[end:].strip():
+            raise ValueError(
+                f"unsupported trailing text after EXISTS in {term!r}"
+            )
+        inner = term[start + 1 : end - 1].strip()
+        return ("exists", inner, bool(m.group(1)))
+    raise ValueError(
+        f"unsupported subquery shape in WHERE conjunct {term!r}; "
+        "supported: col [NOT] IN (SELECT ...) and [NOT] EXISTS "
+        "(SELECT ...) as top-level AND conjuncts"
+    )
+
+
+def _subquery_values(cat, subsql: str) -> list:
+    """Evaluate an uncorrelated single-column subquery through the
+    catalog (follow_head and inline time travel apply) to a bounded list
+    of distinct values."""
+    sub = cat.sql(subsql)
+    if len(sub.columns) != 1:
+        raise ValueError(
+            f"IN subquery must return exactly one column, got {sub.columns}"
+        )
+    rows = sub.distinct().limit(_SUBQ_INLINE_CAP + 1).collect()
+    if len(rows) > _SUBQ_INLINE_CAP:
+        raise ValueError(
+            f"IN-subquery value set exceeds {_SUBQ_INLINE_CAP} distinct "
+            "values; at that scale route the frame through the Python API "
+            "(TableStore.delete_keys joins it distributed) — DELETE with "
+            "the subquery column as the table key does this automatically"
+        )
+    return [r[0] for r in rows]
+
+
+def _eval_exists(cat, subsql: str) -> bool:
+    try:
+        return cat.sql(subsql).limit(1).count() > 0
+    except Exception as ex:  # noqa: BLE001 — add routing context
+        raise ValueError(
+            "EXISTS subquery could not be evaluated independently "
+            "(correlated subqueries are not supported; rewrite the "
+            "condition as col IN (SELECT ...)): "
+            f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+        ) from ex
+
+
+def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
+    """Rewrite every subquery conjunct of ``where`` into literal form:
+    IN-subqueries become inline IN-lists (so extract_predicate recovers
+    file skipping and delete_where/update re-apply the condition
+    row-exactly), EXISTS terms fold to constants. Returns
+    ``(rewritten_where, provably_empty)`` — provably_empty means no row
+    can satisfy the WHERE (e.g. NOT IN over a NULL-bearing set, SQL's
+    three-valued semantics) and the DML affects zero rows."""
+    parts: list[str] = []
+    for term in _split_top(where, "AND"):
+        parsed = _parse_where_term(term)
+        if parsed[0] == "plain":
+            parts.append(term)
+            continue
+        if parsed[0] == "exists":
+            _, subsql, neg = parsed
+            nonempty = _eval_exists(cat, subsql)
+            if (not nonempty) if neg else nonempty:
+                continue  # constant TRUE conjunct: drops out of the AND
+            return None, True
+        _, col, subsql, neg = parsed
+        vals = _subquery_values(cat, subsql)
+        if not neg:
+            vals = [v for v in vals if v is not None]  # NULL never IN-matches
+            if not vals:
+                return None, True
+            lits = ", ".join(_sql_literal(v) for v in vals)
+            parts.append(f"{col} IN ({lits})")
+        else:
+            if any(v is None for v in vals):
+                # x NOT IN (set containing NULL) is never TRUE (NULL or
+                # FALSE for every x) — the whole conjunction matches
+                # nothing. Delta/Spark's documented NOT IN semantics.
+                return None, True
+            if vals:
+                lits = ", ".join(_sql_literal(v) for v in vals)
+                parts.append(
+                    f"({col} IS NOT NULL AND {col} NOT IN ({lits}))"
+                )
+            # NOT IN over an EMPTY set is TRUE for every x: drop the term.
+    return (" AND ".join(parts) if parts else "TRUE"), False
+
+
 def _delete(cat, q: str) -> DataFrame:
     m = re.match(
         rf"^DELETE\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(.+))?$", q, re.I | re.S
@@ -409,6 +576,33 @@ def _delete(cat, q: str) -> DataFrame:
             "DELETE with no WHERE would drop every row; use "
             "store.overwrite() with an empty frame if that is really meant"
         )
+    if has_where_subquery(where):
+        terms = [_parse_where_term(t) for t in _split_top(where, "AND")]
+        if (
+            len(terms) == 1
+            and terms[0][0] == "in"
+            and not terms[0][3]
+            and terms[0][1] == store.key
+            and not store.renames()
+        ):
+            # The reference's cascade delete as SQL (an id-set delete,
+            # amplifier_library/sessions/manager.py:422-452): a single
+            # positive IN-subquery on the TABLE KEY routes to
+            # delete_keys, which joins the frame DISTRIBUTED (key-stats
+            # segment skipping, no driver materialization) — the scale
+            # path for arbitrarily large key sets.
+            keys = cat.sql(terms[0][2])
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    "IN subquery must return exactly one column, got "
+                    f"{keys.columns}"
+                )
+            n = store.delete_keys(keys.toDF(store.key))
+            _refresh_after(cat, name)
+            return _result(cat.spark, "DELETE", name, n)
+        where, empty = _inline_where_subqueries(cat, where)
+        if empty:
+            return _result(cat.spark, "DELETE", name, 0)
     pred = extract_predicate(where)
     n = store.delete_where(where=where, predicate=pred or None)
     _refresh_after(cat, name)
@@ -434,6 +628,10 @@ def _update(cat, q: str) -> DataFrame:
         if not am:
             raise ValueError(f"cannot parse SET assignment {item!r}")
         assignments[am.group(1)] = am.group(2).strip()
+    if where and has_where_subquery(where):
+        where, empty = _inline_where_subqueries(cat, where)
+        if empty:
+            return _result(cat.spark, "UPDATE", name, 0)
     pred = extract_predicate(where) if where else {}
     n = store.update(
         set=assignments, where=where, predicate=pred or None

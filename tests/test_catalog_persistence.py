@@ -1,0 +1,105 @@
+"""Round-10 verdict #6: catalog registry persistence.
+
+LakeCatalog.save(path)/load(spark, path): store-backed registrations
+(names, roots, keys, store config, version/as_of pins, predicates,
+change-feed ranges, follow_head) survive a session restart — the
+reference persists its name→entity index the same way
+(amplifier_library/sessions/manager.py:546-566).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_spark.catalog import LakeCatalog
+from lakehouse_spark.mutation.store import TableStore
+
+
+def _mk(spark, path, n=100):
+    st = TableStore(
+        spark, str(path), key="id", stats_cols=("x",), write_cdf=True
+    )
+    st.init(spark.range(n).selectExpr("id", "id AS x"))
+    st.append(spark.range(n, n + 50).selectExpr("id", "id AS x"))
+    return st
+
+
+def test_register_save_load_sql_works(spark, tmp_path):
+    st = _mk(spark, tmp_path / "t")
+    cat = LakeCatalog(spark)
+    cat.register("events", store=st, follow_head=True)
+    cat.register("hot", store=st, predicate={"x": (100, None)})
+    cat.register("frozen", store=st, version=0)
+    cat.register("feed", store=st, changes=True)
+    cat.register("scratch", df=spark.range(3))  # not persistable: skipped
+    reg = str(tmp_path / "registry.json")
+    assert cat.save(reg) == 4
+
+    # "New session": a fresh catalog object with no shared state.
+    cat2 = LakeCatalog.load(spark, reg)
+    assert cat2.sql("SELECT count(*) AS n FROM events").collect()[0].n == 150
+    assert cat2.sql("SELECT count(*) AS n FROM hot").collect()[0].n == 50
+    assert cat2.sql("SELECT count(*) AS n FROM frozen").collect()[0].n == 100
+    # Change-feed view round-trips with its range semantics.
+    assert (
+        cat2.sql(
+            "SELECT count(*) AS n FROM feed WHERE _change_type = 'insert'"
+        ).collect()[0].n
+        == 150
+    )
+    # follow_head survived: a commit through one catalog is visible via
+    # the other's follower on the next query.
+    st.append(spark.range(150, 160).selectExpr("id", "id AS x"))
+    assert cat2.sql("SELECT count(*) AS n FROM events").collect()[0].n == 160
+    # The df-backed view was skipped (no durable identity to persist);
+    # it survives here only as this session's temp view, not registry
+    # state. (tmp views are session-scoped, so a REAL new session would
+    # not see it at all.)
+    assert "scratch" not in cat2._entries
+
+
+def test_loaded_pinned_registration_still_refuses_dml(spark, tmp_path):
+    st = _mk(spark, tmp_path / "t")
+    cat = LakeCatalog(spark)
+    cat.register("frozen", store=st, version=0)
+    cat.register("live", store=st)
+    reg = str(tmp_path / "registry.json")
+    cat.save(reg)
+    cat2 = LakeCatalog.load(spark, reg)
+    with pytest.raises(ValueError, match="pinned"):
+        cat2.sql("DELETE FROM frozen WHERE id = 1")
+    # The unpinned name mutates fine, with the saved store config (CDF
+    # stays on: the delete materializes change rows).
+    res = cat2.sql("DELETE FROM live WHERE id = 1").collect()[0]
+    assert res.affected_rows == 1
+    v = st.current_version()
+    assert any(
+        r._change_type == "delete" for r in st.changes(v, v).collect()
+    )
+
+
+def test_load_missing_root_raises_by_name(spark, tmp_path):
+    st = _mk(spark, tmp_path / "t")
+    cat = LakeCatalog(spark)
+    cat.register("doomed", store=st)
+    reg = str(tmp_path / "registry.json")
+    cat.save(reg)
+    import shutil
+
+    shutil.rmtree(st.root)
+    with pytest.raises(FileNotFoundError, match="doomed"):
+        LakeCatalog.load(spark, reg)
+
+
+def test_predicate_kinds_round_trip(spark, tmp_path):
+    st = _mk(spark, tmp_path / "t")
+    cat = LakeCatalog(spark)
+    cat.register("rng", store=st, predicate={"x": (10, 19)})
+    cat.register("inset", store=st, predicate={"x": [5, 7]})
+    cat.register("eq", store=st, predicate={"x": 3})
+    reg = str(tmp_path / "registry.json")
+    cat.save(reg)
+    cat2 = LakeCatalog.load(spark, reg)
+    assert cat2.sql("SELECT count(*) AS n FROM rng").collect()[0].n == 10
+    assert cat2.sql("SELECT count(*) AS n FROM inset").collect()[0].n == 2
+    assert cat2.sql("SELECT count(*) AS n FROM eq").collect()[0].n == 1

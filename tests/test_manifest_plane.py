@@ -155,6 +155,7 @@ def test_checkpoint_written_on_interval_and_bounds_replay(spark, tmp_path):
                 "id", "id AS val"
             )
         )
+    st.checkpoint_barrier()  # periodic checkpoints write in the background
     assert os.path.exists(st._checkpoint_path(4))
     # snapshot at head replays checkpoint(4) + delta(5) even with no cache
     snap = load_snapshot(st.root, 5)
@@ -192,6 +193,7 @@ def test_vacuum_drops_stale_checkpoints(spark, tmp_path):
     st.init(spark.range(5).selectExpr("id", "id AS val"))
     for i in range(7):
         st.append(spark.range(5).selectExpr("id + 1000 AS id", "id AS val"))
+    st.checkpoint_barrier()
     assert os.path.exists(st._checkpoint_path(2))
     st.vacuum(keep_last=2)
     assert not os.path.exists(st._checkpoint_path(2))
