@@ -136,10 +136,10 @@ class DeltaBackend(TableBackend):
     a skip, not a pass.
 
     Install attempt log (documented environment block; retried every
-    round per the round-8 verdict): round 8 and round 9 (2026-08-15) both
-    fail identically — the sandbox has no network route to any package
-    index (``pip install delta-spark`` retries exhaust on DNS
-    ``Name or service not known``), ``import delta`` raises ImportError,
+    round per the round-8 verdict): rounds 8, 9 (2026-08-15) and 10
+    (2026-08-16) all fail identically — the sandbox has no network route
+    to any package index (``pip install delta-spark`` retries exhaust on
+    DNS ``Name or service not known``), ``import delta`` raises ImportError,
     and no delta jar ships in the Spark 4.1.2 distribution under /opt —
     so the 10-clause contract run against this backend cannot execute
     here. On a networked machine:

@@ -1044,6 +1044,86 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_sig_sql(vexpr: str, planes: list[list[float]]) -> str:
+    """The rp_signature() column as DuckDB SQL with the SAME md5-derived
+    hyperplane literals inlined (operators/dedup.py:hyperplanes is
+    deterministic, so both engines see identical doubles): bit p =
+    [<v, plane_p> >= 0], summed into the integer signature."""
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# Geometry pinned to the 500-vector/dim-64 embeddings testdata (sf0.001
+# and sf0.01 — every correctness gate): target_cluster_size=4 makes
+# n_clusters = ceil(500/4) = 125 > 64, so semdedup takes its RP-hyperplane
+# LARGE-CORPUS path with h = ceil(log2(125)) = 7 signature bits, skew cap
+# 16*4 = 64, and extra re-split planes h//2+1 = 4 (seed 11).
+_SEMDEDUP_RP_PLANES = dedup.hyperplanes(7, 64)
+_SEMDEDUP_RP_EXTRA = dedup.hyperplanes(4, 64, seed=11)
+
+_SEMDEDUP_RPLSH_SQL = f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT id, v, {_rp_sig_sql('v', _SEMDEDUP_RP_PLANES)} AS s FROM e),
+    big AS (SELECT s FROM sig GROUP BY s HAVING count(*) > 64),
+    cl AS (
+      SELECT id, v,
+        CASE WHEN s IN (SELECT s FROM big)
+          THEN CAST(s AS VARCHAR) || '_' ||
+               CAST({_rp_sig_sql('v', _SEMDEDUP_RP_EXTRA)} AS VARCHAR)
+          ELSE CAST(s AS VARCHAR) END AS cluster_id
+      FROM sig),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id AND a.id < b.id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    )
+    SELECT id AS vec_id, cluster_id,
+           (id NOT IN (SELECT id FROM dropped)) AS kept
+    FROM cl
+"""
+
+
+@_q(
+    "dedup_semdedup_rplsh",
+    _SEMDEDUP_RPLSH_SQL,
+    doc=(
+        "SemDeDup's LARGE-CORPUS assignment path, oracle-checked "
+        "cross-engine (round-10 verdict #4: the RP-hyperplane plan "
+        "transition had pytest+bench pins but no DuckDB oracle). "
+        "target_cluster_size=4 pushes the 500-vector gate corpus past "
+        "the n_clusters>64 switch, so assignment runs the production "
+        "random-hyperplane bucketing — 7 md5-derived sign-bit planes, "
+        "skew re-split with 4 extra seed-11 planes for buckets over the "
+        "16x cap — and the oracle replays the SAME plane literals in "
+        "DuckDB (hyperplanes() is deterministic by construction, exactly "
+        "so this check is possible). Within-bucket near-dup drop is the "
+        "shared keep-smallest-id policy. Geometry (7/4 bits) is pinned "
+        "to the 500-row gate corpus; other scales re-derive bits from n "
+        "and are covered by the dedup_stress_100x instrument."
+    ),
+)
+def dedup_semdedup_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dedup.semdedup(
+        emb,
+        "vec_id",
+        "embedding",
+        n_clusters=None,
+        tau=0.3,
+        target_cluster_size=4,
+    )
+
+
 @_q(
     "dedup_containment",
     """

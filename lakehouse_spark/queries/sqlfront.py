@@ -287,3 +287,107 @@ def sql_time_travel_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tt_orders
         """
     )
+
+
+_SUBQUERY_DML_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    ),
+    after_d1 AS (
+      -- key-route delete: id-set from a subquery over the pre-image
+      SELECT * FROM base WHERE o_orderkey NOT IN (
+        SELECT o_orderkey FROM base
+        WHERE o_orderstatus = 'F' AND o_orderkey <= 2000)
+    ),
+    after_d2 AS (
+      -- inline route: non-key IN-subquery plus a plain conjunct
+      SELECT * FROM after_d1 WHERE NOT (
+        o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+        AND o_orderstatus = 'O')
+    ),
+    after_u AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+                                     WHERE c_mktsegment = 'MACHINERY')
+                  THEN o_custkey + 5000000 ELSE o_custkey END AS o_custkey,
+             o_orderstatus
+      FROM after_d2
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM after_u
+    GROUP BY o_orderstatus
+"""
+
+
+@_q(
+    "sql_dml_subquery",
+    _SUBQUERY_DML_ORACLE,
+    doc=(
+        "DELETE/UPDATE with subqueries in WHERE (round 10): a positive "
+        "IN-subquery on the TABLE KEY routes to delete_keys (the frame "
+        "joins distributed with key-stats segment skipping — the "
+        "reference's cascade delete as SQL, amplifier_library/sessions/"
+        "manager.py:422-452), a non-key IN with an extra conjunct takes "
+        "the bounded inline-literal route, and an UPDATE's IN-subquery "
+        "scopes the SET. Subqueries resolve through the catalog, so the "
+        "first DELETE's subquery reads the table's own pre-image. Final "
+        "state hash-matches DuckDB replaying the same algebra as pure "
+        "SELECTs; all-integer arithmetic."
+    ),
+)
+def sql_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.mutation.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="sql_subq_entry_")
+    st = TableStore(
+        spark,
+        os.path.join(tmp, "orders"),
+        key="o_orderkey",
+        stats_cols=("o_orderkey",),
+    )
+    st.init(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("sq_orders", store=st, follow_head=True)
+    cat.register(
+        "sq_customer", df=load_table(spark, sf_dir, "customer")
+    )
+    cat.sql(
+        "DELETE FROM sq_orders WHERE o_orderkey IN "
+        "(SELECT o_orderkey FROM sq_orders "
+        " WHERE o_orderstatus = 'F' AND o_orderkey <= 2000)"
+    )
+    cat.sql(
+        "DELETE FROM sq_orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM sq_customer "
+        " WHERE c_mktsegment = 'BUILDING') "
+        "AND o_orderstatus = 'O'"
+    )
+    cat.sql(
+        "UPDATE sq_orders SET o_custkey = o_custkey + 5000000 "
+        "WHERE o_custkey IN (SELECT c_custkey FROM sq_customer "
+        "                    WHERE c_mktsegment = 'MACHINERY')"
+    )
+    return cat.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM sq_orders
+        GROUP BY o_orderstatus
+        """
+    )
