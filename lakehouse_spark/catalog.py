@@ -196,6 +196,11 @@ class LakeCatalog:
         old = self._entries.get(name)
         if old is None or (keep_store is not None and old[0] is keep_store):
             return
+        self._drop_asof_aliases(name)
+
+    def _drop_asof_aliases(self, name: str) -> None:
+        """Unconditionally drop every cached ``{name}__asof_*`` alias and
+        its bookkeeping (shared by unregister and the re-bind purge)."""
         prefix = f"{name}__asof_"
         for a in [a for a in self._entries if a.startswith(prefix)]:
             self.spark.catalog.dropTempView(a)
@@ -257,7 +262,10 @@ class LakeCatalog:
         doc = {"format": "lakehouse_catalog", "version": 1, "entries": entries}
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(doc, f, indent=1)
+            # default=str: datetime as_of pins / predicate bounds degrade
+            # to their ISO strings (the same degradation every manifest
+            # JSON round-trip applies; read()/version_at parse them back).
+            json.dump(doc, f, indent=1, default=str)
         os.replace(tmp, path)
         return len(entries)
 
@@ -357,12 +365,7 @@ class LakeCatalog:
         # Derived time-travel aliases die with their base name: a later
         # registration of a DIFFERENT store under the same name must not
         # resolve `name VERSION AS OF n` to the old store's snapshot.
-        prefix = f"{name}__asof_"
-        for a in [a for a in self._entries if a.startswith(prefix)]:
-            self.spark.catalog.dropTempView(a)
-            del self._entries[a]
-            self._reg_versions.pop(a, None)
-        self._ts_aliases.pop(name, None)
+        self._drop_asof_aliases(name)
 
     # -- query surface -----------------------------------------------------
 

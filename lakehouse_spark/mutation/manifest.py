@@ -350,6 +350,33 @@ def _read_shard(root: str, fname: str, shard_cache: dict | None = None) -> dict:
     return sd
 
 
+def _checked_shard(root: str, sh: dict, shard_cache: dict | None) -> dict:
+    """A shard validated against its list-doc entry. Shard file NAMES are
+    only (version, index) — a writer with a different shard_size (or a
+    vacuum-written checkpoint at the same version) can legally overwrite
+    the name with different content, so the list doc's recorded seg_hash
+    is the real identity. On mismatch the cache entry is dropped and the
+    file re-read once (a stale cache is the common cause); a persistent
+    mismatch raises, and callers fall back to the manifest chain — never
+    a silently thinner snapshot."""
+    import hashlib
+
+    for _attempt in (0, 1):
+        sd = _read_shard(root, sh["file"], shard_cache)
+        names = sd["segments"]
+        h = hashlib.md5("\n".join(names).encode()).hexdigest()
+        if h == sh.get("seg_hash"):
+            return sd
+        if shard_cache is None:
+            break
+        shard_cache.pop(sh["file"], None)
+        shard_cache = None  # second pass reads the file directly
+    raise ValueError(
+        f"checkpoint shard {sh['file']} content does not match its list "
+        "doc (concurrent overwrite by a differently-configured writer)"
+    )
+
+
 def read_checkpoint(
     root: str, v: int, shard_cache: dict | None = None
 ) -> dict:
@@ -367,7 +394,7 @@ def read_checkpoint(
     stats: dict = {}
     partitions: dict = {}
     for sh in doc["shards"]:
-        sd = _read_shard(root, sh["file"], shard_cache)
+        sd = _checked_shard(root, sh, shard_cache)
         segments.extend(sd["segments"])
         stats.update(sd["stats"])
         partitions.update(sd["partitions"])
@@ -453,12 +480,12 @@ def load_snapshot_pruned(
                 continue
             if not _segment_may_match(sh.get("pbounds"), pred):
                 continue
-            sd = _read_shard(root, sh["file"], shard_cache)
+            sd = _checked_shard(root, sh, shard_cache)
             segments.extend(sd["segments"])
             stats.update(sd["stats"])
             partitions.update(sd["partitions"])
-    except (FileNotFoundError, json.JSONDecodeError, KeyError):
-        return None  # partial checkpoint: fall back to the full load
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+        return None  # partial/overwritten checkpoint: full load decides
     snap = {
         "segments": segments,
         "stats": stats,
@@ -569,8 +596,8 @@ def load_snapshot(
         try:
             snap = read_checkpoint(root, w, shard_cache)
             break
-        except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            pass  # no/partial checkpoint: fall through to the manifest
+        except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+            pass  # no/partial/overwritten checkpoint: use the manifest
         raw = read_manifest_file(root, w)  # FileNotFoundError = vacuumed
         if "segments" in raw:
             snap = _snap_from_full(raw)
@@ -1540,13 +1567,16 @@ class TxnMixin:
                 self.materialize_cdf(nxt)
             self._swap_pointer(nxt)
         except BaseException:
-            if self.current_version() == nxt:
-                # The pointer already advanced to OUR claimed slot: the
-                # commit IS durable and the exception escaped from
-                # post-commit maintenance (e.g. an exit signal mid-
-                # checkpoint in the append lane). Unlinking the manifest
-                # here would brick the table — the pointer would
-                # reference a deleted file. Propagate untouched.
+            cv = self.current_version()
+            if cv is not None and cv >= nxt:
+                # The pointer already advanced AT LEAST to our claimed
+                # slot: the commit IS durable and the exception escaped
+                # from post-commit maintenance (e.g. an exit signal mid-
+                # checkpoint in the append lane). ``>=``, not ``==`` — a
+                # concurrent writer may have committed nxt+1 between our
+                # swap and this read (claim_wait polling), and unlinking
+                # manifest nxt would then delete a file in the LIVE delta
+                # chain. Propagate untouched.
                 raise
             # Release the claim: the slot must not stay wedged after a failed
             # segment write. Readers were never exposed (pointer unmoved).

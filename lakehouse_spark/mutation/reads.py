@@ -186,16 +186,17 @@ class ReadsMixin:
         def _logical(df: DataFrame) -> DataFrame:
             return self._to_logical_static(df, renames, dropped)
 
+        def _all_segments() -> list[str]:
+            # The UNPRUNED list — a shard-pruned manifest carries a
+            # partial one, so the rare fallbacks materialize the full
+            # snapshot.
+            if manifest.get("pruned"):
+                return self._snapshot(v)["segments"]
+            return manifest["segments"]
+
         if predicate and not segments:
-            # Schema from the unpruned version (a shard-pruned manifest
-            # carries a partial list — materialize the full snapshot for
-            # this rare fallback).
-            all_segs = (
-                self._snapshot(v)["segments"]
-                if manifest.get("pruned")
-                else manifest["segments"]
-            )
-            empty = self._read_segments(all_segs, dv)
+            # Schema from the unpruned version.
+            empty = self._read_segments(_all_segments(), dv)
             out = empty if cond is None else empty.filter(cond)
             return _logical(out.limit(0))
         out = self._read_segments(segments, dv)
@@ -207,12 +208,7 @@ class ReadsMixin:
             # filter. Fall back to the unpruned read so
             # read(predicate=p) ≡ read().filter(p) holds exactly
             # (correctness beats skipping in this rare case).
-            all_segs = (
-                self._snapshot(v)["segments"]
-                if manifest.get("pruned")
-                else manifest["segments"]
-            )
-            full = self._read_segments(all_segs, dv)
+            full = self._read_segments(_all_segments(), dv)
             return _logical(full.filter(cond))
         return _logical(out.filter(cond))
 

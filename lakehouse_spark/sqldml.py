@@ -439,7 +439,18 @@ def _sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr() of non-finite floats ('nan'/'inf') reads as a column
+        # identifier in SQL — use the typed cast Spark parses (and which
+        # keeps Spark's NaN-equals-NaN IN semantics).
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, _dec.Decimal):
         return str(v)
@@ -512,11 +523,19 @@ def _eval_exists(cat, subsql: str) -> bool:
     try:
         return cat.sql(subsql).limit(1).count() > 0
     except Exception as ex:  # noqa: BLE001 — add routing context
+        # Only blame correlation when the failure IS an unresolved
+        # column — a typo'd table or bad syntax should surface as
+        # itself, not steer the user into rewriting a valid condition.
+        s = str(ex)
+        hint = (
+            " (likely a correlated subquery, which is not supported — "
+            "rewrite the condition as col IN (SELECT ...))"
+            if "UNRESOLVED_COLUMN" in s or "cannot resolve" in s.lower()
+            else ""
+        )
         raise ValueError(
-            "EXISTS subquery could not be evaluated independently "
-            "(correlated subqueries are not supported; rewrite the "
-            "condition as col IN (SELECT ...)): "
-            f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+            "EXISTS subquery failed to evaluate independently: "
+            f"{type(ex).__name__}: {s.splitlines()[0][:200]}{hint}"
         ) from ex
 
 
@@ -527,9 +546,22 @@ def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
     row-exactly), EXISTS terms fold to constants. Returns
     ``(rewritten_where, provably_empty)`` — provably_empty means no row
     can satisfy the WHERE (e.g. NOT IN over a NULL-bearing set, SQL's
-    three-valued semantics) and the DML affects zero rows."""
+    three-valued semantics) and the DML affects zero rows.
+
+    Substitution is strictly IN PLACE — each AND-split part is rewritten
+    to a constant or literal form and the parts are rejoined with the
+    same " AND " tokens the split removed, so the string round-trips and
+    SQL precedence is preserved even when another part carries a
+    top-level OR (``sub AND a OR b`` means ``(sub AND a) OR b``: a
+    never-true subquery there must become a literal FALSE factor, NOT a
+    whole-statement short-circuit — the OR branch still matches rows).
+    The affects-zero-rows fast path applies only when no part has a
+    top-level OR, where a FALSE conjunct really does kill the WHERE."""
     parts: list[str] = []
+    has_or = False
     for term in _split_top(where, "AND"):
+        if len(_split_top(term, "OR")) > 1:
+            has_or = True
         parsed = _parse_where_term(term)
         if parsed[0] == "plain":
             parts.append(term)
@@ -537,29 +569,34 @@ def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
         if parsed[0] == "exists":
             _, subsql, neg = parsed
             nonempty = _eval_exists(cat, subsql)
-            if (not nonempty) if neg else nonempty:
-                continue  # constant TRUE conjunct: drops out of the AND
-            return None, True
+            truth = (not nonempty) if neg else nonempty
+            parts.append("TRUE" if truth else "FALSE")
+            continue
         _, col, subsql, neg = parsed
         vals = _subquery_values(cat, subsql)
         if not neg:
             vals = [v for v in vals if v is not None]  # NULL never IN-matches
             if not vals:
-                return None, True
+                parts.append("FALSE")
+                continue
             lits = ", ".join(_sql_literal(v) for v in vals)
             parts.append(f"{col} IN ({lits})")
         else:
             if any(v is None for v in vals):
                 # x NOT IN (set containing NULL) is never TRUE (NULL or
-                # FALSE for every x) — the whole conjunction matches
-                # nothing. Delta/Spark's documented NOT IN semantics.
-                return None, True
-            if vals:
+                # FALSE for every x) — a constant-FALSE factor.
+                # Delta/Spark's documented NOT IN semantics.
+                parts.append("FALSE")
+            elif vals:
                 lits = ", ".join(_sql_literal(v) for v in vals)
                 parts.append(
                     f"({col} IS NOT NULL AND {col} NOT IN ({lits}))"
                 )
-            # NOT IN over an EMPTY set is TRUE for every x: drop the term.
+            else:
+                # NOT IN over an EMPTY set is TRUE for every x.
+                parts.append("TRUE")
+    if not has_or and "FALSE" in parts:
+        return None, True
     return (" AND ".join(parts) if parts else "TRUE"), False
 
 

@@ -103,3 +103,25 @@ def test_predicate_kinds_round_trip(spark, tmp_path):
     assert cat2.sql("SELECT count(*) AS n FROM rng").collect()[0].n == 10
     assert cat2.sql("SELECT count(*) AS n FROM inset").collect()[0].n == 2
     assert cat2.sql("SELECT count(*) AS n FROM eq").collect()[0].n == 1
+
+
+def test_datetime_as_of_pin_round_trips(spark, tmp_path):
+    """Review pin (round 10): a datetime as_of pin must not crash save()
+    — it degrades to its ISO string (the manifest JSON convention) and
+    read()/version_at parse it back."""
+    import datetime as dt
+    import time
+
+    st = _mk(spark, tmp_path / "t")
+    time.sleep(0.05)
+    cut = dt.datetime.now()
+    st.append(spark.range(500, 510).selectExpr("id", "id AS x"))
+    cat = LakeCatalog(spark)
+    cat.register("snap", store=st, as_of=cut)
+    reg = str(tmp_path / "registry.json")
+    assert cat.save(reg) == 1
+    cat2 = LakeCatalog.load(spark, reg)
+    # The pin resolves to the pre-append snapshot, exactly as before.
+    assert cat2.sql("SELECT count(*) AS n FROM snap").collect()[0].n == 150
+    with pytest.raises(ValueError, match="pinned"):
+        cat2.sql("DELETE FROM snap WHERE id = 1")

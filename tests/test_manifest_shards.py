@@ -260,3 +260,58 @@ def test_partition_bounds_prune_shards(spark, tmp_path):
     assert len(cache) == 1  # only d1's shard parsed
     fresh = TableStore(spark, st.root, key="id")
     assert fresh.read(predicate={"day": "d2"}).count() == 100
+
+
+def test_tampered_shard_detected_falls_back_to_chain(spark, tmp_path):
+    """Review pin (round 10): shard files are named only (version,
+    index), so a differently-configured writer can overwrite one with
+    different content. The list doc's seg_hash is the real identity —
+    a mismatch must fall back to the manifest chain, never assemble a
+    silently thinner snapshot."""
+    st = _mk(spark, tmp_path / "t", interval=4, shard=2, n_appends=5)
+    with open(st._checkpoint_path(4)) as f:
+        doc = json.load(f)
+    victim = os.path.join(st.root, doc["shards"][0]["file"])
+    with open(victim, "w") as f:
+        # Valid JSON, wrong membership: pretends the shard holds only
+        # one of its two segments.
+        orig = json.load(open(victim)) if False else None
+        json.dump(
+            {"segments": ["_seg000000"], "stats": {}, "partitions": {}}, f
+        )
+    with pytest.raises(ValueError, match="content does not match"):
+        read_checkpoint(st.root, 4)
+    # Full cold load and pruned load both recover via the chain.
+    fresh = TableStore(spark, st.root, key="id", stats_cols=("id",))
+    assert fresh.read().count() == 600
+    assert load_snapshot_pruned(st.root, 4, {"id": (0, 10)}) is None
+    assert fresh.read(predicate={"id": (0, 10)}).count() == 11
+    assert len(load_snapshot(st.root, 5)["segments"]) == 6
+
+
+def test_abort_guard_survives_concurrent_advance(spark, tmp_path):
+    """Review pin (round 10): an exit signal escaping post-commit
+    maintenance AFTER another writer already advanced the pointer past
+    our slot must not unlink our manifest — it is part of the live
+    delta chain (guard is >=, not ==)."""
+    st = _mk(spark, tmp_path / "t", interval=4, shard=2, n_appends=2)
+    other = TableStore(spark, st.root, key="id", stats_cols=("id",))
+
+    def boom(nxt, snap=None):
+        if nxt % 4 != 0:
+            return  # only the interval commit gets the simulated race
+        # Simulate the race: a concurrent writer lands nxt+1 between our
+        # pointer swap and the interrupt.
+        other.append(spark.range(400, 500).selectExpr("id", "id AS val"))
+        raise KeyboardInterrupt
+
+    st._maybe_checkpoint = boom
+    st.append(spark.range(300, 400).selectExpr("id", "id AS val"))  # v3
+    with pytest.raises(KeyboardInterrupt):
+        st.append(spark.range(500, 600).selectExpr("id", "id AS val"))  # v4
+    # v4's manifest survives; both commits are readable.
+    assert os.path.exists(st._manifest_path(4))
+    fresh = TableStore(spark, st.root, key="id", stats_cols=("id",))
+    assert fresh.current_version() == 5
+    assert fresh.read().count() == 600
+    assert fresh.read(version=4).count() == 500

@@ -257,3 +257,73 @@ def test_string_values_with_quotes_inline_safely(spark, tmp_path):
     ).collect()[0]
     assert res.affected_rows == 1
     assert {r.name for r in st.read().collect()} == {"smith", "d'arcy"}
+
+
+def test_or_precedence_with_empty_subquery_conjunct(spark, tmp_path):
+    """Review pin (round 10): ``sub AND a OR b`` means ``(sub AND a) OR
+    b`` — a never-true subquery must become a literal FALSE factor in
+    place, not short-circuit the whole statement (the OR branch still
+    matches rows)."""
+    st = _mk(spark, tmp_path / "t", n_segs=1)
+    q = _quarantine(spark, tmp_path / "q", [1])
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st)
+    cat.register("quarantine", store=q)
+    res = cat.sql(
+        "DELETE FROM t WHERE x IN (SELECT id FROM quarantine WHERE id < 0) "
+        "AND flag = 0 OR id = 7"
+    ).collect()[0]
+    assert res.affected_rows == 1  # only the OR branch row
+    assert st.read().filter("id = 7").count() == 0
+    assert st.read().count() == 99
+    # Same shape with a constant-FALSE EXISTS factor.
+    res = cat.sql(
+        "DELETE FROM t WHERE NOT EXISTS (SELECT 1 FROM quarantine) "
+        "AND flag = 0 OR id = 8"
+    ).collect()[0]
+    assert res.affected_rows == 1
+    # And with a NULL-bearing NOT IN factor.
+    cat.register(
+        "nulls", df=spark.createDataFrame([(None,)], "id long")
+    )
+    res = cat.sql(
+        "DELETE FROM t WHERE id NOT IN (SELECT id FROM nulls) "
+        "AND flag = 0 OR id = 9"
+    ).collect()[0]
+    assert res.affected_rows == 1
+    assert st.read().count() == 97
+
+
+def test_nan_subquery_value_inlines_as_typed_literal(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path / "t"), key="id")
+    st.init(
+        spark.sql(
+            "SELECT id, CASE WHEN id = 3 THEN CAST('NaN' AS DOUBLE) "
+            "ELSE CAST(id AS DOUBLE) END AS y, 0 AS x FROM range(10)"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st)
+    cat.register(
+        "q",
+        df=spark.sql("SELECT CAST('NaN' AS DOUBLE) AS y"),
+    )
+    res = cat.sql(
+        "UPDATE t SET x = -1 WHERE y IN (SELECT y FROM q)"
+    ).collect()[0]
+    # Spark's NaN-equals-NaN IN semantics survive the inline rewrite.
+    assert res.affected_rows == 1
+    assert [r.id for r in st.read().filter("x = -1").collect()] == [3]
+
+
+def test_exists_failure_not_misattributed_to_correlation(spark, tmp_path):
+    st = _mk(spark, tmp_path / "t", n_segs=1)
+    cat = LakeCatalog(spark)
+    cat.register("t", store=st)
+    with pytest.raises(ValueError) as ei:
+        cat.sql(
+            "DELETE FROM t WHERE EXISTS (SELECT 1 FROM quarantime_typo)"
+        )
+    msg = str(ei.value)
+    assert "failed to evaluate" in msg
+    assert "correlated" not in msg  # a typo'd table is not correlation
