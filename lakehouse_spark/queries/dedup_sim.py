@@ -1059,25 +1059,44 @@ def _rp_sig_sql(vexpr: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-# Geometry pinned to the 500-vector/dim-64 embeddings testdata (sf0.001
-# and sf0.01 — every correctness gate): target_cluster_size=4 makes
-# n_clusters = ceil(500/4) = 125 > 64, so semdedup takes its RP-hyperplane
-# LARGE-CORPUS path with h = ceil(log2(125)) = 7 signature bits, skew cap
-# 16*4 = 64, and extra re-split planes h//2+1 = 4 (seed 11).
-_SEMDEDUP_RP_PLANES = dedup.hyperplanes(7, 64)
-_SEMDEDUP_RP_EXTRA = dedup.hyperplanes(4, 64, seed=11)
+# SCALE-ADAPTIVE oracle geometry: hyperplanes(k, dim, seed) generates
+# plane p from (seed, p, i) alone, so hyperplanes(h) is a PREFIX of
+# hyperplanes(12) for any h <= 12 — one 12-term signature expression
+# masked by ``% (1 << h)`` replays the engine's h-bit signature for ANY
+# corpus size whose n_clusters = max(8, ceil(n/4)) fits 12 bits (n up to
+# 16384; the 500-vector gate corpora give h = 7, sf0.1's 2000 give
+# h = 9). h itself is derived IN SQL from count(*), mirroring
+# operators/dedup.py's max(3, ceil(log2(n_clusters))). Same trick for
+# the skew re-split planes (seed 11, e = max(3, h//2 + 1) <= 7 bits).
+_SEMDEDUP_RP_PLANES = dedup.hyperplanes(12, 64)
+_SEMDEDUP_RP_EXTRA = dedup.hyperplanes(7, 64, seed=11)
 
 _SEMDEDUP_RPLSH_SQL = f"""
     WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-    sig AS (SELECT id, v, {_rp_sig_sql('v', _SEMDEDUP_RP_PLANES)} AS s FROM e),
-    big AS (SELECT s FROM sig GROUP BY s HAVING count(*) > 64),
+    geo AS (
+      SELECT greatest(3, CAST(ceil(log2(greatest(8,
+               CAST(ceil(count(*) / 4.0) AS BIGINT)))) AS INT)) AS h
+      FROM e
+    ),
+    sig AS (
+      SELECT id, v,
+             {_rp_sig_sql('v', _SEMDEDUP_RP_PLANES)} AS s12,
+             {_rp_sig_sql('v', _SEMDEDUP_RP_EXTRA)} AS x7
+      FROM e
+    ),
+    m AS (
+      SELECT id, v,
+             s12 % (1 << h) AS s,
+             x7 % (1 << greatest(3, h // 2 + 1)) AS xs
+      FROM sig, geo
+    ),
+    big AS (SELECT s FROM m GROUP BY s HAVING count(*) > 64),
     cl AS (
       SELECT id, v,
         CASE WHEN s IN (SELECT s FROM big)
-          THEN CAST(s AS VARCHAR) || '_' ||
-               CAST({_rp_sig_sql('v', _SEMDEDUP_RP_EXTRA)} AS VARCHAR)
+          THEN CAST(s AS VARCHAR) || '_' || CAST(xs AS VARCHAR)
           ELSE CAST(s AS VARCHAR) END AS cluster_id
-      FROM sig),
+      FROM m),
     dropped AS (
       SELECT DISTINCT b.id
       FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id AND a.id < b.id
@@ -1105,9 +1124,13 @@ _SEMDEDUP_RPLSH_SQL = f"""
         "16x cap — and the oracle replays the SAME plane literals in "
         "DuckDB (hyperplanes() is deterministic by construction, exactly "
         "so this check is possible). Within-bucket near-dup drop is the "
-        "shared keep-smallest-id policy. Geometry (7/4 bits) is pinned "
-        "to the 500-row gate corpus; other scales re-derive bits from n "
-        "and are covered by the dedup_stress_100x instrument."
+        "shared keep-smallest-id policy. The oracle is SCALE-ADAPTIVE: "
+        "hyperplanes(h) is a prefix of hyperplanes(12), so one 12-bit "
+        "signature masked by %(1<<h) — with h derived from count(*) in "
+        "SQL exactly as the engine derives it — replays the geometry for "
+        "any corpus up to 16384 vectors (h=7 at the 500-row gates, h=9 "
+        "at sf0.1's 2000). Beyond that the dedup_stress_100x instrument "
+        "covers the path."
     ),
 )
 def dedup_semdedup_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
