@@ -350,6 +350,17 @@ def _read_shard(root: str, fname: str, shard_cache: dict | None = None) -> dict:
     return sd
 
 
+def _seg_hash(names: list[str]) -> str:
+    """Shard identity: md5 of the newline-joined segment names. A
+    reader/writer CONTRACT — _write_checkpoint records it in the list
+    doc, _checked_shard validates parsed content against it. Change both
+    sides together or every checkpoint read silently degrades to chain
+    replay."""
+    import hashlib
+
+    return hashlib.md5("\n".join(names).encode()).hexdigest()
+
+
 def _checked_shard(root: str, sh: dict, shard_cache: dict | None) -> dict:
     """A shard validated against its list-doc entry. Shard file NAMES are
     only (version, index) — a writer with a different shard_size (or a
@@ -359,13 +370,9 @@ def _checked_shard(root: str, sh: dict, shard_cache: dict | None) -> dict:
     file re-read once (a stale cache is the common cause); a persistent
     mismatch raises, and callers fall back to the manifest chain — never
     a silently thinner snapshot."""
-    import hashlib
-
     for _attempt in (0, 1):
         sd = _read_shard(root, sh["file"], shard_cache)
-        names = sd["segments"]
-        h = hashlib.md5("\n".join(names).encode()).hexdigest()
-        if h == sh.get("seg_hash"):
+        if _seg_hash(sd["segments"]) == sh.get("seg_hash"):
             return sd
         if shard_cache is None:
             break
@@ -384,8 +391,10 @@ def read_checkpoint(
     monolithic (round-9 format: the file IS the snapshot) or sharded
     (round-10 list doc + shard files). Raises FileNotFoundError /
     JSONDecodeError / KeyError when the checkpoint is absent or partial
-    (e.g. a referenced shard vanished) — callers fall back to the
-    manifest chain, so a broken checkpoint only costs replay time."""
+    (e.g. a referenced shard vanished), and ValueError when a shard's
+    content fails its list-doc seg_hash check (concurrent overwrite) —
+    callers catch all four and fall back to the manifest chain, so a
+    broken checkpoint only costs replay time."""
     with open(checkpoint_path(root, v)) as f:
         doc = json.load(f)
     if not doc.get("sharded"):
@@ -795,8 +804,6 @@ class TxnMixin:
         never-referenced shard files)."""
         if snap is None:
             snap = self._snapshot(v)
-        import hashlib
-
         size = int(getattr(self, "checkpoint_shard_size", 1000) or 1000)
         segments = snap["segments"]
         stats = snap["stats"]
@@ -807,7 +814,7 @@ class TxnMixin:
         n_shards = (len(segments) + size - 1) // size
         for i in range(n_shards):
             chunk = segments[i * size : (i + 1) * size]
-            h = hashlib.md5("\n".join(chunk).encode()).hexdigest()
+            h = _seg_hash(chunk)
             prev = prev_shards.get(i)
             if (
                 prev is not None

@@ -1062,12 +1062,14 @@ def _rp_sig_sql(vexpr: str, planes: list[list[float]]) -> str:
 # SCALE-ADAPTIVE oracle geometry: hyperplanes(k, dim, seed) generates
 # plane p from (seed, p, i) alone, so hyperplanes(h) is a PREFIX of
 # hyperplanes(12) for any h <= 12 — one 12-term signature expression
-# masked by ``% (1 << h)`` replays the engine's h-bit signature for ANY
-# corpus size whose n_clusters = max(8, ceil(n/4)) fits 12 bits (n up to
-# 16384; the 500-vector gate corpora give h = 7, sf0.1's 2000 give
-# h = 9). h itself is derived IN SQL from count(*), mirroring
-# operators/dedup.py's max(3, ceil(log2(n_clusters))). Same trick for
-# the skew re-split planes (seed 11, e = max(3, h//2 + 1) <= 7 bits).
+# masked by ``% (1 << h)`` replays the engine's h-bit signature for any
+# corpus whose n_clusters = max(8, ceil(n/4)) BOTH exceeds the RP switch
+# (n > 256 — below that the engine takes the seed-argmax path this SQL
+# doesn't model) AND fits 12 bits (n <= 16384). The 500-vector gate
+# corpora give h = 7, sf0.1's 2000 give h = 9. h itself is derived IN
+# SQL from count(*), mirroring operators/dedup.py's
+# max(3, ceil(log2(n_clusters))). Same trick for the skew re-split
+# planes (seed 11, e = max(3, h//2 + 1) <= 7 bits).
 _SEMDEDUP_RP_PLANES = dedup.hyperplanes(12, 64)
 _SEMDEDUP_RP_EXTRA = dedup.hyperplanes(7, 64, seed=11)
 
@@ -1128,9 +1130,10 @@ _SEMDEDUP_RPLSH_SQL = f"""
         "hyperplanes(h) is a prefix of hyperplanes(12), so one 12-bit "
         "signature masked by %(1<<h) — with h derived from count(*) in "
         "SQL exactly as the engine derives it — replays the geometry for "
-        "any corpus up to 16384 vectors (h=7 at the 500-row gates, h=9 "
-        "at sf0.1's 2000). Beyond that the dedup_stress_100x instrument "
-        "covers the path."
+        "any corpus of 257..16384 vectors (below 257 the engine takes "
+        "the argmax path, which dedup_semdedup's oracle covers; h=7 at "
+        "the 500-row gates, h=9 at sf0.1's 2000). Beyond 16384 the "
+        "dedup_stress_100x instrument covers the path."
     ),
 )
 def dedup_semdedup_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:

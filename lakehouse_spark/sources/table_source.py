@@ -112,7 +112,15 @@ def _manifest(root: str, v: int) -> dict:
     """The FULL logical manifest (snapshot) of version ``v`` — manifests
     are per-commit deltas since round 9, so readers materialize through
     lakehouse_spark.mutation.manifest.load_snapshot (checkpoint + delta
-    tail; see that module's format notes)."""
+    tail; see that module's format notes).
+
+    Known residual (round 10): TableStore.read(predicate=...) plans cold
+    predicate scans O(matched shards) via load_snapshot_pruned; THIS
+    path still parses the full checkpoint once per (root, version)
+    because the reader's construction needs schema + column mapping
+    before partitions() runs. A list-doc-only scalars fast path would
+    close it; deferred — the parse is paid once and cached, and the
+    catalog/TableStore route (the primary read surface) already prunes."""
     key = (root, v)
     snap = _SNAPSHOT_CACHE.get(key)
     if snap is not None:

@@ -275,7 +275,6 @@ def test_tampered_shard_detected_falls_back_to_chain(spark, tmp_path):
     with open(victim, "w") as f:
         # Valid JSON, wrong membership: pretends the shard holds only
         # one of its two segments.
-        orig = json.load(open(victim)) if False else None
         json.dump(
             {"segments": ["_seg000000"], "stats": {}, "partitions": {}}, f
         )
