@@ -470,7 +470,14 @@ def manifest_plane_section(spark) -> dict:
             cold_load = round(time.perf_counter() - t0, 4)
             # Metadata-only commits through the append LANE (what
             # store.append() and the streaming sink use): prior segments
-            # ride by reference, the head mirror evolves in place.
+            # ride by reference, the head mirror evolves in place. The
+            # FIRST commit pays a one-time O(n) head-mirror build (dict
+            # copies off the cold snapshot) — report it separately so
+            # the steady-state latency claim measures steady state
+            # (same warm-up convention as the query suite).
+            t0 = time.perf_counter()
+            fresh._transact(None, append_make=lambda v: [f"_synthw{v:06d}"])
+            first_commit = round(time.perf_counter() - t0, 4)
             commit_secs = []
             for _ in range(9):
                 t0 = time.perf_counter()
@@ -493,6 +500,7 @@ def manifest_plane_section(spark) -> dict:
             out[str(n_segs)] = {
                 "commit_sec_median": round(_st.median(commit_secs), 4),
                 "commit_secs": commit_secs,
+                "first_commit_sec": first_commit,  # head-mirror build
                 "commit_record_bytes": delta_bytes,
                 "cold_snapshot_load_sec": cold_load,
                 "warm_snapshot_load_sec": warm_load,
