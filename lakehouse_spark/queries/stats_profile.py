@@ -17,16 +17,29 @@ from lakehouse_spark.operators import sorts
 from lakehouse_spark.queries._core import _q, _dsum, _ssum, _t
 
 
+# Cent-rounding stays INTEGER until one final division (shared by both
+# engines on the same exact long -> identical double): these grouping-set
+# totals reach ~1e14 grid units, where engine round(double, 2)
+# implementations diverge in the last ulp (caught by the round-10 sf0.1
+# sweep — hash-only mismatch, rows/schema green). (s+50) - (s+50) % 100
+# is HALF-UP to the cent on the 1e-4 grid, exact in int64.
+_GS_BODY = """
+    SELECT returnflag, linestatus,
+           CAST((s + 50) - (s + 50) %% 100 AS DOUBLE) / CAST(10000 AS DOUBLE)
+             AS revenue
+    FROM (
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS s
+      FROM %s
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ) t
+"""
+
+
 @_q(
     "agg_grouping_sets",
-    """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
-                 / 10000.0, 2) AS revenue
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
+    _GS_BODY % "lineitem",
     doc=(
         "Explicit GROUPING SETS (two independent rollups in ONE scan + one "
         "shuffle — vs running two group-bys and unioning, which scans "
@@ -38,16 +51,7 @@ from lakehouse_spark.queries._core import _q, _dsum, _ssum, _t
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("__gs_lineitem")
-    return spark.sql(
-        """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
-                     / 10000.0, 2) AS revenue
-        FROM __gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
-    )
+    return spark.sql(_GS_BODY % "__gs_lineitem")
 
 
 @_q(
