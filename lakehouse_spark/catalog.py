@@ -418,6 +418,11 @@ class LakeCatalog:
             r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')",
             _re.I,
         )
+        # Aliases minted while rewriting THIS statement are exempt from
+        # FIFO eviction until the statement has run: a single query with
+        # >8 distinct timestamps on one table would otherwise drop a temp
+        # view its own rewritten SQL still references.
+        fresh: set[str] = set()
 
         def _sub(m):
             kw, name, ver, ts = m.groups()
@@ -453,10 +458,17 @@ class LakeCatalog:
                 if alias in fifo:
                     fifo.remove(alias)
                 fifo.append(alias)
-                # Cap live ts aliases per base (a single query would need
-                # >8 distinct timestamps on one table to self-evict).
+                fresh.add(alias)
+                # Cap live ts aliases per base, but never evict one minted
+                # for the statement being rewritten (the fifo may exceed
+                # the cap transiently for a >8-timestamp statement; the
+                # next statement's rewrite drains it back down).
                 while len(fifo) > 8:
-                    old = fifo.pop(0)
+                    evictable = [a for a in fifo if a not in fresh]
+                    if not evictable:
+                        break
+                    old = evictable[0]
+                    fifo.remove(old)
                     self.spark.catalog.dropTempView(old)
                     self._entries.pop(old, None)
             df.createOrReplaceTempView(alias)

@@ -1574,7 +1574,24 @@ class TxnMixin:
                 self.materialize_cdf(nxt)
             self._swap_pointer(nxt)
         except BaseException:
-            cv = self.current_version()
+            # The pointer probe must not replace the original exception
+            # (a transient OSError here used to escape, skipping the
+            # claim-release and wedging the slot until orphan-grace
+            # stealing). Retry briefly; if the pointer is UNREADABLE even
+            # then, the commit state is unknowable — propagate the
+            # ORIGINAL exception with NO destructive cleanup (unlinking
+            # manifest ``nxt`` when the commit did land would delete the
+            # live chain head; a wedged slot, by contrast, is recovered
+            # by orphan-grace stealing).
+            cv = None
+            for _probe in range(3):
+                try:
+                    cv = self.current_version()
+                    break
+                except Exception:
+                    time.sleep(0.01)
+            else:
+                raise
             if cv is not None and cv >= nxt:
                 # The pointer already advanced AT LEAST to our claimed
                 # slot: the commit IS durable and the exception escaped

@@ -81,19 +81,53 @@ def _ssum(col, digits: int = 2, scale: int = 10000):
     a 1/scale grid (exact for money/quantity columns with <= 4 decimal
     digits), summed as bigint (exact, order-independent, no decimal-kernel
     cost — decimal sums measured ~2x slower on the 8-agg flagship query),
-    then divided back. int64 overflow bound: |sum(x)| * scale < 9.2e18 —
-    fine to ~1e14 in column units; use _dsum where totals can exceed that.
-    Mirrors ``round(sum(CAST(round(x * scale) AS BIGINT)) / (scale*1.0), d)``.
-    """
+    HALF-UP rounded to the 10^-digits grid IN INT64, then divided back by
+    one shared double division. The earlier form ``round(sum_bigint /
+    10000.0, 2)`` diverged from DuckDB in the last ulp once group totals
+    passed ~1e14 grid units (caught by the round-10 sf0.1 sweep on
+    agg_grouping_sets): engine ``round(double, 2)`` implementations differ
+    there, so rounding must happen BEFORE the value ever becomes a double.
+    int64 overflow bound unchanged: |sum(x)| * scale < 9.2e18 — fine to
+    ~1e14 in column units; use _dsum where totals can exceed that.
+    Oracle mirror: :func:`_ssum_sql` (same CASE/%% arithmetic — bigint
+    remainder carries the dividend's sign in BOTH engines, so the sign
+    split makes the snap HALF-UP-away-from-zero exactly)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(F.round(c * scale).cast("long")) / F.lit(float(scale)), digits
-    )
+    s = F.sum(F.round(c * scale).cast("long"))
+    mod = scale // (10**digits)
+    if mod > 1:
+        half = mod // 2
+        pos = (s + half) - (s + half) % mod
+        neg = -((-s + half) - (-s + half) % mod)
+        s = F.when(s >= 0, pos).otherwise(neg)
+    return s.cast("double") / F.lit(float(scale))
+
+
+def _ssum_sql(expr: str, digits: int = 2, scale: int = 10000) -> str:
+    """DuckDB mirror of :func:`_ssum`: identical int64 snap, one double
+    division. The aggregate sub-expression repeats textually; engines
+    dedupe identical aggregates so it computes once. ``CAST(scale AS
+    DOUBLE)`` (not a ``10000.0`` literal) so the same string is also safe
+    under Spark SQL, where a bare decimal literal is DECIMAL typed."""
+    s = f"sum(CAST(round(({expr}) * {scale}) AS BIGINT))"
+    mod = scale // (10**digits)
+    if mod > 1:
+        half = mod // 2
+        s = (
+            f"(CASE WHEN {s} >= 0"
+            f" THEN ({s} + {half}) - ({s} + {half}) % {mod}"
+            f" ELSE -((-{s} + {half}) - (-{s} + {half}) % {mod}) END)"
+        )
+    return f"CAST({s} AS DOUBLE) / CAST({scale} AS DOUBLE)"
 
 
 def _savg(col, digits: int = 4, scale: int = 10000):
     """Scaled-int mean, same exactness argument as :func:`_ssum`; the single
-    double division is bit-identical across engines."""
+    double division is bit-identical across engines, and the final
+    ``round(double, d)`` does NOT carry _ssum's sf-bump hazard: a mean's
+    magnitude is data-valued (constant in sf), so it never grows into the
+    ~1e10+ range where engine round(double) implementations diverge — the
+    time bomb was group TOTALS growing with scale, which a /count cancels."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
         F.sum(F.round(c * scale).cast("long"))

@@ -34,6 +34,7 @@ from lakehouse_spark.queries._core import (
     _q,
     _savg,
     _ssum,
+    _ssum_sql,
     _t,
 )
 
@@ -752,13 +753,12 @@ def a8_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "agg_pivot_status",
-    """
+    f"""
     SELECT o_orderpriority,
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
            CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
            CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-           round(sum(CAST(round(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
-                                     ELSE 0 END * 10000) AS BIGINT)) / 10000.0, 2)
+           {_ssum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")}
              AS open_revenue
     FROM orders GROUP BY o_orderpriority
     """,
@@ -795,11 +795,10 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "agg_cube_revenue",
-    """
+    f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
-                 / 10000.0, 2) AS revenue,
+           {_ssum_sql("l_extendedprice")} AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -826,11 +825,10 @@ def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "w4_running_share",
-    """
+    f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS ship_day,
-             round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
-                   / 10000.0, 2) AS revenue
+             {_ssum_sql("l_extendedprice")} AS revenue
       FROM lineitem GROUP BY 1
     )
     SELECT ship_day, revenue,

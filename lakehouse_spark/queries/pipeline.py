@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark.operators import sorts, text
-from lakehouse_spark.queries._core import _q, _ssum, _t
+from lakehouse_spark.queries._core import _q, _ssum, _ssum_sql, _t
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS) + "]"
 
@@ -974,10 +974,9 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "skew_salted_join",
-    """
+    f"""
     SELECT concat('flag_', l_returnflag) AS flag_label,
-           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
-                 / 10000.0, 2) AS revenue,
+           {_ssum_sql("l_extendedprice")} AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY 1
     """,

@@ -33,6 +33,7 @@ from lakehouse_spark.queries._core import (
     _q,
     _savg,
     _ssum,
+    _ssum_sql,
     _t,
 )
 
@@ -684,13 +685,12 @@ def t20_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "t21_try_arithmetic",
-    """
+    f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_null_ratio,
-           round(sum(CAST(round(coalesce(ratio, 0) * 10000) AS BIGINT))
-                 / 10000.0, 2) AS sum_ratio,
+           {_ssum_sql("coalesce(ratio, 0)")} AS sum_ratio,
            CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_unparseable
     FROM (
@@ -726,13 +726,7 @@ def t21_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("ratio").isNull().cast("long")).alias("n_null_ratio"),
-            F.round(
-                F.sum(
-                    F.round(F.coalesce("ratio", F.lit(0.0)) * 10000).cast("long")
-                )
-                / 10000.0,
-                2,
-            ).alias("sum_ratio"),
+            _ssum(F.coalesce("ratio", F.lit(0.0))).alias("sum_ratio"),
             F.sum(F.col("parsed").isNull().cast("long")).alias("n_unparseable"),
         )
     )

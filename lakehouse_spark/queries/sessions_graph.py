@@ -34,6 +34,7 @@ from lakehouse_spark.queries._core import (
     _q,
     _savg,
     _ssum,
+    _ssum_sql,
     _t,
 )
 
@@ -769,14 +770,13 @@ def w5_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "j_null_safe_join",
-    """
+    f"""
     WITH a AS (
       SELECT nullif(user_id % 7, 0) AS k, count(*) AS n_a
       FROM events GROUP BY 1
     ), b AS (
       SELECT nullif(user_id % 7, 0) AS k,
-             round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
-               AS sum_b
+             {_ssum_sql("value")} AS sum_b
       FROM events GROUP BY 1
     )
     SELECT a.k, a.n_a, b.sum_b

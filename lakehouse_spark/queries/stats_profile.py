@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark.operators import sorts
-from lakehouse_spark.queries._core import _q, _dsum, _ssum, _t
+from lakehouse_spark.queries._core import _q, _dsum, _ssum, _ssum_sql, _t
 
 
 # Cent-rounding stays INTEGER until one final division (shared by both
@@ -181,11 +181,10 @@ def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "w6_wow_change",
-    """
+    f"""
     WITH weekly AS (
       SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
-             round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
-                   / 10000.0, 2) AS revenue
+             {_ssum_sql("l_extendedprice")} AS revenue
       FROM lineitem GROUP BY 1
     )
     SELECT week, revenue,
@@ -417,11 +416,10 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "agg_hhi_concentration",
-    """
+    f"""
     WITH seg AS (
       SELECT o_orderpriority,
-             round(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
-                   / 10000.0, 2) AS revenue
+             {_ssum_sql("o_totalprice")} AS revenue
       FROM orders GROUP BY o_orderpriority
     ), tot AS (
       SELECT sum(revenue) AS t FROM seg
@@ -489,11 +487,10 @@ def meta_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "agg_gini",
-    """
+    f"""
     WITH cust AS (
       SELECT o_custkey,
-             round(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
-                   / 10000.0, 2) AS rev
+             {_ssum_sql("o_totalprice")} AS rev
       FROM orders GROUP BY o_custkey
     ), ranked AS (
       SELECT rev,

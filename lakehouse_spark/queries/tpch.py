@@ -34,16 +34,17 @@ from lakehouse_spark.queries._core import (
     _q,
     _savg,
     _ssum,
+    _ssum_sql,
     _t,
 )
 
 @_q(
     "flagship_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(CAST(round(l_quantity * 10000) AS BIGINT)) / 10000.0, 2) AS sum_qty,
-           round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0, 2) AS sum_base_price,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+           {_ssum_sql("l_quantity")} AS sum_qty,
+           {_ssum_sql("l_extendedprice")} AS sum_base_price,
+           {_ssum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
            round(sum(CAST(round(l_quantity * 10000) AS BIGINT)) / (10000.0 * count(l_quantity)), 4) AS avg_qty,
            round(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / (10000.0 * count(l_extendedprice)), 4) AS avg_price,
            round(sum(CAST(round(l_discount * 10000) AS BIGINT)) / (10000.0 * count(l_discount)), 4) AS avg_disc,

@@ -458,7 +458,11 @@ def _sql_literal(v) -> str:
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
-    s = str(v).replace("'", "''")
+    # Spark's default parser (escapedStringLiterals=false) interprets
+    # backslash escapes inside string literals, so a raw backslash must be
+    # doubled BEFORE quote-doubling — otherwise 'a\nb' round-trips to a
+    # newline and a trailing backslash makes the rewritten WHERE unparseable.
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 
