@@ -15,6 +15,7 @@ from lakehouse_spark.mutation.manifest import (
     SchemaMismatchError,
     _predicate_expr,
     _segment_may_match,
+    load_snapshot_pruned,
 )
 
 
@@ -104,8 +105,87 @@ class DmlMixin:
             (touched if hit else untouched).append(s)
         return touched, untouched
 
+    def _logical_schema(self, version: int, manifest: dict):
+        """Full LOGICAL table schema at ``version``, cached per instance.
+        Targeted DML needs it to align touched-segment reads to the full
+        table even when schema-evolved columns live only in untouched
+        segments — and re-unioning EVERY segment's footer per statement
+        for that alignment is an O(table) Spark-planning cost a 1-row
+        targeted DELETE must not pay. DML itself never changes the schema
+        (sources are projected to the target's columns; merge
+        ``extra_cols='evolve'`` widens explicitly and invalidates), so
+        :meth:`_carry_schema` rolls the cache forward across this
+        instance's own DML commits; any other writer's commit changes the
+        version and forces one rebuild."""
+        cached = getattr(self, "_schema_cache", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        if manifest is None or manifest.get("pruned"):
+            # A predicate-scoped partial snapshot lists only matching
+            # segments — the schema union must run over all of them.
+            manifest = self._snapshot(version)
+        full = self._to_logical_static(
+            self._read_segments(manifest["segments"], {}),
+            manifest.get("renames", {}),
+            manifest.get("dropped", []),
+        )
+        self._schema_cache = (version, full.schema)
+        return full.schema
+
+    def _carry_schema(self, version: int | None) -> None:
+        """Roll the schema cache forward to ``version`` after a DML commit
+        that provably did not change the table schema."""
+        cached = getattr(self, "_schema_cache", None)
+        if cached is not None and version is not None:
+            self._schema_cache = (version, cached[1])
+
+    def _carry_schema_union(self, version: int | None, written) -> None:
+        """Roll the schema cache forward across an APPEND: the new version's
+        schema is the old one plus any columns the appended frame
+        introduced (additive evolution — old segments read them as null,
+        hence nullable). Type conflicts were already rejected, so the
+        union is exact. A fresh StructType is built (StructType.add
+        mutates the receiver)."""
+        cached = getattr(self, "_schema_cache", None)
+        if cached is None or version is None:
+            return
+        from pyspark.sql.types import StructField, StructType
+
+        have = {f.name for f in cached[1].fields}
+        extra = [f for f in written.fields if f.name not in have]
+        if extra:
+            self._schema_cache = (
+                version,
+                StructType(
+                    list(cached[1].fields)
+                    + [StructField(f.name, f.dataType, True) for f in extra]
+                ),
+            )
+        else:
+            self._schema_cache = (version, cached[1])
+
+    def _dml_manifest(self, v: int, predicate: dict | None) -> dict:
+        """Snapshot for DML file selection. With a selective predicate,
+        prefer the two-level checkpoint's shard bounds (O(matched shards)
+        — even on a WARM instance, where the full snapshot itself is a
+        cache hit but the per-segment selection loop over it is O(table)
+        Python per statement). The partial snapshot is a provable SUPERSET
+        of the matching segments, carries their stats/partition values,
+        and its dv/scalar planes are complete — exactly what the
+        per-segment selection and :meth:`_aligned_base` consume. Tables
+        without a sharded checkpoint (or pre-checkpoint versions) fall
+        back to the full snapshot, the previous behavior."""
+        if predicate:
+            sc = getattr(self, "_shard_cache", None)
+            if sc is None:
+                sc = self._shard_cache = {}
+            m = load_snapshot_pruned(self.root, v, predicate, shard_cache=sc)
+            if m is not None:
+                return m
+        return self._snapshot(v)
+
     def _aligned_base(
-        self, manifest: dict, touched: list[str]
+        self, manifest: dict, touched: list[str], version: int | None = None
     ) -> DataFrame:
         """Read the touched segments (deletion vectors applied) aligned to
         the FULL table schema, so targeted DML behaves byte-identically to
@@ -114,7 +194,10 @@ class DmlMixin:
         applied, dropped columns gone): every DML path computes in logical
         space and _write_segment translates back to physical on write —
         which is also what physically purges dropped columns from any
-        segment a rewrite touches."""
+        segment a rewrite touches. With ``version`` the alignment schema
+        comes from the per-version cache (O(affected) planning: only the
+        touched segments are opened); without it, the legacy full-union
+        read."""
         renames = manifest.get("renames", {})
         drop_cols = manifest.get("dropped", [])
 
@@ -122,6 +205,21 @@ class DmlMixin:
             return self._to_logical_static(df, renames, drop_cols)
 
         dv = manifest.get("dv", {})
+        if version is not None:
+            schema = self._logical_schema(version, manifest)
+            if not touched:
+                return self.spark.createDataFrame([], schema)
+            base = _logical(self._read_segments(touched, dv))
+            missing = [f for f in schema.fields if f.name not in base.columns]
+            if missing:
+                base = base.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in missing
+                    ],
+                )
+            return base.select(*[f.name for f in schema.fields])
         full = _logical(self._read_segments(manifest["segments"], dv))
         if set(touched) == set(manifest["segments"]):
             return full
@@ -172,12 +270,13 @@ class DmlMixin:
         # transaction (once v is claimed, v-1 is immutable) and the commit
         # touches O(new segments) manifest state — the head mirror evolves
         # in place, so ingest commit latency is flat in table size.
-        self._transact(
+        nv = self._transact(
             None,
             meta,
             txn,
             append_make=lambda v: self._write_partitioned(rows, v),
         )
+        self._carry_schema_union(nv, rows.schema)
 
     def _reject_schema_conflicts(self, rows: DataFrame, op: str = "append") -> None:
         """Schema enforcement (Delta's write-time contract): a written
@@ -192,8 +291,13 @@ class DmlMixin:
         # simpleString drops nullability (recursively) on purpose: writing
         # non-null arrays/structs into nullable ones is exactly what
         # parquet's schema merge already reconciles — only TYPE conflicts
-        # poison the merge.
-        target = {f.name: f.dataType.simpleString() for f in self.read().schema}
+        # poison the merge. The target schema comes from the per-version
+        # cache: re-unioning every segment's footer per WRITE is an
+        # O(table) planning cost the hot append path must not pay.
+        target = {
+            f.name: f.dataType.simpleString()
+            for f in self._logical_schema(self.current_version(), None).fields
+        }
         conflicts = [
             (f.name, target[f.name], f.dataType.simpleString())
             for f in rows.schema
@@ -319,7 +423,7 @@ class DmlMixin:
         v0 = self.current_version()
         if v0 is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        manifest = self._snapshot(v0)
+        manifest = self._dml_manifest(v0, predicate)
         stats = manifest.get("stats", {})
         # Stats are keyed by PHYSICAL column names; the predicate arrives
         # logical. (The row-level cond below stays logical — the base read
@@ -337,21 +441,28 @@ class DmlMixin:
             if _segment_may_match(stats.get(s), phys_pred)
             and self._partition_may_match(parts.get(s), phys_pred)
         ]
-        untouched = [s for s in manifest["segments"] if s not in set(touched)]
-        base = self._aligned_base(manifest, touched)
+        base = self._aligned_base(manifest, touched, version=v0)
         # Survivors = rows NOT matching (a null-valued predicate column
         # means "doesn't match" and therefore survives).
         survivors = base.filter(~F.coalesce(cond, F.lit(False)))
         out = survivors.unionByName(df.select(*base.columns))
         # Interleaved appends provably OUTSIDE the replaced region commute
         # (serial order: replace, then append) — rebase instead of raising.
-        return self._transact(
-            lambda v: untouched + self._write_partitioned(out, v),
+        # Mutate lane: the commit records (touched-removed, added) — the
+        # untouched segments ride by reference with O(affected) metadata.
+        nv = self._transact(
+            None,
             meta,
             txn,
             base_version=v0,
             rebase_predicate=phys_pred,
+            mutate_make=(
+                touched,
+                lambda v: self._write_partitioned(out, v),
+            ),
         )
+        self._carry_schema(nv)
+        return nv
 
     def upsert(
         self,
@@ -394,19 +505,25 @@ class DmlMixin:
         # snapshot-conflict check back to that read — a commit landing after
         # the derivation raises instead of silently losing it.
         v0 = self.current_version() if base_version is None else base_version
-        manifest = self._snapshot(v0)
         keys = self._source_key_list(rows)
+        # Key-range shard pruning: selection scans only the checkpoint
+        # shards whose key bounds overlap the source keys, not every
+        # segment record (falls back to the full snapshot when there is
+        # no sharded checkpoint).
+        manifest = self._dml_manifest(
+            v0, {self.key: (keys[0], keys[-1])} if keys else None
+        )
         if keys is None:
-            touched, untouched = manifest["segments"], []
+            touched = manifest["segments"]
         else:
-            touched, untouched = self._split_by_key_overlap(manifest, keys)
+            touched, _ = self._split_by_key_overlap(manifest, keys)
         # Conflict-rebase proof: an interleaved blind append commutes with
         # this upsert iff its segments provably hold NONE of the source
         # keys (else carried-through appended rows would duplicate keys
         # the new segment also carries). Key column is rename-guarded, so
         # the logical name IS the physical name.
         rebase_pred = {self.key: keys} if keys is not None else None
-        base = self._aligned_base(manifest, touched)
+        base = self._aligned_base(manifest, touched, version=v0)
         if mode == "dv":
             new_rows = rows.select(*base.columns)
             # Pre-images of the keys being replaced: they fund the change
@@ -433,22 +550,28 @@ class DmlMixin:
 
             # Append lane (prior segments by reference): the commit writes
             # O(changed rows) data AND touches O(changed) manifest state.
-            self._transact(
+            nv = self._transact(
                 None,
                 txn=txn,
                 base_version=v0,
                 rebase_predicate=rebase_pred,
                 append_make=_mor,
             )
+            self._carry_schema(nv)
             return
         survivors = base.join(rows.select(self.key), self.key, "left_anti")
         out = survivors.unionByName(rows.select(*base.columns))
-        self._transact(
-            lambda v: untouched + self._write_partitioned(out, v),
+        nv = self._transact(
+            None,
             txn=txn,
             base_version=v0,
             rebase_predicate=rebase_pred,
+            mutate_make=(
+                touched,
+                lambda v: self._write_partitioned(out, v),
+            ),
         )
+        self._carry_schema(nv)
 
     def update(
         self,
@@ -480,7 +603,7 @@ class DmlMixin:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         key = self.key or self._manifest_key()
         gen = self.generated_columns()
-        cols = self.read(v0).columns
+        cols = [f.name for f in self._logical_schema(v0, None).fields]
         for c in set:
             if c == key:
                 raise ValueError(
@@ -604,16 +727,18 @@ class DmlMixin:
         # the unknown-column check and clause evaluation below are
         # byte-identical to the untargeted form.
         v0 = self.current_version()
-        manifest = self._snapshot(v0)
         tkeys = self._source_key_list(source)
+        manifest = self._dml_manifest(
+            v0, {self.key: (tkeys[0], tkeys[-1])} if tkeys else None
+        )
         if tkeys is None:
-            touched, untouched = manifest["segments"], []
+            touched = manifest["segments"]
         else:
-            touched, untouched = self._split_by_key_overlap(manifest, tkeys)
+            touched, _ = self._split_by_key_overlap(manifest, tkeys)
         # Same commute proof as upsert: interleaved appends must provably
         # hold none of the source keys.
         rebase_pred = {self.key: tkeys} if tkeys is not None else None
-        base = self._aligned_base(manifest, touched)
+        base = self._aligned_base(manifest, touched, version=v0)
         unknown = [c for c in source.columns if c not in base.columns]
         if unknown and extra_cols == "error":
             raise ValueError(
@@ -707,13 +832,17 @@ class DmlMixin:
                     self._pending_dv[name] = list(touched)
                 return new_segs
 
-            self._transact(
+            nv = self._transact(
                 None,
                 txn=txn,
                 base_version=v0,
                 rebase_predicate=rebase_pred,
                 append_make=_mor,
             )
+            if unknown and extra_cols == "evolve":
+                self._schema_cache = None  # schema widened: rebuild
+            else:
+                self._carry_schema(nv)
             return
         kept = joined.filter(~deleted).select(
             *[
@@ -724,12 +853,20 @@ class DmlMixin:
             ]
         )
         out = kept if ins is None else kept.unionByName(ins)
-        self._transact(
-            lambda v: untouched + self._write_partitioned(out, v),
+        nv = self._transact(
+            None,
             txn=txn,
             base_version=v0,
             rebase_predicate=rebase_pred,
+            mutate_make=(
+                touched,
+                lambda v: self._write_partitioned(out, v),
+            ),
         )
+        if unknown and extra_cols == "evolve":
+            self._schema_cache = None  # schema widened: rebuild
+        else:
+            self._carry_schema(nv)
 
     def delete_where(
         self,
@@ -765,8 +902,8 @@ class DmlMixin:
         v0 = self.current_version()
         if v0 is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        manifest = self._snapshot(v0)
-        touched, untouched = manifest["segments"], []
+        manifest = self._dml_manifest(v0, predicate)
+        touched = manifest["segments"]
         rebase_pred = None
         if predicate:
             stats = manifest.get("stats", {})
@@ -782,12 +919,9 @@ class DmlMixin:
                 if _segment_may_match(stats.get(s), phys_pred)
                 and self._partition_may_match(parts.get(s), phys_pred)
             ]
-            untouched = [
-                s for s in manifest["segments"] if s not in set(touched)
-            ]
         if not touched:
             return 0  # provably nothing matches; no commit needed
-        base = self._aligned_base(manifest, touched)
+        base = self._aligned_base(manifest, touched, version=v0)
         cond = _predicate_expr(predicate) if predicate else None
         if where is not None:
             w = F.expr(where)
@@ -800,12 +934,17 @@ class DmlMixin:
                 removed = base.count() - survivors.count()
                 if removed == 0:
                     return 0
-                self._transact(
-                    lambda v: untouched + self._write_partitioned(survivors, v),
+                nv = self._transact(
+                    None,
                     txn=txn,
                     base_version=v0,
                     rebase_predicate=rebase_pred,
+                    mutate_make=(
+                        touched,
+                        lambda v: self._write_partitioned(survivors, v),
+                    ),
                 )
+                self._carry_schema(nv)
                 return removed
             finally:
                 base.unpersist()
@@ -837,13 +976,14 @@ class DmlMixin:
                 self._pending_dv[name] = list(touched)
                 return []
 
-            self._transact(
+            nv = self._transact(
                 None,
                 txn=txn,
                 base_version=v0,
                 rebase_predicate=rebase_pred,
                 append_make=_keep,
             )
+            self._carry_schema(nv)
             return removed
         finally:
             pre.unpersist()
@@ -872,29 +1012,38 @@ class DmlMixin:
         v0 = self.current_version()
         if v0 is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        manifest = self._snapshot(v0)
         keyset = keys.select(self.key).distinct()
         # Deleted rows can only live in segments whose key stats overlap the
-        # key set — read (and in rewrite mode, rewrite) just those.
+        # key set — read (and in rewrite mode, rewrite) just those. Shard
+        # pruning narrows the selection scan itself to the checkpoint
+        # shards whose key bounds overlap.
         klist = self._source_key_list(keyset)
+        manifest = self._dml_manifest(
+            v0, {self.key: (klist[0], klist[-1])} if klist else None
+        )
         if klist is None:
-            touched, untouched = manifest["segments"], []
+            touched = manifest["segments"]
         else:
-            touched, untouched = self._split_by_key_overlap(manifest, klist)
+            touched, _ = self._split_by_key_overlap(manifest, klist)
         # Appends provably free of the deleted keys commute with this
         # delete (their rows survive either serial order).
         rebase_pred = {self.key: klist} if klist is not None else None
         if not touched:
             return 0  # provably nothing to delete; no commit needed
-        base = self._aligned_base(manifest, touched)
+        base = self._aligned_base(manifest, touched, version=v0)
         if mode == "rewrite":
             out = base.join(keyset, self.key, "left_anti")
             removed = base.count() - out.count()
-            self._transact(
-                lambda v: untouched + self._write_partitioned(out, v),
+            nv = self._transact(
+                None,
                 base_version=v0,
                 rebase_predicate=rebase_pred,
+                mutate_make=(
+                    touched,
+                    lambda v: self._write_partitioned(out, v),
+                ),
             )
+            self._carry_schema(nv)
             return removed
         deleted = base.join(F.broadcast(keyset), self.key, "left_semi")
         removed = deleted.count()
@@ -918,12 +1067,13 @@ class DmlMixin:
         # (unless provably-disjoint appends, which the rebase carries
         # through unmasked — the head at v-1 already holds them, and the
         # dv never applies to them by construction).
-        self._transact(
+        nv = self._transact(
             None,
             base_version=v0,
             rebase_predicate=rebase_pred,
             append_make=_keep,
         )
+        self._carry_schema(nv)
         return removed
 
     def delete_last_per_group(self, group: str, order_col: str) -> None:

@@ -772,12 +772,23 @@ class TxnMixin:
             if head is not None and head.get("version") == cur:
                 return head
         snap = self._snapshot(cur)  # not under the lock (it takes it)
+        # ``segments`` is an insertion-ordered dict used as an ordered SET:
+        # the mutate lane removes O(affected) names per DML commit, and a
+        # list would make each removal O(table). ``dvrev`` is the reverse
+        # index segment -> dv names masking it, so a rewrite that drops
+        # segments finds the dvs it made inert in O(affected), not by
+        # scanning every dv.
+        dvrev: dict[str, set] = {}
+        for name, ap in snap["dv"].items():
+            for s in ap:
+                dvrev.setdefault(s, set()).add(name)
         head = {
             "version": cur,
-            "segments": list(snap["segments"]),
+            "segments": dict.fromkeys(snap["segments"]),
             "stats": dict(snap["stats"]),
             "partitions": dict(snap["partitions"]),
             "dv": dict(snap["dv"]),
+            "dvrev": dvrev,
             "txn": dict(snap["txn"]),
             "meta": snap["meta"],
             "committed_at": snap["committed_at"],
@@ -1163,10 +1174,157 @@ class TxnMixin:
         # never been interrupted.
         try:
             with self._head_lock:
-                head["segments"].extend(doc["add"])
+                for s in doc["add"]:
+                    head["segments"][s] = None
                 head["stats"].update(doc.get("stats", {}))
                 head["partitions"].update(doc.get("partitions", {}))
-                head["dv"].update(doc.get("dv_set", {}))
+                for n, ap in doc.get("dv_set", {}).items():
+                    head["dv"][n] = ap
+                    for s in ap:
+                        head["dvrev"].setdefault(s, set()).add(n)
+                head["txn"].update(doc.get("txn_set", {}))
+                head["meta"] = doc["meta"]
+                head["committed_at"] = doc["committed_at"]
+                head["version"] = nxt
+            self._maybe_checkpoint(nxt)
+        except Exception:
+            self._head = None
+        except BaseException:
+            self._head = None
+            raise
+        return nxt
+
+    def _commit_mutate(
+        self,
+        nxt: int,
+        cur: int,
+        removed: list[str],
+        make_added,
+        meta: dict | None,
+        txn: tuple[str, int] | None,
+    ) -> int:
+        """The MUTATE lane of :meth:`_transact` (caller holds the claim on
+        ``nxt`` and routes abort cleanup): commit a targeted rewrite —
+        drop ``removed`` segments, add ``make_added(nxt)``'s — touching
+        O(affected) driver metadata, not O(table). This is the DML half of
+        the round-9 append lane: the head mirror's ordered segment dict
+        evolves in place (O(1) per removed/added name), per-segment
+        stats/partitions pop only the removed names, and the delta
+        manifest lists exactly the change. A 1-row targeted DELETE on a
+        10^6-segment table pays microseconds of metadata CPU, same as an
+        append — previously every DML rebuilt full snapshot containers
+        (the round-10 verdict's #1 residual, mutation/dml.py:734/:851).
+
+        Semantics are byte-identical to the general lane's delta-encodable
+        form: the resulting segment order is prev-minus-removed-plus-
+        appended, dvs whose masked segments are ALL gone are unset
+        (found via the head's dv reverse index, O(affected)), and the
+        on-disk delta doc is the same shape a cold reader already replays
+        — no file-format change. Conflict rebase is inherent: the head at
+        ``cur`` already carries any interleaved disjoint appends, and the
+        remove/add form applies to whatever the head is (the caller's
+        ``base_version`` proof ran in :meth:`_transact` before dispatch).
+        CDF stores take the general lane (the change-file materialization
+        needs a full snapshot mid-commit, and it reads the affected data
+        anyway — metadata CPU is not their floor)."""
+        head = self._head_for(cur)
+        segmap = head["segments"]
+        stale = [s for s in removed if s not in segmap]
+        if stale:
+            # A removal naming a non-live segment means the caller's read
+            # and this head diverged in a way the base_version/rebase
+            # machinery should have caught — fail the commit (the caller's
+            # abort cleanup releases the claim) rather than write a delta
+            # a replayer would apply as a no-op remove.
+            raise ConcurrentWriteError(
+                f"mutate commit removes segment(s) not live at version "
+                f"{cur}: {stale[:5]}{'...' if len(stale) > 5 else ''}; "
+                "re-read and retry the mutation"
+            )
+        dv_before = set(self._pending_dv)
+        added = make_added(nxt)
+        dv_set: dict = {}
+        for name in list(self._pending_dv):
+            if name not in dv_before:
+                dv_set[name] = self._pending_dv.pop(name)
+        st_new: dict = {}
+        pt_new: dict = {}
+        for s in added:
+            st = self._pending_stats.pop(s, None)
+            if st:
+                st_new[s] = st
+            p = self._pending_parts.pop(s, None)
+            if p is not None:
+                pt_new[s] = p
+        # dvs made inert by this commit: every segment they mask is being
+        # removed (the general lane's any-live rule, computed O(affected)
+        # via the reverse index instead of scanning all dvs).
+        removed_set = set(removed)
+        cands: set = set()
+        for s in removed:
+            cands |= head["dvrev"].get(s, set())
+        dv_unset = []
+        for name in cands:
+            if name in dv_set:
+                continue
+            ap = head["dv"].get(name)
+            if ap is not None and all(
+                a in removed_set or a not in segmap for a in ap
+            ):
+                dv_unset.append(name)
+        delta_doc: dict = {
+            "delta": 1,
+            "add": list(added),
+            "remove": list(removed),
+            "meta": meta or {},
+            "committed_at": time.time(),
+        }
+        if st_new:
+            delta_doc["stats"] = st_new
+        if pt_new:
+            delta_doc["partitions"] = pt_new
+        if dv_set:
+            delta_doc["dv_set"] = dv_set
+        if dv_unset:
+            delta_doc["dv_unset"] = sorted(dv_unset)
+        if txn is not None:
+            app, ver = txn
+            delta_doc["txn_set"] = {
+                app: max(int(ver), int(head["txn"].get(app, -1)))
+            }
+        # Canonicalize through JSON once so the in-memory head mirror is
+        # bit-identical to what a cold reader replays from the file.
+        doc = json.loads(json.dumps(delta_doc, default=str))
+        tmp = self._manifest_path(nxt) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest_path(nxt))
+        self._swap_pointer(nxt)
+        # -- committed. Same maintenance contract as the append lane:
+        # nothing below may raise into the caller's abort cleanup; drop
+        # the mirror on failure, re-raise exit signals after the drop.
+        try:
+            with self._head_lock:
+                dvrev = head["dvrev"]
+                for s in doc["remove"]:
+                    segmap.pop(s, None)
+                    head["stats"].pop(s, None)
+                    head["partitions"].pop(s, None)
+                    dvrev.pop(s, None)
+                for s in doc["add"]:
+                    segmap[s] = None
+                head["stats"].update(doc.get("stats", {}))
+                head["partitions"].update(doc.get("partitions", {}))
+                for n in doc.get("dv_unset", ()):
+                    ap = head["dv"].pop(n, None)
+                    for s in ap or ():
+                        names = dvrev.get(s)
+                        if names is not None:
+                            names.discard(n)
+                for n, ap in doc.get("dv_set", {}).items():
+                    head["dv"][n] = ap
+                    for s in ap:
+                        dvrev.setdefault(s, set()).add(n)
                 head["txn"].update(doc.get("txn_set", {}))
                 head["meta"] = doc["meta"]
                 head["committed_at"] = doc["committed_at"]
@@ -1194,6 +1352,7 @@ class TxnMixin:
         partitions_override: dict | None = None,
         rebase_predicate: dict | None = None,
         append_make=None,
+        mutate_make: tuple[list, object] | None = None,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -1252,6 +1411,32 @@ class TxnMixin:
                     time.sleep(0.05)
                     continue
                 raise
+        if mutate_make is not None:
+            # The mutate LANE (targeted rewrites: DML, compaction folds):
+            # ``(removed_names, make_added)`` — O(affected) metadata via
+            # _commit_mutate. Falls back to the general lane with
+            # byte-identical semantics (prev-minus-removed-plus-appended
+            # is exactly the delta-encodable order) when there is no head
+            # to evolve (creation), the store writes CDF (change-file
+            # materialization needs full snapshots mid-commit), or a
+            # state-override commit pins planes the in-place evolution
+            # doesn't model.
+            _mut_rm, _mut_mk = mutate_make
+            _overridden = (
+                dv_override is not None
+                or constraints_override is not None
+                or generated_override is not None
+                or columns_override is not None
+                or partition_by_override is not None
+                or stats_override is not None
+                or partitions_override is not None
+            )
+            if cur is None or self.write_cdf or _overridden:
+                _rms = set(_mut_rm)
+                make_segments = lambda v: [  # noqa: E731
+                    s for s in self._segments(v - 1) if s not in _rms
+                ] + _mut_mk(v)
+                mutate_make = None
         if append_make is not None and (cur is None or self.write_cdf):
             # The append LANE (below) needs an existing head-state to
             # evolve and defers to the general lane for CDF stores (the
@@ -1304,6 +1489,15 @@ class TxnMixin:
                 # manifest by construction. Shares this claim and the
                 # abort cleanup below.
                 return self._commit_append(nxt, cur, append_make, meta, txn)
+            if mutate_make is not None:
+                # Targeted-rewrite fast lane: O(affected) driver CPU.
+                # Shares this claim and the abort cleanup below; the
+                # base_version / rebase proof already ran above (the head
+                # at ``cur`` carries any rebased-in disjoint appends, and
+                # the remove/add form applies to it directly).
+                return self._commit_mutate(
+                    nxt, cur, list(mutate_make[0]), mutate_make[1], meta, txn
+                )
             prev_txn, prev_stats, prev_dv = {}, {}, {}
             prev_cons, prev_gen = {}, {}
             prev_renames, prev_dropped = {}, []

@@ -119,10 +119,19 @@ class ReadsMixin:
             # below still applies. Warm instances keep using the cached
             # full snapshot (1000x cheaper than any parse).
             head = getattr(self, "_head", None)
-            warm = v in getattr(self, "_snap_cache", {}) or (
-                head is not None and head.get("version") == v
-            )
-            if not warm:
+            cache = getattr(self, "_snap_cache", {})
+            warm_n = None
+            if v in cache:
+                warm_n = len(cache[v]["segments"])
+            elif head is not None and head.get("version") == v:
+                warm_n = len(head["segments"])
+            # Warm-but-LARGE snapshots go through shard pruning too: the
+            # full snapshot is a dict hit, but the per-segment selection
+            # loop below is O(table) Python per statement — above this
+            # size the shard-bounds route (list doc + matched shards, both
+            # cached across statements) is cheaper. Small warm tables keep
+            # the zero-IO path.
+            if warm_n is None or warm_n > 4096:
                 sc = getattr(self, "_shard_cache", None)
                 if sc is None:
                     sc = self._shard_cache = {}
