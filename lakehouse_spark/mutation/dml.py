@@ -580,6 +580,7 @@ class DmlMixin:
         predicate: dict | None = None,
         mode: str = "rewrite",
         txn: tuple[str, int] | None = None,
+        keys: DataFrame | None = None,
     ) -> int:
         """Delta's ``UPDATE target SET <col> = <expr> [WHERE ...]``.
 
@@ -592,6 +593,16 @@ class DmlMixin:
         rewrite underneath touches only the files the matched keys live in.
         ``mode="dv"`` is merge-on-read UPDATE: zero rewrites, old images
         masked by a deletion vector, post-images in one new segment.
+
+        ``keys`` is the DISTRIBUTED key-set form (``UPDATE ... WHERE key
+        IN (SELECT ...)`` beyond any inline-literal cap): a one-column
+        frame of key values; matched rows are found with a semi-join that
+        never materializes the set on the driver, composing with ``where``
+        /``predicate`` as an extra conjunct. The targeted rewrite
+        underneath still applies key-stats file skipping (the POST-image
+        keys drive it); arbitrarily large key sets degrade gracefully to
+        the full rewrite exactly like upsert. This is Delta's
+        UPDATE-with-subquery cost shape.
 
         Generated columns are recomputed from the updated values (Delta's
         UPDATE contract); setting one directly, or the key, is an error.
@@ -618,6 +629,14 @@ class DmlMixin:
             if c not in cols:
                 raise KeyError(f"no column {c!r} (have {cols})")
         matched = self.read(v0, predicate=predicate)
+        if keys is not None:
+            kf = keys
+            if len(kf.columns) != 1:
+                raise ValueError(
+                    f"keys frame must have exactly one column, got {kf.columns}"
+                )
+            kf = kf.toDF(key).filter(F.col(key).isNotNull()).distinct()
+            matched = matched.join(kf, key, "left_semi")
         if where is not None:
             matched = matched.filter(F.expr(where))
         # SET expressions are cast to the column's existing type (Delta's

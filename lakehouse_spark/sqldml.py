@@ -670,6 +670,52 @@ def _update(cat, q: str) -> DataFrame:
             raise ValueError(f"cannot parse SET assignment {item!r}")
         assignments[am.group(1)] = am.group(2).strip()
     if where and has_where_subquery(where):
+        terms = [_parse_where_term(t) for t in _split_top(where, "AND")]
+        key_ins = [
+            i
+            for i, t in enumerate(terms)
+            if t[0] == "in" and not t[3] and t[1] == store.key
+        ]
+        others_plain = all(
+            t[0] == "plain" for i, t in enumerate(terms) if i not in key_ins[:1]
+        )
+        # A top-level OR in any AND-split part means the textual split is
+        # NOT a real conjunction (``sub AND a OR b`` is ``(sub AND a) OR
+        # b``) — extracting the IN term would change semantics. The inline
+        # route below handles that case with in-place substitution.
+        no_top_or = all(
+            len(_split_top(t, "OR")) == 1 for t in _split_top(where, "AND")
+        )
+        if key_ins and others_plain and no_top_or and not store.renames():
+            # Distributed route (round-11 ask #3, the UPDATE analog of the
+            # DELETE key-route above): a positive IN-subquery on the TABLE
+            # KEY becomes update(keys=frame) — matched rows found by a
+            # semi-join that never collects the key set to the driver, so
+            # there is NO inline-literal cap; remaining plain conjuncts
+            # ride along as the row filter, and the targeted rewrite keeps
+            # key-stats file skipping. Delta's UPDATE-with-subquery shape.
+            idx = key_ins[0]
+            keys = cat.sql(terms[idx][2])
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    "IN subquery must return exactly one column, got "
+                    f"{keys.columns}"
+                )
+            rest = [
+                t
+                for i, t in enumerate(_split_top(where, "AND"))
+                if i != idx
+            ]
+            rest_where = " AND ".join(rest) if rest else None
+            pred = extract_predicate(rest_where) if rest_where else {}
+            n = store.update(
+                set=assignments,
+                where=rest_where,
+                predicate=pred or None,
+                keys=keys.toDF(store.key),
+            )
+            _refresh_after(cat, name)
+            return _result(cat.spark, "UPDATE", name, n)
         where, empty = _inline_where_subqueries(cat, where)
         if empty:
             return _result(cat.spark, "UPDATE", name, 0)
