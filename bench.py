@@ -703,6 +703,31 @@ def _dml_metadata_section(spark, root: str) -> dict:
             "statement_sec_median": round(_st.median(stmt_secs), 4),
             "o_table_selection_sec": o_table_sel,
         }
+        if n_segs == 200_000:
+            # Round-11 ask #4: format("lakehouse") cold FIRST plan on the
+            # same 200k-segment table — schema from the recorded scalar
+            # (list doc, no shard parse, no footer walk), partitions
+            # through shard-pruned planning. Module caches cleared =
+            # genuinely cold driver state.
+            from lakehouse_spark.sources import table_source as TS
+
+            TS._SNAPSHOT_CACHE.clear()
+            TS._SCALARS_CACHE.clear()
+            TS._SHARD_CACHE.clear()
+            opts = {
+                "path": tdir,
+                "predicate": json.dumps({"id": {"between": [3, 4]}}),
+            }
+            t0 = time.perf_counter()
+            dsrc = TS.LakehouseDataSource(opts)
+            sch = dsrc.schema()
+            rdr = dsrc.reader(sch)
+            parts = rdr.partitions()
+            out["datasource_cold_plan_200k"] = {
+                "sec": round(time.perf_counter() - t0, 4),
+                "partitions": len(parts),
+                "schema_fields": len(sch.fields),
+            }
     small, big = out["1000"], out["200000"]
     for k in (
         "selection_sec_median",

@@ -256,6 +256,21 @@ class LakeCatalog:
                         "write_cdf": store.write_cdf,
                         "partition_by": list(store.partition_by),
                         "checkpoint_interval": store.checkpoint_interval,
+                        # Writer knobs (round-11 ask #5): without the shard
+                        # size a reloaded catalog's writer would checkpoint
+                        # a 200k-segment table with the default 1000 and
+                        # rewrite EVERY shard once — correct but O(table),
+                        # and it breaks shard reuse for the next writer.
+                        "checkpoint_shard_size": store.checkpoint_shard_size,
+                        "claim_wait_sec": getattr(
+                            store, "claim_wait_sec", 0.0
+                        ),
+                        "orphan_grace_sec": getattr(
+                            store, "orphan_grace_sec", 300.0
+                        ),
+                        "max_partitions_per_commit": (
+                            store.max_partitions_per_commit
+                        ),
                     },
                 }
             )
@@ -297,6 +312,14 @@ class LakeCatalog:
                 write_cdf=conf.get("write_cdf", False),
                 partition_by=tuple(conf.get("partition_by", ())),
                 checkpoint_interval=conf.get("checkpoint_interval", 32),
+                claim_wait_sec=conf.get("claim_wait_sec", 0.0),
+                orphan_grace_sec=conf.get("orphan_grace_sec", 300.0),
+                max_partitions_per_commit=conf.get(
+                    "max_partitions_per_commit", 64
+                ),
+            )
+            store.checkpoint_shard_size = conf.get(
+                "checkpoint_shard_size", 1000
             )
             if store.current_version() is None:
                 raise FileNotFoundError(

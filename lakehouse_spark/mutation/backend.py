@@ -136,7 +136,7 @@ class DeltaBackend(TableBackend):
     a skip, not a pass.
 
     Install attempt log (documented environment block; retried every
-    round per the round-8 verdict): rounds 8, 9 (2026-08-15) and 10
+    round per the round-8 verdict): rounds 8, 9 (2026-08-15), 10 and 11
     (2026-08-16) all fail identically — the sandbox has no network route
     to any package index (``pip install delta-spark`` retries exhaust on
     DNS ``Name or service not known``), ``import delta`` raises ImportError,

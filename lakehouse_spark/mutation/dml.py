@@ -343,6 +343,7 @@ class DmlMixin:
         v = self._transact(
             lambda _v: m["segments"],
             meta={"restored_from": version},
+            schema_override=m.get("schema"),
             # Pin the restored version's FULL state, not just its data:
             # deletion vectors (carrying the head's would keep masking
             # rows the restored state had), per-segment stats/partition

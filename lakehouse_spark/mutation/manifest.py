@@ -248,6 +248,12 @@ _SNAP_DEFAULTS: dict = {
     "partition_by": [],
     "partitions": {},
     "key": "",
+    # Physical table schema (Spark StructType.jsonValue dict), recorded at
+    # write time: union-forward across appends/DML, reset by full-replace
+    # commits (overwrite/compact — which also physically purge dropped
+    # columns), pinned by restore/clone. None on tables written before
+    # round 11 — readers fall back to the parquet-footer union.
+    "schema": None,
 }
 
 # Scalar planes a delta manifest carries only when the commit changed them.
@@ -258,6 +264,7 @@ _SNAP_SCALARS = (
     "dropped",
     "partition_by",
     "key",
+    "schema",
 )
 
 # Keys a pure-append delta may use — the commute test for conflict rebase
@@ -287,6 +294,27 @@ def _snap_from_full(raw: dict) -> dict:
     """Canonicalize a full-format manifest into the snapshot shape (fills
     the defaults older manifests predate)."""
     return {k: raw.get(k, d) for k, d in _SNAP_DEFAULTS.items()}
+
+
+# Distinguishes "don't override the schema scalar" from "override it to
+# None" (restore of a pre-round-11 version).
+_SCHEMA_UNSET = object()
+
+
+def _schema_union(prev: dict | None, new: dict | None) -> dict | None:
+    """Union of two StructType.jsonValue dicts by field name (prev field
+    order kept, new fields appended) — additive schema evolution. Type
+    agreement is enforced upstream (_reject_schema_conflicts), so a
+    same-name field never conflicts here."""
+    if prev is None:
+        return new
+    if new is None:
+        return prev
+    have = {f["name"] for f in prev["fields"]}
+    extra = [f for f in new["fields"] if f["name"] not in have]
+    if not extra:
+        return prev
+    return {"type": "struct", "fields": list(prev["fields"]) + extra}
 
 
 def _apply_delta(prev: dict, d: dict) -> dict:
@@ -328,7 +356,9 @@ def _apply_delta(prev: dict, d: dict) -> dict:
         "partitions": partitions,
     }
     for k in _SNAP_SCALARS:
-        snap[k] = d.get(k, prev[k])
+        # prev.get with default: snapshots built before a scalar plane
+        # existed (older caches, hand-built fixtures) simply lack the key.
+        snap[k] = d.get(k, prev.get(k, _SNAP_DEFAULTS[k]))
     return snap
 
 
@@ -509,6 +539,68 @@ def load_snapshot_pruned(
     for raw in reversed(chain):
         snap = _apply_delta(snap, raw)
     snap["pruned"] = True
+    return snap
+
+
+def load_scalars(root: str, v: int) -> dict | None:
+    """The SCALAR planes of version ``v`` — schema, column mapping,
+    constraints, generated columns, partition layout, key — plus the dv /
+    txn / meta maps, WITHOUT parsing a single checkpoint shard: everything
+    the ``format("lakehouse")`` reader needs before partition planning.
+    Walks the delta tail back to the nearest SHARDED checkpoint (whose
+    list doc carries all of these) and replays only the tail's scalar/dv
+    changes over an empty segment plane (tail segment adds/removes are
+    harmless no-ops there).
+
+    Returns None when there is no sharded checkpoint under ``v`` (full
+    manifest or monolithic checkpoint base — parsing those IS the full
+    load, so the caller should just take it). The result carries
+    ``scalars_only: True``: its segments/stats/partitions are NOT the
+    table's — never use it for planning data reads."""
+    if not os.path.exists(manifest_path(root, v)):
+        raise FileNotFoundError(
+            f"version {v} of {root} has no manifest (never committed, or "
+            "vacuumed past retention)"
+        )
+    chain: list[dict] = []
+    w = v
+    doc = None
+    while True:
+        try:
+            with open(checkpoint_path(root, w)) as f:
+                doc = json.load(f)
+            break
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        try:
+            raw = read_manifest_file(root, w)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # vacuumed/corrupt mid-walk: full load decides
+        if "segments" in raw:
+            return None  # full-manifest base: nothing to skip
+        chain.append(raw)
+        if w == 0:
+            raise ValueError(
+                f"corrupt manifest chain at {root}: version 0 is a delta "
+                "manifest with no base"
+            )
+        w -= 1
+    if not doc.get("sharded"):
+        return None  # monolithic checkpoint: the parse is the full load
+    snap: dict = {
+        "segments": [],
+        "stats": {},
+        "partitions": {},
+        "dv": dict(doc.get("dv", {})),
+        "meta": doc.get("meta", {}),
+        "txn": dict(doc.get("txn", {})),
+        "committed_at": doc.get("committed_at"),
+    }
+    for k in _SNAP_SCALARS:
+        snap[k] = doc.get(k, _SNAP_DEFAULTS[k])
+    for raw in reversed(chain):
+        snap = _apply_delta(snap, raw)
+    snap["scalars_only"] = True
     return snap
 
 
@@ -962,6 +1054,12 @@ class TxnMixin:
         df = self._to_physical(df)
         inv = {log: phy for phy, log in self.renames().items()}
         df.write.mode("overwrite").parquet(path)
+        # Stage the written PHYSICAL schema for the commit's schema scalar
+        # (unioned across this attempt's segment writes; the commit lane
+        # decides union-forward vs reset).
+        self._pending_schema = _schema_union(
+            getattr(self, "_pending_schema", None), df.schema.jsonValue()
+        )
         # Partition columns always get footer stats too: a partitioned
         # segment holds one value, so min==max makes every stats-driven
         # path (read predicates, targeted DML, the data source's pushed
@@ -1136,6 +1234,9 @@ class TxnMixin:
             p = self._pending_parts.pop(s, None)
             if p is not None:
                 pt_new[s] = p
+        pending_schema = getattr(self, "_pending_schema", None)
+        self._pending_schema = None
+        new_schema = _schema_union(head.get("schema"), pending_schema)
         delta_doc: dict = {
             "delta": 1,
             "add": list(added),
@@ -1149,6 +1250,11 @@ class TxnMixin:
             delta_doc["partitions"] = pt_new
         if dv_set:
             delta_doc["dv_set"] = dv_set
+        if new_schema != head.get("schema"):
+            # Schema-evolving append: the delta records the widened union
+            # (and thereby stops counting as a pure append for the
+            # conflict-rebase commute proof — conservative by design).
+            delta_doc["schema"] = new_schema
         if txn is not None:
             app, ver = txn
             delta_doc["txn_set"] = {
@@ -1183,6 +1289,8 @@ class TxnMixin:
                     for s in ap:
                         head["dvrev"].setdefault(s, set()).add(n)
                 head["txn"].update(doc.get("txn_set", {}))
+                if "schema" in doc:
+                    head["schema"] = doc["schema"]
                 head["meta"] = doc["meta"]
                 head["committed_at"] = doc["committed_at"]
                 head["version"] = nxt
@@ -1287,6 +1395,11 @@ class TxnMixin:
             delta_doc["dv_set"] = dv_set
         if dv_unset:
             delta_doc["dv_unset"] = sorted(dv_unset)
+        pending_schema = getattr(self, "_pending_schema", None)
+        self._pending_schema = None
+        new_schema = _schema_union(head.get("schema"), pending_schema)
+        if new_schema != head.get("schema"):
+            delta_doc["schema"] = new_schema
         if txn is not None:
             app, ver = txn
             delta_doc["txn_set"] = {
@@ -1326,6 +1439,8 @@ class TxnMixin:
                     for s in ap:
                         dvrev.setdefault(s, set()).add(n)
                 head["txn"].update(doc.get("txn_set", {}))
+                if "schema" in doc:
+                    head["schema"] = doc["schema"]
                 head["meta"] = doc["meta"]
                 head["committed_at"] = doc["committed_at"]
                 head["version"] = nxt
@@ -1353,6 +1468,7 @@ class TxnMixin:
         rebase_predicate: dict | None = None,
         append_make=None,
         mutate_make: tuple[list, object] | None = None,
+        schema_override=_SCHEMA_UNSET,
     ) -> int:
         """Optimistic-concurrency commit: claim the next version slot FIRST
         (so concurrent writers fail fast instead of overwriting each other's
@@ -1482,6 +1598,7 @@ class TxnMixin:
         pending_before = set(self._pending_stats)
         dv_pending_before = set(self._pending_dv)
         parts_pending_before = set(self._pending_parts)
+        schema_pending_before = getattr(self, "_pending_schema", None)
         try:
             if append_make is not None:
                 # Pure-append fast lane: O(new segments) driver CPU — no
@@ -1505,6 +1622,7 @@ class TxnMixin:
             prev_pby: list = list(self.partition_by)
             prev_snap: dict | None = None
             prev_key = ""
+            prev_schema = None
             prev_segments: list[str] = []
             if cur is not None:
                 prev_snap = self._snapshot(cur)
@@ -1518,6 +1636,7 @@ class TxnMixin:
                 prev_parts = prev_snap["partitions"]
                 prev_pby = prev_snap["partition_by"]
                 prev_key = prev_snap["key"]
+                prev_schema = prev_snap.get("schema")
                 prev_segments = prev_snap["segments"]
             new_txn = dict(prev_txn)
             if txn is not None:
@@ -1644,6 +1763,22 @@ class TxnMixin:
                 else list(partition_by_override)
             )
             new_key = self.key or prev_key
+            # Schema scalar: written-schema union-forward; a FULL-REPLACE
+            # commit (creation, overwrite, whole-table compaction — every
+            # prior segment removed) RESETS to exactly what was written
+            # (overwrite legitimately redefines the schema, and a full
+            # rewrite physically purges dropped columns). restore/clone
+            # pin the restored state via schema_override.
+            pending_schema = getattr(self, "_pending_schema", None)
+            self._pending_schema = None
+            if schema_override is not _SCHEMA_UNSET:
+                new_schema = schema_override
+            elif pending_schema is None:
+                new_schema = prev_schema
+            elif cur is None or (n_prev > 0 and len(removed) == n_prev):
+                new_schema = pending_schema
+            else:
+                new_schema = _schema_union(prev_schema, pending_schema)
             # Choose the manifest shape. FULL is forced for table creation
             # and for state-override commits (restore/clone pin stats/dv of
             # segments the head no longer knows); everything else writes a
@@ -1707,6 +1842,7 @@ class TxnMixin:
                         ("dropped", new_drp, prev_dropped),
                         ("partition_by", list(new_pby), list(prev_pby)),
                         ("key", new_key, prev_key),
+                        ("schema", new_schema, prev_schema),
                     ):
                         if new_val != prev_val:
                             delta_doc[name] = new_val
@@ -1732,6 +1868,7 @@ class TxnMixin:
                     "partition_by": list(new_pby),
                     "partitions": parts,
                     "key": new_key,
+                    "schema": new_schema,
                 }
                 doc = json.loads(json.dumps(full, default=str))
                 snap = _snap_from_full(doc)
@@ -1807,6 +1944,7 @@ class TxnMixin:
                 del self._pending_dv[n]
             for s in set(self._pending_parts) - parts_pending_before:
                 del self._pending_parts[s]
+            self._pending_schema = schema_pending_before
             # A cached snapshot for the released slot is poison: the next
             # claimant commits DIFFERENT content under the same version.
             getattr(self, "_snap_cache", {}).pop(nxt, None)

@@ -453,6 +453,7 @@ class MetadataMixin:
             constraints_override=m.get("constraints", {}),
             generated_override=m.get("generated", {}),
             columns_override=(m.get("renames", {}), m.get("dropped", [])),
+            schema_override=m.get("schema"),
         )
         return dst
 

@@ -138,11 +138,50 @@ def _manifest(root: str, v: int) -> dict:
     return snap
 
 
+# Scalar-plane cache (round-11 cold-plan fast path): the list doc of a
+# sharded checkpoint plus the delta tail carries schema/column-mapping/dv
+# — everything needed BEFORE partition planning — without parsing a single
+# shard. Same immutability argument as the snapshot cache.
+_SCALARS_CACHE: dict[tuple[str, int], dict] = {}
+
+# Checkpoint shard files are immutable by NAME (version+index, atomic
+# rename, content seg_hash-checked on read), so pruned partition planning
+# shares one module-level cache across reader instances and micro-batches.
+_SHARD_CACHE: dict[str, dict] = {}
+
+
+def _scalars(root: str, v: int) -> dict:
+    """Scalar planes (schema, renames/dropped, partition_by, key) + dv/txn
+    of version ``v`` — served from an already-materialized full snapshot
+    when one is cached, else the sharded list doc WITHOUT parsing shards
+    (manifest.load_scalars), else the full load. This is what lets a cold
+    ``format("lakehouse")`` plan at a 200k-segment table cost
+    O(scalars + matched shards) instead of a full checkpoint parse."""
+    key = (root, v)
+    snap = _SNAPSHOT_CACHE.get(key)
+    if snap is not None:
+        return snap
+    sc = _SCALARS_CACHE.get(key)
+    if sc is not None:
+        if os.path.exists(os.path.join(root, f"_manifest_{v:06d}.json")):
+            return sc
+        _SCALARS_CACHE.pop(key, None)
+    from lakehouse_spark.mutation.manifest import load_scalars
+
+    sc = load_scalars(root, v)
+    if sc is None:
+        return _manifest(root, v)  # no sharded checkpoint: full load
+    _SCALARS_CACHE[key] = sc
+    while len(_SCALARS_CACHE) > 64:
+        _SCALARS_CACHE.pop(next(iter(_SCALARS_CACHE)))
+    return sc
+
+
 def _col_mapping(root: str, v: int) -> tuple[dict, list]:
     """Column mapping at version ``v``: (renames physical→logical,
     dropped physical names). Data files always store physical names; this
     source presents the logical schema and translates at the batch level."""
-    m = _manifest(root, v)
+    m = _scalars(root, v)
     return m.get("renames", {}), m.get("dropped", [])
 
 
@@ -165,7 +204,7 @@ def _reject_column_mapped_write(root: str) -> None:
             "df.write.format('lakehouse') cannot translate staged files to "
             "physical column names — write via TableStore.append/overwrite"
         )
-    pby = _manifest(root, v).get("partition_by", [])
+    pby = _scalars(root, v).get("partition_by", [])
     if pby:
         # Same verbatim-commit limitation: staged task files can't be
         # split into one segment per partition value, and an unsplit
@@ -234,6 +273,18 @@ def _unified_arrow_schema(files: list[str]):
     import pyarrow as pa
 
     return pa.schema(fields)
+
+
+def _staged_schema_json(staged: list[str]):
+    """Spark StructType.jsonValue of the staged task files' unified arrow
+    schema — stages the commit's schema scalar for the format-writer
+    paths, which have no Spark DataFrame to read it from. O(new files)
+    footer reads; returns None for an empty write (nothing to record)."""
+    if not staged:
+        return None
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(_unified_arrow_schema(staged)).jsonValue()
 
 
 def _one_file_per_schema(
@@ -547,27 +598,48 @@ class LakehouseDataSource(DataSource):
 
         root = self._root()
         v = _resolve_version(root, self.options)
-        segs = _manifest(root, v)["segments"]
-        arrow = _unified_arrow_schema(
-            _one_file_per_schema(
-                root,
-                segs,
-                tolerate_missing=bool(self.options.get("predicate")),
+        sc = _scalars(root, v)
+        renames = sc.get("renames", {})
+        dropped = sc.get("dropped", [])
+        sj = sc.get("schema")
+        if sj is not None:
+            # Recorded-schema fast path (tables written since round 11):
+            # no footer walk at all. Fields present as nullable — old
+            # segments read evolved columns as null, exactly like the
+            # footer-union path.
+            fields = [
+                {
+                    **f,
+                    "name": renames.get(f["name"], f["name"]),
+                    "nullable": True,
+                }
+                for f in sj["fields"]
+                if f["name"] not in dropped
+            ]
+            spark_schema = StructType.fromJson(
+                {"type": "struct", "fields": fields}
             )
-        )
-        # Present the LOGICAL schema: footers hold physical names.
-        renames, dropped = _col_mapping(root, v)
-        if renames or dropped:
-            import pyarrow as pa
+        else:
+            segs = _manifest(root, v)["segments"]
+            arrow = _unified_arrow_schema(
+                _one_file_per_schema(
+                    root,
+                    segs,
+                    tolerate_missing=bool(self.options.get("predicate")),
+                )
+            )
+            # Present the LOGICAL schema: footers hold physical names.
+            if renames or dropped:
+                import pyarrow as pa
 
-            arrow = pa.schema(
-                [
-                    f.with_name(renames.get(f.name, f.name))
-                    for f in arrow
-                    if f.name not in dropped
-                ]
-            )
-        spark_schema = from_arrow_schema(arrow)
+                arrow = pa.schema(
+                    [
+                        f.with_name(renames.get(f.name, f.name))
+                        for f in arrow
+                        if f.name not in dropped
+                    ]
+                )
+            spark_schema = from_arrow_schema(arrow)
         if self._changes_mode():
             from pyspark.sql.types import LongType, StringType, StructField
 
@@ -626,6 +698,7 @@ class SnapshotReader(DataSourceReader):
         # logical → physical, for pushed filters (stats/blooms/files are
         # physical) and for batch conform in _read_files.
         self.col_map = {log: phy for phy, log in renames.items()}
+        self._phys2log = renames  # for shard-pruned planning (logical in)
         self.ranges: dict[str, tuple] = {}
         self.null_checked: tuple[str, ...] = ()
         # Exact value sets from EqualTo/In filters: probed against the
@@ -702,11 +775,25 @@ class SnapshotReader(DataSourceReader):
         return filters
 
     def _surviving_segments(self) -> list[str]:
-        m = _manifest(self.root, self.version)
-        segs, stats = m["segments"], m.get("stats", {})
         pred = {**self.ranges, **self.opt_in}  # IN-lists prune stats too
         if not pred:
-            return segs
+            return _manifest(self.root, self.version)["segments"]
+        # Shard-pruned planning (round-11 cold-plan fast path): with
+        # pushed/option predicates, plan from the two-level checkpoint's
+        # shard bounds — only the matching shards are parsed, so a cold
+        # first plan is O(matched), not a full checkpoint parse. The
+        # pruned snapshot is a provable superset; the per-segment loop
+        # below still applies. Falls back to the full manifest when no
+        # sharded checkpoint exists.
+        from lakehouse_spark.mutation.manifest import load_snapshot_pruned
+
+        lp = {self._phys2log.get(c, c): b for c, b in pred.items()}
+        m = load_snapshot_pruned(
+            self.root, self.version, lp, shard_cache=_SHARD_CACHE
+        )
+        if m is None:
+            m = _manifest(self.root, self.version)
+        segs, stats = m["segments"], m.get("stats", {})
         # Local import keeps driver/executor import graphs decoupled.
         from lakehouse_spark.mutation.store import _segment_may_match
 
@@ -742,7 +829,7 @@ class SnapshotReader(DataSourceReader):
         return segs
 
     def partitions(self):
-        m = _manifest(self.root, self.version)
+        m = _scalars(self.root, self.version)
         dv, key = m.get("dv", {}), m.get("key")
         if dv and not key:
             raise ValueError(
@@ -1228,6 +1315,9 @@ class LakehouseWriter(DataSourceArrowWriter):
             # overwriteSchema); appends must not poison the merge.
             _reject_staged_schema_conflicts(self.root, staged)
         _enforce_staged_constraints(store, staged)
+        # Schema scalar for the commit (union-forward on append, reset on
+        # overwrite — the lane decides from the segment diff).
+        store._pending_schema = _staged_schema_json(staged)
 
         def _segments(v: int) -> list[str]:
             # Base the append on v-1, the version this transaction actually
@@ -1336,6 +1426,7 @@ class LakehouseStreamWriter(DataSourceStreamArrowWriter):
         staged = [os.path.join(self.staging, m.name) for m in kept]
         _reject_staged_schema_conflicts(self.root, staged)
         _enforce_staged_constraints(store, staged)
+        store._pending_schema = _staged_schema_json(staged)
 
         def _new_segment(v: int) -> list[str]:
             seg = f"_seg{v:06d}"
