@@ -444,7 +444,16 @@ class LakeCatalog:
         # Aliases minted while rewriting THIS statement are exempt from
         # FIFO eviction until the statement has run: a single query with
         # >8 distinct timestamps on one table would otherwise drop a temp
-        # view its own rewritten SQL still references.
+        # view its own rewritten SQL still references. Conversely, any
+        # over-cap surplus a PREVIOUS >8-timestamp statement left behind
+        # is drained now, before new aliases mint — without this, the
+        # surplus only drained if a later statement happened to time-travel
+        # the same base.
+        for base_fifo in self._ts_aliases.values():
+            while len(base_fifo) > 8:
+                old_alias = base_fifo.pop(0)
+                self.spark.catalog.dropTempView(old_alias)
+                self._entries.pop(old_alias, None)
         fresh: set[str] = set()
 
         def _sub(m):

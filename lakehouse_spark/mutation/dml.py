@@ -15,7 +15,6 @@ from lakehouse_spark.mutation.manifest import (
     SchemaMismatchError,
     _predicate_expr,
     _segment_may_match,
-    load_snapshot_pruned,
 )
 
 
@@ -120,9 +119,37 @@ class DmlMixin:
         cached = getattr(self, "_schema_cache", None)
         if cached is not None and cached[0] == version:
             return cached[1]
-        if manifest is None or manifest.get("pruned"):
+        sj = None if manifest is None else manifest.get("schema")
+        if manifest is None and sj is None:
+            manifest = self._snapshot(version)
+            sj = manifest.get("schema")
+        if sj is not None:
+            # Recorded-schema fast path (tables written since round 11):
+            # the manifest's schema scalar IS the footer union — present
+            # it logically (renames applied, dropped filtered, nullable:
+            # evolved columns read null in older segments). Valid for
+            # PRUNED manifests too: scalars ride the list doc complete.
+            from pyspark.sql.types import StructType
+
+            renames = manifest.get("renames", {})
+            dropped = manifest.get("dropped", [])
+            fields = [
+                {
+                    **f,
+                    "name": renames.get(f["name"], f["name"]),
+                    "nullable": True,
+                }
+                for f in sj["fields"]
+                if f["name"] not in dropped
+            ]
+            schema = StructType.fromJson(
+                {"type": "struct", "fields": fields}
+            )
+            self._schema_cache = (version, schema)
+            return schema
+        if manifest.get("pruned"):
             # A predicate-scoped partial snapshot lists only matching
-            # segments — the schema union must run over all of them.
+            # segments — the footer-union fallback must run over all.
             manifest = self._snapshot(version)
         full = self._to_logical_static(
             self._read_segments(manifest["segments"], {}),
@@ -176,12 +203,22 @@ class DmlMixin:
         without a sharded checkpoint (or pre-checkpoint versions) fall
         back to the full snapshot, the previous behavior."""
         if predicate:
-            sc = getattr(self, "_shard_cache", None)
-            if sc is None:
-                sc = self._shard_cache = {}
-            m = load_snapshot_pruned(self.root, v, predicate, shard_cache=sc)
-            if m is not None:
-                return m
+            head = getattr(self, "_head", None)
+            cache = getattr(self, "_snap_cache", {})
+            warm_n = None
+            if v in cache:
+                warm_n = len(cache[v]["segments"])
+            elif head is not None and head.get("version") == v:
+                warm_n = len(head["segments"])
+            # Same gate as read(): a warm SMALL snapshot's selection loop
+            # is cheaper than any checkpoint IO — skip the pruned route
+            # there; cold or large goes through shard bounds (with the
+            # negative-result memo, so tables without a sharded
+            # checkpoint don't re-walk the chain per statement).
+            if warm_n is None or warm_n > 4096:
+                m = self._try_pruned(v, predicate)
+                if m is not None:
+                    return m
         return self._snapshot(v)
 
     def _aligned_base(

@@ -1775,7 +1775,10 @@ class TxnMixin:
                 new_schema = schema_override
             elif pending_schema is None:
                 new_schema = prev_schema
-            elif cur is None or (n_prev > 0 and len(removed) == n_prev):
+            elif cur is None or len(removed) == n_prev:
+                # n_prev == 0 counts as full replace too: writing into a
+                # zero-segment table carries nothing forward, so phantom
+                # columns from the pre-empty history must not survive.
                 new_schema = pending_schema
             else:
                 new_schema = _schema_union(prev_schema, pending_schema)

@@ -24,6 +24,33 @@ from lakehouse_spark.mutation.manifest import (
 class ReadsMixin:
     """read()/_read_segments, CDF, diff."""
 
+    def _try_pruned(self, v: int, predicate: dict):
+        """load_snapshot_pruned with a per-instance NEGATIVE-result memo:
+        when the chain walk finds no sharded checkpoint under ``v`` (young
+        table, legacy monolithic checkpoint), remember it and skip the
+        re-walk — retrying only after a version where a new (always
+        sharded) checkpoint could have been written, i.e. the next
+        checkpoint_interval boundary. Without the memo every statement on
+        such a table re-parsed the chain (or a whole monolithic
+        checkpoint) from disk just to fall back to the cached snapshot."""
+        from lakehouse_spark.mutation.manifest import load_snapshot_pruned
+
+        miss = getattr(self, "_prune_miss_v", None)
+        if miss is not None:
+            interval = max(1, getattr(self, "checkpoint_interval", 32) or 1)
+            if v >= miss and v // interval == miss // interval:
+                return None
+        sc = getattr(self, "_shard_cache", None)
+        if sc is None:
+            sc = self._shard_cache = {}
+        m = load_snapshot_pruned(self.root, v, predicate, shard_cache=sc)
+        if m is None:
+            self._prune_miss_v = v
+        else:
+            self._prune_miss_v = None
+        return m
+
+
     # -- reads ----------------------------------------------------------------
 
     def _dv_path(self, name: str) -> str:
@@ -132,12 +159,7 @@ class ReadsMixin:
             # cached across statements) is cheaper. Small warm tables keep
             # the zero-IO path.
             if warm_n is None or warm_n > 4096:
-                sc = getattr(self, "_shard_cache", None)
-                if sc is None:
-                    sc = self._shard_cache = {}
-                manifest = load_snapshot_pruned(
-                    self.root, v, predicate, shard_cache=sc
-                )
+                manifest = self._try_pruned(v, predicate)
         if manifest is None:
             manifest = self._snapshot(v)
         segments = manifest["segments"]

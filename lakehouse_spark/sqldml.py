@@ -156,10 +156,63 @@ _TEMPORAL_RE = re.compile(r"^(?:DATE|TIMESTAMP)\s*'([^']*)'$", re.I)
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
-def _literal(tok: str):
+def _backslash_escapes_on(spark) -> bool:
+    """Whether Spark's parser processes backslash escapes in string
+    literals — true under the DEFAULT conf
+    (spark.sql.parser.escapedStringLiterals=false). The literal writer
+    (_sql_literal) and reader (_literal) must both follow it, or a DML
+    over backslash-bearing strings targets the wrong rows."""
+    try:
+        return (
+            str(
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            != "true"
+        )
+    except Exception:
+        return True
+
+
+def _unescape_backslashes(s: str) -> str:
+    r"""Decode backslash escapes the way Spark's default parser does
+    (ParserUtils.unescapeSQLString): named escapes map to their control
+    character, ``\%``/``\_`` keep the backslash (LIKE-pattern escapes),
+    any other escaped char drops the backslash."""
+    if "\\" not in s:
+        return s
+    named = {
+        "0": "\0", "'": "'", '"': '"', "b": "\b", "n": "\n",
+        "r": "\r", "t": "\t", "Z": "\x1a", "\\": "\\",
+    }
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in named:
+                out.append(named[nxt])
+            elif nxt in "%_":
+                out.append("\\" + nxt)
+            else:
+                out.append(nxt)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _literal(tok: str, backslash_escapes: bool = True):
     """Parse a SQL literal into the store-predicate value domain (numbers,
     strings; DATE/TIMESTAMP literals degrade to their ISO string, which is
-    how the manifest stores partition values). Returns (ok, value)."""
+    how the manifest stores partition values). Returns (ok, value).
+    ``backslash_escapes`` mirrors the session parser: the predicate value
+    must equal what F.expr's parse of the SAME literal compares against,
+    or stats/bloom pruning and the extracted-predicate conjunct silently
+    miss the matching rows."""
     tok = tok.strip()
     if _NUM_RE.match(tok):
         # Integer-shaped tokens parse as int DIRECTLY — routing through
@@ -170,14 +223,17 @@ def _literal(tok: str):
         return True, float(tok)
     m = _STR_RE.match(tok)
     if m:
-        return True, m.group(1).replace("''", "'")
+        v = m.group(1).replace("''", "'")
+        if backslash_escapes:
+            v = _unescape_backslashes(v)
+        return True, v
     m = _TEMPORAL_RE.match(tok)
     if m:
         return True, m.group(1)
     return False, None
 
 
-def extract_predicate(where: str) -> dict:
+def extract_predicate(where: str, backslash_escapes: bool = True) -> dict:
     """Prunable conjuncts of a WHERE clause as the store's stats-predicate
     dict — BEST-EFFORT and conservative: a conjunct that doesn't match one
     of the simple shapes is simply not extracted (the full WHERE is always
@@ -208,7 +264,7 @@ def extract_predicate(where: str) -> dict:
             rf"^({_IDENT})\s*(=|>=|<=|>|<)\s*(.+)$", conj.strip(), re.S
         )
         if m:
-            ok, v = _literal(m.group(3))
+            ok, v = _literal(m.group(3), backslash_escapes)
             if not ok:
                 continue
             col, op = m.group(1), m.group(2)
@@ -228,8 +284,8 @@ def extract_predicate(where: str) -> dict:
             re.I | re.S,
         )
         if m:
-            ok1, lo = _literal(m.group(2))
-            ok2, hi = _literal(m.group(3))
+            ok1, lo = _literal(m.group(2), backslash_escapes)
+            ok2, hi = _literal(m.group(3), backslash_escapes)
             if ok1 and ok2:
                 _merge_range(m.group(1), lo=lo, hi=hi)
             continue
@@ -240,7 +296,7 @@ def extract_predicate(where: str) -> dict:
             vals = []
             good = True
             for tok in _split_top(m.group(2)):
-                ok, v = _literal(tok)
+                ok, v = _literal(tok, backslash_escapes)
                 if not ok:
                     good = False
                     break
@@ -428,10 +484,13 @@ def has_where_subquery(where: str | None) -> bool:
     )
 
 
-def _sql_literal(v) -> str:
+def _sql_literal(v, backslash_escapes: bool = True) -> str:
     """A Python value (as collected from a subquery row) back to a SQL
     literal for the inline rewrite. Strings escape quotes; temporal types
-    use typed literals so comparisons keep their semantics."""
+    use typed literals so comparisons keep their semantics.
+    ``backslash_escapes`` mirrors the session parser (see
+    _backslash_escapes_on): double backslashes only when the parser will
+    process them back."""
     import datetime as _dt
     import decimal as _dec
 
@@ -461,8 +520,13 @@ def _sql_literal(v) -> str:
     # Spark's default parser (escapedStringLiterals=false) interprets
     # backslash escapes inside string literals, so a raw backslash must be
     # doubled BEFORE quote-doubling — otherwise 'a\nb' round-trips to a
-    # newline and a trailing backslash makes the rewritten WHERE unparseable.
-    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    # newline and a trailing backslash makes the rewritten WHERE
+    # unparseable. Under escapedStringLiterals=true backslashes are
+    # literal and must NOT be doubled.
+    s = str(v)
+    if backslash_escapes:
+        s = s.replace("\\", "\\\\")
+    s = s.replace("'", "''")
     return f"'{s}'"
 
 
@@ -561,6 +625,7 @@ def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
     whole-statement short-circuit — the OR branch still matches rows).
     The affects-zero-rows fast path applies only when no part has a
     top-level OR, where a FALSE conjunct really does kill the WHERE."""
+    bs = _backslash_escapes_on(cat.spark)
     parts: list[str] = []
     has_or = False
     for term in _split_top(where, "AND"):
@@ -583,7 +648,7 @@ def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
             if not vals:
                 parts.append("FALSE")
                 continue
-            lits = ", ".join(_sql_literal(v) for v in vals)
+            lits = ", ".join(_sql_literal(v, bs) for v in vals)
             parts.append(f"{col} IN ({lits})")
         else:
             if any(v is None for v in vals):
@@ -592,7 +657,7 @@ def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
                 # Delta/Spark's documented NOT IN semantics.
                 parts.append("FALSE")
             elif vals:
-                lits = ", ".join(_sql_literal(v) for v in vals)
+                lits = ", ".join(_sql_literal(v, bs) for v in vals)
                 parts.append(
                     f"({col} IS NOT NULL AND {col} NOT IN ({lits}))"
                 )
@@ -644,7 +709,7 @@ def _delete(cat, q: str) -> DataFrame:
         where, empty = _inline_where_subqueries(cat, where)
         if empty:
             return _result(cat.spark, "DELETE", name, 0)
-    pred = extract_predicate(where)
+    pred = extract_predicate(where, _backslash_escapes_on(cat.spark))
     n = store.delete_where(where=where, predicate=pred or None)
     _refresh_after(cat, name)
     return _result(cat.spark, "DELETE", name, n)
@@ -707,7 +772,13 @@ def _update(cat, q: str) -> DataFrame:
                 if i != idx
             ]
             rest_where = " AND ".join(rest) if rest else None
-            pred = extract_predicate(rest_where) if rest_where else {}
+            pred = (
+                extract_predicate(
+                    rest_where, _backslash_escapes_on(cat.spark)
+                )
+                if rest_where
+                else {}
+            )
             n = store.update(
                 set=assignments,
                 where=rest_where,
@@ -719,7 +790,11 @@ def _update(cat, q: str) -> DataFrame:
         where, empty = _inline_where_subqueries(cat, where)
         if empty:
             return _result(cat.spark, "UPDATE", name, 0)
-    pred = extract_predicate(where) if where else {}
+    pred = (
+        extract_predicate(where, _backslash_escapes_on(cat.spark))
+        if where
+        else {}
+    )
     n = store.update(
         set=assignments, where=where, predicate=pred or None
     )

@@ -134,3 +134,140 @@ def test_abort_probe_failure_keeps_original_error_and_releases_slot(
     st.append(spark.range(10, 12).selectExpr("id"))
     assert st.current_version() == v0 + 1
     assert st.read().count() == 7
+
+
+# -- round-11 mid-round code-review findings -------------------------------
+
+
+def test_inline_subquery_backslash_nonkey_route(spark, tmp_path):
+    """The literal READER half (extract_predicate._literal) must decode
+    backslash escapes exactly as Spark's parser does — the non-key inline
+    IN-subquery route feeds both the stats/bloom pruning dict and the
+    row-exact predicate conjunct from it. A one-sided fix deleted 0 rows
+    (the conjunct never matched) while reporting success."""
+    st = TableStore(
+        spark, str(tmp_path / "t"), key="k", stats_cols=("k", "c")
+    )
+    st.init(
+        spark.createDataFrame(
+            [("r1", "C:\\new\\table", 1), ("r2", "a\nb", 2), ("r3", "p", 3)],
+            "k string, c string, x int",
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("bsnk", store=st)
+    # c is NOT the key, so the subquery inlines to literals.
+    out = cat.sql(
+        "DELETE FROM bsnk WHERE c IN (SELECT c FROM bsnk WHERE x = 1)"
+    )
+    assert out.collect()[0].affected_rows == 1
+    assert {r.k for r in st.read().collect()} == {"r2", "r3"}
+
+
+def test_user_written_backslash_escape_in_where(spark, tmp_path):
+    """User-written WHERE with a backslash escape: Spark decodes 'a\\nb'
+    to a newline; the extracted predicate must compare the DECODED value
+    or the row filter and pruning miss the row."""
+    st = TableStore(spark, str(tmp_path / "t"), key="k", stats_cols=("c",))
+    st.init(
+        spark.createDataFrame(
+            [("r1", "a\nb"), ("r2", "plain")], "k string, c string"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("bsuw", store=st)
+    out = cat.sql("DELETE FROM bsuw WHERE c = 'a\\nb'")
+    assert out.collect()[0].affected_rows == 1
+    assert {r.k for r in st.read().collect()} == {"r2"}
+
+
+def test_escaped_string_literals_conf_respected(spark, tmp_path):
+    """Under spark.sql.parser.escapedStringLiterals=true, backslashes are
+    literal: the inline writer must NOT double them and the reader must
+    NOT decode them."""
+    st = TableStore(spark, str(tmp_path / "t"), key="k")
+    st.init(
+        spark.createDataFrame(
+            [("C:\\x", 1), ("Cx", 2)], "k string, x int"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("bsel", store=st)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        out = cat.sql(
+            "DELETE FROM bsel WHERE k IN (SELECT k FROM bsel WHERE x = 1)"
+        )
+        assert out.collect()[0].affected_rows == 1
+        assert {r.k for r in st.read().collect()} == {"Cx"}
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+def test_prune_miss_memoized(spark, tmp_path):
+    """A table with no sharded checkpoint must not re-walk the manifest
+    chain per DML statement: the None result is memoized until a version
+    where a new checkpoint could exist."""
+    from lakehouse_spark.mutation import manifest as M
+
+    st = TableStore(spark, str(tmp_path / "t"), key="id", stats_cols=("id",))
+    st.init(spark.range(10).selectExpr("id", "id AS x"))
+    for lo in (10, 20):
+        st.append(spark.range(lo, lo + 10).selectExpr("id", "id AS x"))
+    calls = {"n": 0}
+    real = M.load_snapshot_pruned
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    M.load_snapshot_pruned = counting
+    try:
+        st._snap_cache = {}
+        st._head = None
+        for _ in range(4):
+            st._dml_manifest(st.current_version(), {"id": (5, 6)})
+    finally:
+        M.load_snapshot_pruned = real
+    assert calls["n"] == 1  # walked once, memoized after
+
+
+def test_overwrite_after_empty_resets_schema_scalar(spark, tmp_path):
+    """Full replace of a ZERO-segment table must still reset the schema
+    scalar (no phantom columns from the pre-empty history)."""
+    st = TableStore(spark, str(tmp_path / "t"), key="id")
+    st.init(spark.range(3).selectExpr("id", "id AS z"))
+    st.overwrite(spark.range(2).selectExpr("id", "id AS w"))
+    v = st.current_version()
+    names = [f["name"] for f in st._snapshot(v)["schema"]["fields"]]
+    assert names == ["id", "w"]
+
+
+def test_ts_alias_surplus_drains_on_next_statement_any_table(
+    spark, tmp_path
+):
+    """A >8-timestamp statement's surplus aliases drain on the NEXT
+    rewritten statement even when it touches a different table."""
+    import datetime as _dt
+
+    a = TableStore(spark, str(tmp_path / "a"), key="id")
+    a.init(spark.range(1).selectExpr("id"))
+    ts = []
+    for i in range(10):
+        a.append(spark.range(100 + i, 101 + i).selectExpr("id"))
+        ts.append(a.commit_timestamp(a.current_version()))
+    iso = [_dt.datetime.fromtimestamp(t + 0.0005).isoformat() for t in ts]
+    b = TableStore(spark, str(tmp_path / "b"), key="id")
+    b.init(spark.range(2).selectExpr("id"))
+    cat = LakeCatalog(spark)
+    cat.register("ta", store=a)
+    cat.register("tb", store=b)
+    q = " UNION ALL ".join(
+        f"SELECT CAST(count(*) AS BIGINT) AS n FROM ta TIMESTAMP AS OF '{s}'"
+        for s in iso
+    )
+    cat.sql(q).collect()
+    assert len(cat._ts_aliases["ta"]) == 10
+    # A plain statement on ANOTHER table drains the surplus.
+    cat.sql("SELECT * FROM tb").collect()
+    assert len(cat._ts_aliases["ta"]) <= 8

@@ -183,7 +183,13 @@ def test_dml_selection_uses_sharded_checkpoint(spark, tmp_path):
     st.checkpoint_barrier()
     v = st.current_version()
     n_segs = len(st._snapshot(v)["segments"])
-    m = st._dml_manifest(v, {"id": (42, 43)})
+    # Cold instance: warm SMALL snapshots deliberately skip the pruned
+    # route (their in-memory selection loop is cheaper than checkpoint
+    # IO); a cold planner must go through the shard bounds.
+    cold = TableStore(
+        spark, str(tmp_path / "t"), key="id", stats_cols=("id",)
+    )
+    m = cold._dml_manifest(v, {"id": (42, 43)})
     assert m.get("pruned") is True
     assert len(m["segments"]) < n_segs
     segs_before = st._snapshot(v)["segments"]
