@@ -391,3 +391,97 @@ def sql_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+_UPDATE_KEYROUTE_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    after_u1 AS (
+      -- distributed key route: positive IN-subquery on the TABLE KEY
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey IN (
+                    SELECT o_orderkey FROM base WHERE o_totalprice > 150000)
+                  THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+             o_totalprice
+      FROM base
+    ),
+    after_u2 AS (
+      -- key route composed with a plain conjunct (rides as row filter);
+      -- the subquery reads the state AFTER the first update
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey IN (
+                    SELECT o_orderkey FROM after_u1
+                    WHERE o_custkey > 1000000)
+                   AND o_orderkey % 2 = 0
+                  THEN o_custkey + 10000000 ELSE o_custkey END AS o_custkey,
+             o_totalprice
+      FROM after_u1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(sum(CASE WHEN o_custkey >= 10000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN o_custkey BETWEEN 1000000 AND 9999999
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+    FROM after_u2
+"""
+
+
+@_q(
+    "sql_dml_update_keyroute",
+    _UPDATE_KEYROUTE_ORACLE,
+    doc=(
+        "UPDATE ... WHERE key IN (SELECT ...) on the DISTRIBUTED route "
+        "(round 11): the subquery frame semi-joins the target — no "
+        "inline-literal cap, key-stats file skipping intact — and a "
+        "plain AND conjunct rides along as the row filter. Two chained "
+        "updates, the second's subquery reading the first's post-state "
+        "through the catalog head. Final state hash-matches DuckDB "
+        "replaying the same algebra as pure SELECTs; all-integer "
+        "arithmetic."
+    ),
+)
+def sql_dml_update_keyroute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from lakehouse_spark.io import load_table
+    from lakehouse_spark.mutation.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="sql_updkey_entry_")
+    st = TableStore(
+        spark,
+        os.path.join(tmp, "orders"),
+        key="o_orderkey",
+        stats_cols=("o_orderkey",),
+    )
+    st.init(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("uk_orders", store=st, follow_head=True)
+    cat.sql(
+        "UPDATE uk_orders SET o_custkey = o_custkey + 1000000 "
+        "WHERE o_orderkey IN (SELECT o_orderkey FROM uk_orders "
+        "                     WHERE o_totalprice > 150000)"
+    )
+    cat.sql(
+        "UPDATE uk_orders SET o_custkey = o_custkey + 10000000 "
+        "WHERE o_orderkey IN (SELECT o_orderkey FROM uk_orders "
+        "                     WHERE o_custkey > 1000000) "
+        "AND o_orderkey % 2 = 0"
+    )
+    return cat.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+               CAST(sum(CASE WHEN o_custkey >= 10000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN o_custkey BETWEEN 1000000 AND 9999999
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+        FROM uk_orders
+        """
+    )
