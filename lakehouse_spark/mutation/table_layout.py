@@ -617,15 +617,23 @@ class LayoutMixin:
         self._segsize_cache = cache
         if len(small) < 2:
             return None
-        base = self._aligned_base(manifest, [s for s in segs if s in small])
+        folded = [s for s in segs if s in small]
+        base = self._aligned_base(manifest, folded, version=v0)
         base = base.persist()
         try:
+            # Mutate lane: the fold is prev-minus-small-plus-appended, so
+            # the commit touches O(folded) driver metadata and stays a
+            # DELTA manifest — checkpoint shard reuse survives routine
+            # small-files maintenance on a 10^5-segment ingest table.
             return self._transact(
-                lambda v: [s for s in segs if s not in small]
-                + self._write_partitioned(base, v),
+                None,
                 meta={"compact_small": len(small)},
                 txn=txn,
                 base_version=v0,
+                mutate_make=(
+                    folded,
+                    lambda v: self._write_partitioned(base, v),
+                ),
             )
         finally:
             base.unpersist()

@@ -114,13 +114,12 @@ def _manifest(root: str, v: int) -> dict:
     lakehouse_spark.mutation.manifest.load_snapshot (checkpoint + delta
     tail; see that module's format notes).
 
-    Known residual (round 10): TableStore.read(predicate=...) plans cold
-    predicate scans O(matched shards) via load_snapshot_pruned; THIS
-    path still parses the full checkpoint once per (root, version)
-    because the reader's construction needs schema + column mapping
-    before partitions() runs. A list-doc-only scalars fast path would
-    close it; deferred — the parse is paid once and cached, and the
-    catalog/TableStore route (the primary read surface) already prunes."""
+    Since round 11 this full parse is the FALLBACK, not the cold-plan
+    path: schema/column-mapping come from _scalars (the sharded list doc,
+    zero shard parses, plus the recorded schema scalar — no footer walk),
+    and predicate-bearing partition planning goes through
+    load_snapshot_pruned. The full parse remains for predicate-less
+    snapshot listings and for pre-round-11 tables without the scalar."""
     key = (root, v)
     snap = _SNAPSHOT_CACHE.get(key)
     if snap is not None:
