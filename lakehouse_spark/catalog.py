@@ -47,6 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_spark.io import TABLE_NAMES, register_tables
 
+# Live TIMESTAMP AS OF aliases kept per base table (a single statement may
+# exceed this transiently — its own aliases are eviction-exempt until the
+# next rewritten statement drains the surplus).
+_TS_ALIAS_CAP = 8
+
 
 class LakeCatalog:
     """Name → relation registry over one SparkSession.
@@ -443,17 +448,12 @@ class LakeCatalog:
         )
         # Aliases minted while rewriting THIS statement are exempt from
         # FIFO eviction until the statement has run: a single query with
-        # >8 distinct timestamps on one table would otherwise drop a temp
-        # view its own rewritten SQL still references. Conversely, any
-        # over-cap surplus a PREVIOUS >8-timestamp statement left behind
-        # is drained now, before new aliases mint — without this, the
-        # surplus only drained if a later statement happened to time-travel
-        # the same base.
+        # more than _TS_ALIAS_CAP distinct timestamps on one table would
+        # otherwise drop a temp view its own rewritten SQL still
+        # references. Conversely, any over-cap surplus a PREVIOUS such
+        # statement left behind is drained now, before new aliases mint.
         for base_fifo in self._ts_aliases.values():
-            while len(base_fifo) > 8:
-                old_alias = base_fifo.pop(0)
-                self.spark.catalog.dropTempView(old_alias)
-                self._entries.pop(old_alias, None)
+            self._evict_ts_surplus(base_fifo)
         fresh: set[str] = set()
 
         def _sub(m):
@@ -493,21 +493,29 @@ class LakeCatalog:
                 fresh.add(alias)
                 # Cap live ts aliases per base, but never evict one minted
                 # for the statement being rewritten (the fifo may exceed
-                # the cap transiently for a >8-timestamp statement; the
-                # next statement's rewrite drains it back down).
-                while len(fifo) > 8:
-                    evictable = [a for a in fifo if a not in fresh]
-                    if not evictable:
-                        break
-                    old = evictable[0]
-                    fifo.remove(old)
-                    self.spark.catalog.dropTempView(old)
-                    self._entries.pop(old, None)
+                # the cap transiently; the next statement's rewrite drains
+                # it back down via the pre-pass above).
+                self._evict_ts_surplus(fifo, exempt=fresh)
             df.createOrReplaceTempView(alias)
             self._entries[alias] = (store, pin)
             return f"{kw} {alias}"
 
         return pat.sub(_sub, query)
+
+    def _evict_ts_surplus(self, fifo: list, exempt: set | None = None) -> None:
+        """Drop oldest TIMESTAMP AS OF aliases until ``fifo`` is back at
+        _TS_ALIAS_CAP, never touching ``exempt`` (the statement currently
+        being rewritten still references those views)."""
+        while len(fifo) > _TS_ALIAS_CAP:
+            evictable = (
+                [a for a in fifo if a not in exempt] if exempt else fifo
+            )
+            if not evictable:
+                break
+            old = evictable[0]
+            fifo.remove(old)
+            self.spark.catalog.dropTempView(old)
+            self._entries.pop(old, None)
 
     def _refresh_followers(self, query: str) -> None:
         """Re-resolve every ``follow_head`` registration the query text

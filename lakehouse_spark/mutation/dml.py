@@ -203,19 +203,15 @@ class DmlMixin:
         without a sharded checkpoint (or pre-checkpoint versions) fall
         back to the full snapshot, the previous behavior."""
         if predicate:
-            head = getattr(self, "_head", None)
-            cache = getattr(self, "_snap_cache", {})
-            warm_n = None
-            if v in cache:
-                warm_n = len(cache[v]["segments"])
-            elif head is not None and head.get("version") == v:
-                warm_n = len(head["segments"])
-            # Same gate as read(): a warm SMALL snapshot's selection loop
-            # is cheaper than any checkpoint IO — skip the pruned route
-            # there; cold or large goes through shard bounds (with the
-            # negative-result memo, so tables without a sharded
-            # checkpoint don't re-walk the chain per statement).
-            if warm_n is None or warm_n > 4096:
+            # Same gate as read() (shared helpers — see reads.py): a warm
+            # SMALL snapshot's selection loop is cheaper than any
+            # checkpoint IO; cold or large goes through shard bounds, with
+            # the negative-result memo so tables without a sharded
+            # checkpoint don't re-walk the chain per statement.
+            from lakehouse_spark.mutation.reads import _WARM_PRUNE_MIN_SEGS
+
+            warm_n = self._warm_seg_count(v)
+            if warm_n is None or warm_n > _WARM_PRUNE_MIN_SEGS:
                 m = self._try_pruned(v, predicate)
                 if m is not None:
                     return m

@@ -961,6 +961,11 @@ class TxnMixin:
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._checkpoint_path(v))
+        # A sharded checkpoint just landed: clear the pruned-planning miss
+        # memo (a statement racing the BACKGROUND checkpoint write at this
+        # boundary could have latched a miss that would otherwise disable
+        # shard pruning until the next interval).
+        self._prune_miss_v = None
 
     def _reusable_shards(self, v: int, size: int) -> dict[int, dict]:
         """Shard entries of the nearest older sharded checkpoint, keyed by
@@ -1236,7 +1241,14 @@ class TxnMixin:
                 pt_new[s] = p
         pending_schema = getattr(self, "_pending_schema", None)
         self._pending_schema = None
-        new_schema = _schema_union(head.get("schema"), pending_schema)
+        # Union only over a KNOWN prev schema — seeding the scalar from one
+        # append's written subset on a pre-scalar table would poison later
+        # DML alignment (see the general lane's prev_schema-is-None note).
+        new_schema = (
+            _schema_union(head.get("schema"), pending_schema)
+            if head.get("schema") is not None
+            else None
+        )
         delta_doc: dict = {
             "delta": 1,
             "add": list(added),
@@ -1397,7 +1409,11 @@ class TxnMixin:
             delta_doc["dv_unset"] = sorted(dv_unset)
         pending_schema = getattr(self, "_pending_schema", None)
         self._pending_schema = None
-        new_schema = _schema_union(head.get("schema"), pending_schema)
+        new_schema = (
+            _schema_union(head.get("schema"), pending_schema)
+            if head.get("schema") is not None
+            else None
+        )
         if new_schema != head.get("schema"):
             delta_doc["schema"] = new_schema
         if txn is not None:
@@ -1780,6 +1796,15 @@ class TxnMixin:
                 # zero-segment table carries nothing forward, so phantom
                 # columns from the pre-empty history must not survive.
                 new_schema = pending_schema
+            elif prev_schema is None:
+                # UNKNOWN stays unknown: a pre-scalar table's true schema
+                # is the footer union over segments this commit did NOT
+                # rewrite — recording just this commit's written schema
+                # would make later targeted DML align to a SUBSET and
+                # physically drop the other columns from rewritten
+                # segments. Only a full replace (above) may seed the
+                # scalar on such a table.
+                new_schema = None
             else:
                 new_schema = _schema_union(prev_schema, pending_schema)
             # Choose the manifest shape. FULL is forced for table creation

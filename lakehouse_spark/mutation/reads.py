@@ -21,8 +21,25 @@ from lakehouse_spark.mutation.manifest import (
 )
 
 
+# Warm snapshots at or under this many segments keep the zero-IO
+# in-memory selection loop; above it (or cold) the shard-bounds route is
+# cheaper per statement. Shared by read() and _dml_manifest.
+_WARM_PRUNE_MIN_SEGS = 4096
+
+
 class ReadsMixin:
     """read()/_read_segments, CDF, diff."""
+
+    def _warm_seg_count(self, v: int) -> int | None:
+        """Segment count of version ``v`` if this instance has it
+        materialized (snapshot cache or head mirror), else None (cold)."""
+        cache = getattr(self, "_snap_cache", None) or {}
+        if v in cache:
+            return len(cache[v]["segments"])
+        head = getattr(self, "_head", None)
+        if head is not None and head.get("version") == v:
+            return len(head["segments"])
+        return None
 
     def _try_pruned(self, v: int, predicate: dict):
         """load_snapshot_pruned with a per-instance NEGATIVE-result memo:
@@ -145,20 +162,14 @@ class ReadsMixin:
             # superset of the matching segments; the per-segment pruning
             # below still applies. Warm instances keep using the cached
             # full snapshot (1000x cheaper than any parse).
-            head = getattr(self, "_head", None)
-            cache = getattr(self, "_snap_cache", {})
-            warm_n = None
-            if v in cache:
-                warm_n = len(cache[v]["segments"])
-            elif head is not None and head.get("version") == v:
-                warm_n = len(head["segments"])
             # Warm-but-LARGE snapshots go through shard pruning too: the
             # full snapshot is a dict hit, but the per-segment selection
-            # loop below is O(table) Python per statement — above this
-            # size the shard-bounds route (list doc + matched shards, both
-            # cached across statements) is cheaper. Small warm tables keep
-            # the zero-IO path.
-            if warm_n is None or warm_n > 4096:
+            # loop below is O(table) Python per statement — above the
+            # threshold the shard-bounds route (list doc + matched shards,
+            # both cached across statements) is cheaper. Small warm tables
+            # keep the zero-IO path.
+            warm_n = self._warm_seg_count(v)
+            if warm_n is None or warm_n > _WARM_PRUNE_MIN_SEGS:
                 manifest = self._try_pruned(v, predicate)
         if manifest is None:
             manifest = self._snapshot(v)

@@ -192,6 +192,24 @@ def _unescape_backslashes(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < n:
             nxt = s[i + 1]
+            # \uXXXX (exactly 4 hex) — probed against Spark 4.1:
+            # '\u0041' -> 'A', '\u004x' stays (backslash dropped).
+            if nxt == "u" and i + 6 <= n:
+                hexs = s[i + 2 : i + 6]
+                try:
+                    out.append(chr(int(hexs, 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            # \DDD: exactly 3 octal digits, first 0-1 (probed: \101->'A',
+            # \177->DEL, \200 and \377 stay undecoded, \10 stays).
+            if nxt in "01" and i + 4 <= n:
+                octs = s[i + 1 : i + 4]
+                if all(ch in "01234567" for ch in octs):
+                    out.append(chr(int(octs, 8)))
+                    i += 4
+                    continue
             if nxt in named:
                 out.append(named[nxt])
             elif nxt in "%_":
@@ -607,7 +625,9 @@ def _eval_exists(cat, subsql: str) -> bool:
         ) from ex
 
 
-def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
+def _inline_where_subqueries(
+    cat, where: str, bs: bool | None = None
+) -> tuple[str | None, bool]:
     """Rewrite every subquery conjunct of ``where`` into literal form:
     IN-subqueries become inline IN-lists (so extract_predicate recovers
     file skipping and delete_where/update re-apply the condition
@@ -625,7 +645,8 @@ def _inline_where_subqueries(cat, where: str) -> tuple[str | None, bool]:
     whole-statement short-circuit — the OR branch still matches rows).
     The affects-zero-rows fast path applies only when no part has a
     top-level OR, where a FALSE conjunct really does kill the WHERE."""
-    bs = _backslash_escapes_on(cat.spark)
+    if bs is None:
+        bs = _backslash_escapes_on(cat.spark)
     parts: list[str] = []
     has_or = False
     for term in _split_top(where, "AND"):
@@ -677,6 +698,7 @@ def _delete(cat, q: str) -> DataFrame:
         raise ValueError("unsupported DELETE shape; use DELETE FROM <name> WHERE <cond>")
     name, where = m.group(1), m.group(2)
     store = _writable_store(cat, name)
+    bs = _backslash_escapes_on(cat.spark)  # one conf read per statement
     if where is None:
         raise ValueError(
             "DELETE with no WHERE would drop every row; use "
@@ -706,10 +728,10 @@ def _delete(cat, q: str) -> DataFrame:
             n = store.delete_keys(keys.toDF(store.key))
             _refresh_after(cat, name)
             return _result(cat.spark, "DELETE", name, n)
-        where, empty = _inline_where_subqueries(cat, where)
+        where, empty = _inline_where_subqueries(cat, where, bs=bs)
         if empty:
             return _result(cat.spark, "DELETE", name, 0)
-    pred = extract_predicate(where, _backslash_escapes_on(cat.spark))
+    pred = extract_predicate(where, bs)
     n = store.delete_where(where=where, predicate=pred or None)
     _refresh_after(cat, name)
     return _result(cat.spark, "DELETE", name, n)
@@ -728,6 +750,7 @@ def _update(cat, q: str) -> DataFrame:
         )
     name, set_text, where = m.group(1), m.group(2), m.group(3)
     store = _writable_store(cat, name)
+    bs = _backslash_escapes_on(cat.spark)  # one conf read per statement
     assignments: dict[str, str] = {}
     for item in _split_top(set_text):
         am = re.match(rf"^({_IDENT})\s*=\s*(.+)$", item, re.S)
@@ -772,13 +795,7 @@ def _update(cat, q: str) -> DataFrame:
                 if i != idx
             ]
             rest_where = " AND ".join(rest) if rest else None
-            pred = (
-                extract_predicate(
-                    rest_where, _backslash_escapes_on(cat.spark)
-                )
-                if rest_where
-                else {}
-            )
+            pred = extract_predicate(rest_where, bs) if rest_where else {}
             n = store.update(
                 set=assignments,
                 where=rest_where,
@@ -787,14 +804,10 @@ def _update(cat, q: str) -> DataFrame:
             )
             _refresh_after(cat, name)
             return _result(cat.spark, "UPDATE", name, n)
-        where, empty = _inline_where_subqueries(cat, where)
+        where, empty = _inline_where_subqueries(cat, where, bs=bs)
         if empty:
             return _result(cat.spark, "UPDATE", name, 0)
-    pred = (
-        extract_predicate(where, _backslash_escapes_on(cat.spark))
-        if where
-        else {}
-    )
+    pred = extract_predicate(where, bs) if where else {}
     n = store.update(
         set=assignments, where=where, predicate=pred or None
     )

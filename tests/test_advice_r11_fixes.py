@@ -195,11 +195,32 @@ def test_escaped_string_literals_conf_respected(spark, tmp_path):
     cat.register("bsel", store=st)
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     try:
+        # x (NOT the key) forces the inline-literal route — the key route
+        # semi-joins frames and never touches _sql_literal/_literal, so a
+        # key-column subquery would not exercise the conf handling at all.
         out = cat.sql(
-            "DELETE FROM bsel WHERE k IN (SELECT k FROM bsel WHERE x = 1)"
+            "DELETE FROM bsel WHERE k IN (SELECT k FROM bsel WHERE x = 1) "
+            "AND x = 1"
         )
         assert out.collect()[0].affected_rows == 1
         assert {r.k for r in st.read().collect()} == {"Cx"}
+        # And a direct literal comparison on the raw-backslash value.
+        st2 = TableStore(spark, str(tmp_path / "t2"), key="k")
+        st2.init(
+            spark.createDataFrame(
+                [("a\\nb",), ("a\nb",)], "k string"
+            )
+        )
+        cat.register("bsel2", store=st2)
+        out2 = cat.sql(
+            "DELETE FROM bsel2 WHERE k IN "
+            "(SELECT k FROM bsel2 WHERE length(k) = 4) AND length(k) >= 0"
+        )
+        # Under escapedStringLiterals=true the 4-char value is the
+        # literal-backslash 'a\nb'; it round-trips unchanged and is the
+        # row deleted — the REAL-newline row survives.
+        assert out2.collect()[0].affected_rows == 1
+        assert {r.k for r in st2.read().collect()} == {"a\nb"}
     finally:
         spark.conf.unset("spark.sql.parser.escapedStringLiterals")
 
@@ -271,3 +292,60 @@ def test_ts_alias_surplus_drains_on_next_statement_any_table(
     # A plain statement on ANOTHER table drains the surplus.
     cat.sql("SELECT * FROM tb").collect()
     assert len(cat._ts_aliases["ta"]) <= 8
+
+
+def test_unicode_and_octal_escapes_in_where(spark, tmp_path):
+    """Spark decodes \\uXXXX (4 hex) and \\0DD/\\1DD octal escapes in
+    string literals; the extracted predicate must match (probed semantics:
+    '\\u0041' -> 'A', '\\101' -> 'A', '\\377' stays undecoded)."""
+    st = TableStore(spark, str(tmp_path / "t"), key="k", stats_cols=("c",))
+    st.init(
+        spark.createDataFrame(
+            [("r1", "A"), ("r2", "B")], "k string, c string"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("besc", store=st)
+    bs = chr(92)
+    out = cat.sql(f"DELETE FROM besc WHERE c = '{bs}u0041'")
+    assert out.collect()[0].affected_rows == 1
+    assert {r.k for r in st.read().collect()} == {"r2"}
+    st2 = TableStore(spark, str(tmp_path / "t2"), key="k", stats_cols=("c",))
+    st2.init(
+        spark.createDataFrame(
+            [("r1", "A"), ("r2", "B")], "k string, c string"
+        )
+    )
+    cat.register("besc2", store=st2)
+    out2 = cat.sql(f"DELETE FROM besc2 WHERE c = '{bs}101'")
+    assert out2.collect()[0].affected_rows == 1
+    assert {r.k for r in st2.read().collect()} == {"r2"}
+
+
+def test_pre_scalar_table_append_does_not_poison_schema(spark, tmp_path):
+    """A pre-round-11 table (schema scalar None) appending a SUBSET frame
+    must NOT seed the scalar from that subset — later targeted DML would
+    align rewrites to it and physically drop the other columns."""
+    import json as _json
+    import os as _os
+
+    root = str(tmp_path / "t")
+    st = TableStore(spark, root, key="id", stats_cols=("id",))
+    st.init(spark.range(10).selectExpr("id", "id AS a", "id AS b"))
+    # Simulate a pre-scalar table: strip the scalar from the manifest.
+    p = _os.path.join(root, "_manifest_000000.json")
+    with open(p) as f:
+        doc = _json.load(f)
+    doc.pop("schema", None)
+    with open(p, "w") as f:
+        _json.dump(doc, f)
+    st = TableStore(spark, root, key="id", stats_cols=("id",))
+    # Subset append (allowed: missing columns read as null).
+    st.append(spark.range(10, 12).selectExpr("id"))
+    assert st._snapshot(st.current_version())["schema"] is None
+    # Targeted delete must preserve a and b in the rewritten segment.
+    st.delete_keys(spark.range(0, 1).selectExpr("id"))
+    assert st._snapshot(st.current_version())["schema"] is None
+    rows = {(r.id, r.a, r.b) for r in st.read().collect()}
+    assert (5, 5, 5) in rows and (11, None, None) in rows
+    assert len(rows) == 11
