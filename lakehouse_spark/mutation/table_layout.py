@@ -512,21 +512,34 @@ class LayoutMixin:
                 pvals, phys_where
             )
 
-        def _fold(v: int) -> list[str]:
+        # MUTATE-form plan (round 11): rewritten groups are REMOVED and
+        # their replacements appended; untouched partitions and
+        # already-optimal singles stay at their original manifest
+        # positions. That keeps the commit delta-encodable — O(affected)
+        # driver metadata AND checkpoint shard reuse survive a routine
+        # partition-scoped OPTIMIZE on a 10^5-segment table (the previous
+        # full-list form regrouped segments partition-sorted, which forced
+        # an O(table) FULL manifest every run).
+        removed: list[str] = []
+        plan: list[tuple[dict | None, list[str]]] = []
+        for k in sorted(groups):
+            pvals, group = groups[k]
+            if not _in_scope(pvals):
+                continue
+            if not clustered and len(group) == 1 and group[0] not in masked:
+                # Already optimal: stays in place (stats / partition
+                # values carried by the untouched-segment path).
+                continue
+            removed += group
+            plan.append((pvals, group))
+        fold_loose = bool(loose) and phys_where is None
+        if fold_loose:
+            removed += loose
+
+        def _make_added(v: int) -> list[str]:
             segs: list[str] = []
             i = 0
-            n_touched = 0
-            for k in sorted(groups):
-                pvals, group = groups[k]
-                if not _in_scope(pvals):
-                    segs += group
-                    continue
-                n_touched += 1
-                if not clustered and len(group) == 1 and group[0] not in masked:
-                    # Already optimal: carry the segment (and its stats /
-                    # partition values, via the _transact carry-forward).
-                    segs.append(group[0])
-                    continue
+            for pvals, group in plan:
                 df_g = self._to_logical(self._read_segments(group, dv))
                 if not clustered:
                     seg = self._write_segment(df_g, v, part=i)
@@ -537,15 +550,12 @@ class LayoutMixin:
                     new = _write_banded(df_g, v, i, pvals)
                     segs += new
                     i += len(new)
-            if loose:
-                if phys_where is not None:
-                    segs += loose
+            if fold_loose:
+                df_l = self._to_logical(self._read_segments(loose, dv))
+                if not clustered:
+                    segs.append(self._write_segment(df_l, v, part=i))
                 else:
-                    df_l = self._to_logical(self._read_segments(loose, dv))
-                    if not clustered:
-                        segs.append(self._write_segment(df_l, v, part=i))
-                    else:
-                        segs += _write_banded(df_l, v, i, None)
+                    segs += _write_banded(df_l, v, i, None)
             return segs
 
         if phys_where is not None and not any(
@@ -560,7 +570,12 @@ class LayoutMixin:
             meta["range_by"] = range_by
         if zorder_by is not None:
             meta["zorder_by"] = list(zorder_by)
-        return self._transact(_fold, meta=meta, base_version=v0)
+        return self._transact(
+            None,
+            meta=meta,
+            base_version=v0,
+            mutate_make=(removed, _make_added),
+        )
 
     def compact_small(
         self,

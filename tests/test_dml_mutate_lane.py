@@ -217,3 +217,50 @@ def test_cdf_store_dml_still_correct(spark, tmp_path):
     assert kinds == {(5, "delete"), (6, "delete"), (7, "delete")}
     got = sorted(r.id for r in st.read().collect())
     assert got == [i for i in range(40) if i not in (5, 6, 7)]
+
+
+def test_partitioned_optimize_writes_delta_manifest(spark, tmp_path):
+    """Partition-scoped OPTIMIZE (compact with where=) commits through the
+    mutate lane: only the in-scope partition's segments are removed, the
+    rest stay at their manifest positions, and the commit record is a
+    DELTA doc — checkpoint shard reuse survives routine layout
+    maintenance."""
+    from pyspark.sql import functions as F
+
+    st = TableStore(
+        spark,
+        str(tmp_path / "t"),
+        key="id",
+        stats_cols=("id",),
+        partition_by=("day",),
+    )
+    st.init(
+        spark.range(0, 30).selectExpr(
+            "id", "concat('d', CAST(id % 3 AS STRING)) AS day"
+        )
+    )
+    # Two more appends so partition d1 holds several small segments.
+    for lo in (30, 60):
+        st.append(
+            spark.range(lo, lo + 30).selectExpr(
+                "id", "concat('d', CAST(id % 3 AS STRING)) AS day"
+            )
+        )
+    v0 = st.current_version()
+    segs0 = st._snapshot(v0)["segments"]
+    parts0 = st._snapshot(v0)["partitions"]
+    d1_segs = {s for s in segs0 if parts0.get(s, {}).get("day") == "d1"}
+    st.compact(where={"day": "d1"})
+    v1 = st.current_version()
+    raw = M.read_manifest_file(str(tmp_path / "t"), v1)
+    assert raw.get("delta") == 1
+    assert set(raw["remove"]) == d1_segs
+    # Untouched segments kept their original relative order.
+    kept = [s for s in segs0 if s not in d1_segs]
+    assert st._snapshot(v1)["segments"][: len(kept)] == kept
+    got = sorted(
+        r.id for r in st.read().filter(F.col("day") == "d1").collect()
+    )
+    assert got == sorted(i for i in range(90) if i % 3 == 1)
+    # Full-table content identical to pre-compact.
+    assert st.read().count() == 90
