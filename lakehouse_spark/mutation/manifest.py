@@ -962,10 +962,11 @@ class TxnMixin:
             json.dump(doc, f)
         os.replace(tmp, self._checkpoint_path(v))
         # A sharded checkpoint just landed: clear the pruned-planning miss
-        # memo (a statement racing the BACKGROUND checkpoint write at this
-        # boundary could have latched a miss that would otherwise disable
-        # shard pruning until the next interval).
+        # memo and bump the token (a statement whose chain walk STARTED
+        # before this write must not re-latch a stale miss after it — the
+        # token makes that store a no-op, see _try_pruned).
         self._prune_miss_v = None
+        self._prune_tok = getattr(self, "_prune_tok", 0) + 1
 
     def _reusable_shards(self, v: int, size: int) -> dict[int, dict]:
         """Shard entries of the nearest older sharded checkpoint, keyed by
@@ -1409,11 +1410,19 @@ class TxnMixin:
             delta_doc["dv_unset"] = sorted(dv_unset)
         pending_schema = getattr(self, "_pending_schema", None)
         self._pending_schema = None
-        new_schema = (
-            _schema_union(head.get("schema"), pending_schema)
-            if head.get("schema") is not None
-            else None
-        )
+        if pending_schema is not None and len(removed) == len(segmap):
+            # FULL REPLACE through the mutate lane (whole-table compaction
+            # routes here since round 11): same rule as the general lane —
+            # the written schema IS the table schema, so RESET (a full
+            # rewrite physically purges dropped columns) and legitimately
+            # SEED a pre-scalar table.
+            new_schema = pending_schema
+        else:
+            new_schema = (
+                _schema_union(head.get("schema"), pending_schema)
+                if head.get("schema") is not None
+                else None
+            )
         if new_schema != head.get("schema"):
             delta_doc["schema"] = new_schema
         if txn is not None:

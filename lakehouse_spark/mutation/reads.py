@@ -60,9 +60,14 @@ class ReadsMixin:
         sc = getattr(self, "_shard_cache", None)
         if sc is None:
             sc = self._shard_cache = {}
+        tok = getattr(self, "_prune_tok", 0)
         m = load_snapshot_pruned(self.root, v, predicate, shard_cache=sc)
         if m is None:
-            self._prune_miss_v = v
+            # Store the miss only if no checkpoint landed DURING the walk
+            # (the writer bumps _prune_tok after the file is visible) — a
+            # stale miss would disable shard pruning for the interval.
+            if getattr(self, "_prune_tok", 0) == tok:
+                self._prune_miss_v = v
         else:
             self._prune_miss_v = None
         return m

@@ -175,6 +175,13 @@ def _backslash_escapes_on(spark) -> bool:
         return True
 
 
+class _UndecodableEscape(ValueError):
+    """An escape form whose cross-engine value we can't reproduce exactly
+    (lone surrogate halves). The caller DECLINES to extract the conjunct —
+    no pruning from it, the row-exact WHERE still applies — rather than
+    prune with a value that differs from what Spark compares."""
+
+
 def _unescape_backslashes(s: str) -> str:
     r"""Decode backslash escapes the way Spark's default parser does
     (ParserUtils.unescapeSQLString): named escapes map to their control
@@ -192,16 +199,45 @@ def _unescape_backslashes(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < n:
             nxt = s[i + 1]
-            # \uXXXX (exactly 4 hex) — probed against Spark 4.1:
-            # '\u0041' -> 'A', '\u004x' stays (backslash dropped).
+            # \uXXXX (exactly 4 STRICT hex — int() alone also accepts
+            # whitespace/'+'/'_' forms Spark leaves undecoded) — probed
+            # against Spark 4.1: '\u0041' -> 'A', '\u004x' stays.
             if nxt == "u" and i + 6 <= n:
                 hexs = s[i + 2 : i + 6]
-                try:
-                    out.append(chr(int(hexs, 16)))
+                if all(ch in "0123456789abcdefABCDEF" for ch in hexs):
+                    cp = int(hexs, 16)
+                    if 0xD800 <= cp <= 0xDBFF:
+                        # High surrogate: Spark (a JVM) pairs it with a
+                        # following \uDC00-\uDFFF into ONE astral code
+                        # point; lone Python surrogates would compare
+                        # differently from manifest-stats strings.
+                        j = i + 6
+                        if (
+                            j + 6 <= n
+                            and s[j] == "\\"
+                            and s[j + 1] == "u"
+                            and all(
+                                ch in "0123456789abcdefABCDEF"
+                                for ch in s[j + 2 : j + 6]
+                            )
+                            and 0xDC00 <= int(s[j + 2 : j + 6], 16) <= 0xDFFF
+                        ):
+                            lo = int(s[j + 2 : j + 6], 16)
+                            out.append(
+                                chr(
+                                    0x10000
+                                    + ((cp - 0xD800) << 10)
+                                    + (lo - 0xDC00)
+                                )
+                            )
+                            i = j + 6
+                            continue
+                        raise _UndecodableEscape(s)
+                    if 0xDC00 <= cp <= 0xDFFF:
+                        raise _UndecodableEscape(s)  # lone low surrogate
+                    out.append(chr(cp))
                     i += 6
                     continue
-                except ValueError:
-                    pass
             # \DDD: exactly 3 octal digits, first 0-1 (probed: \101->'A',
             # \177->DEL, \200 and \377 stay undecoded, \10 stays).
             if nxt in "01" and i + 4 <= n:
@@ -243,7 +279,10 @@ def _literal(tok: str, backslash_escapes: bool = True):
     if m:
         v = m.group(1).replace("''", "'")
         if backslash_escapes:
-            v = _unescape_backslashes(v)
+            try:
+                v = _unescape_backslashes(v)
+            except _UndecodableEscape:
+                return False, None  # conjunct not extracted; WHERE exact
         return True, v
     m = _TEMPORAL_RE.match(tok)
     if m:

@@ -349,3 +349,36 @@ def test_pre_scalar_table_append_does_not_poison_schema(spark, tmp_path):
     rows = {(r.id, r.a, r.b) for r in st.read().collect()}
     assert (5, 5, 5) in rows and (11, None, None) in rows
     assert len(rows) == 11
+
+
+def test_unescape_strict_hex_and_surrogates(spark, tmp_path):
+    """Pass-3 review pins: the unicode decoder requires 4 STRICT hex
+    digits (int() alone also accepts ' 041'/'+123'/'1_23' forms Spark
+    leaves undecoded), combines surrogate pairs into one astral code
+    point, and DECLINES extraction for lone surrogate halves (conjunct
+    falls back to row-exact WHERE, never wrong pruning)."""
+    from lakehouse_spark.sqldml import (
+        _literal,
+        _UndecodableEscape,
+        _unescape_backslashes as u,
+    )
+
+    bs = chr(92)
+    assert u(bs + "u 041") == "u 041"  # not decoded (matches Spark)
+    assert u(bs + "uD83D" + bs + "uDE00") == chr(0x1F600)
+    with pytest.raises(_UndecodableEscape):
+        u(bs + "uD83Dx")
+    ok, _v = _literal("'" + bs + "uDE00'")
+    assert ok is False
+    # End-to-end: astral pair in a WHERE deletes the right row.
+    st = TableStore(spark, str(tmp_path / "t"), key="k", stats_cols=("c",))
+    st.init(
+        spark.createDataFrame(
+            [("r1", chr(0x1F600)), ("r2", "plain")], "k string, c string"
+        )
+    )
+    cat = LakeCatalog(spark)
+    cat.register("bsur", store=st)
+    out = cat.sql(f"DELETE FROM bsur WHERE c = '{bs}uD83D{bs}uDE00'")
+    assert out.collect()[0].affected_rows == 1
+    assert {r.k for r in st.read().collect()} == {"r2"}

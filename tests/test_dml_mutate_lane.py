@@ -264,3 +264,60 @@ def test_partitioned_optimize_writes_delta_manifest(spark, tmp_path):
     assert got == sorted(i for i in range(90) if i % 3 == 1)
     # Full-table content identical to pre-compact.
     assert st.read().count() == 90
+
+
+def test_full_replace_compact_seeds_schema_on_pre_scalar_table(
+    spark, tmp_path
+):
+    """Whole-table compaction through the mutate lane is a FULL REPLACE:
+    it seeds the schema scalar on a pre-scalar table (and resets it
+    generally), matching the general lane's rule."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    st = TableStore(spark, root, key="id", stats_cols=("id",))
+    st.init(spark.range(5).selectExpr("id", "id AS a"))
+    st.append(spark.range(5, 10).selectExpr("id", "id AS a"))
+    # Simulate a pre-scalar history: strip the scalar everywhere.
+    for v in (0, 1):
+        p = os.path.join(root, f"_manifest_{v:06d}.json")
+        with open(p) as f:
+            doc = _json.load(f)
+        doc.pop("schema", None)
+        with open(p, "w") as f:
+            _json.dump(doc, f)
+    st = TableStore(spark, root, key="id", stats_cols=("id",))
+    assert st._snapshot(1).get("schema") is None
+    st.compact()  # full rewrite -> full replace -> seeds the scalar
+    snap = st._snapshot(st.current_version())
+    assert snap["schema"] is not None
+    assert [f["name"] for f in snap["schema"]["fields"]] == ["id", "a"]
+    assert st.read().count() == 10
+
+    # Same through the PARTITIONED fold (the mutate-lane route).
+    root2 = str(tmp_path / "p")
+    st2 = TableStore(
+        spark, root2, key="id", stats_cols=("id",), partition_by=("g",)
+    )
+    st2.init(spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS g"))
+    st2.append(
+        spark.range(6, 12).selectExpr("id", "CAST(id % 2 AS STRING) AS g")
+    )
+    for v in (0, 1):
+        p = os.path.join(root2, f"_manifest_{v:06d}.json")
+        with open(p) as f:
+            doc = _json.load(f)
+        doc.pop("schema", None)
+        with open(p, "w") as f:
+            _json.dump(doc, f)
+    st2 = TableStore(
+        spark, root2, key="id", stats_cols=("id",), partition_by=("g",)
+    )
+    assert st2._snapshot(1).get("schema") is None
+    st2.compact()  # partitioned whole-table fold -> mutate lane
+    raw = M.read_manifest_file(root2, st2.current_version())
+    assert raw.get("delta") == 1  # the fold commits a delta doc
+    snap2 = st2._snapshot(st2.current_version())
+    assert snap2["schema"] is not None
+    assert {f["name"] for f in snap2["schema"]["fields"]} == {"id", "g"}
+    assert st2.read().count() == 12
