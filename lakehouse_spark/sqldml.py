@@ -750,7 +750,6 @@ def _delete(cat, q: str) -> DataFrame:
             and terms[0][0] == "in"
             and not terms[0][3]
             and terms[0][1] == store.key
-            and not store.renames()
         ):
             # The reference's cascade delete as SQL (an id-set delete,
             # amplifier_library/sessions/manager.py:422-452): a single
@@ -813,7 +812,7 @@ def _update(cat, q: str) -> DataFrame:
         no_top_or = all(
             len(_split_top(t, "OR")) == 1 for t in _split_top(where, "AND")
         )
-        if key_ins and others_plain and no_top_or and not store.renames():
+        if key_ins and others_plain and no_top_or:
             # Distributed route (round-11 ask #3, the UPDATE analog of the
             # DELETE key-route above): a positive IN-subquery on the TABLE
             # KEY becomes update(keys=frame) — matched rows found by a
@@ -821,6 +820,10 @@ def _update(cat, q: str) -> DataFrame:
             # there is NO inline-literal cap; remaining plain conjuncts
             # ride along as the row filter, and the targeted rewrite keeps
             # key-stats file skipping. Delta's UPDATE-with-subquery shape.
+            # Column-mapped tables take this route too (round-12 ask #4):
+            # the key column can never be renamed (_guard_col_mutation),
+            # and update()/read() speak logical names end-to-end — the
+            # read path translates predicates to physical internally.
             idx = key_ins[0]
             keys = cat.sql(terms[idx][2])
             if len(keys.columns) != 1:
