@@ -40,6 +40,17 @@ for named views — it backs views with parquet-native ``TableStore.read()``
 scans for exactly this reason (tests/test_sql_catalog.py pins the
 mixed-filter-reuse scenarios).
 
+Since round 12 the misuse FAILS LOUDLY instead of returning wrong rows:
+the reader pins the first pushed-filter signature per relation (a token
+stamped at DataSource construction, backed by a cross-worker tmpdir
+sidecar — see ``_PUSHED_SIG``) and raises with the fresh-load
+instruction when a second, different filter set is pushed onto the same
+relation (tests/test_datasource_push_aliasing_guard.py). The one shape
+no Python-side guard can intercept is a reused plan the JVM serves
+ENTIRELY from its cache (same-or-no-filter re-execution after a
+different push never re-enters Python) — the pin catches the poisoning
+push itself, which precedes any such stale read.
+
 Scale notes: the per-partition unit is one parquet *file*, so
 parallelism matches the layout exactly as Delta's log-driven scans do;
 all file IO is pyarrow.dataset (vectorized, row-group pruned). The
@@ -147,6 +158,105 @@ _SCALARS_CACHE: dict[tuple[str, int], dict] = {}
 # rename, content seg_hash-checked on read), so pruned partition planning
 # shares one module-level cache across reader instances and micro-batches.
 _SHARD_CACHE: dict[str, dict] = {}
+
+# Detect-and-raise guard for the Spark 4.1 pushFilters aliasing hazard
+# (module docstring): pinned pushed-filter signature per RELATION — the
+# token is stamped once at DataSource construction (i.e. per .load())
+# and pickled with the plan, so every replanning of one relation carries
+# the same token while a fresh .load() gets a new one. A second,
+# DIFFERENT pushFilters application to the same relation is exactly the
+# misuse pattern that silently executes wrong partitions upstream
+# (shared readInfo, unkeyed by filters); with this registry it raises
+# with the fresh-load instruction instead. Best-effort by construction:
+# the registry lives in the planning worker's module globals, so a
+# replanning served by a different worker process is not detected (and a
+# fresh relation can never false-positive — its token is new). Bounded
+# FIFO so a long-lived planner worker never grows without limit.
+_PUSHED_SIG: dict[str, tuple] = {}
+_PUSHED_SIG_MAX = 4096
+
+
+def _filters_sig(filters) -> tuple:
+    """Order-insensitive canonical signature of a pushed-filter list."""
+    return tuple(
+        sorted(
+            (
+                type(f).__name__,
+                tuple(getattr(f, "attribute", None) or ()),
+                repr(getattr(f, "value", None)),
+            )
+            for f in filters
+        )
+    )
+
+
+def _pin_dir() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "lakehouse-pushsig")
+
+
+def _read_pin_file(token: str) -> tuple | None:
+    try:
+        with open(os.path.join(_pin_dir(), token)) as f:
+            data = json.load(f)
+        return tuple((a, tuple(b), c) for a, b, c in data)
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def _write_pin_file(token: str, sig: tuple) -> tuple | None:
+    """Publish ``sig`` write-once; returns the EXISTING sig if another
+    planner worker won the race (caller compares), else None. Best
+    effort — an unwritable tmpdir silently degrades to same-worker
+    detection via _PUSHED_SIG."""
+    d = _pin_dir()
+    try:
+        os.makedirs(d, exist_ok=True)
+        # Bounded: tokens are per-.load() uuids, so a long test session
+        # accumulates files — stop persisting (not detecting) past the
+        # cap rather than grow tmp without limit.
+        if len(os.listdir(d)) > _PUSHED_SIG_MAX:
+            return None
+        fd = os.open(
+            os.path.join(d, token), os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600
+        )
+    except FileExistsError:
+        return _read_pin_file(token)
+    except OSError:
+        return None
+    with os.fdopen(fd, "w") as f:
+        json.dump([[a, list(b), c] for a, b, c in sig], f)
+    return None
+
+
+def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
+    """Pin ``sig`` for ``token``, raising on a conflicting earlier pin.
+    Two layers: the in-process _PUSHED_SIG dict, plus a write-once tmpdir
+    sidecar so the pin survives Spark's planner-worker pooling (one
+    relation's plannings are NOT guaranteed to land in one worker
+    process; planning always runs on the driver host, so host-local tmp
+    is the right scope)."""
+    if token is None:
+        return
+    pinned = _PUSHED_SIG.get(token)
+    if pinned is None:
+        pinned = _read_pin_file(token)
+    if pinned is None:
+        pinned = _write_pin_file(token, sig)  # non-None = lost the race
+    if pinned is not None and pinned != sig:
+        raise RuntimeError(
+            "lakehouse relation reused across scans with DIFFERENT filter "
+            f"sets (pinned {pinned}, now {sig}). Spark 4.1 caches the "
+            "planned Python data-source read per relation UNKEYED by "
+            "pushed filters, so reuse silently executes the wrong "
+            "partitions. Use a fresh spark.read.format('lakehouse')"
+            ".load(<root>) per query, or bake a static filter into the "
+            "relation with .option('predicate', ...) which is reuse-safe."
+        )
+    _PUSHED_SIG[token] = sig
+    while len(_PUSHED_SIG) > _PUSHED_SIG_MAX:
+        _PUSHED_SIG.pop(next(iter(_PUSHED_SIG)))
 
 
 def _scalars(root: str, v: int) -> dict:
@@ -579,6 +689,12 @@ class LakehouseDataSource(DataSource):
       sources.
     """
 
+    def __init__(self, options):
+        super().__init__(options)
+        # Relation identity for the pushFilters aliasing guard: stamped
+        # once per .load() and pickled with the plan (see _PUSHED_SIG).
+        self._relation_token = uuid.uuid4().hex
+
     @classmethod
     def name(cls) -> str:
         return "lakehouse"
@@ -654,7 +770,12 @@ class LakehouseDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         if self._changes_mode():
             return ChangesBatchReader(self._root(), self.options, schema)
-        return SnapshotReader(self._root(), self.options, schema)
+        return SnapshotReader(
+            self._root(),
+            self.options,
+            schema,
+            relation_token=getattr(self, "_relation_token", None),
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return ChangesStreamReader(
@@ -689,10 +810,19 @@ class SnapshotReader(DataSourceReader):
     RETURNED to Spark (pruning here is conservative, Spark's re-check
     keeps results exact — the same contract as parquet row-group stats)."""
 
-    def __init__(self, root: str, options, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        options,
+        schema: StructType,
+        relation_token: str | None = None,
+    ):
         self.root = root
         self.schema = schema
         self.version = _resolve_version(root, options)
+        # Aliasing-guard identity (see _PUSHED_SIG): which .load() this
+        # reader plans for; None when constructed outside the DataSource.
+        self._relation_token = relation_token
         renames, _dropped = _col_mapping(root, self.version)
         # logical → physical, for pushed filters (stats/blooms/files are
         # physical) and for batch conform in _read_files.
@@ -732,8 +862,19 @@ class SnapshotReader(DataSourceReader):
             # planned read per relation unkeyed by pushed filters; a
             # narrowed readInfo from one query would poison the next, see
             # the module docstring). Decline everything: Spark applies the
-            # filters itself, the option still prunes.
+            # filters itself, the option still prunes — and the aliasing
+            # guard below does not apply (no per-query plan state).
             return filters
+        # Aliasing guard (round-12 ask #2): a second, DIFFERENT filter set
+        # pushed for the same relation is the documented silent-wrong-rows
+        # misuse — raise with the fresh-load instruction instead of
+        # executing it. Pin BEFORE mutating pruning state so an identical
+        # replay of the same plan stays legal and idempotent.
+        sig = _filters_sig(filters)
+        _pin_pushed_sig(self._relation_token, sig)
+        if getattr(self, "_instance_sig", None) == sig:
+            return filters  # same plan replayed onto this instance
+        self._instance_sig = sig
         names = set(self.schema.fieldNames())
 
         def _narrow(col, lo=None, hi=None):
@@ -828,6 +969,14 @@ class SnapshotReader(DataSourceReader):
         return segs
 
     def partitions(self):
+        if not self.opt_in and not any(
+            v != (None, None) for v in self.ranges.values()
+        ) and getattr(self, "_instance_sig", None) is None:
+            # Planning with NO pushed filters: pin the empty signature so
+            # a later filtered push onto this same relation raises instead
+            # of silently poisoning the cached unfiltered plan (the
+            # unfiltered-then-filtered reuse order).
+            _pin_pushed_sig(self._relation_token, ())
         m = _scalars(self.root, self.version)
         dv, key = m.get("dv", {}), m.get("key")
         if dv and not key:

@@ -71,9 +71,14 @@ def test_batch_filter_parity_and_schema_evolution(spark, store):
     assert "note" in df.columns
     got = sorted((r.id, r.note) for r in df.collect())
     assert got == [(1, None), (2, None), (3, None), (4, None), (5, "tagged")]
-    # filters agree with the JVM-path read regardless of pruning
-    assert _rows(df.filter("x >= 50")) == _rows(store.read().filter("x >= 50"))
-    assert df.filter("x > 1000").count() == 0
+    # filters agree with the JVM-path read regardless of pruning. Fresh
+    # load per filtered query — reusing `df` with different filter sets is
+    # the aliasing misuse the reader now detects and raises on
+    # (test_datasource_push_aliasing_guard.py).
+    df2 = spark.read.format("lakehouse").load(store.root)
+    assert _rows(df2.filter("x >= 50")) == _rows(store.read().filter("x >= 50"))
+    df3 = spark.read.format("lakehouse").load(store.root)
+    assert df3.filter("x > 1000").count() == 0
 
 
 def test_pushdown_prunes_segments_from_manifest_stats(spark, store):
