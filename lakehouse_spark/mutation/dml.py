@@ -648,7 +648,8 @@ class DmlMixin:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         key = self.key or self._manifest_key()
         gen = self.generated_columns()
-        cols = [f.name for f in self._logical_schema(v0, None).fields]
+        full_schema = self._logical_schema(v0, None)
+        cols = [f.name for f in full_schema.fields]
         for c in set:
             if c == key:
                 raise ValueError(
@@ -663,6 +664,18 @@ class DmlMixin:
             if c not in cols:
                 raise KeyError(f"no column {c!r} (have {cols})")
         matched = self.read(v0, predicate=predicate)
+        # Align to the FULL logical schema: a selective predicate can prune
+        # the read to segments that predate an evolved column, and the
+        # post-image rows must still carry it (as null — exactly what an
+        # unpruned read presents). Without this the rewrite failed to
+        # resolve the column (and a conform-by-subset would have silently
+        # dropped it from the rewritten segments).
+        missing = [f for f in full_schema.fields if f.name not in matched.columns]
+        if missing:
+            matched = matched.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            )
         if keys is not None:
             kf = keys
             if len(kf.columns) != 1:

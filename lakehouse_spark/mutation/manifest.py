@@ -907,6 +907,24 @@ class TxnMixin:
         never-referenced shard files)."""
         if snap is None:
             snap = self._snapshot(v)
+        if snap.get("schema") is None and snap.get("segments"):
+            # Schema-scalar seeding for PRE-SCALAR tables (round-12 ask
+            # #3): the checkpoint is derived state, so recording the
+            # parquet-footer union here is a cache of the same derivation
+            # every reader's fallback performs — readers via this
+            # checkpoint get O(1) logical-schema planning and the data
+            # source's scalar fast path, and union-forward carries it into
+            # every later snapshot. One harvest per checkpoint until a
+            # commit (backfill_schema or a full rewrite) records it in the
+            # manifest chain itself. Best-effort: checkpoints are pure
+            # maintenance, a failed harvest only keeps the footer
+            # fallback.
+            try:
+                harvested = self._harvest_schema(snap)
+            except Exception:
+                harvested = None
+            if harvested is not None:
+                snap = {**snap, "schema": harvested}
         size = int(getattr(self, "checkpoint_shard_size", 1000) or 1000)
         segments = snap["segments"]
         stats = snap["stats"]

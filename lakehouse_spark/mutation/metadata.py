@@ -351,6 +351,55 @@ class MetadataMixin:
             base_version=self.current_version(),
         )
 
+    # -- schema-scalar backfill (round-12 ask #3) -----------------------------
+
+    def _harvest_schema(self, snap: dict) -> dict | None:
+        """PHYSICAL footer-union schema of ``snap``'s segments as a
+        StructType.jsonValue dict — the exact content write paths stage
+        into the manifest ``schema`` scalar, derived once from the parquet
+        footers (a Spark mergeSchema PLAN; no data job runs). None for a
+        zero-segment snapshot (nothing to derive from)."""
+        segments = snap.get("segments") or []
+        if not segments:
+            return None
+        return self._read_segments(segments, {}).schema.jsonValue()
+
+    def backfill_schema(self) -> int | None:
+        """Seed the manifest ``schema`` scalar on a PRE-SCALAR table
+        (written before the scalar plane existed) with the parquet-footer
+        union — a METADATA-ONLY commit, no data rewrite. Pre-scalar tables
+        otherwise stay schema-UNKNOWN until a full rewrite: the write
+        lanes refuse to seed from a targeted commit's staged footers
+        (which cover only the touched segments — seeding a subset would
+        physically drop evolved columns from later DML rewrites), so the
+        footer union over ALL segments is the only safe seed, and this op
+        is where it happens exactly once. After it, logical-schema
+        planning is O(1) (dml._logical_schema fast path) and the data
+        source's cold plan skips the footer walk (load_scalars /
+        schema-from-scalar).
+
+        Returns the new version, or None when the scalar is already
+        present (no commit — idempotent). The commit is a pure-metadata
+        delta (no segments added or removed; the change feed classifies
+        it as a no-op)."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(
+                f"table {self.root} has no committed version"
+            )
+        snap = self._snapshot(v)
+        if snap.get("schema") is not None:
+            return None
+        harvested = self._harvest_schema(snap)
+        if harvested is None:
+            return None  # zero segments: nothing to derive, nothing to fix
+        return self._transact(
+            lambda w: self._segments(w - 1),
+            meta={"backfill_schema": True},
+            base_version=v,
+            schema_override=harvested,
+        )
+
 
     # -- clone / detail ------------------------------------------------------
 

@@ -120,3 +120,24 @@ def test_update_on_partitioned_table(spark, tmp_path):
     m = _manifest(store)
     days = [p["day"] for p in m["partitions"].values()]
     assert "d0" in days and "d1" in days
+
+
+def test_update_pruned_to_pre_evolution_segment_keeps_schema(spark, tmp_path):
+    """A predicate that prunes the matched read to segments PREDATING an
+    evolved column must still produce post-images carrying that column
+    (null) — previously the rewrite failed to resolve it (round-12
+    regression found while testing schema backfill; delete paths always
+    aligned via _aligned_base, update() used the raw pruned read)."""
+    store = TableStore(
+        spark, str(tmp_path / "e"), key="id", stats_cols=("id",)
+    )
+    store.init(spark.range(5).selectExpr("id", "id AS x"))
+    store.append(spark.range(5, 10).selectExpr("id", "id AS x", "'n' AS note"))
+    n = store.update(
+        set={"x": "x + 100"}, predicate={"id": (1, 1)}, where="id = 1"
+    )
+    assert n == 1
+    got = {(r.id, r.x, r.note) for r in store.read().collect()}
+    assert (1, 101, None) in got
+    assert (7, 7, "n") in got  # evolved column intact in untouched rows
+    assert len(got) == 10
