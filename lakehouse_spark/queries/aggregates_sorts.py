@@ -615,21 +615,58 @@ def rollup_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "agg_sketches",
-    None,  # approximate by design (HLL++ / KLL): rows-only; error bounds
-    # are pytest-pinned against the exact entries
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS parts_in_bound,
+           TRUE AS supps_in_bound,
+           TRUE AS p50_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="Sketch aggregates — the 100 TB form of agg_distinct_count /"
     " agg_percentiles: approx_count_distinct (HyperLogLog++, default 5%"
     " rsd) and approx_percentile (mergeable quantile sketch, 1e-4"
     " accuracy). Constant memory per group, single pass, mergeable"
-    " partials; relative error vs the exact entries is pinned in"
-    " tests/test_catalog_parity.py",
+    " partials. Oracle-checkable form (round-12 ask #5): the sketch"
+    " estimates can't be reproduced cross-engine, so the entry emits the"
+    " EXACT per-group answers (DuckDB-checked values) plus booleans"
+    " pinning each estimate to its error bound — HLL within 3x the 5%"
+    " default rsd, the quantile sketch's p50 inside the exact p45..p55"
+    " band — which the oracle asserts as TRUE literals. A bound"
+    " violation at any scale factor is a hash mismatch, not a silent"
+    " drift.",
 )
 def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.approx_count_distinct("l_suppkey").alias("_as"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50s"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("exact_supps"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.15
+        ).alias("parts_in_bound"),
+        (
+            F.abs(F.col("_as") - F.col("exact_supps"))
+            / F.col("exact_supps")
+            <= 0.15
+        ).alias("supps_in_bound"),
+        (
+            (F.col("_p50s") >= F.col("_p45"))
+            & (F.col("_p50s") <= F.col("_p55"))
+        ).alias("p50_in_band"),
     )
 
 
