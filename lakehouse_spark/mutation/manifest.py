@@ -1363,9 +1363,10 @@ class TxnMixin:
         ``cur`` already carries any interleaved disjoint appends, and the
         remove/add form applies to whatever the head is (the caller's
         ``base_version`` proof ran in :meth:`_transact` before dispatch).
-        CDF stores take the general lane (the change-file materialization
-        needs a full snapshot mid-commit, and it reads the affected data
-        anyway — metadata CPU is not their floor)."""
+        CDF stores take this lane too (round 12): the change file is
+        written pre-pointer from the restricted touched-segments diff
+        (reads._changes_delta) — O(affected) data, never a full snapshot
+        diff."""
         head = self._head_for(cur)
         segmap = head["segments"]
         stale = [s for s in removed if s not in segmap]
@@ -1455,6 +1456,17 @@ class TxnMixin:
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._manifest_path(nxt))
+        if self.write_cdf:
+            # PRE-pointer, the same invariant as the general lane: the
+            # pointer only ever advances to a version whose changes are
+            # already readable. The delta manifest just finalized routes
+            # materialize through the RESTRICTED diff (_changes_delta) —
+            # O(touched segments) data read, so a 1-row DML on a
+            # 10^6-segment CDF table never diffs the whole table. A
+            # failure here aborts the commit: the caller's abort cleanup
+            # unlinks manifest ``nxt`` and removes any partial change
+            # file, and readers never saw the version.
+            self.materialize_cdf(nxt)
         self._swap_pointer(nxt)
         # -- committed. Same maintenance contract as the append lane:
         # nothing below may raise into the caller's abort cleanup; drop
@@ -1576,10 +1588,12 @@ class TxnMixin:
             # _commit_mutate. Falls back to the general lane with
             # byte-identical semantics (prev-minus-removed-plus-appended
             # is exactly the delta-encodable order) when there is no head
-            # to evolve (creation), the store writes CDF (change-file
-            # materialization needs full snapshots mid-commit), or a
-            # state-override commit pins planes the in-place evolution
-            # doesn't model.
+            # to evolve (creation) or a state-override commit pins planes
+            # the in-place evolution doesn't model. CDF stores take this
+            # lane too (round-12 ask #1): the change file is materialized
+            # pre-pointer from the RESTRICTED diff over exactly the
+            # touched segments (reads._changes_delta), so their
+            # per-statement metadata stays O(affected) as well.
             _mut_rm, _mut_mk = mutate_make
             _overridden = (
                 dv_override is not None
@@ -1590,19 +1604,20 @@ class TxnMixin:
                 or stats_override is not None
                 or partitions_override is not None
             )
-            if cur is None or self.write_cdf or _overridden:
+            if cur is None or _overridden:
                 _rms = set(_mut_rm)
                 make_segments = lambda v: [  # noqa: E731
                     s for s in self._segments(v - 1) if s not in _rms
                 ] + _mut_mk(v)
                 mutate_make = None
-        if append_make is not None and (cur is None or self.write_cdf):
+        if append_make is not None and cur is None:
             # The append LANE (below) needs an existing head-state to
-            # evolve and defers to the general lane for CDF stores (the
-            # change-file materialization reads snapshots mid-commit, and
-            # CDF appends copy the appended data anyway — metadata CPU is
-            # not their floor). Creation commits and CDF stores fall back
-            # with byte-identical semantics.
+            # evolve; creation commits fall back to the general lane with
+            # byte-identical semantics. CDF stores keep the append lane
+            # (round-12): an append commit needs NO change file at all —
+            # commit_kind classifies the delta doc as "append" and the
+            # feed reads the added segments directly — so the pre-pointer
+            # changes-readable invariant holds by construction.
             _am = append_make
             append_make = None
             if cur is None:

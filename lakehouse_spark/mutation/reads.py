@@ -311,8 +311,92 @@ class ReadsMixin:
         return True
 
     def _changes_one(self, v: int) -> DataFrame:
-        """Row-level changes of the single commit ``v`` — the keyed
-        full-outer snapshot diff (see :meth:`changes` for semantics)."""
+        """Row-level changes of the single commit ``v``. DELTA-manifest
+        rewrites (the mutate lane: targeted DML, compaction folds, plus
+        any delta-encodable rewrite) take the RESTRICTED diff — only the
+        commit's touched segments are read, O(affected) data, which is
+        what lets ``write_cdf=True`` stores keep the mutate lane's
+        O(affected) per-statement cost (round-12 ask #1). FULL-manifest
+        rewrites (overwrite / restore / state-override commits) keep the
+        whole-snapshot diff."""
+        from lakehouse_spark.mutation.manifest import read_manifest_file
+
+        raw = read_manifest_file(self.root, v)
+        if "segments" not in raw:
+            return self._changes_delta(v, raw)
+        return self._diff_versions(v)
+
+    def _diff_versions(self, v: int) -> DataFrame:
+        """Keyed full-outer snapshot diff of ``v-1`` vs ``v`` (see
+        :meth:`changes` for semantics)."""
+        prev, cur = self.read(v - 1), self.read(v)
+        return self._diff_frames(prev, cur, v)
+
+    def _changes_delta(self, v: int, raw: dict) -> DataFrame:
+        """Restricted diff for a DELTA-manifest rewrite: under the store's
+        keyed contract (one visible row per key per snapshot — the same
+        assumption the full rewrite diff makes, see :meth:`changes`), a
+        key whose visible row changed in commit ``v`` must have its
+        pre-image in a segment this commit removed or newly dv-masked,
+        and its post-image in a segment this commit added (or a retained
+        segment whose dv coverage changed) — an untouched segment's rows
+        are bit-identical on both sides and cancel in the fingerprint
+        diff. So diff ONLY the touched segments' visible rows: the same
+        output as the full snapshot diff, reading O(affected) data. The
+        touched set is a provable SUPERSET (extra segments only add
+        identical rows to both sides)."""
+        prev_snap = self._snapshot(v - 1)
+        prev_segs = prev_snap["segments"]
+        prev_live = set(prev_segs)
+        prev_dv = prev_snap.get("dv", {})
+        removed = set(raw.get("remove", ()))
+        added = list(raw.get("add", ()))
+        dv_set = raw.get("dv_set", {})
+        dv_unset = list(raw.get("dv_unset", ()))
+        touched: set = set(removed) | set(added)
+        for n, ap in dv_set.items():
+            touched |= set(ap)  # newly masked rows -> deletes
+            touched |= set(prev_dv.get(n, ()))  # re-set name: old coverage
+        for n in dv_unset:
+            # Unsetting a dv makes its masked rows visible again unless the
+            # segments are gone — include them so reappearances surface.
+            touched |= set(prev_dv.get(n, ()))
+        pre_segs = [s for s in prev_segs if s in touched and s in prev_live]
+        post_live = [s for s in prev_segs if s not in removed] + added
+        post_touched = [s for s in post_live if s in touched]
+        post_dv = {n: ap for n, ap in prev_dv.items() if n not in dv_unset}
+        post_dv.update(dv_set)
+        # Logical presentation: mutate deltas never change column mapping
+        # (columns_override forces the general lane), so v-1's mapping is
+        # v's unless the doc carries one explicitly.
+        renames = raw.get("renames", prev_snap.get("renames", {}))
+        dropped = raw.get("dropped", prev_snap.get("dropped", []))
+
+        def _side(segs: list[str], dv: dict) -> DataFrame | None:
+            if not segs:
+                return None
+            return self._to_logical_static(
+                self._read_segments(segs, dv), renames, dropped
+            )
+
+        pre = _side(pre_segs, prev_dv)
+        post = _side(post_touched, post_dv)
+        tag = F.lit(v).alias("_commit_version")
+        if pre is None and post is None:
+            empty = self.read(v).limit(0)
+            return empty.select(
+                "*", F.lit("insert").alias("_change_type"), tag
+            ).limit(0)
+        if pre is None:
+            return post.select("*", F.lit("insert").alias("_change_type"), tag)
+        if post is None:
+            return pre.select("*", F.lit("delete").alias("_change_type"), tag)
+        return self._diff_frames(pre, post, v)
+
+    def _diff_frames(self, prev: DataFrame, cur: DataFrame, v: int) -> DataFrame:
+        """The diff core shared by the full and restricted paths: null-safe
+        key join, canonical-fingerprint changed-ness, Delta change-feed
+        row shapes."""
 
         def _fp(df: DataFrame):
             # Canonical row fingerprint: sorted-column JSON → xxhash64.
@@ -324,7 +408,6 @@ class ReadsMixin:
             )
 
         tag = F.lit(v).alias("_commit_version")
-        prev, cur = self.read(v - 1), self.read(v)
         p = prev.select(
             F.col(self.key).alias("__k"),
             _fp(prev).alias("__fp_pre"),
