@@ -748,6 +748,148 @@ def _dml_metadata_section(spark, root: str) -> dict:
         out[f"{k.rsplit('_sec', 1)[0]}_ratio_200x"] = (
             round(big[k] / small[k], 2) if small[k] else None
         )
+    out["write_cdf"] = _dml_cdf_section(spark, root)
+    out["1m_commit"] = _dml_commit_1m_section(spark, root)
+    return out
+
+
+def _dml_cdf_section(spark, root: str) -> dict:
+    """Round-12 verdict ask #1 done-criterion: the dml_o_affected numbers
+    repeated with ``write_cdf=True``. CDF stores now take the mutate lane
+    with a pre-pointer RESTRICTED change diff (touched segments only), so
+    the per-statement cost must stay FLAT 1k → 200k segments. The
+    metadata-only synthetic commit can't run here (the restricted diff
+    reads the removed/added segments, and synthetic segments have no
+    files), so the measured unit is the REAL end-to-end statement — a
+    2-key rewrite-mode upsert touching the one real segment — with the
+    commit time (manifest + restricted materialize) spied out of
+    _transact per statement."""
+    import statistics as _st
+
+    from lakehouse_spark.mutation.store import TableStore
+
+    out: dict = {}
+    for n_segs in (1_000, 200_000):
+        tdir = os.path.join(root, f"dmlcdf{n_segs}")
+        st = TableStore(
+            spark, tdir, key="id", stats_cols=("id",), write_cdf=True
+        )
+        st.checkpoint_sync = True
+        st.init(spark.range(10).selectExpr("id", "id AS val"))
+        snap = st._snapshot(0)
+        real_seg = snap["segments"][0]
+        fakes = [f"_synth{i:06d}" for i in range(n_segs)]
+        full = dict(snap)
+        full["segments"] = list(snap["segments"]) + fakes
+        full["stats"] = {
+            **snap["stats"],
+            **{
+                s: {"id": [100 + i * 100, 100 + i * 100 + 99]}
+                for i, s in enumerate(fakes)
+            },
+        }
+        with open(st._manifest_path(1), "w") as fh:
+            json.dump(full, fh)
+        st._swap_pointer(1)
+        st._snap_cache = {}
+        st._write_checkpoint(1)
+        seg_df = spark.read.parquet(os.path.join(tdir, real_seg))
+        st._schema_cache = (1, seg_df.schema)
+
+        src = spark.range(3, 5).selectExpr("id", "id + 1000 AS val")
+        commit_secs: list[float] = []
+        orig_transact = st._transact
+
+        def _timed_transact(*a, **k):
+            t0 = time.perf_counter()
+            try:
+                return orig_transact(*a, **k)
+            finally:
+                commit_secs.append(time.perf_counter() - t0)
+
+        st._transact = _timed_transact
+        stmt_secs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            st.upsert(src, mode="rewrite")
+            stmt_secs.append(time.perf_counter() - t0)
+        out[str(n_segs)] = {
+            "statement_sec_median": round(_st.median(stmt_secs), 4),
+            "commit_with_cdf_sec_median": round(_st.median(commit_secs), 4),
+        }
+    small, big = out["1000"], out["200000"]
+    for k in ("statement_sec_median", "commit_with_cdf_sec_median"):
+        out[f"{k.rsplit('_sec', 1)[0]}_ratio_200x"] = (
+            round(big[k] / small[k], 2) if small[k] else None
+        )
+    return out
+
+
+def _dml_commit_1m_section(spark, root: str) -> dict:
+    """Round-12 verdict ask #6: ONE 10^6-segment point for the mutate
+    lane's flat-commit claim. Metadata-only (same fabrication as the
+    sections above; synthetic segments are never read): remove one
+    synthetic segment, add one, repeated 5x — the median commit must sit
+    in the same sub-10ms band the 1k/200k points show (the docstring's
+    microseconds-at-1M claim, retired with a measured number). The
+    1k-point median from _dml_metadata_section is re-measured here so the
+    1000x ratio compares like against like within one section."""
+    import statistics as _st
+
+    from lakehouse_spark.mutation.store import TableStore
+
+    out: dict = {}
+    for n_segs in (1_000, 1_000_000):
+        tdir = os.path.join(root, f"dml1m{n_segs}")
+        st = TableStore(spark, tdir, key="id", stats_cols=("id",))
+        st.init(spark.range(10).selectExpr("id", "id AS val"))
+        snap = st._snapshot(0)
+        fakes = [f"_synth{i:06d}" for i in range(n_segs)]
+        full = dict(snap)
+        full["segments"] = list(snap["segments"]) + fakes
+        full["stats"] = {
+            **snap["stats"],
+            **{
+                s: {"id": [100 + i * 100, 100 + i * 100 + 99]}
+                for i, s in enumerate(fakes)
+            },
+        }
+        with open(st._manifest_path(1), "w") as fh:
+            json.dump(full, fh)
+        st._swap_pointer(1)
+        st._snap_cache = {}
+        commit_secs: list[float] = []
+        first_commit = None
+        for i in range(6):
+            victim = fakes.pop()
+
+            def _mk(v):
+                name = f"_synthm{v:06d}"
+                st._pending_stats[name] = {
+                    "id": [10_000_000 + v, 10_000_000 + v]
+                }
+                return [name]
+
+            t0 = time.perf_counter()
+            st._transact(None, mutate_make=([victim], _mk))
+            dt = time.perf_counter() - t0
+            if i == 0:
+                first_commit = round(dt, 4)  # one-time head-mirror build
+            else:
+                commit_secs.append(dt)
+        out[str(n_segs)] = {
+            "first_commit_sec": first_commit,
+            "mutate_commit_sec_median": round(_st.median(commit_secs), 5),
+        }
+    small, big = out["1000"], out["1000000"]
+    out["mutate_commit_ratio_1000x"] = (
+        round(
+            big["mutate_commit_sec_median"] / small["mutate_commit_sec_median"],
+            2,
+        )
+        if small["mutate_commit_sec_median"]
+        else None
+    )
     return out
 
 

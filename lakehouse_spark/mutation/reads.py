@@ -361,9 +361,17 @@ class ReadsMixin:
             # Unsetting a dv makes its masked rows visible again unless the
             # segments are gone — include them so reappearances surface.
             touched |= set(prev_dv.get(n, ()))
-        pre_segs = [s for s in prev_segs if s in touched and s in prev_live]
-        post_live = [s for s in prev_segs if s not in removed] + added
-        post_touched = [s for s in post_live if s in touched]
+        # Iterate the TOUCHED set, not the table's segment list: the whole
+        # point is O(affected) per statement, including driver CPU at
+        # 10^5-10^6 segments (segment order is irrelevant to a keyed
+        # diff). Sorted for deterministic plans.
+        added_set = set(added)
+        pre_segs = sorted(s for s in touched if s in prev_live)
+        post_touched = sorted(
+            s
+            for s in touched
+            if (s in prev_live and s not in removed) or s in added_set
+        )
         post_dv = {n: ap for n, ap in prev_dv.items() if n not in dv_unset}
         post_dv.update(dv_set)
         # Logical presentation: mutate deltas never change column mapping
