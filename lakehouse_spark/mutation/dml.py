@@ -18,6 +18,21 @@ from lakehouse_spark.mutation.manifest import (
 )
 
 
+def _align_to_fields(df: DataFrame, fields) -> DataFrame:
+    """Conform ``df`` to exactly ``fields`` (a StructType's fields, full
+    logical schema): missing columns appear as typed nulls — the union-read
+    semantics of schema evolution — and the output carries the schema's
+    column order. The single alignment choke point for targeted DML
+    (aligned base reads and UPDATE's pruned matched set)."""
+    missing = [f for f in fields if f.name not in df.columns]
+    if missing:
+        df = df.select(
+            "*",
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+        )
+    return df.select(*[f.name for f in fields])
+
+
 class DmlMixin:
     """All mutating row operations and their file-skipping helpers."""
 
@@ -242,33 +257,17 @@ class DmlMixin:
             schema = self._logical_schema(version, manifest)
             if not touched:
                 return self.spark.createDataFrame([], schema)
-            base = _logical(self._read_segments(touched, dv))
-            missing = [f for f in schema.fields if f.name not in base.columns]
-            if missing:
-                base = base.select(
-                    "*",
-                    *[
-                        F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in missing
-                    ],
-                )
-            return base.select(*[f.name for f in schema.fields])
+            return _align_to_fields(
+                _logical(self._read_segments(touched, dv)), schema.fields
+            )
         full = _logical(self._read_segments(manifest["segments"], dv))
         if set(touched) == set(manifest["segments"]):
             return full
         if not touched:
             return full.limit(0)
-        base = _logical(self._read_segments(touched, dv))
-        missing = [c for c in full.columns if c not in base.columns]
-        if missing:
-            base = base.select(
-                "*",
-                *[
-                    F.lit(None).cast(full.schema[c].dataType).alias(c)
-                    for c in missing
-                ],
-            )
-        return base.select(*full.columns)
+        return _align_to_fields(
+            _logical(self._read_segments(touched, dv)), full.schema.fields
+        )
 
 
     # -- writes ----------------------------------------------------------------
@@ -670,12 +669,7 @@ class DmlMixin:
         # unpruned read presents). Without this the rewrite failed to
         # resolve the column (and a conform-by-subset would have silently
         # dropped it from the rewritten segments).
-        missing = [f for f in full_schema.fields if f.name not in matched.columns]
-        if missing:
-            matched = matched.select(
-                "*",
-                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
-            )
+        matched = _align_to_fields(matched, full_schema.fields)
         if keys is not None:
             kf = keys
             if len(kf.columns) != 1:

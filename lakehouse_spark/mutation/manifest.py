@@ -907,24 +907,16 @@ class TxnMixin:
         never-referenced shard files)."""
         if snap is None:
             snap = self._snapshot(v)
-        if snap.get("schema") is None and snap.get("segments"):
-            # Schema-scalar seeding for PRE-SCALAR tables (round-12 ask
-            # #3): the checkpoint is derived state, so recording the
-            # parquet-footer union here is a cache of the same derivation
-            # every reader's fallback performs — readers via this
-            # checkpoint get O(1) logical-schema planning and the data
-            # source's scalar fast path, and union-forward carries it into
-            # every later snapshot. One harvest per checkpoint until a
-            # commit (backfill_schema or a full rewrite) records it in the
-            # manifest chain itself. Best-effort: checkpoints are pure
-            # maintenance, a failed harvest only keeps the footer
-            # fallback.
-            try:
-                harvested = self._harvest_schema(snap)
-            except Exception:
-                harvested = None
-            if harvested is not None:
-                snap = {**snap, "schema": harvested}
+        # Deliberately NOT seeded here: the schema scalar for pre-scalar
+        # tables. Writing the harvested footer union into a CHECKPOINT
+        # (considered for round-12 ask #3) makes replayed snapshots carry
+        # a non-None scalar while warm writers' in-memory state still says
+        # None — their later schema-EVOLVING appends then record no union
+        # (the refuse-to-seed rule), the checkpointed scalar silently
+        # becomes a stale SUBSET, and targeted DML aligned to it would
+        # physically drop the evolved columns. Seeding must go through a
+        # COMMIT so every writer's head catches up via the chain:
+        # metadata.backfill_schema() is that op.
         size = int(getattr(self, "checkpoint_shard_size", 1000) or 1000)
         segments = snap["segments"]
         stats = snap["stats"]
@@ -1300,6 +1292,18 @@ class TxnMixin:
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._manifest_path(nxt))
+        if self.write_cdf and commit_kind_from_files(
+            self.root, nxt, snapshot=self._snapshot, raw=doc
+        )[0] == "rewrite":
+            # This lane also serves merge-on-read DML (docstring above):
+            # an add+dv_set delta classifies as a REWRITE, so the
+            # pre-pointer changes-readable invariant requires its change
+            # file now — a pure append or dv-only delete needs none
+            # (commit_kind append/delete_dv), and the restricted diff
+            # keeps this O(touched segments). Without this, a dv upsert
+            # on a CDF store published a rewrite version no stream could
+            # ever read (round-12 review finding #1).
+            self.materialize_cdf(nxt, _raw=doc)
         self._swap_pointer(nxt)
         # -- committed. Nothing below may raise into the caller's abort
         # cleanup (it would unlink the LIVE manifest): the head mirror and
@@ -1466,7 +1470,7 @@ class TxnMixin:
             # failure here aborts the commit: the caller's abort cleanup
             # unlinks manifest ``nxt`` and removes any partial change
             # file, and readers never saw the version.
-            self.materialize_cdf(nxt)
+            self.materialize_cdf(nxt, _raw=doc)
         self._swap_pointer(nxt)
         # -- committed. Same maintenance contract as the append lane:
         # nothing below may raise into the caller's abort cleanup; drop

@@ -285,23 +285,30 @@ class ReadsMixin:
             self._cdc_path(v)
         )
 
-    def materialize_cdf(self, v: int) -> bool:
+    def materialize_cdf(self, v: int, _raw: dict | None = None) -> bool:
         """Compute and store commit ``v``'s change file (idempotent; no-op
         for append/noop commits, which need none). Returns True when a
         ``_cdc`` dir exists after the call. Write is atomic (tmp dir +
         rename), so a concurrent reader never sees a partial change file.
+        ``_raw`` lets the commit lanes hand over the manifest doc they
+        just wrote, sparing two redundant file reads while the version
+        claim is held.
 
         Requires manifest ``v-1`` (not yet vacuumed) on first
         materialization — the same retention constraint Delta places on
         CDF reads; once stored, the change file itself survives until
         :meth:`vacuum` drops version ``v``."""
-        if self.commit_kind(v)[0] != "rewrite":
+        from lakehouse_spark.mutation.manifest import commit_kind_from_files
+
+        if commit_kind_from_files(
+            self.root, v, snapshot=self._snapshot, raw=_raw
+        )[0] != "rewrite":
             return False
         dst = self._cdc_path(v)
         if os.path.isdir(dst):
             return True
         tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}"
-        self._changes_one(v).write.mode("overwrite").parquet(tmp)
+        self._changes_one(v, raw=_raw).write.mode("overwrite").parquet(tmp)
         try:
             os.replace(tmp, dst)  # atomic publish; loser of a race cleans up
         except OSError:
@@ -310,7 +317,7 @@ class ReadsMixin:
                 raise
         return True
 
-    def _changes_one(self, v: int) -> DataFrame:
+    def _changes_one(self, v: int, raw: dict | None = None) -> DataFrame:
         """Row-level changes of the single commit ``v``. DELTA-manifest
         rewrites (the mutate lane: targeted DML, compaction folds, plus
         any delta-encodable rewrite) take the RESTRICTED diff — only the
@@ -321,7 +328,8 @@ class ReadsMixin:
         whole-snapshot diff."""
         from lakehouse_spark.mutation.manifest import read_manifest_file
 
-        raw = read_manifest_file(self.root, v)
+        if raw is None:
+            raw = read_manifest_file(self.root, v)
         if "segments" not in raw:
             return self._changes_delta(v, raw)
         return self._diff_versions(v)

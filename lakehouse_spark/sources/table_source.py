@@ -176,18 +176,35 @@ _PUSHED_SIG: dict[str, tuple] = {}
 _PUSHED_SIG_MAX = 4096
 
 
-def _filters_sig(filters) -> tuple:
-    """Order-insensitive canonical signature of a pushed-filter list."""
-    return tuple(
-        sorted(
-            (
-                type(f).__name__,
-                tuple(getattr(f, "attribute", None) or ()),
-                repr(getattr(f, "value", None)),
-            )
-            for f in filters
-        )
-    )
+def _effective_filters_sig(filters, names: set, col_map: dict) -> tuple:
+    """Order-insensitive signature of the filters that actually CONTRIBUTE
+    to this reader's pruning state (ranges / eq-value sets / null checks)
+    — mirroring pushFilters' handling chain exactly. Filter types the
+    reader declines (LIKE/StringStartsWith/Not/...) leave the planned
+    read identical to unfiltered, so they MUST NOT enter the aliasing
+    signature: two queries differing only in declined filters are
+    reuse-safe (Spark re-applies them per query plan-side) and raising on
+    them would be a false positive (round-12 review finding #3)."""
+    out = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        col = attr[-1] if attr else None
+        if col not in names or (attr and len(attr) > 1):
+            continue
+        col = col_map.get(col, col)
+        if isinstance(f, EqualTo):
+            if f.value is not None:
+                out.append(("EqualTo", col, repr(f.value)))
+        elif isinstance(
+            f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        ):
+            out.append((type(f).__name__, col, repr(f.value)))
+        elif isinstance(f, In):
+            if f.value and None not in f.value:
+                out.append(("In", col, repr(sorted(f.value, key=repr))))
+        elif isinstance(f, IsNotNull):
+            out.append(("IsNotNull", col, ""))
+    return tuple(sorted(out))
 
 
 def _pin_dir() -> str:
@@ -213,11 +230,25 @@ def _write_pin_file(token: str, sig: tuple) -> tuple | None:
     d = _pin_dir()
     try:
         os.makedirs(d, exist_ok=True)
-        # Bounded: tokens are per-.load() uuids, so a long test session
-        # accumulates files — stop persisting (not detecting) past the
-        # cap rather than grow tmp without limit.
-        if len(os.listdir(d)) > _PUSHED_SIG_MAX:
-            return None
+        # Bounded: tokens are per-.load() uuids and never reused, so old
+        # pins are dead weight. Over the cap, FIFO-evict the oldest half
+        # (by mtime) instead of silently disabling the cross-worker layer
+        # forever on a long-lived host (round-12 review finding #4).
+        entries = os.listdir(d)
+        if len(entries) > _PUSHED_SIG_MAX:
+            def _mt(name: str) -> float:
+                try:
+                    return os.stat(os.path.join(d, name)).st_mtime
+                except OSError:
+                    return 0.0
+
+            for name in sorted(entries, key=_mt)[
+                : len(entries) - _PUSHED_SIG_MAX // 2
+            ]:
+                try:
+                    os.unlink(os.path.join(d, name))
+                except OSError:
+                    pass
         fd = os.open(
             os.path.join(d, token), os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600
         )
@@ -865,17 +896,20 @@ class SnapshotReader(DataSourceReader):
             # filters itself, the option still prunes — and the aliasing
             # guard below does not apply (no per-query plan state).
             return filters
-        # Aliasing guard (round-12 ask #2): a second, DIFFERENT filter set
-        # pushed for the same relation is the documented silent-wrong-rows
-        # misuse — raise with the fresh-load instruction instead of
-        # executing it. Pin BEFORE mutating pruning state so an identical
+        # Aliasing guard (round-12 ask #2): a second filter set with a
+        # DIFFERENT pruning contribution pushed for the same relation is
+        # the documented silent-wrong-rows misuse — raise with the
+        # fresh-load instruction instead of executing it. The signature
+        # covers only filters the chain below actually folds into plan
+        # state; declined filters are re-applied by Spark per query and
+        # can differ freely. Pin BEFORE mutating state so an identical
         # replay of the same plan stays legal and idempotent.
-        sig = _filters_sig(filters)
+        names = set(self.schema.fieldNames())
+        sig = _effective_filters_sig(filters, names, self.col_map)
         _pin_pushed_sig(self._relation_token, sig)
         if getattr(self, "_instance_sig", None) == sig:
-            return filters  # same plan replayed onto this instance
+            return filters  # same effective plan replayed onto this instance
         self._instance_sig = sig
-        names = set(self.schema.fieldNames())
 
         def _narrow(col, lo=None, hi=None):
             cur_lo, cur_hi = self.ranges.get(col, (None, None))

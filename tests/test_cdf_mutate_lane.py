@@ -172,7 +172,7 @@ def test_materialize_failure_aborts_commit_cleanly(spark, tmp_path):
     orig = type(st).materialize_cdf
     calls = {"n": 0}
 
-    def boom(self, v):
+    def boom(self, v, _raw=None):
         calls["n"] += 1
         raise OSError("disk full (injected)")
 
@@ -204,3 +204,36 @@ def test_compaction_on_cdf_store_emits_no_changes(spark, tmp_path):
     v = st.current_version()
     assert st.changes(v, v).count() == 0
     assert sorted(tuple(r) for r in st.read().collect()) == before
+
+
+def test_cdf_mor_upsert_materializes_change_file(spark, tmp_path):
+    """Merge-on-read DML (dv-mode upsert: new segments + dv_set, committed
+    through the APPEND lane) classifies as a REWRITE — its change file
+    must exist at pointer-advance or a CDF stream holds back forever
+    waiting for a file nothing will write (round-12 review finding #1)."""
+    from lakehouse_spark.sources.table_source import _changes_ready
+
+    st = _mk(spark, tmp_path / "t", write_cdf=True)
+    st.upsert(
+        spark.createDataFrame(
+            [(42, 1, "u"), (900, 2, "i")], "id long, x long, tag string"
+        ),
+        mode="dv",
+    )
+    v = st.current_version()
+    assert st.commit_kind(v)[0] == "rewrite"
+    assert os.path.isdir(st._cdc_path(v)), "MoR commit without change file"
+    assert _changes_ready(st.root, v), "stream would stall at head-1"
+    got = {(r.id, r.x, r._change_type) for r in st.changes(v, v).collect()}
+    assert got == {
+        (42, 42, "update_preimage"),
+        (42, 1, "update_postimage"),
+        (900, 2, "insert"),
+    }
+    # The restricted diff equals the full snapshot diff for this shape too
+    # (add + dv_set, no remove).
+    raw = M.read_manifest_file(st.root, v)
+    assert "segments" not in raw and raw.get("dv_set") and raw["add"]
+    restricted = {tuple(r) for r in st._changes_delta(v, raw).collect()}
+    full = {tuple(r) for r in st._diff_versions(v).collect()}
+    assert restricted == full

@@ -18,7 +18,7 @@ import pytest
 from lakehouse_spark.mutation.store import TableStore
 from lakehouse_spark.sources.table_source import (
     LakehouseDataSource,
-    _filters_sig,
+    _effective_filters_sig,
     _pin_pushed_sig,
 )
 
@@ -114,6 +114,29 @@ def test_option_pinned_relation_reuse_safe(spark, root):
     assert df.filter("id >= 20").count() == 30
 
 
+def test_non_narrowing_filters_reuse_fine(spark, tmp_path):
+    """Filters the reader DECLINES entirely (LIKE and friends) leave the
+    planned read identical to unfiltered, so mixing them across one
+    relation is reuse-safe and must not raise (Spark applies them
+    per-query plan-side)."""
+    r = str(tmp_path / "nn")
+    st = TableStore(spark, r, key="id", stats_cols=("id",))
+    st.init(
+        spark.range(20).selectExpr(
+            "id", "concat('tag', CAST(id % 3 AS STRING)) AS tag"
+        )
+    )
+    df = spark.read.format("lakehouse").load(r)
+    assert df.filter("tag LIKE 'tag1%'").count() == 7
+    assert df.filter("tag LIKE 'tag2%'").count() == 6
+    assert df.count() == 20
+    # ...but a NARROWING filter after those still raises (it would poison
+    # the cached unfiltered partitions).
+    with pytest.raises(Exception) as ex:
+        df.filter("id < 5").count()
+    _assert_guard(ex)
+
+
 def test_pin_helper_unit():
     """_pin_pushed_sig contract: None token is a no-op; same sig re-pins
     quietly; different sig raises."""
@@ -121,7 +144,7 @@ def test_pin_helper_unit():
 
     _pin_pushed_sig(None, ())
     tok = uuid.uuid4().hex
-    sig = _filters_sig([])
+    sig = _effective_filters_sig([], set(), {})
     _pin_pushed_sig(tok, sig)
     _pin_pushed_sig(tok, sig)  # idempotent
     with pytest.raises(RuntimeError, match="DIFFERENT filter"):

@@ -8,10 +8,13 @@ planning and the data source's cold plan. Two metadata-only seams fix
 that without a data rewrite:
 
 - ``TableStore.backfill_schema()`` — harvest the footer union once and
-  commit it as a scalar-bearing pure-metadata delta;
-- checkpoint-write seeding — a checkpoint written for a pre-scalar
-  snapshot records the harvested scalar (the checkpoint is derived state,
-  so caching the derivation is sound), and union-forward carries it on.
+  commit it as a scalar-bearing pure-metadata delta. Seeding goes
+  through a COMMIT on purpose: writing the harvest into a checkpoint
+  (the rejected alternative) diverges — warm writers' in-memory state
+  still says schema-unknown, their later evolving appends record no
+  union, and replayers through the seeded checkpoint would read a stale
+  SUBSET scalar (silent column loss on later targeted DML). A test below
+  pins that checkpoints do NOT seed.
 """
 
 from __future__ import annotations
@@ -143,29 +146,45 @@ def test_backfill_then_load_scalars_from_checkpoint(spark, tmp_path):
     assert [f["name"] for f in sc["schema"]["fields"]] == ["id", "x"]
 
 
-def test_checkpoint_write_seeds_pre_scalar_snapshot(spark, tmp_path):
-    """A checkpoint written for a pre-scalar snapshot records the
-    harvested footer union, and cold readers (snapshot replay AND
-    load_scalars) see it from then on."""
+def test_checkpoint_write_does_not_seed_pre_scalar_snapshot(spark, tmp_path):
+    """Checkpoints must NOT seed the schema scalar (round-12 review
+    finding #2): a warm writer whose in-memory state says schema-unknown
+    records no union on later EVOLVING appends, so a checkpoint-seeded
+    scalar would become a stale subset for replayers — silent column
+    loss. Pin the full divergence scenario staying correct: checkpoint on
+    a pre-scalar table, then an evolving append by the SAME warm writer,
+    then cold reads — the scalar stays None everywhere and the footer
+    fallback presents the full schema including the new column."""
     root = str(tmp_path / "t")
     st = TableStore(
         spark, root, key="id", stats_cols=("id",), checkpoint_interval=100
     )
     st.init(spark.range(3).selectExpr("id", "id AS x"))
-    st.append(spark.range(3, 6).selectExpr("id", "id AS x", "'n' AS note"))
     _strip_schema(root)
-    fresh = TableStore(
+    warm = TableStore(
         spark, root, key="id", stats_cols=("id",), checkpoint_interval=100
     )
-    v = fresh.current_version()
-    assert fresh._snapshot(v).get("schema") is None
-    fresh._write_checkpoint(v)
-    cold = TableStore(spark, root, key="id", stats_cols=("id",))
-    snap = cold._snapshot(v)
-    assert snap["schema"] is not None
-    assert [f["name"] for f in snap["schema"]["fields"]] == ["id", "x", "note"]
+    v = warm.current_version()
+    assert warm._snapshot(v).get("schema") is None
+    warm._write_checkpoint(v)
     sc = load_scalars(root, v)
-    assert sc is not None and sc["schema"] is not None
+    assert sc is None or sc.get("schema") is None  # not seeded
+    # The hazard step: the SAME warm writer evolves the schema.
+    warm.append(spark.range(3, 6).selectExpr("id", "id AS x", "'n' AS note"))
+    hv = warm.current_version()
+    cold = TableStore(spark, root, key="id", stats_cols=("id",))
+    snap = cold._snapshot(hv)
+    assert snap.get("schema") is None  # no stale subset anywhere
+    # Footer fallback still presents the FULL evolved schema.
+    TS._SNAPSHOT_CACHE.clear()
+    TS._SCALARS_CACHE.clear()
+    df = spark.read.format("lakehouse").load(root)
+    assert df.columns == ["id", "x", "note"]
+    # And the committed op remains the way to get the fast path — now
+    # covering the evolved column too.
+    cold.backfill_schema()
+    snap = cold._snapshot(cold.current_version())
+    assert [f["name"] for f in snap["schema"]["fields"]] == ["id", "x", "note"]
 
 
 def test_backfill_then_targeted_dml_keeps_evolved_columns(spark, tmp_path):
