@@ -199,8 +199,12 @@ def test_datasource_reads_logical_and_rejects_writes(spark, store):
     df = spark.read.format("lakehouse").load(store.root)
     assert sorted(df.columns) == ["id", "quantity", "tag"]
     assert {r.quantity for r in df.collect()} == {10, 20, 30, 40}
-    # Pushed filter on the logical name still returns exact results.
-    got = df.filter(F.col("quantity") > 25).select("id").collect()
+    # Pushed filter on the logical name still returns exact results —
+    # fresh load for the filtered scan (reusing the unfiltered relation
+    # with a narrowing filter is the aliasing misuse the reader raises on
+    # since round 12, test_datasource_push_aliasing_guard.py).
+    df_f = spark.read.format("lakehouse").load(store.root)
+    got = df_f.filter(F.col("quantity") > 25).select("id").collect()
     assert sorted(r.id for r in got) == [3, 4]
     with pytest.raises(Exception, match="cannot translate"):
         (
