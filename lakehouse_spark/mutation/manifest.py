@@ -1288,22 +1288,25 @@ class TxnMixin:
         # (dates/decimals in harvested stats degrade to strings exactly as
         # the round-trip would).
         doc = json.loads(json.dumps(delta_doc, default=str))
+        if self.write_cdf:
+            # This lane also serves merge-on-read DML (docstring above):
+            # an add+dv_set delta classifies as a REWRITE, so the
+            # changes-readable invariant requires its change file before
+            # the pointer moves — a pure append or dv-only delete needs
+            # none (materialize_cdf returns False for those kinds), and
+            # the restricted diff keeps this O(touched segments). Without
+            # this, a dv upsert on a CDF store published a rewrite
+            # version no stream could ever read (round-12 finding #1).
+            # Ordered BEFORE the manifest finalize: the doc in hand is
+            # all the diff needs, and a failure then aborts a mere
+            # zero-length claim — nothing a concurrent _recover_slot
+            # could roll forward while our abort handler unlinks it
+            # (round-12 pass-2 finding #2).
+            self.materialize_cdf(nxt, _raw=doc)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._manifest_path(nxt))
-        if self.write_cdf and commit_kind_from_files(
-            self.root, nxt, snapshot=self._snapshot, raw=doc
-        )[0] == "rewrite":
-            # This lane also serves merge-on-read DML (docstring above):
-            # an add+dv_set delta classifies as a REWRITE, so the
-            # pre-pointer changes-readable invariant requires its change
-            # file now — a pure append or dv-only delete needs none
-            # (commit_kind append/delete_dv), and the restricted diff
-            # keeps this O(touched segments). Without this, a dv upsert
-            # on a CDF store published a rewrite version no stream could
-            # ever read (round-12 review finding #1).
-            self.materialize_cdf(nxt, _raw=doc)
         self._swap_pointer(nxt)
         # -- committed. Nothing below may raise into the caller's abort
         # cleanup (it would unlink the LIVE manifest): the head mirror and
@@ -1456,21 +1459,23 @@ class TxnMixin:
         # Canonicalize through JSON once so the in-memory head mirror is
         # bit-identical to what a cold reader replays from the file.
         doc = json.loads(json.dumps(delta_doc, default=str))
+        if self.write_cdf:
+            # The changes-readable invariant, same as the general lane:
+            # the pointer only ever advances to a version whose changes
+            # are readable. The doc in hand routes materialize through
+            # the RESTRICTED diff (_changes_delta) — O(touched segments)
+            # data read, so a 1-row DML on a 10^6-segment CDF table never
+            # diffs the whole table. Ordered BEFORE the manifest finalize
+            # so a failure aborts a zero-length claim (caller's cleanup
+            # unlinks it and removes the partial change file) — a
+            # FINALIZED manifest here would race the abort-unlink against
+            # a concurrent _recover_slot roll-forward (round-12 pass-2
+            # finding #2).
+            self.materialize_cdf(nxt, _raw=doc)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._manifest_path(nxt))
-        if self.write_cdf:
-            # PRE-pointer, the same invariant as the general lane: the
-            # pointer only ever advances to a version whose changes are
-            # already readable. The delta manifest just finalized routes
-            # materialize through the RESTRICTED diff (_changes_delta) —
-            # O(touched segments) data read, so a 1-row DML on a
-            # 10^6-segment CDF table never diffs the whole table. A
-            # failure here aborts the commit: the caller's abort cleanup
-            # unlinks manifest ``nxt`` and removes any partial change
-            # file, and readers never saw the version.
-            self.materialize_cdf(nxt, _raw=doc)
         self._swap_pointer(nxt)
         # -- committed. Same maintenance contract as the append lane:
         # nothing below may raise into the caller's abort cleanup; drop

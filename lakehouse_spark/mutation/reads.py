@@ -306,7 +306,13 @@ class ReadsMixin:
             return False
         dst = self._cdc_path(v)
         if os.path.isdir(dst):
-            return True
+            if _raw is None:
+                return True  # idempotent recovery/repair path
+            # Commit path (the claim on ``v`` is held, and the change
+            # file is now written BEFORE the manifest finalize): an
+            # existing dir is a crashed earlier claimant's poison — its
+            # content described THAT attempt's doc. Rewrite it.
+            shutil.rmtree(dst, ignore_errors=True)
         tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}"
         self._changes_one(v, raw=_raw).write.mode("overwrite").parquet(tmp)
         try:
@@ -399,7 +405,10 @@ class ReadsMixin:
         post = _side(post_touched, post_dv)
         tag = F.lit(v).alias("_commit_version")
         if pre is None and post is None:
-            empty = self.read(v).limit(0)
+            # v-1, not v: on the commit path this runs BEFORE manifest
+            # ``v`` is finalized (and a both-empty rewrite can't change
+            # the schema — a full replace always has a pre side).
+            empty = self.read(v - 1).limit(0)
             return empty.select(
                 "*", F.lit("insert").alias("_change_type"), tag
             ).limit(0)

@@ -215,9 +215,19 @@ def _pin_dir() -> str:
 
 def _read_pin_file(token: str) -> tuple | None:
     try:
-        with open(os.path.join(_pin_dir(), token)) as f:
+        path = os.path.join(_pin_dir(), token)
+        with open(path) as f:
             data = json.load(f)
-        return tuple((a, tuple(b), c) for a, b, c in data)
+        sig = tuple((a, b, c) for a, b, c in data)
+        # Touch on use: the eviction sweep is mtime-FIFO, and a pin file
+        # is write-once (re-pins hit the existing file) — without the
+        # touch, a long-lived relation's pin would age out while still
+        # live (round-12 pass-2 finding #3).
+        try:
+            os.utime(path)
+        except OSError:
+            pass
+        return sig
     except (OSError, ValueError, TypeError):
         return None
 
@@ -230,10 +240,12 @@ def _write_pin_file(token: str, sig: tuple) -> tuple | None:
     d = _pin_dir()
     try:
         os.makedirs(d, exist_ok=True)
-        # Bounded: tokens are per-.load() uuids and never reused, so old
-        # pins are dead weight. Over the cap, FIFO-evict the oldest half
-        # (by mtime) instead of silently disabling the cross-worker layer
-        # forever on a long-lived host (round-12 review finding #4).
+        # Bounded: over the cap, FIFO-evict the oldest half by mtime
+        # instead of silently disabling the cross-worker layer forever on
+        # a long-lived host. A pin is touched on every read (a relation
+        # being replanned keeps its pin fresh), so eviction hits only
+        # relations idle for the longest — and the in-process _PUSHED_SIG
+        # still guards an evicted relation within each worker.
         entries = os.listdir(d)
         if len(entries) > _PUSHED_SIG_MAX:
             def _mt(name: str) -> float:
@@ -257,7 +269,7 @@ def _write_pin_file(token: str, sig: tuple) -> tuple | None:
     except OSError:
         return None
     with os.fdopen(fd, "w") as f:
-        json.dump([[a, list(b), c] for a, b, c in sig], f)
+        json.dump([[a, b, c] for a, b, c in sig], f)
     return None
 
 

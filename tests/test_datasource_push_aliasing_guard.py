@@ -163,3 +163,22 @@ def test_pin_survives_fresh_registry(tmp_path):
     TS._PUSHED_SIG.pop(tok, None)  # simulate a different worker process
     with pytest.raises(RuntimeError, match="DIFFERENT filter"):
         _pin_pushed_sig(tok, (("EqualTo", ("id",), "2"),))
+
+
+def test_pin_file_roundtrip_nonempty_sig():
+    """A non-empty signature must survive the tmpdir sidecar round-trip
+    byte-identically — a serde mismatch would make the cross-worker layer
+    raise on IDENTICAL replays (round-12 pass-2 finding #1: the old
+    deserializer exploded the column-name string into a char tuple)."""
+    import uuid
+
+    from lakehouse_spark.sources import table_source as TS
+
+    tok = uuid.uuid4().hex
+    sig = (("EqualTo", "id", "5"), ("IsNotNull", "tag", ""))
+    _pin_pushed_sig(tok, sig)
+    TS._PUSHED_SIG.pop(tok, None)  # force the file-read path
+    _pin_pushed_sig(tok, sig)  # identical replay: must NOT raise
+    TS._PUSHED_SIG.pop(tok, None)
+    with pytest.raises(RuntimeError, match="DIFFERENT filter"):
+        _pin_pushed_sig(tok, (("EqualTo", "id", "6"),))
