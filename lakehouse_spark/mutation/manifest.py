@@ -1302,6 +1302,17 @@ class TxnMixin:
             # zero-length claim — nothing a concurrent _recover_slot
             # could roll forward while our abort handler unlinks it
             # (round-12 pass-2 finding #2).
+            try:
+                # Refresh the zero-length claim's mtime so the CDC
+                # Spark job runs against a full orphan-grace window
+                # — without this, long materializations count the
+                # time already spent writing segments against the
+                # stealable-claim clock (pass-3 finding #4; a single
+                # job longer than the grace remains the pre-existing
+                # exposure segment writes always had).
+                os.utime(self._manifest_path(nxt))
+            except OSError:
+                pass
             self.materialize_cdf(nxt, _raw=doc)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
@@ -1471,6 +1482,17 @@ class TxnMixin:
             # FINALIZED manifest here would race the abort-unlink against
             # a concurrent _recover_slot roll-forward (round-12 pass-2
             # finding #2).
+            try:
+                # Refresh the zero-length claim's mtime so the CDC
+                # Spark job runs against a full orphan-grace window
+                # — without this, long materializations count the
+                # time already spent writing segments against the
+                # stealable-claim clock (pass-3 finding #4; a single
+                # job longer than the grace remains the pre-existing
+                # exposure segment writes always had).
+                os.utime(self._manifest_path(nxt))
+            except OSError:
+                pass
             self.materialize_cdf(nxt, _raw=doc)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
@@ -1980,8 +2002,11 @@ class TxnMixin:
                 # advances to a version whose changes are already readable.
                 # A failure here aborts the whole commit (pointer unmoved,
                 # claim released below) — Delta's CDC write is part of its
-                # commit for the same reason.
-                self.materialize_cdf(nxt)
+                # commit for the same reason. _fresh: a crashed earlier
+                # claimant of this slot may have left its change file
+                # (the delta lanes write it pre-finalize); the claim-held
+                # commit must rewrite, never serve, that poison.
+                self.materialize_cdf(nxt, _fresh=True)
             self._swap_pointer(nxt)
         except BaseException:
             # The pointer probe must not replace the original exception

@@ -285,14 +285,23 @@ class ReadsMixin:
             self._cdc_path(v)
         )
 
-    def materialize_cdf(self, v: int, _raw: dict | None = None) -> bool:
+    def materialize_cdf(
+        self, v: int, _raw: dict | None = None, _fresh: bool = False
+    ) -> bool:
         """Compute and store commit ``v``'s change file (idempotent; no-op
         for append/noop commits, which need none). Returns True when a
         ``_cdc`` dir exists after the call. Write is atomic (tmp dir +
         rename), so a concurrent reader never sees a partial change file.
-        ``_raw`` lets the commit lanes hand over the manifest doc they
-        just wrote, sparing two redundant file reads while the version
-        claim is held.
+        ``_raw`` lets the delta commit lanes hand over the manifest doc
+        they just wrote (no file reads while the claim is held, and no
+        finalized manifest needed); ``_fresh`` marks a claim-held COMMIT
+        call, for which an already-existing dir is a crashed earlier
+        claimant's poison (its content described THAT attempt's doc) and
+        must be rewritten — the delta lanes write the change file before
+        the manifest finalizes, so a kill between the two leaves exactly
+        that state. Recovery/repair callers keep the idempotent
+        short-circuit: for them a finalized manifest implies its change
+        file was written by the same attempt.
 
         Requires manifest ``v-1`` (not yet vacuumed) on first
         materialization — the same retention constraint Delta places on
@@ -306,13 +315,13 @@ class ReadsMixin:
             return False
         dst = self._cdc_path(v)
         if os.path.isdir(dst):
-            if _raw is None:
+            if _raw is None and not _fresh:
                 return True  # idempotent recovery/repair path
-            # Commit path (the claim on ``v`` is held, and the change
-            # file is now written BEFORE the manifest finalize): an
-            # existing dir is a crashed earlier claimant's poison — its
-            # content described THAT attempt's doc. Rewrite it.
-            shutil.rmtree(dst, ignore_errors=True)
+            # STRICT removal: silently keeping any of the poison and
+            # publishing over it would advance the pointer to a version
+            # whose change file describes a different attempt — better to
+            # abort this commit (claim released by the caller's cleanup).
+            shutil.rmtree(dst)
         tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}"
         self._changes_one(v, raw=_raw).write.mode("overwrite").parquet(tmp)
         try:

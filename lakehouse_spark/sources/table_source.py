@@ -283,6 +283,15 @@ def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
     if token is None:
         return
     pinned = _PUSHED_SIG.get(token)
+    if pinned is not None:
+        # Keep the sidecar fresh on the dict-hit path too: eviction is
+        # mtime-FIFO and the file is write-once, so a hot relation
+        # replanned by one worker would otherwise age out of the
+        # cross-worker layer (pass-3 finding #2).
+        try:
+            os.utime(os.path.join(_pin_dir(), token))
+        except OSError:
+            pass
     if pinned is None:
         pinned = _read_pin_file(token)
     if pinned is None:

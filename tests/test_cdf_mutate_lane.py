@@ -237,3 +237,37 @@ def test_cdf_mor_upsert_materializes_change_file(spark, tmp_path):
     restricted = {tuple(r) for r in st._changes_delta(v, raw).collect()}
     full = {tuple(r) for r in st._diff_versions(v).collect()}
     assert restricted == full
+
+
+def test_commit_rewrites_stale_cdc_from_crashed_claimant(spark, tmp_path):
+    """A crashed claimant can leave a complete _cdc dir for a slot it
+    never finalized (change files are written pre-finalize). Claim-held
+    commits must REWRITE that poison, never serve it (pass-3 finding #1)
+    — on both the mutate lane and the general lane."""
+    st = _mk(spark, tmp_path / "t", n=60, write_cdf=True)
+    # Fabricate the poison: bogus change content at the NEXT version slot.
+    nxt = st.current_version() + 1
+    spark.range(3).selectExpr(
+        "id", "id AS x", "'BOGUS' AS tag",
+        "'insert' AS _change_type", "CAST(99 AS LONG) AS _commit_version",
+    ).write.mode("overwrite").parquet(st._cdc_path(nxt))
+    st.update(set={"x": "x + 7"}, predicate={"id": (5, 5)})
+    assert st.current_version() == nxt
+    got = {(r.id, r._change_type) for r in st.changes(nxt, nxt).collect()}
+    assert got == {(5, "update_preimage"), (5, "update_postimage")}
+    assert not any("BOGUS" in str(r) for r in st.changes(nxt, nxt).collect())
+    # General lane (overwrite -> full manifest) with poison at its slot.
+    nxt2 = st.current_version() + 1
+    spark.range(2).selectExpr(
+        "id", "id AS x", "'BOGUS' AS tag",
+        "'delete' AS _change_type", "CAST(98 AS LONG) AS _commit_version",
+    ).write.mode("overwrite").parquet(st._cdc_path(nxt2))
+    st.overwrite(spark.range(5).selectExpr("id", "id AS x", "'o' AS tag"))
+    assert st.current_version() == nxt2
+    rows = st.changes(nxt2, nxt2).collect()
+    assert not any(r.tag == "BOGUS" for r in rows)
+    # ids 0-4 survive as updates to tag 'o'; the rest are deletes.
+    assert {r.tag for r in rows if r._change_type == "update_postimage"} == {
+        "o"
+    }
+    assert sum(1 for r in rows if r._change_type == "delete") == 55
