@@ -1117,6 +1117,17 @@ class TxnMixin:
                 "writer; re-read and retry"
             ) from None
 
+    def _touch_claim(self, v: int) -> None:
+        """Refresh the zero-length claim's mtime so a long pre-finalize
+        step (the CDC materialization job) runs against a full
+        orphan-grace window instead of inheriting the clock already spent
+        writing segments. A single step longer than the grace remains the
+        pre-existing exposure segment writes always had."""
+        try:
+            os.utime(self._manifest_path(v))
+        except OSError:
+            pass
+
     def _swap_pointer(self, v: int) -> None:
         """Atomic pointer write via a caller-unique tmp name: two writers
         advancing to the SAME version (a committer racing a roll-forward
@@ -1167,6 +1178,18 @@ class TxnMixin:
             return False  # pointer already caught up; plain lost race
         if time.time() - st.st_mtime < self.orphan_grace_sec:
             return False  # live in-flight writer holds the claim
+        # Purge the dead claimant's pre-finalize change file BEFORE
+        # freeing the slot: the zero-length claim still blocks new
+        # claimants, so this can only ever remove the crashed attempt's
+        # debris. Without it, recovery/repair materializers (which
+        # rightly keep an idempotent exists-short-circuit) would serve
+        # that poison for whatever the NEXT claimant commits here —
+        # the steal is what restores the "finalized manifest implies
+        # same-attempt change file" invariant (round-12 pass-4 #1).
+        try:
+            shutil.rmtree(self._cdc_path(v))
+        except FileNotFoundError:
+            pass
         stale = f"{path}.orphan.{os.getpid()}.{threading.get_ident()}"
         try:
             os.rename(path, stale)  # put-if-absent in reverse: one winner
@@ -1302,17 +1325,7 @@ class TxnMixin:
             # zero-length claim — nothing a concurrent _recover_slot
             # could roll forward while our abort handler unlinks it
             # (round-12 pass-2 finding #2).
-            try:
-                # Refresh the zero-length claim's mtime so the CDC
-                # Spark job runs against a full orphan-grace window
-                # — without this, long materializations count the
-                # time already spent writing segments against the
-                # stealable-claim clock (pass-3 finding #4; a single
-                # job longer than the grace remains the pre-existing
-                # exposure segment writes always had).
-                os.utime(self._manifest_path(nxt))
-            except OSError:
-                pass
+            self._touch_claim(nxt)
             self.materialize_cdf(nxt, _raw=doc)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
@@ -1482,17 +1495,7 @@ class TxnMixin:
             # FINALIZED manifest here would race the abort-unlink against
             # a concurrent _recover_slot roll-forward (round-12 pass-2
             # finding #2).
-            try:
-                # Refresh the zero-length claim's mtime so the CDC
-                # Spark job runs against a full orphan-grace window
-                # — without this, long materializations count the
-                # time already spent writing segments against the
-                # stealable-claim clock (pass-3 finding #4; a single
-                # job longer than the grace remains the pre-existing
-                # exposure segment writes always had).
-                os.utime(self._manifest_path(nxt))
-            except OSError:
-                pass
+            self._touch_claim(nxt)
             self.materialize_cdf(nxt, _raw=doc)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
@@ -2002,11 +2005,12 @@ class TxnMixin:
                 # advances to a version whose changes are already readable.
                 # A failure here aborts the whole commit (pointer unmoved,
                 # claim released below) — Delta's CDC write is part of its
-                # commit for the same reason. _fresh: a crashed earlier
-                # claimant of this slot may have left its change file
-                # (the delta lanes write it pre-finalize); the claim-held
-                # commit must rewrite, never serve, that poison.
-                self.materialize_cdf(nxt, _fresh=True)
+                # commit for the same reason. _raw=doc marks the
+                # claim-held commit (rewrite-any-existing-dir semantics,
+                # no manifest re-read): full-format docs diff through
+                # read(v), which works here because this lane finalized
+                # the manifest above.
+                self.materialize_cdf(nxt, _raw=doc)
             self._swap_pointer(nxt)
         except BaseException:
             # The pointer probe must not replace the original exception

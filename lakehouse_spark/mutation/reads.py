@@ -285,23 +285,21 @@ class ReadsMixin:
             self._cdc_path(v)
         )
 
-    def materialize_cdf(
-        self, v: int, _raw: dict | None = None, _fresh: bool = False
-    ) -> bool:
+    def materialize_cdf(self, v: int, _raw: dict | None = None) -> bool:
         """Compute and store commit ``v``'s change file (idempotent; no-op
         for append/noop commits, which need none). Returns True when a
         ``_cdc`` dir exists after the call. Write is atomic (tmp dir +
         rename), so a concurrent reader never sees a partial change file.
-        ``_raw`` lets the delta commit lanes hand over the manifest doc
-        they just wrote (no file reads while the claim is held, and no
-        finalized manifest needed); ``_fresh`` marks a claim-held COMMIT
-        call, for which an already-existing dir is a crashed earlier
-        claimant's poison (its content described THAT attempt's doc) and
-        must be rewritten — the delta lanes write the change file before
-        the manifest finalizes, so a kill between the two leaves exactly
-        that state. Recovery/repair callers keep the idempotent
-        short-circuit: for them a finalized manifest implies its change
-        file was written by the same attempt.
+        ``_raw`` marks a claim-held COMMIT call and hands over the
+        manifest doc the lane just wrote (no manifest file read inside
+        the critical section; the delta lanes call this before the
+        manifest even finalizes). For commit calls an already-existing
+        dir is a crashed earlier claimant's poison (its content
+        described THAT attempt's doc) and is rewritten. Recovery/repair
+        callers (no ``_raw``) keep the idempotent short-circuit, which
+        is sound for them because a finalized manifest implies its
+        change file came from the same attempt — _recover_slot purges a
+        stolen slot's debris to uphold exactly that.
 
         Requires manifest ``v-1`` (not yet vacuumed) on first
         materialization — the same retention constraint Delta places on
@@ -315,7 +313,7 @@ class ReadsMixin:
             return False
         dst = self._cdc_path(v)
         if os.path.isdir(dst):
-            if _raw is None and not _fresh:
+            if _raw is None:
                 return True  # idempotent recovery/repair path
             # STRICT removal: silently keeping any of the poison and
             # publishing over it would advance the pointer to a version

@@ -287,9 +287,13 @@ def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
         # Keep the sidecar fresh on the dict-hit path too: eviction is
         # mtime-FIFO and the file is write-once, so a hot relation
         # replanned by one worker would otherwise age out of the
-        # cross-worker layer (pass-3 finding #2).
+        # cross-worker layer — and if eviction already took the file,
+        # RE-PUBLISH the pinned sig so cross-worker detection comes back
+        # instead of silently staying dead (pass-4 finding #3).
         try:
             os.utime(os.path.join(_pin_dir(), token))
+        except FileNotFoundError:
+            _write_pin_file(token, pinned)
         except OSError:
             pass
     if pinned is None:

@@ -271,3 +271,32 @@ def test_commit_rewrites_stale_cdc_from_crashed_claimant(spark, tmp_path):
         "o"
     }
     assert sum(1 for r in rows if r._change_type == "delete") == 55
+
+
+def test_orphan_steal_purges_dead_claimants_change_file(spark, tmp_path):
+    """A claimant killed between change-file publish and manifest
+    finalize leaves a zero-length claim + complete _cdc dir. The orphan
+    steal must purge that debris before freeing the slot, or ANY later
+    commit there (including general-lane ones whose recovery materializer
+    short-circuits on an existing dir) could serve the dead attempt's
+    change data (pass-4 finding #1)."""
+    st = _mk(spark, tmp_path / "t", n=40, write_cdf=True)
+    st.orphan_grace_sec = 0.2
+    nxt = st.current_version() + 1
+    # Fabricate the crashed claimant: zero-length claim + poison _cdc.
+    open(M.manifest_path(st.root, nxt), "w").close()
+    spark.range(2).selectExpr(
+        "id", "id AS x", "'BOGUS' AS tag",
+        "'insert' AS _change_type", "CAST(97 AS LONG) AS _commit_version",
+    ).write.mode("overwrite").parquet(st._cdc_path(nxt))
+    import time as _time
+
+    _time.sleep(0.3)  # age past the grace window
+    st.update(set={"x": "x + 5"}, predicate={"id": (3, 3)})
+    assert st.current_version() == nxt
+    rows = st.changes(nxt, nxt).collect()
+    assert not any(r.tag == "BOGUS" for r in rows)
+    assert {(r.id, r._change_type) for r in rows} == {
+        (3, "update_preimage"),
+        (3, "update_postimage"),
+    }
