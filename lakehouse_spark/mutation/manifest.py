@@ -1178,6 +1178,22 @@ class TxnMixin:
             return False  # pointer already caught up; plain lost race
         if time.time() - st.st_mtime < self.orphan_grace_sec:
             return False  # live in-flight writer holds the claim
+        # Re-validate immediately before acting: between the stat above
+        # and now, another stealer may have freed the slot and a LIVE
+        # claimant re-claimed it — purging or renaming then would destroy
+        # an in-flight commit. Comparing inode+mtime+size shrinks that
+        # pre-existing steal TOCTOU to a syscall-scale window (round-12
+        # pass-5 finding #3).
+        try:
+            st2 = os.stat(path)
+        except FileNotFoundError:
+            return True
+        if (st2.st_ino, st2.st_mtime, st2.st_size) != (
+            st.st_ino,
+            st.st_mtime,
+            st.st_size,
+        ):
+            return False  # not the claim we judged dead
         # Purge the dead claimant's pre-finalize change file BEFORE
         # freeing the slot: the zero-length claim still blocks new
         # claimants, so this can only ever remove the crashed attempt's

@@ -313,12 +313,24 @@ class ReadsMixin:
             return False
         dst = self._cdc_path(v)
         if os.path.isdir(dst):
-            if _raw is None:
-                return True  # idempotent recovery/repair path
-            # STRICT removal: silently keeping any of the poison and
-            # publishing over it would advance the pointer to a version
-            # whose change file describes a different attempt — better to
-            # abort this commit (claim released by the caller's cleanup).
+            if _raw is None or "segments" in _raw:
+                # Idempotent short-circuit. Recovery/repair callers: a
+                # finalized manifest implies a same-attempt change file
+                # (_recover_slot purges stolen slots' debris). The
+                # GENERAL lane (full-format _raw) commits post-finalize,
+                # so an existing dir there can only be a roll-forward
+                # racer's materialization of the SAME finalized manifest
+                # — identical content; removing and recomputing it would
+                # open a pointer-visible has_cdf=false window for the
+                # duration of the diff job (pass-5 finding #2).
+                return True
+            # DELTA lanes run PRE-finalize (no racer can exist — the
+            # claim is held and nothing is finalized), so an existing
+            # dir is a crashed earlier claimant's poison. STRICT
+            # removal: publishing over any remnant would advance the
+            # pointer to a version whose change file describes a
+            # different attempt — better to abort this commit (the
+            # zero-length claim is released by the caller's cleanup).
             shutil.rmtree(dst)
         tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}"
         self._changes_one(v, raw=_raw).write.mode("overwrite").parquet(tmp)

@@ -293,7 +293,13 @@ def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
         try:
             os.utime(os.path.join(_pin_dir(), token))
         except FileNotFoundError:
-            _write_pin_file(token, pinned)
+            # Evicted: re-publish. Losing the O_EXCL race to a worker
+            # pinning a DIFFERENT sig means the relation genuinely has
+            # two filter signatures in flight — adopt the racer's pin so
+            # the conflict check below raises (pass-5 finding #4).
+            other = _write_pin_file(token, pinned)
+            if other is not None:
+                pinned = other
         except OSError:
             pass
     if pinned is None:

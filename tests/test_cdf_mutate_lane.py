@@ -276,11 +276,12 @@ def test_commit_rewrites_stale_cdc_from_crashed_claimant(spark, tmp_path):
 def test_orphan_steal_purges_dead_claimants_change_file(spark, tmp_path):
     """A claimant killed between change-file publish and manifest
     finalize leaves a zero-length claim + complete _cdc dir. The orphan
-    steal must purge that debris before freeing the slot, or ANY later
-    commit there (including general-lane ones whose recovery materializer
-    short-circuits on an existing dir) could serve the dead attempt's
-    change data (pass-4 finding #1)."""
-    st = _mk(spark, tmp_path / "t", n=40, write_cdf=True)
+    steal must purge that debris before freeing the slot (pass-4 finding
+    #1). The store here is write_cdf=False so NO commit-path rewrite can
+    mask a missing purge (pass-5 finding #1): changes() serves any
+    stored _cdc dir directly for rewrite commits, so the poison would
+    surface verbatim if the steal left it behind."""
+    st = _mk(spark, tmp_path / "t", n=40, write_cdf=False)
     st.orphan_grace_sec = 0.2
     nxt = st.current_version() + 1
     # Fabricate the crashed claimant: zero-length claim + poison _cdc.
