@@ -1181,9 +1181,10 @@ class TxnMixin:
         # Re-validate immediately before acting: between the stat above
         # and now, another stealer may have freed the slot and a LIVE
         # claimant re-claimed it — purging or renaming then would destroy
-        # an in-flight commit. Comparing inode+mtime+size shrinks that
-        # pre-existing steal TOCTOU to a syscall-scale window (round-12
-        # pass-5 finding #3).
+        # an in-flight commit. Comparing inode+mtime+size NARROWS that
+        # pre-existing steal TOCTOU (a stealer descheduled between this
+        # check and the rename can still act late — the same residual the
+        # claim protocol has always accepted) (round-12 pass-5 #3).
         try:
             st2 = os.stat(path)
         except FileNotFoundError:
@@ -1342,7 +1343,7 @@ class TxnMixin:
             # could roll forward while our abort handler unlinks it
             # (round-12 pass-2 finding #2).
             self._touch_claim(nxt)
-            self.materialize_cdf(nxt, _raw=doc)
+            self.materialize_cdf(nxt, _raw=doc, _prefinalize=True)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -1512,7 +1513,7 @@ class TxnMixin:
             # a concurrent _recover_slot roll-forward (round-12 pass-2
             # finding #2).
             self._touch_claim(nxt)
-            self.materialize_cdf(nxt, _raw=doc)
+            self.materialize_cdf(nxt, _raw=doc, _prefinalize=True)
         tmp = self._manifest_path(nxt) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)

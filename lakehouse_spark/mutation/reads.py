@@ -285,21 +285,29 @@ class ReadsMixin:
             self._cdc_path(v)
         )
 
-    def materialize_cdf(self, v: int, _raw: dict | None = None) -> bool:
+    def materialize_cdf(
+        self,
+        v: int,
+        _raw: dict | None = None,
+        _prefinalize: bool = False,
+    ) -> bool:
         """Compute and store commit ``v``'s change file (idempotent; no-op
         for append/noop commits, which need none). Returns True when a
         ``_cdc`` dir exists after the call. Write is atomic (tmp dir +
         rename), so a concurrent reader never sees a partial change file.
         ``_raw`` marks a claim-held COMMIT call and hands over the
         manifest doc the lane just wrote (no manifest file read inside
-        the critical section; the delta lanes call this before the
-        manifest even finalizes). For commit calls an already-existing
+        the critical section). ``_prefinalize`` marks the delta lanes'
+        call BEFORE the manifest finalizes: there an already-existing
         dir is a crashed earlier claimant's poison (its content
-        described THAT attempt's doc) and is rewritten. Recovery/repair
-        callers (no ``_raw``) keep the idempotent short-circuit, which
-        is sound for them because a finalized manifest implies its
-        change file came from the same attempt — _recover_slot purges a
-        stolen slot's debris to uphold exactly that.
+        described THAT attempt's doc) and is strictly rewritten.
+        Post-finalize callers — the general commit lane and all
+        recovery/repair paths — keep the idempotent short-circuit,
+        which is sound for them because a finalized manifest implies
+        its change file came from the same attempt (_recover_slot
+        purges a stolen slot's debris to uphold exactly that; a dir
+        appearing under a held claim post-finalize is a roll-forward
+        racer's identical-content materialization).
 
         Requires manifest ``v-1`` (not yet vacuumed) on first
         materialization — the same retention constraint Delta places on
@@ -313,18 +321,19 @@ class ReadsMixin:
             return False
         dst = self._cdc_path(v)
         if os.path.isdir(dst):
-            if _raw is None or "segments" in _raw:
+            if not _prefinalize:
                 # Idempotent short-circuit. Recovery/repair callers: a
                 # finalized manifest implies a same-attempt change file
                 # (_recover_slot purges stolen slots' debris). The
-                # GENERAL lane (full-format _raw) commits post-finalize,
-                # so an existing dir there can only be a roll-forward
-                # racer's materialization of the SAME finalized manifest
-                # — identical content; removing and recomputing it would
+                # GENERAL lane (any doc shape — it delta-encodes most
+                # rewrites too) commits POST-finalize, so an existing dir
+                # there can only be a roll-forward racer's
+                # materialization of the SAME finalized manifest —
+                # identical content; removing and recomputing it would
                 # open a pointer-visible has_cdf=false window for the
-                # duration of the diff job (pass-5 finding #2).
+                # duration of the diff job (pass-5 #2 / pass-6 #1).
                 return True
-            # DELTA lanes run PRE-finalize (no racer can exist — the
+            # PRE-finalize delta-lane commits (no racer can exist — the
             # claim is held and nothing is finalized), so an existing
             # dir is a crashed earlier claimant's poison. STRICT
             # removal: publishing over any remnant would advance the

@@ -273,6 +273,18 @@ def _write_pin_file(token: str, sig: tuple) -> tuple | None:
     return None
 
 
+def _conflict(pinned: tuple, sig: tuple) -> None:
+    raise RuntimeError(
+        "lakehouse relation reused across scans with DIFFERENT filter "
+        f"sets (pinned {pinned}, now {sig}). Spark 4.1 caches the "
+        "planned Python data-source read per relation UNKEYED by "
+        "pushed filters, so reuse silently executes the wrong "
+        "partitions. Use a fresh spark.read.format('lakehouse')"
+        ".load(<root>) per query, or bake a static filter into the "
+        "relation with .option('predicate', ...) which is reuse-safe."
+    )
+
+
 def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
     """Pin ``sig`` for ``token``, raising on a conflicting earlier pin.
     Two layers: the in-process _PUSHED_SIG dict, plus a write-once tmpdir
@@ -293,13 +305,16 @@ def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
         try:
             os.utime(os.path.join(_pin_dir(), token))
         except FileNotFoundError:
-            # Evicted: re-publish. Losing the O_EXCL race to a worker
-            # pinning a DIFFERENT sig means the relation genuinely has
-            # two filter signatures in flight — adopt the racer's pin so
-            # the conflict check below raises (pass-5 finding #4).
+            # Evicted: re-publish. A racer winning the O_EXCL re-create
+            # with a DIFFERENT sig means the relation genuinely has two
+            # filter signatures in flight — raise on the disagreement
+            # itself rather than adopting the racer's pin, which could
+            # mask the conflict when the racer's sig equals THIS call's
+            # (pass-6 finding #3): our in-process pin is still live
+            # evidence of the other signature.
             other = _write_pin_file(token, pinned)
-            if other is not None:
-                pinned = other
+            if other is not None and other != pinned:
+                _conflict(pinned, other)
         except OSError:
             pass
     if pinned is None:
@@ -307,15 +322,7 @@ def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
     if pinned is None:
         pinned = _write_pin_file(token, sig)  # non-None = lost the race
     if pinned is not None and pinned != sig:
-        raise RuntimeError(
-            "lakehouse relation reused across scans with DIFFERENT filter "
-            f"sets (pinned {pinned}, now {sig}). Spark 4.1 caches the "
-            "planned Python data-source read per relation UNKEYED by "
-            "pushed filters, so reuse silently executes the wrong "
-            "partitions. Use a fresh spark.read.format('lakehouse')"
-            ".load(<root>) per query, or bake a static filter into the "
-            "relation with .option('predicate', ...) which is reuse-safe."
-        )
+        _conflict(pinned, sig)
     _PUSHED_SIG[token] = sig
     while len(_PUSHED_SIG) > _PUSHED_SIG_MAX:
         _PUSHED_SIG.pop(next(iter(_PUSHED_SIG)))

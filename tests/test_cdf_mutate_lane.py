@@ -172,7 +172,7 @@ def test_materialize_failure_aborts_commit_cleanly(spark, tmp_path):
     orig = type(st).materialize_cdf
     calls = {"n": 0}
 
-    def boom(self, v, _raw=None):
+    def boom(self, v, *a, **kw):
         calls["n"] += 1
         raise OSError("disk full (injected)")
 
@@ -241,9 +241,9 @@ def test_cdf_mor_upsert_materializes_change_file(spark, tmp_path):
 
 def test_commit_rewrites_stale_cdc_from_crashed_claimant(spark, tmp_path):
     """A crashed claimant can leave a complete _cdc dir for a slot it
-    never finalized (change files are written pre-finalize). Claim-held
-    commits must REWRITE that poison, never serve it (pass-3 finding #1)
-    — on both the mutate lane and the general lane."""
+    never finalized (the delta lanes write change files pre-finalize).
+    PRE-finalize claim-held commits must REWRITE that poison, never
+    serve it (pass-3 finding #1)."""
     st = _mk(spark, tmp_path / "t", n=60, write_cdf=True)
     # Fabricate the poison: bogus change content at the NEXT version slot.
     nxt = st.current_version() + 1
@@ -256,21 +256,36 @@ def test_commit_rewrites_stale_cdc_from_crashed_claimant(spark, tmp_path):
     got = {(r.id, r._change_type) for r in st.changes(nxt, nxt).collect()}
     assert got == {(5, "update_preimage"), (5, "update_postimage")}
     assert not any("BOGUS" in str(r) for r in st.changes(nxt, nxt).collect())
-    # General lane (overwrite -> full manifest) with poison at its slot.
-    nxt2 = st.current_version() + 1
-    spark.range(2).selectExpr(
-        "id", "id AS x", "'BOGUS' AS tag",
-        "'delete' AS _change_type", "CAST(98 AS LONG) AS _commit_version",
-    ).write.mode("overwrite").parquet(st._cdc_path(nxt2))
-    st.overwrite(spark.range(5).selectExpr("id", "id AS x", "'o' AS tag"))
-    assert st.current_version() == nxt2
-    rows = st.changes(nxt2, nxt2).collect()
-    assert not any(r.tag == "BOGUS" for r in rows)
-    # ids 0-4 survive as updates to tag 'o'; the rest are deletes.
-    assert {r.tag for r in rows if r._change_type == "update_postimage"} == {
-        "o"
-    }
-    assert sum(1 for r in rows if r._change_type == "delete") == 55
+
+
+def test_materialize_prefinalize_rewrites_postfinalize_keeps(spark, tmp_path):
+    """The claim-stage split (pass-6 finding #1): PRE-finalize commit
+    calls strictly rewrite an existing change dir (only a dead attempt's
+    poison can exist there), while POST-finalize calls — the general
+    lane and recovery — keep it (only a roll-forward racer's
+    identical-content materialization can exist there; removing it would
+    open a pointer-visible has_cdf=false window). The general lane
+    delta-encodes most rewrites, so the stage flag, not the doc shape,
+    is what decides."""
+    st = _mk(spark, tmp_path / "t", n=40, write_cdf=True)
+    st.update(set={"x": "x + 1"}, predicate={"id": (3, 3)})
+    v = st.current_version()
+    raw = M.read_manifest_file(st.root, v)
+    assert "segments" not in raw  # delta-encoded, like general-lane docs
+    dst = st._cdc_path(v)
+    ino0 = os.stat(dst).st_ino
+    # Post-finalize commit semantics: keep the racer's dir untouched.
+    assert st.materialize_cdf(v, _raw=raw) is True
+    assert os.stat(dst).st_ino == ino0
+    # Recovery semantics: same keep.
+    assert st.materialize_cdf(v) is True
+    assert os.stat(dst).st_ino == ino0
+    # Pre-finalize commit semantics: strict rewrite (fresh dir inode),
+    # identical content for the same doc.
+    before = {tuple(r) for r in st.changes(v, v).collect()}
+    assert st.materialize_cdf(v, _raw=raw, _prefinalize=True) is True
+    assert os.stat(dst).st_ino != ino0
+    assert {tuple(r) for r in st.changes(v, v).collect()} == before
 
 
 def test_orphan_steal_purges_dead_claimants_change_file(spark, tmp_path):
