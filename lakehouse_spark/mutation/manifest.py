@@ -2073,15 +2073,28 @@ class TxnMixin:
             # A cached snapshot for the released slot is poison: the next
             # claimant commits DIFFERENT content under the same version.
             getattr(self, "_snap_cache", {}).pop(nxt, None)
-            try:
-                os.unlink(self._manifest_path(nxt))
-            except FileNotFoundError:
-                pass
             # An aborted attempt's change file is poison: it was computed
             # for THIS attempt's segments, and the next claimant of the
             # same slot commits DIFFERENT content — materialize_cdf's
-            # exists-short-circuit would then serve the stale diff.
-            shutil.rmtree(self._cdc_path(nxt), ignore_errors=True)
+            # exists-short-circuit would then serve the stale diff. Purge
+            # it BEFORE releasing the claim (the same purge-before-free
+            # order as _recover_slot's steal): releasing first would open
+            # a window — kill or rmtree failure after the unlink — that
+            # leaves OWNERLESS poison no steal will ever purge (round-12
+            # pass-7 finding #1). If the purge fails, leave the slot
+            # claimed: orphan-grace stealing purges and frees it.
+            purge_ok = True
+            try:
+                shutil.rmtree(self._cdc_path(nxt))
+            except FileNotFoundError:
+                pass
+            except OSError:
+                purge_ok = False
+            if purge_ok:
+                try:
+                    os.unlink(self._manifest_path(nxt))
+                except FileNotFoundError:
+                    pass
             raise
         # -- committed. The periodic checkpoint sits OUTSIDE the abort
         # handler: the pointer now references manifest ``nxt``, and an

@@ -273,10 +273,11 @@ def _write_pin_file(token: str, sig: tuple) -> tuple | None:
     return None
 
 
-def _conflict(pinned: tuple, sig: tuple) -> None:
+def _conflict(pinned: tuple, sig: tuple, racer: tuple | None = None) -> None:
+    also = f"; a concurrent planner also pinned {racer}" if racer is not None else ""
     raise RuntimeError(
         "lakehouse relation reused across scans with DIFFERENT filter "
-        f"sets (pinned {pinned}, now {sig}). Spark 4.1 caches the "
+        f"sets (pinned {pinned}, now {sig}{also}). Spark 4.1 caches the "
         "planned Python data-source read per relation UNKEYED by "
         "pushed filters, so reuse silently executes the wrong "
         "partitions. Use a fresh spark.read.format('lakehouse')"
@@ -314,7 +315,7 @@ def _pin_pushed_sig(token: str | None, sig: tuple) -> None:
             # evidence of the other signature.
             other = _write_pin_file(token, pinned)
             if other is not None and other != pinned:
-                _conflict(pinned, other)
+                _conflict(pinned, sig, racer=other)
         except OSError:
             pass
     if pinned is None:
