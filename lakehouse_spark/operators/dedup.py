@@ -116,7 +116,11 @@ def visited_anti(frontier: DataFrame, visited: DataFrame, key: str) -> DataFrame
 
 
 def shingle_frame(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """THE shingling entry point: (id, sh) projection of distinct word
     n-grams. (A column-level variant, ``word_shingles``, existed through
@@ -131,9 +135,16 @@ def shingle_frame(
     (gram i = w[i] ⊔ w[i+1] ⊔ … ⊔ w[i+n-1]) rather than
     ``transform(sequence(...), i -> concat_ws(slice(...)))`` — each zip_with
     walks the arrays pairwise instead of allocating a per-gram slice, which
-    measured 3-4× faster on the sf0.1 documents table."""
+    measured 3-4× faster on the sf0.1 documents table.
+
+    ``carry`` names extra input columns to keep on the output (e.g. a
+    blocking key): callers that need them ride along in the same scan
+    instead of joining the source a second time."""
+    extra = [F.col(c) for c in (carry or [])]
     words = df.select(
-        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("w")
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+        *extra,
     )
     count = F.size("w") - F.lit(n - 1)  # number of grams; all slices use it
 
@@ -155,6 +166,7 @@ def shingle_frame(
             F.when(count > 0, F.array_distinct(grams()))
             .otherwise(F.array().cast("array<string>"))
             .alias("sh"),
+            *[F.col(c) for c in (carry or [])],
         )
         .filter(F.size("sh") > 0)
     )
@@ -282,10 +294,18 @@ def minhash_near_duplicates(
     verified = cand.join(
         base.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id"
     ).join(base.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
+    # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct by construction):
+    # one array_intersect per pair instead of intersect + array_union —
+    # array_union built a whole merged array only to take its size.
     return (
-        verified.withColumn("jaccard", inter / union)
+        verified.withColumn(
+            "inter", F.size(F.array_intersect("a_sh", "b_sh"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("a_sh") + F.size("b_sh") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("a_id", "b_id", "jaccard")
     )
@@ -321,11 +341,11 @@ def ngram_jaccard_pairs(
     done here — this is the exact verifier). AQE splits any residual hot
     (block, shingle) key."""
     base = _persist(
-        shingle_frame(df, id_col, text_col, n)
-        .join(
-            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")),
-            "id",
+        shingle_frame(
+            df.withColumn("__blk", F.col(block_col)),
+            id_col, text_col, n, carry=["__blk"],
         )
+        .withColumnRenamed("__blk", "blk")
         .withColumn("sz", F.size("sh"))
     )
     ex = base.select("id", "blk", "sz", F.explode("sh").alias("g"))
@@ -371,11 +391,11 @@ def ngram_containment_pairs(
     blockwise all-pairs array comparison. Pairs where NEITHER direction
     reaches ``min_containment`` are dropped."""
     base = _persist(
-        shingle_frame(df, id_col, text_col, n)
-        .join(
-            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk")),
-            "id",
+        shingle_frame(
+            df.withColumn("__blk", F.col(block_col)),
+            id_col, text_col, n, carry=["__blk"],
         )
+        .withColumnRenamed("__blk", "blk")
         .withColumn("sz", F.size("sh"))
     )
     ex = base.select("id", "blk", "sz", F.explode("sh").alias("g"))
@@ -550,18 +570,43 @@ def connected_components(
     all_nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 25,
+    pairs_unique: bool = False,
+    nodes_unique: bool = False,
 ) -> DataFrame:
     """Turn near-dup PAIRS into dedup DECISIONS: connected components via
     iterative min-label propagation (cluster_id = smallest node id in the
     component — the member a keep-first policy retains).
 
-    Scale shape: each iteration is one equi join edges⋈labels + one groupBy
-    min — all hash-partitioned by node id, no driver-side graph.
-    ``localCheckpoint`` cuts lineage per iteration (the closure.py loop
-    discipline), iterations stop at convergence (component diameter bounds
-    the count; near-dup clusters are shallow in practice). GraphFrames'
-    large-star/small-star does the same job in fewer rounds on huge graphs —
-    this stays dependency-free with identical output.
+    Scale shape (round-12 rework — same fixpoint, less work per round):
+
+    - **Round 1 is one groupBy, no join**: with initial labels lbl(v)=v,
+      the first propagation is exactly ``min(v, min neighbor)``, so the
+      initial label relation and its join never exist.
+    - **Each later round is ONE join + ONE groupBy** (2 shuffles, was 3):
+      the old labels ride along as self-rows (v→v) in the neighbor stream,
+      so the per-round output (new label + old label for the convergence
+      flag) comes out of the single aggregation — the separate
+      labels⋈nbr_min join is gone.
+    - **Pointer-doubling shortcuts are forward-only** (v→lbl(v)); min
+      still flows along 2^k-length paths after k rounds (O(log diameter)
+      convergence). The old reverse edge (lbl(v)→v) was provably dead
+      weight: joined against the same label snapshot it contributes
+      lbl(v) to node lbl(v), and labels are non-increasing with
+      lbl(u) <= u always, so it can never lower anything — a third of the
+      per-round shuffle removed with zero effect on the fixpoint.
+    - **Isolated nodes never enter the loop**: ``all_nodes`` members
+      without an edge are appended as their own cluster AFTER
+      convergence (one anti join), so every round iterates only over
+      edge-touched nodes — on a typical corpus the near-dup members are
+      a small fraction, and the per-round shuffle shrinks accordingly.
+    - ``localCheckpoint`` cuts lineage per round (the closure.py loop
+      discipline); `pairs` is usually an expensive similarity pipeline,
+      so the symmetric edge set is materialized once up front.
+
+    ``pairs_unique=True`` skips the edge-dedup shuffle (duplicates only
+    cost work, never correctness — pass it when ``pairs`` is the output
+    of an aggregation, e.g. one row per (a, b) with a < b).
+    ``nodes_unique=True`` likewise skips deduplicating ``all_nodes``.
 
     ``all_nodes`` (optional, one ``node_col`` column) adds isolated nodes:
     every document appears in the output, singletons as their own cluster.
@@ -569,64 +614,63 @@ def connected_components(
     e = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
-    # Materialize the symmetric edge set ONCE: `pairs` is usually the output
-    # of an expensive similarity pipeline (shingle explode + banded
-    # self-join); without this checkpoint every propagation round would
-    # re-execute that whole upstream plan inside its join.
-    edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if not pairs_unique:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
+    # Round 1: lbl(v) = min(v, min neighbor) — covers every edge endpoint
+    # (edges are symmetric, so each endpoint appears as src).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mn")).alias("lbl"),
+        )
         .localCheckpoint()
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    if all_nodes is not None:
-        nodes = nodes.union(
-            all_nodes.select(F.col(node_col).alias("node"))
-        ).distinct()
-    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
-    converged = False
-    for _ in range(max_iter):
-        # Pointer-doubling shortcut: besides the static edges, propagate
-        # through each node's CURRENT label in both directions
-        # ((node→lbl) and (lbl→node)). min flows along 2^k-length paths
-        # after k rounds, so convergence is O(log diameter) rounds instead
-        # of O(diameter). Fixpoint is unchanged: a label is always a member
-        # of the same component, and at a fixpoint both endpoints of every
-        # edge agree, so every node carries its component's minimum id.
-        shortcuts = labels.filter(F.col("node") != F.col("lbl"))
-        aug = edges.unionByName(
-            shortcuts.select(F.col("node").alias("src"), F.col("lbl").alias("dst"))
-        ).unionByName(
-            shortcuts.select(F.col("lbl").alias("src"), F.col("node").alias("dst"))
+    # Round 1 left a label above its component minimum only where a
+    # smaller id sits >1 hop away, and such a node always has lbl != node
+    # somewhere in its component — so "no label moved off its own node"
+    # means only self-loop edges existed and round 1 is already the
+    # fixpoint.
+    converged = labels.filter(F.col("node") != F.col("lbl")).isEmpty()
+    rounds = 1
+    while not converged and rounds < max_iter:
+        rounds += 1
+        shortcuts = labels.filter(F.col("node") != F.col("lbl")).select(
+            F.col("node").alias("src"), F.col("lbl").alias("dst")
         )
-        nbr_min = (
+        self_rows = labels.select(
+            F.col("node").alias("src"), F.col("node").alias("dst")
+        )
+        aug = edges.unionByName(shortcuts).unionByName(self_rows)
+        # One join + one groupBy: nlbl = min over {own label (self row),
+        # neighbor labels (edges), label's label (shortcut)}; the old
+        # label for the convergence flag is recovered from the self row
+        # (dst == src) inside the same aggregation.
+        new = (
             aug.join(
                 labels.select(
                     F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
                 ),
                 "dst",
             )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("nlbl").alias("mn"))
-        )
-        # The change flag rides in the SAME checkpointed frame the next
-        # round needs anyway: convergence detection then costs a scan of
-        # the just-persisted partitions (early-terminating isEmpty), not a
-        # second labels⋈labels shuffle join job per round — per-round job
-        # count is what dominates on shallow graphs where the data is tiny.
-        new = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("mn", "lbl")).alias("nlbl"),
-                F.col("lbl").alias("olbl"),
+            .groupBy("src")
+            .agg(
+                F.min("nlbl").alias("nlbl"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("nlbl"))
+                ).alias("olbl"),
             )
             .localCheckpoint()
         )
-        labels = new.select("node", F.col("nlbl").alias("lbl"))
-        if new.filter(F.col("nlbl") != F.col("olbl")).isEmpty():
-            converged = True
-            break
+        labels = new.select(
+            F.col("src").alias("node"), F.col("nlbl").alias("lbl")
+        )
+        converged = new.filter(F.col("nlbl") != F.col("olbl")).isEmpty()
     if not converged:
         # A silent stop here would return split components that no longer
         # match the transitive-closure semantics (and any recursive-CTE
@@ -636,6 +680,14 @@ def connected_components(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds; labels were still changing. Increase max_iter."
         )
+    if all_nodes is not None:
+        iso = all_nodes.select(F.col(node_col).alias("node"))
+        if not nodes_unique:
+            iso = iso.distinct()
+        iso = iso.join(labels.select("node"), "node", "left_anti").select(
+            "node", F.col("node").alias("lbl")
+        )
+        labels = labels.unionByName(iso)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
@@ -678,6 +730,7 @@ def incremental_connected_components(
     return connected_components(
         pairs, "a_id", "b_id",
         all_nodes=nodes.distinct(), node_col="node", max_iter=max_iter,
+        nodes_unique=True,  # distinct applied above
     )
 
 
@@ -912,10 +965,16 @@ def minhash_cross_corpus(
         in_base.select(F.col("id").alias("incoming_id"), F.col("sh").alias("i_sh")),
         "incoming_id",
     )
-    inter = F.size(F.array_intersect("e_sh", "i_sh"))
-    union = F.size(F.array_union("e_sh", "i_sh"))
+    # same |A|+|B|-|A∩B| identity as minhash_near_duplicates
     return (
-        verified.withColumn("jaccard", inter / union)
+        verified.withColumn(
+            "inter", F.size(F.array_intersect("e_sh", "i_sh"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("e_sh") + F.size("i_sh") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("existing_id", "incoming_id", "jaccard")
     )

@@ -252,18 +252,33 @@ def repetition_score(col: Column | str, n: int = 3) -> Column:
 
 def word_ngrams(col: Column | str, n: int) -> Column:
     """Array of space-joined word n-grams; NULL when the document has fewer
-    than ``n`` words. Pure Catalyst, per-row."""
+    than ``n`` words. Pure Catalyst, per-row.
+
+    Grams are built by folding ``n`` word-aligned slices with ``zip_with``
+    (gram i = w[i] ⊔ w[i+1] ⊔ … ⊔ w[i+n-1]) — the same shape as
+    operators.dedup.shingle_frame, which measured 3-4× faster than the
+    earlier ``transform(sequence(1, k), i -> concat_ws(slice(words, i, n)))``
+    form: each zip_with walks the arrays pairwise instead of allocating a
+    per-gram slice. Output is identical (split produces no NULL elements,
+    so concat == concat_ws element-wise). The ``k >= 1`` guard keeps the
+    slices from ever being built with a non-positive length."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(c, " ")
-    k = F.size(words) - (n - 1)  # number of n-grams
-    # Guard k < 1: F.sequence(1, k) runs DESCENDING for k < 1 — never build it.
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    )
+    k = F.size(words) - (n - 1)  # number of n-grams; all slices use it
+
+    def grams() -> Column:
+        # right-fold: acc = suffix words joined; every slice has length
+        # k, so zip_with never NULL-pads
+        acc = F.slice(words, n, k)
+        for off in range(n - 1, 0, -1):
+            acc = F.zip_with(
+                F.slice(words, off, k),
+                acc,
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return acc
+
+    return F.when(k >= 1, grams())
 
 
 # --- benchmark decontamination -------------------------------------------------

@@ -467,6 +467,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(
         pairs, "a_id", "b_id",
         all_nodes=docs.select("doc_id"), node_col="doc_id",
+        # pairs are one aggregated row per (a_id < b_id) and doc_id is the
+        # table key — skip both dedup shuffles (see connected_components).
+        pairs_unique=True, nodes_unique=True,
     )
 
 
