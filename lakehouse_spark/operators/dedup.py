@@ -535,7 +535,16 @@ def embedding_near_duplicates(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # Norm folded once per INPUT row (before the self-join fan-out), not
+    # once per pair — identical doubles, only the dot remains per pair.
+    base = df.select(*cols).withColumn("nv", norm)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col is not None:
@@ -545,19 +554,12 @@ def embedding_near_duplicates(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(f"{side}.v"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+            (dot / (F.col("a.nv") * F.col("b.nv"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
@@ -1109,10 +1111,38 @@ def semdedup(
         .limit(n_clusters)
         .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
-        "id",
-        "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos"),
+
+    def _vnorm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    def _vdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # Norms folded once per corpus row / per seed (not once per
+    # (row, seed) pair): same doubles, n_clusters× fewer norm folds in
+    # the argmax assignment — the dominant per-row cost of this path.
+    scored = (
+        e.withColumn("nv", _vnorm(F.col("v")))
+        .crossJoin(F.broadcast(seeds.withColumn("cnv", _vnorm(F.col("cv")))))
+        .select(
+            "id",
+            "cid",
+            F.round(
+                _vdot(F.col("v"), F.col("cv"))
+                / (F.col("nv") * F.col("cnv")),
+                6,
+            ).alias("cos"),
+        )
     )
     # argmax by (cos desc, cid asc): max_by over a (cos, -cid) struct —
     # the ordering key is unique per (id, cid), so ties cannot introduce

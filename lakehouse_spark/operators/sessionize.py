@@ -86,27 +86,49 @@ def pair_tool_events(
     one row per pre event with matched post columns suffixed `_post`
     (NULL-suffixed rows = still running; unmatched posts drop — same as the
     reference's ignore path, trace_aggregator.py:180-183). Set ``rank_col``
-    to keep the pairing index in the output."""
-    w = Window.partitionBy(*keys, kind_col).orderBy(*order)
-    ranked = df.withColumn("__k", F.row_number().over(w))
-    pre = ranked.filter(F.col(kind_col) == pre_kind)
-    post = ranked.filter(F.col(kind_col) == post_kind)
-    post_renamed = post.select(
-        *[F.col(k).alias(f"__j_{i}") for i, k in enumerate(keys)],
-        F.col("__k").alias("__k_post"),
-        *[
-            F.col(c).alias(f"{c}_post")
-            for c in post.columns
-            if c not in (*keys, kind_col, "__k")
-        ],
+    to keep the pairing index in the output.
+
+    ONE shuffle total (round 12; was three): per-kind ranks come from two
+    running counts in a single ``keys``-partitioned window (``order`` must
+    totally order rows within keys — the same assumption the previous
+    row_number form made), and the pre↔post match is a groupBy on
+    (keys, rank) that PIVOTS the two kinds into struct columns instead of
+    self-joining the ranked relation. The groupBy reuses the window's
+    hash partitioning (its keys are a superset), so neither the join
+    exchanges nor their sorts exist anymore. max() sees at most one
+    non-null struct per (keys, rank, kind) — ranks are unique within a
+    kind — so the pivot is exact, and unmatched posts drop because only
+    groups with a pre row survive."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cond = F.col("__k") == F.col("__k_post")
-    for i, k in enumerate(keys):
-        cond = cond & (F.col(k) == F.col(f"__j_{i}"))
-    out = pre.join(post_renamed, cond, "left")
+    is_pre = F.col(kind_col) == pre_kind
+    is_post = F.col(kind_col) == post_kind
+    ranked = df.filter(is_pre | is_post).withColumn(
+        "__k",
+        F.when(
+            is_pre, F.sum(F.when(is_pre, 1).otherwise(0)).over(w)
+        )
+        .otherwise(F.sum(F.when(is_post, 1).otherwise(0)).over(w))
+        .cast("int"),  # row_number emitted INT32; keep the schema
+    )
+    others = [c for c in df.columns if c not in (*keys, kind_col)]
+    agg = ranked.groupBy(*keys, "__k").agg(
+        F.max(F.when(is_pre, F.struct(*others))).alias("__pre"),
+        F.max(F.when(is_post, F.struct(*others))).alias("__post"),
+    )
+    out = agg.filter(F.col("__pre").isNotNull()).select(
+        *keys,
+        F.lit(pre_kind).alias(kind_col),
+        *[F.col(f"__pre.{c}").alias(c) for c in others],
+        *[F.col(f"__post.{c}").alias(f"{c}_post") for c in others],
+        "__k",
+    )
     if rank_col is not None:
         out = out.withColumn(rank_col, F.col("__k"))
-    return out.drop("__k", "__k_post", *[f"__j_{i}" for i in range(len(keys))])
+    return out.drop("__k")
 
 
 # --- flattened turn statistics (oracle-checkable S1 slice) ---------------------

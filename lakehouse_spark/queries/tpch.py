@@ -134,15 +134,41 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5 shape: 6-way join, broadcast dims, one wide agg",
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
+    # Region restriction is applied to the DIMENSIONS before any fact join
+    # (round 12, guide §2.3/§3.2): nation⋈region collapses to a 5-row
+    # asian-nations relation, supplier pre-joins it (carrying n_name, so
+    # the fact path has no nation/region joins left), and customer is
+    # semi-filtered to asian nations — 4/5 of customers leave the
+    # orders⋈customer join before it happens instead of after the
+    # supplier join. Inner joins + a commuting predicate: identical rows.
+    asian_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(asian_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asian_nations.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -151,8 +177,6 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -225,24 +249,31 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan and AQE sizes its join strategy at runtime",
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE per-order aggregation serves both the >250 filter and the output
+    # total_qty (round 12): o_orderkey is unique in orders, so the original
+    # post-join re-aggregation grouped exactly one order per group and its
+    # total equaled the per-order sum already computed for the HAVING
+    # filter. The fact table is now scanned and aggregated ONCE (was: full
+    # scan + agg for the filter, second full scan semi-joined and
+    # re-aggregated after the orders/customer joins) — identical rows out.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    big = (
+    per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
+        .agg(
+            F.sum("l_quantity").alias("__q"),  # exact filter semantics
+            _dsum("l_quantity").alias("total_qty"),  # rounded output form
+        )
         .filter(F.col("__q") > 250)
-        .select("l_orderkey")
     )
-    j = (
-        li.join(big.withColumnRenamed("l_orderkey", "__k"),
-                F.col("l_orderkey") == F.col("__k"), "left_semi")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    j = per_order.join(
+        orders, F.col("l_orderkey") == orders.o_orderkey
+    ).join(cust, orders.o_custkey == cust.c_custkey)
+    agg = j.select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty",
     )
-    agg = j.groupBy(
-        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(_dsum("l_quantity").alias("total_qty"))
     return sorts.top_n(
         agg, [F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")], 100
     ).select(

@@ -36,6 +36,17 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Broadcast joins for dimension tables (region/nation/customer-sized).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Above the broadcast threshold, let the planner pick a shuffled HASH
+    # join when one side is provably small per partition (no sort of
+    # either side), and let AQE rewrite a planned sort-merge to shuffled
+    # hash at runtime when every post-shuffle partition is under the
+    # advisory size (guide: joins §3.1). Sort-merge remains the fallback
+    # whenever the size conditions don't hold, so spill behavior at true
+    # scale is unchanged.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        64 * 1024 * 1024
+    ),
     # Input split sizing — at 100 TB this bounds task count; 128 MB default.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no

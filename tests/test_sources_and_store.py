@@ -582,7 +582,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             j._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0]
         )
-        assert "SortMergeJoin" in plan
+        # Either merge or shuffled-hash is fine (the session default
+        # preferSortMergeJoin=false may pick the hash form when one side
+        # is small); the invariant is ZERO Exchange — co-located buckets.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert "Exchange" not in plan, "bucketed join must not reshuffle"
         assert n > 0
     finally:
