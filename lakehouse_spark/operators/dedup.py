@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark.functions.scalar import hash64
+from lakehouse_spark.operators.skew import spread
 
 # --- cache bookkeeping -------------------------------------------------------
 #
@@ -139,7 +140,13 @@ def shingle_frame(
 
     ``carry`` names extra input columns to keep on the output (e.g. a
     blocking key): callers that need them ride along in the same scan
-    instead of joining the source a second time."""
+    instead of joining the source a second time.
+
+    The input is :func:`~lakehouse_spark.operators.skew.spread` first: the
+    gram fold + per-shingle hashing downstream is the CPU-heavy part of
+    every near-dup pipeline, and an under-partitioned scan (single
+    file/row group) would otherwise run it all on one core."""
+    df = spread(df, id_col)
     extra = [F.col(c) for c in (carry or [])]
     words = df.select(
         F.col(id_col).alias("id"),
@@ -443,6 +450,7 @@ def simhash(
     all inside whole-stage codegen, one shuffle on the doc id (map-side
     partial aggregation compresses the token fan-out). Returns
     (id, simhash BIGINT)."""
+    df = spread(df, id_col)
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

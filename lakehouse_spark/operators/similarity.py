@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_spark.operators.skew import spread
+
 
 def _dot(a, b) -> Column:
     return F.aggregate(
@@ -79,7 +81,7 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
     ).withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
     scored = (

@@ -20,6 +20,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Scale-adaptive compute-spread for CPU-heavy per-row pipelines
+    (shingling, per-shingle hashing, vector math): when the input arrives in
+    fewer partitions than the session's default parallelism — a single
+    small parquet file / single row group, or at scale one unsplittable
+    (gzip) input — hash-repartition it up to ``defaultParallelism`` so the
+    expensive narrow work downstream runs on every core instead of the
+    scan's one task. A NO-OP whenever the input already carries enough
+    partitions (the 100 TB case: thousands of files/splits), so it never
+    adds an exchange where the layout is already healthy.
+
+    ``by`` names a (near-)unique column: hash-partitioning on it is
+    deterministic under task retry (guide §2.5 warns round-robin repartition
+    additionally pays a local sort for exactly that determinism) and its
+    cardinality ≫ partition count spreads evenly. Falls back to round-robin
+    when no key is given. Results are unaffected — every downstream operator
+    in this package is partitioning-independent (order-independent
+    aggregates, explicit tie-breaks)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(by)) if by else df.repartition(target)
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],

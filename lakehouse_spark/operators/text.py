@@ -16,6 +16,7 @@ from lakehouse_spark.functions.scalar import (  # noqa: F401  (re-export)
     extract_mentions,
     normalize_mention,
 )
+from lakehouse_spark.operators.skew import spread
 
 # --- token counting -----------------------------------------------------------
 
@@ -304,7 +305,7 @@ def decontaminate(
         benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    corpus_grams = spread(corpus, id_col).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
     )
     hits = (
