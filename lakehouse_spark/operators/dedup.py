@@ -25,7 +25,7 @@ services/mention_loader.py:102-106.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark.functions.scalar import hash64
@@ -71,6 +71,14 @@ class cache_scope:
     def __exit__(self, *exc):
         release_caches()
         return False
+
+
+# Label relations at or below this row count broadcast in the
+# connected-components loop (~24 bytes/row hashed ⇒ ≤ ~50 MB, comfortably
+# inside executor memory and far under Spark's 8 GB / 512M-row broadcast
+# cap). The count is MEASURED each round via the checkpoint's observation,
+# so the choice is data-driven like AQE's, not a local-mode constant.
+_BROADCAST_LABEL_ROWS = 2_000_000
 
 
 # --- D1: exact content dedup ------------------------------------------------
@@ -630,8 +638,17 @@ def connected_components(
     if not pairs_unique:
         edges = edges.distinct()
     edges = edges.localCheckpoint()
+    # Convergence and label-relation size piggyback on the SAME action that
+    # materializes each round's checkpoint (an Observation on the plan):
+    # the old per-round isEmpty() was a second full pass over the labels —
+    # one extra job per round locally, one extra scan per round at scale.
+    _metrics = (
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("node") != F.col("lbl"), 1)).alias("moved"),
+    )
     # Round 1: lbl(v) = min(v, min neighbor) — covers every edge endpoint
     # (edges are symmetric, so each endpoint appears as src).
+    obs = Observation()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("mn"))
@@ -639,6 +656,7 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("mn")).alias("lbl"),
         )
+        .observe(obs, *_metrics)
         .localCheckpoint()
     )
     # Round 1 left a label above its component minimum only where a
@@ -646,7 +664,8 @@ def connected_components(
     # somewhere in its component — so "no label moved off its own node"
     # means only self-loop edges existed and round 1 is already the
     # fixpoint.
-    converged = labels.filter(F.col("node") != F.col("lbl")).isEmpty()
+    m = obs.get
+    n_labels, converged = m["n"], m["moved"] == 0
     rounds = 1
     while not converged and rounds < max_iter:
         rounds += 1
@@ -660,14 +679,20 @@ def connected_components(
         # One join + one groupBy: nlbl = min over {own label (self row),
         # neighbor labels (edges), label's label (shortcut)}; the old
         # label for the convergence flag is recovered from the self row
-        # (dst == src) inside the same aggregation.
+        # (dst == src) inside the same aggregation. The label relation's
+        # row count is KNOWN (previous round's observation): when it fits
+        # a hash relation comfortably, broadcast it — the per-round join
+        # then needs no exchange on the edge stream (guide §3.1: pick the
+        # strategy deliberately). SMJ/SHJ stays the fallback for huge
+        # label sets, so spill behavior at scale is unchanged.
+        lbl_rel = labels.select(
+            F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
+        )
+        if n_labels <= _BROADCAST_LABEL_ROWS:
+            lbl_rel = F.broadcast(lbl_rel)
+        obs = Observation()
         new = (
-            aug.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
-                ),
-                "dst",
-            )
+            aug.join(lbl_rel, "dst")
             .groupBy("src")
             .agg(
                 F.min("nlbl").alias("nlbl"),
@@ -675,12 +700,20 @@ def connected_components(
                     F.when(F.col("dst") == F.col("src"), F.col("nlbl"))
                 ).alias("olbl"),
             )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("nlbl") != F.col("olbl"), 1)).alias(
+                    "moved"
+                ),
+            )
             .localCheckpoint()
         )
+        m = obs.get
+        n_labels, converged = m["n"], m["moved"] == 0
         labels = new.select(
             F.col("src").alias("node"), F.col("nlbl").alias("lbl")
         )
-        converged = new.filter(F.col("nlbl") != F.col("olbl")).isEmpty()
     if not converged:
         # A silent stop here would return split components that no longer
         # match the transitive-closure semantics (and any recursive-CTE
@@ -694,7 +727,13 @@ def connected_components(
         iso = all_nodes.select(F.col(node_col).alias("node"))
         if not nodes_unique:
             iso = iso.distinct()
-        iso = iso.join(labels.select("node"), "node", "left_anti").select(
+        # Same count-driven choice for the isolated-node anti join: the
+        # label set's size is measured, so a small one broadcasts and the
+        # (big) corpus side never shuffles.
+        lbl_nodes = labels.select("node")
+        if n_labels <= _BROADCAST_LABEL_ROWS:
+            lbl_nodes = F.broadcast(lbl_nodes)
+        iso = iso.join(lbl_nodes, "node", "left_anti").select(
             "node", F.col("node").alias("lbl")
         )
         labels = labels.unionByName(iso)
