@@ -560,7 +560,7 @@ def embedding_near_duplicates(
     )
     # Norm folded once per INPUT row (before the self-join fan-out), not
     # once per pair — identical doubles, only the dot remains per pair.
-    base = df.select(*cols).withColumn("nv", norm)
+    base = spread(df, id_col).select(*cols).withColumn("nv", norm)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col is not None:
@@ -911,7 +911,7 @@ def rp_lsh_near_duplicates(
 
     planes = hyperplanes(k, len(emb.select(vec_col).first()[0]), seed)
     v = F.col(vec_col)
-    signed = emb.select(
+    signed = spread(emb, id_col).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         rp_signature(v, planes).alias("sig"),
@@ -1072,7 +1072,7 @@ def semdedup(
     two-level assignment in operators/similarity (same contract)."""
     from lakehouse_spark.operators.similarity import cosine
 
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    e = spread(df, id_col).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_clusters is None:
         import math
 

@@ -197,6 +197,7 @@ def assign_buckets(
     candidates (ivf_topk does).
     """
     topb = _top_buckets_udf(centroids, centroid_id_col, centroid_vec_col, spill)
+    corpus = spread(corpus, id_col)
     return corpus.withColumn("__top", topb(F.col(vec_col))).select(
         corpus["*"], F.explode(F.col("__top")).alias("bucket_id")
     )
