@@ -13,14 +13,19 @@ Scale notes:
 - Each frontier is checkpointed via `localCheckpoint()` to cut the lineage
   (otherwise iteration i re-executes all i-1 previous joins).
 - The frontier is usually tiny relative to the edge table → broadcast it.
-- Termination probes use `isEmpty()` (first-row short-circuit), not
-  `count()`.
+- Termination rides the SAME action that materializes the step: an
+  Observation on the checkpointed plan returns the row count, so no
+  separate isEmpty()/count() job re-reads the step each round.
+- ``visited`` is a lazy union of the checkpointed steps — each child is
+  already materialized, so the union needs no re-checkpoint; the old
+  per-round ``visited.localCheckpoint()`` recopied the WHOLE visited set
+  every iteration (O(depth × |visited|) total writes).
 - The DuckDB oracle side expresses the same closure as WITH RECURSIVE.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_DEPTH = 10  # ← reference's scan-depth cap
@@ -46,6 +51,7 @@ def descendants(
     ).localCheckpoint(eager=True)
     visited = frontier
     for depth in range(1, max_depth + 1):
+        obs = Observation()
         step = (
             edges.join(
                 F.broadcast(frontier.withColumnRenamed(node, parent_col)),
@@ -55,11 +61,12 @@ def descendants(
             .distinct()
             .join(visited.select(node), node, "left_anti")
             .withColumn("depth", F.lit(depth))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if step.isEmpty():
+        if obs.get["n"] == 0:
             break
-        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        visited = visited.unionByName(step)
         frontier = step
     return visited if include_seeds else visited.filter(F.col("depth") > 0)
 
@@ -80,6 +87,7 @@ def bfs_reachable(
     frontier = seeds_n.withColumn("depth", F.lit(0)).localCheckpoint(eager=True)
     visited = frontier
     for depth in range(1, max_depth + 1):
+        obs = Observation()
         step = (
             edges.select(
                 F.col(src_col).alias("node"), F.col(dst_col).alias("__next")
@@ -89,11 +97,12 @@ def bfs_reachable(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(depth))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if step.isEmpty():
+        if obs.get["n"] == 0:
             break
-        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        visited = visited.unionByName(step)
         frontier = step
     return visited
 
