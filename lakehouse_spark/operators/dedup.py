@@ -130,6 +130,7 @@ def shingle_frame(
     text_col: str,
     n: int = 3,
     carry: list[str] | None = None,
+    spread_input: bool = True,
 ) -> DataFrame:
     """THE shingling entry point: (id, sh) projection of distinct word
     n-grams. (A column-level variant, ``word_shingles``, existed through
@@ -153,8 +154,13 @@ def shingle_frame(
     The input is :func:`~lakehouse_spark.operators.skew.spread` first: the
     gram fold + per-shingle hashing downstream is the CPU-heavy part of
     every near-dup pipeline, and an under-partitioned scan (single
-    file/row group) would otherwise run it all on one core."""
-    df = spread(df, id_col)
+    file/row group) would otherwise run it all on one core.
+    ``spread_input=False`` opts out for per-micro-batch callers whose
+    output is APPENDED to a store: spreading a tiny batch would fan its
+    one-file segment into one file per non-empty partition (guide §6
+    small-files hazard) for no compute gain."""
+    if spread_input:
+        df = spread(df, id_col)
     extra = [F.col(c) for c in (carry or [])]
     words = df.select(
         F.col(id_col).alias("id"),
@@ -260,10 +266,14 @@ def band_signatures(
     k: int = 16,
     bands: int = 4,
     hash_mode: str = "md5",
+    spread_input: bool = True,
 ) -> DataFrame:
-    """Text → LSH band relation in one call (shingle + minhash + band)."""
+    """Text → LSH band relation in one call (shingle + minhash + band).
+    Pass ``spread_input=False`` from per-micro-batch append paths (see
+    :func:`shingle_frame`)."""
     return band_signatures_from_shingles(
-        shingle_frame(df, id_col, text_col, n), k, bands, hash_mode
+        shingle_frame(df, id_col, text_col, n, spread_input=spread_input),
+        k, bands, hash_mode,
     )
 
 
@@ -813,18 +823,21 @@ class DedupIndex:
         self.n, self.k, self.bands = n, k, bands
         self.store = TableStore(spark, root, "id")
 
-    def _bands(self, docs: DataFrame) -> DataFrame:
+    def _bands(self, docs: DataFrame, spread_input: bool = True) -> DataFrame:
         return band_signatures(
             docs, self.id_col, self.text_col, n=self.n, k=self.k,
-            bands=self.bands,
+            bands=self.bands, spread_input=spread_input,
         )
 
     def build(self, corpus: DataFrame) -> None:
         self.store.init(self._bands(corpus))
 
     def admit(self, docs: DataFrame) -> None:
-        """Append the band rows of newly-accepted documents (O(new docs))."""
-        self.store.append(self._bands(docs))
+        """Append the band rows of newly-accepted documents (O(new docs)).
+        Banding is NOT spread here: an admit batch is usually small and
+        its rows become a store segment — one file, not one per
+        partition."""
+        self.store.append(self._bands(docs, spread_input=False))
 
     def screen(self, docs: DataFrame) -> DataFrame:
         """``docs`` + a boolean ``is_duplicate`` column: True when the doc

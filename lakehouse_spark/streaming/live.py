@@ -619,8 +619,12 @@ def dedup_ingest_sink(
         sig_done = batch_id <= sig_store.last_txn_version(app_id)
         if store_done and sig_done:
             return  # fully-committed replay
+        # spread_input=False: micro-batch banding feeds a store APPEND;
+        # spreading a small batch would fan the segment into one file per
+        # non-empty partition for no compute gain (guide §6 small files).
         bands_new = dedup.band_signatures(
-            batch, id_col, text_col, n=n, k=k, bands=bands
+            batch, id_col, text_col, n=n, k=k, bands=bands,
+            spread_input=False,
         ).localCheckpoint(eager=True)
         if sig_store.exists():
             dup_vs_index = bands_new.join(

@@ -731,3 +731,73 @@ def test_semdedup_auto_mode_switches_to_rplsh_at_scale(spark):
         assert got[i][0] == got[10_000 + i][0]
         assert got[i][1] is True
         assert got[10_000 + i][1] is False
+
+
+def test_spread_noop_on_healthy_layout_and_fans_out_narrow_scans(spark):
+    """spread(): scale-adaptive compute-spread contract. On an input that
+    already carries >= defaultParallelism partitions it returns the input
+    UNCHANGED (no exchange at 100 TB multi-split scale); an
+    under-partitioned input (single file / unsplittable codec) is hash-
+    repartitioned up to defaultParallelism with rows preserved."""
+    target = spark.sparkContext.defaultParallelism
+
+    healthy = spark.range(10_000).repartition(target, "id")
+    assert skew.spread(healthy, "id") is healthy
+
+    narrow = spark.range(10_000).coalesce(1)
+    out = skew.spread(narrow, "id")
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 10_000
+
+
+def test_band_signatures_spread_input_false_same_rows_no_fanout(spark):
+    """Micro-batch append paths (DedupIndex.admit, dedup_ingest_sink) opt
+    out of the compute spread: the banding pipeline is fully narrow, so a
+    single-partition batch stays single-partition (its store segment is
+    ONE file, not one per non-empty partition). Band rows are identical
+    either way."""
+    from lakehouse_spark.operators.dedup import band_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"words repeated for shingling in document number {i} " * 4)
+         for i in range(4)],
+        "id long, text string",
+    ).coalesce(1)
+
+    flat = band_signatures(docs, "id", "text", spread_input=False)
+    assert flat.rdd.getNumPartitions() == 1
+
+    spread_bands = band_signatures(docs, "id", "text")
+    assert (
+        spread_bands.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    key = lambda r: (r.id, r.band, tuple(r.band_sig))
+    assert sorted(map(key, flat.collect())) == sorted(
+        map(key, spread_bands.collect())
+    )
+
+
+def test_dedup_index_admit_writes_one_segment_file(spark, tmp_path):
+    """admit() of a tiny single-partition batch adds exactly ONE parquet
+    data file to the store (guide §6: no per-core small-file fan-out on
+    append paths)."""
+    from lakehouse_spark.operators.dedup import DedupIndex
+
+    def docs(*rows):
+        return spark.createDataFrame(
+            list(rows), "doc_id long, text string"
+        ).coalesce(1)
+
+    root = tmp_path / "lsh"
+    idx = DedupIndex(spark, str(root))
+    idx.build(docs((1, "spark shuffles the hash partitioned rows " * 6)))
+
+    before = set(root.rglob("*.parquet"))
+    idx.admit(docs(
+        (2, "a completely different story about rivers and owls " * 6),
+        (3, "another novel document about mountain weather patterns " * 6),
+    ))
+    added = set(root.rglob("*.parquet")) - before
+    assert len(added) == 1
