@@ -37,9 +37,36 @@ def spread(df: DataFrame, by: str | None = None) -> DataFrame:
     cardinality ≫ partition count spreads evenly. Falls back to round-robin
     when no key is given. Results are unaffected — every downstream operator
     in this package is partitioning-independent (order-independent
-    aggregates, explicit tie-breaks)."""
+    aggregates, explicit tie-breaks).
+
+    Scope guard: the partition probe (``df.rdd.getNumPartitions()``) is only
+    safe on narrow, scan-backed plans. With AQE on, touching ``.rdd`` of a
+    plan that contains an ``Exchange`` finalizes the adaptive plan — the
+    upstream shuffle/broadcast stages run eagerly and that work is discarded
+    when the returned (re-planned) frame executes; on a streaming frame it
+    raises outright. Neither input needs a spread anyway: a post-exchange
+    frame is already partitioned at session sizing, and a streaming source
+    carries its own partitioning. So spread is a structural NO-OP unless the
+    input's physical plan is exchange-free (the scan-stage case it exists
+    for)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # pragma: no cover - defensive: unplannable input
+        return df
+    # AQE wraps a plan in AdaptiveSparkPlan exactly when it will need
+    # exchanges (or subqueries) — the wrapped string does NOT show them
+    # (EnsureRequirements runs per-stage at runtime), so test the wrapper
+    # itself; with AQE off the Exchange nodes are in the string directly.
+    if plan.startswith("AdaptiveSparkPlan") or "Exchange" in plan:
+        return df
+    # Exchange-free ⇒ not wrapped in AdaptiveSparkPlan ⇒ the probe is pure
+    # scan-partition metadata (no job runs). Still forces physical planning
+    # of the (narrow) subtree — cheap on scans, which is all that reaches
+    # this line.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(by)) if by else df.repartition(target)

@@ -750,6 +750,34 @@ def test_spread_noop_on_healthy_layout_and_fans_out_narrow_scans(spark):
     assert out.count() == 10_000
 
 
+def test_spread_noop_on_exchange_plans_and_streaming(spark):
+    """spread()'s partition probe must never finalize an AQE plan: touching
+    .rdd on a plan with an Exchange eagerly runs the upstream stages and
+    that work is discarded on re-execution (advice r12). So spread is a
+    structural no-op (same object back) on any exchange-carrying input —
+    which is also semantically right: post-exchange frames already carry
+    session-sized partitioning. Streaming frames (where .rdd raises) are
+    likewise returned untouched."""
+    from pyspark.sql import functions as F
+
+    aggregated = (
+        spark.range(1_000)
+        .coalesce(1)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    assert skew.spread(aggregated, "k") is aggregated
+
+    joined = spark.range(100).join(
+        F.broadcast(spark.range(10).withColumnRenamed("id", "jd")),
+        F.col("id") == F.col("jd"),
+    )
+    assert skew.spread(joined, "id") is joined
+
+    stream = spark.readStream.format("rate").load()
+    assert skew.spread(stream, "value") is stream
+
+
 def test_band_signatures_spread_input_false_same_rows_no_fanout(spark):
     """Micro-batch append paths (DedupIndex.admit, dedup_ingest_sink) opt
     out of the compute spread: the banding pipeline is fully narrow, so a
