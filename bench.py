@@ -933,6 +933,19 @@ def main() -> None:
     detail: dict[str, dict] = {}
     kept: dict[str, list] = {}
     sc = spark.sparkContext
+    # Prove the $SPARK_GRAFT_CPUS contract in the output itself (round-12
+    # verdict #2): the resolved master / parallelism / shuffle sizing the
+    # session actually runs with, so a reader of two records taken at
+    # different core counts can see the env was honored without trusting
+    # session.py by reference.
+    cores_echo = {
+        "env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "master": sc.master,
+        "parallelism": sc.defaultParallelism,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+    }
     tracker = sc.statusTracker()
     t_suite = time.perf_counter()
     for name, spec in suite.items():
@@ -1036,6 +1049,26 @@ def main() -> None:
         spark, sf_dir, scaling_100x.get("big_dir")
     )
 
+    # Core-scaling probe (round-12 verdict #2): at sf0.1 every headline
+    # query is overhead-bound (~15 queries × 3-16 jobs × ~60 ms scheduler
+    # latency), so 8-core ≈ 32-core wall and the core-count contract is
+    # invisible from the `queries` dict alone. The synthesized ~sf1 point
+    # is compute-dominated for the spread-heavy queries — surface their
+    # big-point medians (already measured by scaling_100x, no extra runs)
+    # next to the resolved core count, so records taken at two core
+    # counts show seconds moving with cores.
+    core_scaling_probe = {
+        "cores": sc.defaultParallelism,
+        "sf1ish_sec": {
+            n: (scaling_100x.get("queries") or {}).get(n, {}).get("t_1ish")
+            for n in (
+                "dedup_minhash_lsh",
+                "dedup_minhash_lsh_xxh",
+                "curation_decontaminate",
+            )
+        },
+    }
+
     # DML write-amplification microbench (round 8).
     dml = dml_section(spark)
 
@@ -1078,6 +1111,8 @@ def main() -> None:
         "wall_sec_total": wall_total,
         "host_probe_before": probe_before,
         "host_probe_after": probe_after,
+        "cores_echo": cores_echo,
+        "core_scaling_probe": core_scaling_probe,
         "ivf_recall_at_5": ivf_recall,
         "pq_recall_at_5": pq_recall,
         "ivfpq_recall_at_5": ivfpq_recall,
@@ -1117,6 +1152,8 @@ def main() -> None:
         "queries": medians,
         "sf": sf,
         "runs_per_query": RUNS,
+        "cores_echo": cores_echo,
+        "core_scaling_probe": core_scaling_probe,
         "host_probes_sec": [
             probe_before["python_loop_sec"],
             probe_after["python_loop_sec"],
@@ -1194,6 +1231,11 @@ def main() -> None:
     # go last).
     for drop in (
         "scaling_time_ratios",
+        # queries_normalized sheds early: it is EXACTLY round(queries[n] /
+        # probe_norm_sec, 2) — both operands stay on the line — and the
+        # full dict is in BENCH_DETAIL.json; the adjudication flags and
+        # the cores-contract fields below it are not derivable.
+        "queries_normalized",
         "dml_sec",
         "plan_transitions",
         "superlinear_shuffle_dedup",
@@ -1201,7 +1243,6 @@ def main() -> None:
         "superlinear_shuffle",
         "contended_queries",
         "manifest_plane",
-        "queries_normalized",
         "errors",
     ):
         if len(json.dumps(compact)) <= 1800:
