@@ -13,7 +13,7 @@ any aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -31,8 +31,29 @@ def pagerank(
 
     where ``dangling`` is the rank mass sitting on nodes with no out
     edges (redistributed uniformly — without it rank mass leaks and the
-    sum drifts below 1). Deterministic: no sampling, fixed iteration
-    count; results are reproducible to the double ulp.
+    sum drifts below 1). Deterministic: no sampling; results are
+    reproducible to the double ulp.
+
+    Loop shape (the connected_components/closure discipline): each round
+    is ONE action — the localCheckpoint that materializes the new rank
+    vector — and both per-round scalars ride it as an ``Observation``:
+
+    - ``dangling`` (needed to BUILD the next round's expression) is
+      summed over the checkpointed rows, so the old per-round
+      ``collect()`` job — which re-ran every round since the last
+      cadence checkpoint just to produce one double — is gone;
+    - ``delta`` = max |rank − prev rank| detects an EXACT fixed point
+      (the update is a deterministic function of the rank vector, so once
+      a round reproduces its input bit-for-bit every later round would
+      too) and stops the loop early — at scale that is whole full passes
+      saved after convergence, with a bit-identical result.
+
+    ``out_deg`` is a static node attribute, so it is joined onto the rank
+    vector ONCE before the loop and carried through the checkpoints
+    (NULL = dangling node) instead of re-joined every round.
+
+    ``checkpoint_every`` is kept for API compatibility; lineage is now
+    cut every round by the observed checkpoint itself.
 
     Returns (node, rank).
     """
@@ -46,34 +67,50 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-
-    for i in range(iters):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank", "out_deg")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+    ranks = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left")
+        .select(
+            "node",
+            "out_deg",
+            F.lit(1.0 / n).alias("rank"),
+            F.lit(None).cast("double").alias("prev"),
         )
+    )
+
+    for _ in range(iters):
+        obs = Observation()
+        ranks = ranks.observe(
+            obs,
+            # sum over when/otherwise(0.0) instead of filter+sum: adding
+            # +0.0 terms leaves every IEEE partial sum unchanged, so the
+            # scalar equals the filtered sum exactly.
+            F.sum(
+                F.when(F.col("out_deg").isNull(), F.col("rank")).otherwise(
+                    0.0
+                )
+            ).alias("dangling"),
+            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+        ).localCheckpoint()
+        m = obs.get
+        if m["delta"] is not None and m["delta"] == 0.0:
+            break  # exact fixed point (delta is NULL on the seed round)
+        dangling = m["dangling"] or 0.0
         contribs = (
-            e.join(with_deg, e["src"] == with_deg["node"])
+            e.join(ranks, e["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c_sum"))
         )
-        ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
+        ranks = ranks.join(
+            contribs, ranks["node"] == contribs["dst"], "left"
         ).select(
             "node",
+            "out_deg",
+            F.col("rank").alias("prev"),
             (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)
                 * (F.coalesce(F.col("c_sum"), F.lit(0.0)) + F.lit(dangling / n))
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")

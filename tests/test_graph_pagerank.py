@@ -62,3 +62,46 @@ def test_rank_mass_conserved_on_testdata_graph(spark):
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-6)
     assert ranks.filter("rank <= 0").count() == 0
+
+
+def _jobs_for(spark, edges, tag, **kw):
+    sc = spark.sparkContext
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sc.setJobGroup(tag, tag)
+    try:
+        rows = pagerank(df, **kw).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    n = len(sc.statusTracker().getJobIdsForGroup(tag))
+    return n, {r.node: r.rank for r in rows}
+
+
+def test_one_checkpoint_action_per_iteration(spark):
+    """Loop-fusion pin (round-12 verdict #4): each round must cost ONE
+    checkpoint action — dangling mass and the convergence delta ride it as
+    an Observation. The old shape (a collect() job per round recomputing
+    everything since the last cadence checkpoint, plus the checkpoint
+    itself) measured ~17 jobs/iteration on this graph; the fused loop
+    measures 7 (AQE materializes broadcast/shuffle stages as sub-jobs of
+    the one action). Pin at <= 10/iteration so a reintroduced per-round
+    scalar job trips the assert while AQE stage-count jitter does not."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    j2, r2 = _jobs_for(spark, edges, "prpin2", iters=2)
+    j5, r5 = _jobs_for(spark, edges, "prpin5", iters=5)
+    per_iter = (j5 - j2) / 3.0
+    assert per_iter <= 10.0, f"jobs/iteration regressed: {per_iter}"
+
+
+def test_early_exit_on_exact_fixed_point_is_bit_identical(spark):
+    """Once a round reproduces the rank vector bit-for-bit (delta == 0.0
+    exactly), every later round would too — the loop stops and the result
+    equals the full-iteration run EXACTLY. A symmetric 3-cycle reaches its
+    double fixed point within a few rounds, so iters=40 must cost a small
+    fraction of 40 rounds' jobs and return the same values as iters=8."""
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    j40, r40 = _jobs_for(spark, cyc, "prcyc40", iters=40)
+    j8, r8 = _jobs_for(spark, cyc, "prcyc8", iters=8)
+    assert r40 == r8  # bit-identical dict of doubles
+    # 40 un-fused rounds would be >= 40 checkpoint actions alone; early
+    # exit keeps the job count at the converged-round level.
+    assert j40 <= j8 + 10
