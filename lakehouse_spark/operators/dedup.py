@@ -74,11 +74,27 @@ class cache_scope:
 
 
 # Label relations at or below this row count broadcast in the
-# connected-components loop (~24 bytes/row hashed ⇒ ≤ ~50 MB, comfortably
-# inside executor memory and far under Spark's 8 GB / 512M-row broadcast
-# cap). The count is MEASURED each round via the checkpoint's observation,
-# so the choice is data-driven like AQE's, not a local-mode constant.
+# connected-components loop (~24 bytes/row hashed for numeric node ids ⇒
+# ≤ ~50 MB, comfortably inside executor memory and far under Spark's
+# 8 GB / 512M-row broadcast cap). The count is MEASURED each round via
+# the checkpoint's observation, so the choice is data-driven like AQE's,
+# not a local-mode constant. Node ids are CALLER-supplied: for
+# non-numeric id types (URL/path strings can run hundreds of bytes and
+# the explicit hint bypasses autoBroadcastJoinThreshold) the cap scales
+# down 8× — ~200 B/row at the same ~50 MB budget.
 _BROADCAST_LABEL_ROWS = 2_000_000
+_BROADCAST_LABEL_ROWS_WIDE = 250_000
+
+
+def _label_broadcast_cap(dtype) -> int:
+    from pyspark.sql import types as T
+
+    narrow = (T.NumericType, T.DateType, T.TimestampType, T.BooleanType)
+    return (
+        _BROADCAST_LABEL_ROWS
+        if isinstance(dtype, narrow)
+        else _BROADCAST_LABEL_ROWS_WIDE
+    )
 
 
 # --- D1: exact content dedup ------------------------------------------------
@@ -642,6 +658,7 @@ def connected_components(
     e = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
+    broadcast_cap = _label_broadcast_cap(e.schema["src"].dataType)
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -698,7 +715,7 @@ def connected_components(
         lbl_rel = labels.select(
             F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
         )
-        if n_labels <= _BROADCAST_LABEL_ROWS:
+        if n_labels <= broadcast_cap:
             lbl_rel = F.broadcast(lbl_rel)
         obs = Observation()
         new = (
@@ -741,7 +758,7 @@ def connected_components(
         # label set's size is measured, so a small one broadcasts and the
         # (big) corpus side never shuffles.
         lbl_nodes = labels.select("node")
-        if n_labels <= _BROADCAST_LABEL_ROWS:
+        if n_labels <= broadcast_cap:
             lbl_nodes = F.broadcast(lbl_nodes)
         iso = iso.join(lbl_nodes, "node", "left_anti").select(
             "node", F.col("node").alias("lbl")
@@ -830,7 +847,16 @@ class DedupIndex:
         )
 
     def build(self, corpus: DataFrame) -> None:
-        self.store.init(self._bands(corpus))
+        """Initialize the index store from ``corpus``. Banding is NOT
+        spread (same reasoning as :meth:`admit`): the spread only fires
+        on an under-partitioned corpus, exactly the case where fanning
+        the banded rows across every core turns the store's first
+        segment into one small file per partition (guide §6) — and a
+        coalesce after the spread would pull the narrow banding chain
+        back into the coalesced tasks, undoing the compute win anyway.
+        Callers with a huge single-split corpus (unsplittable codec)
+        should repartition it before building."""
+        self.store.init(self._bands(corpus, spread_input=False))
 
     def admit(self, docs: DataFrame) -> None:
         """Append the band rows of newly-accepted documents (O(new docs)).

@@ -829,3 +829,65 @@ def test_dedup_index_admit_writes_one_segment_file(spark, tmp_path):
     ))
     added = set(root.rglob("*.parquet")) - before
     assert len(added) == 1
+
+
+def test_dedup_index_build_writes_one_segment_file(spark, tmp_path):
+    """build() of a small single-partition corpus initializes the store
+    with exactly ONE parquet data file — the compute spread must not fan
+    the first segment into one file per core (advice r12)."""
+    from lakehouse_spark.operators.dedup import DedupIndex
+
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} with enough words to shingle " * 4)
+         for i in range(6)],
+        "doc_id long, text string",
+    ).coalesce(1)
+
+    root = tmp_path / "lsh_build"
+    idx = DedupIndex(spark, str(root))
+    idx.build(corpus)
+    files = list(root.rglob("*.parquet"))
+    assert len(files) == 1
+
+    # the index still works end to end
+    probe = spark.createDataFrame(
+        [(100, "document number 2 with enough words to shingle " * 4),
+         (101, "totally unrelated text about glaciers and tides " * 4)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.is_duplicate for r in idx.screen(probe).collect()}
+    assert got[100] is True and got[101] is False
+
+
+def test_label_broadcast_cap_scales_with_node_width(spark):
+    """The connected-components broadcast gate is width-aware: numeric
+    node ids keep the 2M-row cap; caller-supplied string/binary ids (URLs,
+    paths — unbounded width, and the explicit broadcast hint bypasses
+    autoBroadcastJoinThreshold) get an 8x smaller cap (advice r12)."""
+    from pyspark.sql import types as T
+
+    from lakehouse_spark.operators.dedup import (
+        _BROADCAST_LABEL_ROWS,
+        _BROADCAST_LABEL_ROWS_WIDE,
+        _label_broadcast_cap,
+    )
+
+    assert _label_broadcast_cap(T.LongType()) == _BROADCAST_LABEL_ROWS
+    assert _label_broadcast_cap(T.IntegerType()) == _BROADCAST_LABEL_ROWS
+    assert _label_broadcast_cap(T.StringType()) == _BROADCAST_LABEL_ROWS_WIDE
+    assert _label_broadcast_cap(T.BinaryType()) == _BROADCAST_LABEL_ROWS_WIDE
+
+    # string-id components still converge correctly through the loop
+    from lakehouse_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("u/a", "u/b"), ("u/b", "u/c"), ("u/x", "u/y")],
+        "a string, b string",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    assert got == {
+        "u/a": "u/a", "u/b": "u/a", "u/c": "u/a", "u/x": "u/x", "u/y": "u/x",
+    }
