@@ -187,7 +187,11 @@ def curate_documents(
     """
     from pyspark.sql import Window
 
-    scored = quality_score(df.select(id_col, text_col), text_col)
+    # Compute-spread the scan (no-op on healthy multi-split layouts): the
+    # funnel's map side — stopword HOFs, per-language marker ratios, the
+    # normalization regexes — is the expensive part, and on a single-split
+    # corpus it would run on one core. Interleaved A/B at sf0.1: 0.37x.
+    scored = quality_score(spread(df, id_col).select(id_col, text_col), text_col)
     scored = scored.withColumn("lang_guess", lang_id(text_col))
     scored = scored.withColumn("__fp", fingerprint(text_col))
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
@@ -340,7 +344,12 @@ def chunk_words(
     from ``sequence(1, n_words, stride)``, and ``posexplode`` emits
     (chunk_id, chunk_text, n_tokens) — no UDF, scan-speed, and the explode
     fan-out (~n_words/stride rows per doc) happens AFTER any pushed filters.
+
+    The input is compute-spread first (no-op on multi-split layouts) so
+    the split/slice/concat map work of a single-split corpus runs on
+    every core. Interleaved A/B at sf0.1: 0.79x.
     """
+    df = spread(df, id_col)
     words = df.withColumn(
         "__w", F.split(F.trim(F.col(text_col)), r"\s+")
     ).withColumn("__n", F.size("__w"))
@@ -595,7 +604,13 @@ def gopher_rules(
     Emits each feature plus the composite ``gopher_pass`` flag so the
     curation funnel can report per-rule reject reasons. All ratios rounded
     to 4 so the DuckDB oracle hashes identically.
+
+    The input is compute-spread first (no-op on multi-split layouts): the
+    per-word HOF filters and the stopword containment scan are the cost,
+    and on a single-split corpus they run on one task. Interleaved A/B at
+    sf0.1: 0.47x direct, 0.65x through curation_filter_funnel.
     """
+    df = spread(df, id_col)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_words = F.size(words)
     sum_len = F.aggregate(
@@ -650,6 +665,10 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
+    # Compute-spread the scan (no-op on multi-split layouts): the span
+    # split/slice/join fan-out is the map-side cost before the first
+    # shuffle. Interleaved A/B at sf0.1: 0.64x.
+    df = spread(df, id_col)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_spans = F.ceil(F.size(words) / span_words)
     span_arr = F.transform(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_spark.operators import sorts, text
+from lakehouse_spark.operators.skew import spread
 from lakehouse_spark.queries._core import _q, _ssum, _ssum_sql, _t
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS) + "]"
@@ -48,7 +49,11 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS) + "]"
     doc="Quality features + composite score (C4/Gopher-style heuristics)",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: per-row stopword/regex feature work dominates; single-split
+    # scans would run it on one core (A/B at sf0.1: 0.74x, guide §2.5)
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
     return text.quality_score(docs, "text").select(
         "doc_id",
         "n_chars",
@@ -119,7 +124,10 @@ def _langid_oracle() -> str:
     doc="Heuristic language ID: marker-word hit rate + CJK script detection",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the per-language marker-ratio HOFs + script regexes are the
+    # heaviest per-row map work in the family — the A/B at sf0.1 measured
+    # 0.25x (4x) with the scan spread over the cores (guide §2.5)
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", text.lang_id("text").alias("lang_guess"))
 
 
@@ -134,7 +142,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting: whitespace + BPE-ish regex pre-tokenization",
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread: regex pre-tokenization per row (A/B at sf0.1: 0.84x)
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         text.whitespace_token_count("text").cast("long").alias("ws_tokens"),
@@ -365,7 +374,9 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicated word 3-grams per doc — pure Catalyst, per-row, scan speed",
 )
 def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the O(n_words) gram-fold HOF per row is pure map-side
+    # compute (A/B at sf0.1: 0.70x)
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("doc_id", text.repetition_score("text", n=3).alias("rep3"))
         .filter(F.col("rep3").isNotNull())
@@ -1088,6 +1099,11 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 100000000.0, 4) AS entropy_bits
     FROM c
     """,
+    # Promoted to the headline bench in round 13 (additions-only; verdict
+    # r12 #3): the text-quality family's representative — compute-dominated
+    # per-char explode + two-phase aggregate, the shape that shows both the
+    # compute-spread decision and core scaling.
+    headline=True,
     doc=(
         "Character-level Shannon entropy per document (compressibility "
         "quality signal: gibberish and boilerplate sit at the extremes). "
@@ -1103,7 +1119,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1); exploding stays in whole-stage codegen and the map-side
     # partial combine shrinks the shuffle to ~30 (doc, char) rows per doc
     # (0.9 s, identical hash — the int-grid sum is order-independent).
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the per-char explode + map-side partial count is the cost
+    # (~n_chars rows per doc before the combine); a single-split scan
+    # runs it on one core (A/B at sf0.1: 0.42x, guide §2.5)
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     chars = docs.select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
     )
