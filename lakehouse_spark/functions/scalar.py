@@ -50,6 +50,22 @@ def hash64_sql(expr: str, seed: int = 0) -> str:
     return f"CAST('0x' || substr(md5({inner}), 1, 15) AS BIGINT)"
 
 
+def hash64_spark_sql(expr: str, seed: int = 0, mode: str = "md5") -> str:
+    """Spark-SQL *source* rendering of :func:`hash64` — same expression tree
+    the Column form builds, but composed as a string so hot query
+    constructors can hand one ``expr()``/``selectExpr`` string to the JVM
+    instead of a chain of py4j calls (each round-trip costs ~0.5-1 ms on a
+    virtualized driver host; a MinHash pipeline built via the Column DSL
+    makes hundreds of them). Parity with the Column form is pinned in
+    tests/test_hash_modes.py."""
+    inner = f"concat('s{seed}:', {expr})" if seed else expr
+    if mode == "xxhash64":
+        return f"(xxhash64({inner}) & {_MASK60}L)"
+    if mode != "md5":
+        raise ValueError(f"unknown hash mode {mode!r}: use 'md5' or 'xxhash64'")
+    return f"cast(conv(substring(md5({inner}), 1, 15), 16, 10) as bigint)"
+
+
 # --- S2: duration --------------------------------------------------------
 
 

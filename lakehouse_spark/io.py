@@ -19,6 +19,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 TABLE_NAMES = tuple(TESTDATA_TABLES)
 
+# Inferred-schema memo, keyed on (path, mtime_ns, size): footer-based schema
+# inference costs ~100 ms of driver time PER spark.read.parquet() call (file
+# listing + footer decode in the JVM), paid again on every query build. The
+# memo stores the schema Spark itself inferred for exactly these bytes — a
+# later read with that schema passed explicitly resolves to the identical
+# relation (same types, NTZ/nanos quirks included) without re-reading the
+# footer. The stat key invalidates the entry if the table is rewritten.
+# Plans/data are NOT cached — only the schema of an immutable file.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Parquet is self-describing; the explicit schema
@@ -33,7 +43,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # getOrCreate()); the conf is runtime-settable, so set it here where
         # the read happens.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # let spark.read raise its own, richer error
+    if key is not None and key in _SCHEMA_CACHE:
+        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         # Normalize events.ts to TIMESTAMP (LTZ) regardless of the parquet
         # encoding, so downstream unix_micros/unix_millis/window math always

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-from lakehouse_spark.functions.scalar import hash64
+from lakehouse_spark.functions.scalar import hash64, hash64_spark_sql
 from lakehouse_spark.operators.skew import spread
 
 # --- cache bookkeeping -------------------------------------------------------
@@ -174,39 +174,38 @@ def shingle_frame(
     ``spread_input=False`` opts out for per-micro-batch callers whose
     output is APPENDED to a store: spreading a tiny batch would fan its
     one-file segment into one file per non-empty partition (guide §6
-    small-files hazard) for no compute gain."""
+    small-files hazard) for no compute gain.
+
+    Construction is composed as Spark-SQL strings and parsed in ONE
+    ``selectExpr`` per step: the identical expression tree built through
+    the Column DSL costs hundreds of py4j round-trips (~0.5-1 ms each on a
+    virtualized driver), which dominated the per-query driver time for
+    every near-dup pipeline. Same analyzed plan, byte-identical output."""
     if spread_input:
         df = spread(df, id_col)
-    extra = [F.col(c) for c in (carry or [])]
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    extra = [f"`{c}`" for c in (carry or [])]
+    # split once per row, THEN fold grams over the materialized column —
+    # the two-step shape keeps the text split out of the n gram slices
+    words = df.selectExpr(
+        f"`{id_col}` as id",
+        f"split(trim(`{text_col}`), '\\\\s+') as w",
         *extra,
     )
-    count = F.size("w") - F.lit(n - 1)  # number of grams; all slices use it
-
-    def grams():
-        # right-fold: acc = suffix words joined; every slice has length
-        # `count` so zip_with never NULL-pads
-        acc = F.slice(F.col("w"), n, count)
-        for off in range(n - 1, 0, -1):
-            acc = F.zip_with(
-                F.slice(F.col("w"), off, count),
-                acc,
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        return acc
-
-    return (
-        words.select(
-            "id",
-            F.when(count > 0, F.array_distinct(grams()))
-            .otherwise(F.array().cast("array<string>"))
-            .alias("sh"),
-            *[F.col(c) for c in (carry or [])],
+    count = f"(size(w) - {n - 1})"  # number of grams; all slices use it
+    # right-fold: acc = suffix words joined; every slice has length
+    # `count` so zip_with never NULL-pads
+    acc = f"slice(w, {n}, {count})"
+    for off in range(n - 1, 0, -1):
+        acc = (
+            f"zip_with(slice(w, {off}, {count}), {acc},"
+            " (a, b) -> concat(a, ' ', b))"
         )
-        .filter(F.size("sh") > 0)
-    )
+    return words.selectExpr(
+        "id",
+        f"CASE WHEN {count} > 0 THEN array_distinct({acc})"
+        " ELSE cast(array() as array<string>) END as sh",
+        *extra,
+    ).filter("size(sh) > 0")
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -246,6 +245,18 @@ def minhash_signature(hashes: Column, k: int = 16) -> Column:
     )
 
 
+def minhash_signature_sql(hashes: str, k: int = 16) -> str:
+    """Spark-SQL source of :func:`minhash_signature` over a pre-hashed
+    array expression — the one-``expr()``-parse form of the same fold (see
+    :func:`shingle_frame` on why construction round-trips matter)."""
+    salts = ", ".join(f"{s}L" for s in xor_salts(k))
+    return (
+        f"aggregate({hashes}, array_repeat({1 << 62}L, {k}),"
+        f" (acc, h) -> zip_with(acc, array({salts}),"
+        " (a, s) -> least(a, (h ^ s))))"
+    )
+
+
 def band_signatures_from_shingles(
     shingled: DataFrame, k: int = 16, bands: int = 4, hash_mode: str = "md5"
 ) -> DataFrame:
@@ -258,19 +269,13 @@ def band_signatures_from_shingles(
     no md5 hex round-trip); keep the default ``"md5"`` where a DuckDB
     oracle must replay the signatures."""
     rows_per_band = k // bands
-    sig = shingled.select(
-        "id", F.transform("sh", lambda s: hash64(s, mode=hash_mode)).alias("hs")
-    ).select("id", minhash_signature(F.col("hs"), k).alias("sig"))
-    return sig.select(
+    hs = f"transform(sh, s -> {hash64_spark_sql('s', mode=hash_mode)})"
+    sig = shingled.selectExpr("id", f"{minhash_signature_sql(hs, k)} as sig")
+    return sig.selectExpr(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    F.col("sig"), b * rows_per_band + 1, rows_per_band
-                ),
-            )
-        ).alias("band", "band_sig"),
+        f"posexplode(transform(sequence(0, {bands - 1}),"
+        f" b -> slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+        " as (band, band_sig)",
     )
 
 
@@ -320,34 +325,35 @@ def minhash_near_duplicates(
     """
     base = _persist(shingle_frame(df, id_col, text_col, n))
     banded = _persist(band_signatures_from_shingles(base, k, bands, hash_mode))
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.id") < F.col("b.id")),
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            F.expr("a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id"),
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .selectExpr("a.id as a_id", "b.id as b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     verified = cand.join(
-        base.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id"
-    ).join(base.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
+        base.selectExpr("id as a_id", "sh as a_sh"), "a_id"
+    ).join(base.selectExpr("id as b_id", "sh as b_sh"), "b_id")
     # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct by construction):
     # one array_intersect per pair instead of intersect + array_union —
     # array_union built a whole merged array only to take its size.
     return (
-        verified.withColumn(
-            "inter", F.size(F.array_intersect("a_sh", "b_sh"))
+        verified.selectExpr(
+            "a_id",
+            "b_id",
+            "a_sh",
+            "b_sh",
+            "size(array_intersect(a_sh, b_sh)) as inter",
         )
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.size("a_sh") + F.size("b_sh") - F.col("inter")),
+        .selectExpr(
+            "a_id",
+            "b_id",
+            "(inter / ((size(a_sh) + size(b_sh)) - inter)) as jaccard",
         )
-        .filter(F.col("jaccard") >= min_jaccard)
+        .filter(f"jaccard >= {min_jaccard}")
         .select("a_id", "b_id", "jaccard")
     )
 
@@ -389,30 +395,26 @@ def ngram_jaccard_pairs(
         .withColumnRenamed("__blk", "blk")
         .withColumn("sz", F.size("sh"))
     )
-    ex = base.select("id", "blk", "sz", F.explode("sh").alias("g"))
+    ex = base.selectExpr("id", "blk", "sz", "explode(sh) as g")
     inter = (
         ex.alias("a")
         .join(
             ex.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr("a.blk = b.blk AND a.g = b.g AND a.id < b.id"),
         )
         .groupBy(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sz").alias("a_sz"),
-            F.col("b.sz").alias("b_sz"),
+            F.expr("a.id as a_id"),
+            F.expr("b.id as b_id"),
+            F.expr("a.sz as a_sz"),
+            F.expr("b.sz as b_sz"),
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(F.expr("count(*) as inter"))
     )
-    return inter.select(
+    return inter.selectExpr(
         "a_id",
         "b_id",
-        (
-            F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter"))
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= min_jaccard)
+        "(inter / ((a_sz + b_sz) - inter)) as jaccard",
+    ).filter(f"jaccard >= {min_jaccard}")
 
 
 def ngram_containment_pairs(
@@ -439,31 +441,29 @@ def ngram_containment_pairs(
         .withColumnRenamed("__blk", "blk")
         .withColumn("sz", F.size("sh"))
     )
-    ex = base.select("id", "blk", "sz", F.explode("sh").alias("g"))
+    ex = base.selectExpr("id", "blk", "sz", "explode(sh) as g")
     inter = (
         ex.alias("a")
         .join(
             ex.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr("a.blk = b.blk AND a.g = b.g AND a.id < b.id"),
         )
         .groupBy(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sz").alias("a_sz"),
-            F.col("b.sz").alias("b_sz"),
+            F.expr("a.id as a_id"),
+            F.expr("b.id as b_id"),
+            F.expr("a.sz as a_sz"),
+            F.expr("b.sz as b_sz"),
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(F.expr("count(*) as inter"))
     )
-    return inter.select(
+    return inter.selectExpr(
         "a_id",
         "b_id",
-        (F.col("inter") / F.col("a_sz")).alias("containment_a"),
-        (F.col("inter") / F.col("b_sz")).alias("containment_b"),
+        "(inter / a_sz) as containment_a",
+        "(inter / b_sz) as containment_b",
     ).filter(
-        (F.col("containment_a") >= min_containment)
-        | (F.col("containment_b") >= min_containment)
+        f"containment_a >= {min_containment}"
+        f" OR containment_b >= {min_containment}"
     )
 
 
@@ -655,13 +655,9 @@ def connected_components(
     ``all_nodes`` (optional, one ``node_col`` column) adds isolated nodes:
     every document appears in the output, singletons as their own cluster.
     """
-    e = pairs.select(
-        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
-    )
+    e = pairs.selectExpr(f"`{left_col}` as src", f"`{right_col}` as dst")
     broadcast_cap = _label_broadcast_cap(e.schema["src"].dataType)
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = e.union(e.selectExpr("dst as src", "src as dst"))
     if not pairs_unique:
         edges = edges.distinct()
     edges = edges.localCheckpoint()
@@ -669,20 +665,28 @@ def connected_components(
     # materializes each round's checkpoint (an Observation on the plan):
     # the old per-round isEmpty() was a second full pass over the labels —
     # one extra job per round locally, one extra scan per round at scale.
+    # Expression Columns are built ONCE (here) and reused every round: each
+    # py4j construction round-trip costs ~0.5-1 ms on a virtualized driver,
+    # and an iterative operator pays it per round (see shingle_frame).
     _metrics = (
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("node") != F.col("lbl"), 1)).alias("moved"),
+        F.expr("count(1) as n"),
+        F.expr("count(CASE WHEN node != lbl THEN 1 END) as moved"),
+    )
+    _round_metrics = (
+        F.expr("count(1) as n"),
+        F.expr("count(CASE WHEN nlbl != olbl THEN 1 END) as moved"),
+    )
+    _round_aggs = (
+        F.expr("min(nlbl) as nlbl"),
+        F.expr("min(CASE WHEN dst = src THEN nlbl END) as olbl"),
     )
     # Round 1: lbl(v) = min(v, min neighbor) — covers every edge endpoint
     # (edges are symmetric, so each endpoint appears as src).
     obs = Observation()
     labels = (
         edges.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select(
-            F.col("src").alias("node"),
-            F.least(F.col("src"), F.col("mn")).alias("lbl"),
-        )
+        .agg(F.expr("min(dst) as mn"))
+        .selectExpr("src as node", "least(src, mn) as lbl")
         .observe(obs, *_metrics)
         .localCheckpoint()
     )
@@ -696,12 +700,10 @@ def connected_components(
     rounds = 1
     while not converged and rounds < max_iter:
         rounds += 1
-        shortcuts = labels.filter(F.col("node") != F.col("lbl")).select(
-            F.col("node").alias("src"), F.col("lbl").alias("dst")
+        shortcuts = labels.filter("node != lbl").selectExpr(
+            "node as src", "lbl as dst"
         )
-        self_rows = labels.select(
-            F.col("node").alias("src"), F.col("node").alias("dst")
-        )
+        self_rows = labels.selectExpr("node as src", "node as dst")
         aug = edges.unionByName(shortcuts).unionByName(self_rows)
         # One join + one groupBy: nlbl = min over {own label (self row),
         # neighbor labels (edges), label's label (shortcut)}; the old
@@ -712,35 +714,20 @@ def connected_components(
         # then needs no exchange on the edge stream (guide §3.1: pick the
         # strategy deliberately). SMJ/SHJ stays the fallback for huge
         # label sets, so spill behavior at scale is unchanged.
-        lbl_rel = labels.select(
-            F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
-        )
+        lbl_rel = labels.selectExpr("node as dst", "lbl as nlbl")
         if n_labels <= broadcast_cap:
             lbl_rel = F.broadcast(lbl_rel)
         obs = Observation()
         new = (
             aug.join(lbl_rel, "dst")
             .groupBy("src")
-            .agg(
-                F.min("nlbl").alias("nlbl"),
-                F.min(
-                    F.when(F.col("dst") == F.col("src"), F.col("nlbl"))
-                ).alias("olbl"),
-            )
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col("nlbl") != F.col("olbl"), 1)).alias(
-                    "moved"
-                ),
-            )
+            .agg(*_round_aggs)
+            .observe(obs, *_round_metrics)
             .localCheckpoint()
         )
         m = obs.get
         n_labels, converged = m["n"], m["moved"] == 0
-        labels = new.select(
-            F.col("src").alias("node"), F.col("nlbl").alias("lbl")
-        )
+        labels = new.selectExpr("src as node", "nlbl as lbl")
     if not converged:
         # A silent stop here would return split components that no longer
         # match the transitive-closure semantics (and any recursive-CTE
@@ -751,7 +738,7 @@ def connected_components(
             "rounds; labels were still changing. Increase max_iter."
         )
     if all_nodes is not None:
-        iso = all_nodes.select(F.col(node_col).alias("node"))
+        iso = all_nodes.selectExpr(f"`{node_col}` as node")
         if not nodes_unique:
             iso = iso.distinct()
         # Same count-driven choice for the isolated-node anti join: the
@@ -760,13 +747,11 @@ def connected_components(
         lbl_nodes = labels.select("node")
         if n_labels <= broadcast_cap:
             lbl_nodes = F.broadcast(lbl_nodes)
-        iso = iso.join(lbl_nodes, "node", "left_anti").select(
-            "node", F.col("node").alias("lbl")
+        iso = iso.join(lbl_nodes, "node", "left_anti").selectExpr(
+            "node", "node as lbl"
         )
         labels = labels.unionByName(iso)
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    )
+    return labels.selectExpr("node as doc_id", "lbl as cluster_id")
 
 
 def incremental_connected_components(

@@ -46,6 +46,13 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from lakehouse_spark.schemas import TRACE_TURN
 
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a Spark-SQL string literal (backslash and
+    quote escaped) for the composed-SQL fast paths."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 # --- W1: turn assignment ------------------------------------------------------
 
 
@@ -115,15 +122,25 @@ def pair_tool_events(
         .cast("int"),  # row_number emitted INT32; keep the schema
     )
     others = [c for c in df.columns if c not in (*keys, kind_col)]
+    # The struct pivots and the wide unpack projection are composed as SQL
+    # strings (one parse each) — the Column-DSL form cost ~10 py4j
+    # round-trips per output column (see functions.scalar.hash64_spark_sql).
+    struct_cols = ", ".join(f"`{c}`" for c in others)
+    kinds = {"pre": pre_kind, "post": post_kind}
     agg = ranked.groupBy(*keys, "__k").agg(
-        F.max(F.when(is_pre, F.struct(*others))).alias("__pre"),
-        F.max(F.when(is_post, F.struct(*others))).alias("__post"),
+        *[
+            F.expr(
+                f"max(CASE WHEN `{kind_col}` = {_sql_str(kind)}"
+                f" THEN struct({struct_cols}) END) as __{tag}"
+            )
+            for tag, kind in kinds.items()
+        ]
     )
-    out = agg.filter(F.col("__pre").isNotNull()).select(
-        *keys,
-        F.lit(pre_kind).alias(kind_col),
-        *[F.col(f"__pre.{c}").alias(c) for c in others],
-        *[F.col(f"__post.{c}").alias(f"{c}_post") for c in others],
+    out = agg.filter("__pre IS NOT NULL").selectExpr(
+        *[f"`{c}`" for c in keys],
+        f"{_sql_str(pre_kind)} as `{kind_col}`",
+        *[f"__pre.`{c}` as `{c}`" for c in others],
+        *[f"__post.`{c}` as `{c}_post`" for c in others],
         "__k",
     )
     if rank_col is not None:

@@ -54,6 +54,27 @@ def _norm(v) -> Column:
     )
 
 
+# SQL-string mirrors of _dot/_norm (identical expression trees; 0.0D keeps
+# the accumulator a DOUBLE literal exactly like F.lit(0.0) — a bare 0.0 in
+# Spark SQL parses as DECIMAL). Hot constructors compose these into one
+# expr() parse instead of ~10 py4j round-trips per fold; see
+# functions.scalar.hash64_spark_sql for the round-trip economics.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(v: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({v}, x -> x * x), 0.0D,"
+        " (acc, x) -> acc + x))"
+    )
+
+
 def cosine(a, b) -> Column:
     """Cosine similarity between two ARRAY<FLOAT/DOUBLE> columns."""
     return _dot(a, b) / (_norm(a) * _norm(b))
@@ -77,30 +98,25 @@ def cosine_topk_bruteforce(
     # Norms are per-INPUT-row (computed before the query fan-out): each
     # corpus vector's norm is folded once, not once per query — identical
     # doubles, ~2/3 of the per-pair HOF folds gone (only the dot remains).
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    q = queries.selectExpr(
+        f"`{id_col}` as query_id", f"`{vec_col}` as qv"
+    ).selectExpr("query_id", "qv", f"{_norm_sql('qv')} as qn")
+    c = spread(corpus, id_col).selectExpr(
+        f"`{id_col}` as neighbor_id", f"`{vec_col}` as cv"
+    ).selectExpr("neighbor_id", "cv", f"{_norm_sql('cv')} as cn")
+    scored = c.join(
+        F.broadcast(q), F.expr("neighbor_id != query_id")
+    ).selectExpr(
+        "*",
+        f"round({_dot_sql('qv', 'cv')} / (qn * cn), 6) as cosine",
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) as rank",
+        )
+        .filter(f"rank <= {k}")
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 

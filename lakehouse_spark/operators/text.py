@@ -249,10 +249,34 @@ def repetition_score(col: Column | str, n: int = 3) -> Column:
     Pure Catalyst (split + sequence + slice + array_distinct): per-row only,
     no shuffle, runs at scan speed. Documents with fewer than ``n`` words
     yield NULL (no n-grams to judge)."""
+    if isinstance(col, str):
+        g = word_ngrams_sql(f"`{col}`", n)
+        return F.expr(
+            f"round(1.0D - size(array_distinct({g})) / size({g}), 6)"
+        )
     grams = word_ngrams(col, n)
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
     )
+
+
+def word_ngrams_sql(col: str, n: int) -> str:
+    """Spark-SQL source of :func:`word_ngrams` over a column/expression
+    string — ONE expr() parse instead of the DSL's ~10 py4j round-trips per
+    zip_with level (see functions.scalar.hash64_spark_sql). The repeated
+    ``split`` text parses to structurally equal subtrees, exactly what the
+    Column form's reused object produces after analysis."""
+    words = f"split({col}, ' ')"
+    k = f"(size({words}) - {n - 1})"
+    # right-fold: acc = suffix words joined; every slice has length
+    # k, so zip_with never NULL-pads
+    acc = f"slice({words}, {n}, {k})"
+    for off in range(n - 1, 0, -1):
+        acc = (
+            f"zip_with(slice({words}, {off}, {k}), {acc},"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+    return f"(CASE WHEN {k} >= 1 THEN {acc} END)"
 
 
 def word_ngrams(col: Column | str, n: int) -> Column:
@@ -266,9 +290,13 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     form: each zip_with walks the arrays pairwise instead of allocating a
     per-gram slice. Output is identical (split produces no NULL elements,
     so concat == concat_ws element-wise). The ``k >= 1`` guard keeps the
-    slices from ever being built with a non-positive length."""
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(c, " ")
+    slices from ever being built with a non-positive length.
+
+    String inputs route through :func:`word_ngrams_sql` (one parse);
+    Column inputs keep the equivalent DSL fold."""
+    if isinstance(col, str):
+        return F.expr(word_ngrams_sql(f"`{col}`", n))
+    words = F.split(col, " ")
     k = F.size(words) - (n - 1)  # number of n-grams; all slices use it
 
     def grams() -> Column:
@@ -305,12 +333,12 @@ def decontaminate(
     corpus n-grams are generated per-row (narrow) and exploded to one
     (id, gram) column pair — the only wide op is the broadcast LEFT SEMI
     join, so the corpus never shuffles and the flag is a semi-join hit."""
-    bench_grams = (
-        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
-        .distinct()
-    )
-    corpus_grams = spread(corpus, id_col).select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    grams_sql = word_ngrams_sql(f"`{text_col}`", n)
+    bench_grams = benchmark.selectExpr(
+        f"explode({grams_sql}) as gram"
+    ).distinct()
+    corpus_grams = spread(corpus, id_col).selectExpr(
+        f"`{id_col}`", f"explode({grams_sql}) as gram"
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
@@ -319,8 +347,8 @@ def decontaminate(
     )
     return corpus.select(id_col).join(
         hits.withColumn("contaminated", F.lit(True)), id_col, "left"
-    ).select(
-        id_col, F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
+    ).selectExpr(
+        f"`{id_col}`", "coalesce(contaminated, false) as contaminated"
     )
 
 

@@ -121,6 +121,25 @@ def _ssum_sql(expr: str, digits: int = 2, scale: int = 10000) -> str:
     return f"CAST({s} AS DOUBLE) / CAST({scale} AS DOUBLE)"
 
 
+def _dsum_sql(expr: str, digits: int = 2) -> str:
+    """Spark/DuckDB-safe SQL source of :func:`_dsum` (identical expression
+    tree; see hash64_spark_sql on why hot builders compose SQL strings
+    instead of Column chains)."""
+    return (
+        f"CAST(round(sum(CAST(({expr}) AS DECIMAL(18,4))), {digits})"
+        " AS DOUBLE)"
+    )
+
+
+def _savg_sql(expr: str, digits: int = 4, scale: int = 10000) -> str:
+    """Spark-safe SQL source of :func:`_savg` — CAST({scale} AS DOUBLE)
+    rather than a bare decimal literal, same reason as :func:`_ssum_sql`."""
+    return (
+        f"round(sum(CAST(round(({expr}) * {scale}) AS BIGINT))"
+        f" / (CAST({scale} AS DOUBLE) * count({expr})), {digits})"
+    )
+
+
 def _savg(col, digits: int = 4, scale: int = 10000):
     """Scaled-int mean, same exactness argument as :func:`_ssum`; the single
     double division is bit-identical across engines, and the final

@@ -1123,23 +1123,20 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~n_chars rows per doc before the combine); a single-split scan
     # runs it on one core (A/B at sf0.1: 0.42x, guide §2.5)
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    chars = docs.select(
-        "doc_id", F.explode(F.split("text", "")).alias("ch")
-    )
-    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("doc_id")
-    n = F.sum("cnt").over(w)
-    p = F.col("cnt") * F.lit(1.0) / n
-    term = F.round(p * F.log2(p) * 100_000_000).cast("long")
+    chars = docs.selectExpr("doc_id", "explode(split(text, '')) as ch")
+    counts = chars.groupBy("doc_id", "ch").agg(F.expr("count(*) as cnt"))
+    n = "sum(cnt) OVER (PARTITION BY doc_id)"
+    p = "(cnt * 1.0D / n)"
     return (
-        counts.withColumn("n", n)
-        .withColumn("term", term)
+        counts.selectExpr("*", f"{n} as n")
+        .selectExpr(
+            "*",
+            f"CAST(round({p} * log2({p}) * 100000000) AS BIGINT) as term",
+        )
         .groupBy("doc_id")
         .agg(
-            F.max("n").cast("long").alias("n_chars"),
-            F.round(-F.sum("term") / F.lit(100_000_000.0), 4).alias(
-                "entropy_bits"
-            ),
+            F.expr("CAST(max(n) AS BIGINT) as n_chars"),
+            F.expr("round(-sum(term) / 100000000.0D, 4) as entropy_bits"),
         )
     )
 

@@ -285,7 +285,7 @@ def w1_turn_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w2_pre_post_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
+        "event_type IN ('click', 'purchase')"
     ).select("user_id", "event_type", "event_id", "ts")
     paired = pair_tool_events(
         ev,
@@ -296,14 +296,14 @@ def w2_pre_post_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         post_kind="purchase",
         rank_col="pair_rn",
     )
-    return paired.filter(F.col("event_id_post").isNotNull()).select(
+    return paired.filter("event_id_post IS NOT NULL").selectExpr(
         "user_id",
         "pair_rn",
-        F.col("event_id").alias("pre_event_id"),
-        F.col("event_id_post").alias("post_event_id"),
+        "event_id as pre_event_id",
+        "event_id_post as post_event_id",
         # exact integer microseconds: float seconds would round differently
         # across engines at the ms boundary
-        (F.unix_micros(F.col("ts_post")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+        "(unix_micros(ts_post) - unix_micros(ts)) as gap_us",
     )
 
 

@@ -32,8 +32,10 @@ from lakehouse_spark.operators.skew import spread
 from lakehouse_spark.queries._core import (
     _davg,
     _dsum,
+    _dsum_sql,
     _q,
     _savg,
+    _savg_sql,
     _ssum,
     _ssum_sql,
     _t,
@@ -58,20 +60,25 @@ from lakehouse_spark.queries._core import (
     doc="TPC-H Q1 shape: scan + filter + 8-way agg; map-side partial agg",
 )
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregates are composed as SQL strings (one expr() parse each): the
+    # Column-DSL form of this 8-agg list cost ~1000 py4j round-trips per
+    # build — ~0.5-1 ms each on a virtualized driver host (see
+    # functions.scalar.hash64_spark_sql). Identical expression trees.
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        li.filter("l_shipdate <= cast('2001-09-02' as timestamp)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _ssum("l_quantity").alias("sum_qty"),
-            _ssum("l_extendedprice").alias("sum_base_price"),
-            _ssum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
+            F.expr(f"{_ssum_sql('l_quantity')} as sum_qty"),
+            F.expr(f"{_ssum_sql('l_extendedprice')} as sum_base_price"),
+            F.expr(
+                f"{_ssum_sql('l_extendedprice * (1 - l_discount)')}"
+                " as sum_disc_price"
             ),
-            _savg("l_quantity").alias("avg_qty"),
-            _savg("l_extendedprice").alias("avg_price"),
-            _savg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.expr(f"{_savg_sql('l_quantity')} as avg_qty"),
+            F.expr(f"{_savg_sql('l_extendedprice')} as avg_price"),
+            F.expr(f"{_savg_sql('l_discount')} as avg_disc"),
+            F.expr("count(*) as count_order"),
         )
     )
 
@@ -96,19 +103,19 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q3 shape: 3-way join + agg + total-order top-k",
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cust = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
     orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        "o_orderdate < cast('1998-03-15' as timestamp)"
     )
     li = spread(_t(spark, sf_dir, "lineitem"), "l_orderkey").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        "l_shipdate > cast('1998-03-15' as timestamp)"
     )
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey
     ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
+        F.expr(
+            f"{_dsum_sql('l_extendedprice * (1 - l_discount)')} as revenue"
         )
     )
     return sorts.top_n(
@@ -145,29 +152,24 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     asian_nations = (
         _t(spark, sf_dir, "nation")
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
+            F.broadcast(_t(spark, sf_dir, "region").filter("r_name = 'ASIA'")),
+            F.expr("n_regionkey = r_regionkey"),
         )
         .select("n_nationkey", "n_name")
     )
     supp = (
         _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(asian_nations),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
+        .join(F.broadcast(asian_nations), F.expr("s_nationkey = n_nationkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     cust = _t(spark, sf_dir, "customer").join(
         F.broadcast(asian_nations.select("n_nationkey")),
-        F.col("c_nationkey") == F.col("n_nationkey"),
+        F.expr("c_nationkey = n_nationkey"),
         "left_semi",
     )
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        "o_orderdate >= cast('1996-01-01' as timestamp)"
+        " AND o_orderdate < cast('1998-01-01' as timestamp)"
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -180,9 +182,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue"
+            )
         )
     )
 
@@ -206,24 +208,21 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        "l_shipdate >= cast('1999-01-01' as timestamp)"
+        " AND l_shipdate < cast('2000-01-01' as timestamp)"
     )
     part = _t(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    zero = F.lit(0).cast("decimal(18,4)")
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+    zero = "CAST(0 AS DECIMAL(18,4))"
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-                .cast("double")
-                / F.sum(rev).cast("double"),
-                4,
-            ).alias("promo_revenue")
+            F.expr(
+                "round(100.0D"
+                f" * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {rev}"
+                f" ELSE {zero} END) AS DOUBLE)"
+                f" / CAST(sum({rev}) AS DOUBLE), 4) as promo_revenue"
+            )
         )
     )
 
@@ -266,10 +265,11 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum("l_quantity").alias("__q"),  # exact filter semantics
-            _dsum("l_quantity").alias("total_qty"),  # rounded output form
+            F.expr("sum(l_quantity) as __q"),  # exact filter semantics
+            # rounded output form
+            F.expr(f"{_dsum_sql('l_quantity')} as total_qty"),
         )
-        .filter(F.col("__q") > 250)
+        .filter("__q > 250")
     )
     j = per_order.join(
         orders, F.col("l_orderkey") == orders.o_orderkey
@@ -280,9 +280,9 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sorts.top_n(
         agg, [F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")], 100
-    ).select(
+    ).selectExpr(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-        F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        "round(o_totalprice, 2) as o_totalprice", "total_qty",
     )
 
 
