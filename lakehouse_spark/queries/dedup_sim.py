@@ -86,9 +86,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_near_duplicates(
         docs, "doc_id", "text", n=3, k=16, bands=4, min_jaccard=0.0
     )
-    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
-        F.col("jaccard") >= 0.5
-    )
+    return pairs.selectExpr(
+        "a_id", "b_id", "round(jaccard, 4) as jaccard"
+    ).filter("jaccard >= 0.5")
 
 
 @_q(
@@ -105,9 +105,9 @@ def dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, k=16, bands=4, min_jaccard=0.0,
         hash_mode="xxhash64",
     )
-    return pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
-        F.col("jaccard") >= 0.5
-    )
+    return pairs.selectExpr(
+        "a_id", "b_id", "round(jaccard, 4) as jaccard"
+    ).filter("jaccard >= 0.5")
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -447,23 +447,18 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster as themselves. Oracle replays it as a recursive CTE closure",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "blk",
-        F.concat_ws(
-            "|",
-            "lang",
-            "source",
-            F.floor(
-                F.log2(F.size(F.split(F.trim("text"), r"\s+")))
-            ).cast("long").cast("string"),
-        ),
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "*",
+        "concat_ws('|', lang, source,"
+        " CAST(CAST(floor(log2(size(split(trim(text), '\\\\s+')))) AS BIGINT)"
+        " AS STRING)) as blk",
     )
     pairs = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", "blk", n=3, min_jaccard=0.0
     )
-    pairs = pairs.withColumn("jaccard", F.round("jaccard", 4)).filter(
-        F.col("jaccard") >= 0.1
-    )
+    pairs = pairs.selectExpr(
+        "a_id", "b_id", "round(jaccard, 4) as jaccard"
+    ).filter("jaccard >= 0.1")
     return dedup.connected_components(
         pairs, "a_id", "b_id",
         all_nodes=docs.select("doc_id"), node_col="doc_id",
